@@ -1,0 +1,53 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per BASELINE.md, session startup is excluded (measure steady-state query
+time): the session is built and tables warmed before timing starts, and
+each query is timed over its full action (plan + execute + collect-to-count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+from sustainable_building_energy_benchmarking_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="sbeb-bench")
+
+    # warm the JVM + file listing once, outside the timed region
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

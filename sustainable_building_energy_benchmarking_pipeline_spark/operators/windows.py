@@ -1,0 +1,171 @@
+"""Window / time-series operator toolkit (SURVEY.md §2.5, W1-W10).
+
+Replaces the reference's hand-rolled per-zone loop
+(``src/pipeline_batch.py:100-151``) and run/oscillation scanners
+(``src/models.py:66-234``) with single-shuffle window-function plans:
+one hash shuffle on the partition key, then all rolling/lag/run logic
+executes inside the sorted window — no driver-side loops, no Python row
+code, fully whole-stage-codegen'd.
+
+Scale note: a window over ``partitionBy(k).orderBy(ts)`` shuffles once on
+``k`` and sorts within partitions. At 100 TB the only concern is key skew
+(one giant partition); AQE does not split window skew, so for skewed keys
+pre-split by adding a coarse time-bucket to the partition key where the
+window frame allows it (rolling frames ≤ N rows only need N rows of
+overlap — see ``rolling_features`` docstring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(partition_by: str | Sequence[str], order_by: str | Sequence[str]) -> WindowSpec:
+    """``PARTITION BY ... ORDER BY ...`` — the core time-series window
+    (SURVEY §2.5: ``Window.partitionBy("zone_id").orderBy("timestamp")``)."""
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    return Window.partitionBy(*parts).orderBy(*orders)
+
+
+def rolling_mean(col: str | Column, w: WindowSpec, n_rows: int) -> Column:
+    """W1/W3: trailing ``n_rows``-row mean incl. current row.
+
+    pandas ``rolling(n, min_periods=1).mean()`` semantics: Spark's frame
+    ``rowsBetween(-(n-1), 0)`` averages over however many rows exist, which
+    IS min_periods=1 (cf. src/pipeline_batch.py:105-107).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.avg(c).over(w.rowsBetween(-(n_rows - 1), 0))
+
+
+def rolling_std(col: str | Column, w: WindowSpec, n_rows: int) -> Column:
+    """W2: trailing sample stddev (ddof=1, same as pandas), NaN→0 on
+    single-row frames (reference fills NaN with 0,
+    src/pipeline_batch.py:108-110)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.stddev(c).over(w.rowsBetween(-(n_rows - 1), 0)), F.lit(0.0))
+
+
+def lag_col(col: str | Column, w: WindowSpec, n: int = 1) -> Column:
+    """W4: ``shift(n)`` (src/pipeline_batch.py:140-142)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lag(c, n).over(w)
+
+
+def diff_col(col: str | Column, w: WindowSpec, n: int = 1) -> Column:
+    """W5: ``diff(n)`` = value − lag(n) (src/pipeline_batch.py:145-146)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.lag(c, n).over(w)
+
+
+def ffill(col: str | Column, w: WindowSpec) -> Column:
+    """P11: per-group forward-fill (pandas ``groupby().ffill()``,
+    src/pipeline_batch.py:55-59) — last non-null up to current row."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.last(c, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def bfill(col: str | Column, w: WindowSpec) -> Column:
+    """P12: per-group backward-fill (pandas ``groupby().bfill()``,
+    src/pipeline_batch.py:149) — first non-null from current row on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.first(c, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+
+def detect_runs(
+    df: DataFrame,
+    cond: Column,
+    partition_by: str | Sequence[str],
+    order_by: str | Sequence[str],
+    min_run_length: int,
+    run_id_col: str = "_run_id",
+    run_len_col: str = "_run_len",
+) -> DataFrame:
+    """W6: gaps-and-islands — consecutive-run detection.
+
+    Returns every row of runs where ``cond`` held for at least
+    ``min_run_length`` consecutive rows, with ``_run_id`` / ``_run_len``
+    columns attached. Re-expresses the sequential scan of
+    ``src/models.py:66-127`` (temp-drift rule: temp_error > 3.0 for ≥ 6
+    consecutive 5-min rows) as two window passes:
+
+    1. run grouper: cumulative sum of condition-boundary markers;
+    2. run length: count over (partition, run_id).
+
+    Cost: one shuffle on the partition key (both windows and the final
+    filter share it).
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*parts).orderBy(*orders)
+
+    flagged = df.withColumn("_cond", cond.cast("int"))
+    # boundary = condition value changed vs previous row (first row = boundary)
+    boundary = F.when(
+        F.lag("_cond").over(w).isNull() | (F.col("_cond") != F.lag("_cond").over(w)), 1
+    ).otherwise(0)
+    flagged = flagged.withColumn(
+        run_id_col,
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w_run = Window.partitionBy(*parts, run_id_col)
+    flagged = flagged.withColumn(run_len_col, F.count(F.lit(1)).over(w_run))
+    return flagged.filter(
+        (F.col("_cond") == 1) & (F.col(run_len_col) >= min_run_length)
+    ).drop("_cond")
+
+
+def sliding_sign_change_count(
+    value_col: str | Column,
+    w: WindowSpec,
+    n_rows: int,
+) -> Column:
+    """W7 core: count of sign changes of ``value_col`` within the trailing
+    ``n_rows`` window (src/models.py:210-215, oscillating-control rule).
+
+    The reference advances non-overlapping windows; this overlapping-window
+    version flags supersets of the reference's rows — callers needing exact
+    reference semantics combine this with ``detect_runs`` dedup or
+    ``applyInPandas`` (see plans.detection.oscillating_control).
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    sign_change = F.when(
+        F.signum(c) * F.signum(F.lag(c, 1).over(w)) < 0, 1
+    ).otherwise(0)
+    return F.sum(sign_change).over(w.rowsBetween(-(n_rows - 1), 0))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "_rank",
+) -> DataFrame:
+    """W8: deterministic per-group top-k via row_number.
+
+    ``order_by`` must include a unique tiebreaker column for deterministic
+    results (driver's value-hash comparison requires stable membership).
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*parts).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def percentile_rank(order_by: Column) -> Column:
+    """W9: percent_rank × 100 — the ``energy_percentile`` column the export
+    schema carries but the reference never truly computes
+    (src/export_json.py:99,119; SURVEY W9 'a genuine gap worth implementing')."""
+    return F.percent_rank().over(Window.orderBy(order_by)) * 100

@@ -1,0 +1,831 @@
+"""Analytics query registry — every SURVEY.md §2 operator exercised as a
+query over the driver testdata, each paired with a DuckDB oracle SQL.
+
+Each entry: ``name -> QuerySpec(fn, sql)`` where ``fn(spark, sf_dir) ->
+DataFrame`` and ``sql`` is ANSI SQL DuckDB runs on the same parquet (views
+pre-registered by the driver). ``sql=None`` marks non-SQL-expressible ops
+(weaker rows-only check).
+
+Determinism rules (driver hash-compares values order-insensitively):
+- every LIMIT/top-k has a unique tiebreaker in its ordering;
+- every float column is rounded identically on both sides;
+- count-like columns are BIGINT on both sides (DuckDB ``SUM(int)`` returns
+  HUGEINT — always ``CAST(... AS BIGINT)`` in the oracle).
+
+Scale notes are in each query's docstring: what shuffles, what broadcasts,
+what prunes. Run ``.explain()`` via ``tests/test_plans.py`` to verify.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators import windows as W
+from sustainable_building_energy_benchmarking_pipeline_spark.operators import aggregates as A
+from sustainable_building_energy_benchmarking_pipeline_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan / filter / project / agg / sort — SURVEY §2.1-2.4,2.6)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy(2) → 8 aggregates → sort.
+
+    Scale: single shuffle on (returnflag, linestatus) — 6 distinct groups,
+    partial agg map-side reduces each partition to ≤6 rows before shuffle.
+    Filter + 7-column projection push to the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter → global agg (A4).
+
+    Scale: all three predicates reach the parquet scan (PushedFilters);
+    result is a single row — no shuffle beyond the final partial-agg merge.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+"""
+
+
+def q03_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-10 (J2, O3, W8).
+
+    Scale: customer (filtered to one segment) broadcasts into orders;
+    orders⋈lineitem is the one real shuffle (both sides hashed on
+    l_orderkey/o_orderkey). Top-10 plans as TakeOrderedAndProject — no
+    global sort materialization. Tiebreaker: o_orderkey.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain join region⋈nation⋈customer with broadcast dims (J2).
+
+    Scale: region (5 rows) and nation (25 rows) broadcast — zero shuffle on
+    the fact side until the final 2-key agg.
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q05_SQL = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q07_case_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding (P6) — the EUI-rating ladder pattern
+    (notebooks/benchmarking_medallion.py:159-165) applied to order value."""
+    orders = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.withColumn("price_band", band)
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("price_band")
+    )
+
+
+Q07_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS price_band,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY price_band
+"""
+
+
+def q08_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation + share-of-group KPIs (A3, A9 — the
+    hvac/solar-count and rating-share pattern)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            A.count_if(F.col("c_acctbal") > 0).cast("bigint").alias("n_positive"),
+            F.round(A.share_pct(F.col("c_acctbal") > 0), 2).alias("pct_positive"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q08_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       ROUND(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS pct_positive
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q09_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (A8): discount weighted by extended price — the
+    area-weighted-EUI pattern (src/export_json.py:157-158)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(A.weighted_avg(F.col("l_discount"), F.col("l_extendedprice")), 6).alias(
+                "weighted_avg_discount"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("plain_avg_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q09_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_discount * l_extendedprice) / SUM(l_extendedprice), 6) AS weighted_avg_discount,
+       ROUND(AVG(l_discount), 6) AS plain_avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS multi-dimensional summary in one pass (A7) — the
+    /alerts/summary by-severity/by-rule/by-zone pattern (src/db.py:171-236)."""
+    orders = _t(spark, sf_dir, "orders")
+    return A.multi_dim_summary(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ],
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+Q10_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (A11). At 100 TB swap in
+    approx_count_distinct — exact here because the oracle is exact."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_distinct_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q11_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond inner (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q12_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J3 — the NOT-IN representative-building exclusion,
+    src/export_demo_json.py:213-221): customers with no orders since 2000
+    (the date filter keeps the result non-degenerate at every SF).
+
+    Scale: anti-join shuffles both sides on the key; if the right side is
+    small, Catalyst broadcasts it (BroadcastHashJoin LeftAnti).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orderless"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q12_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orderless
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 finished order, per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+Q13_SQL = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q14_union_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of heterogeneous tables (U1/U2,
+    notebooks/benchmarking_medallion.py:379-395)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("customer").alias("entity"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+        F.lit("supplier").alias("entity"),
+    )
+    return cust.unionByName(supp)
+
+
+Q14_SQL = """
+SELECT c_name AS name, ROUND(c_acctbal, 2) AS acctbal, 'customer' AS entity FROM customer
+UNION ALL
+SELECT s_name AS name, ROUND(s_acctbal, 2) AS acctbal, 'supplier' AS entity FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window / time-series (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (W8). Tiebreaker: o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    return W.top_k_per_group(
+        orders,
+        "o_orderpriority",
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+Q15_SQL = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q16_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-dedup (P14): first order per customer by
+    (orderdate, orderkey). dropDuplicates keeps an arbitrary row — this is
+    the deterministic form the medallion dedup should use at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return W.top_k_per_group(
+        orders, "o_custkey", [F.asc("o_orderdate"), F.asc("o_orderkey")], k=1
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+Q16_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+def q17_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/std + lag + diff per user (W1/W2/W4/W5) — the HVAC
+    feature-engineering window pattern (src/pipeline_batch.py:100-151).
+
+    Scale: ONE shuffle on user_id serves all four window expressions (same
+    WindowSpec → same exchange, verified in .explain).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.ordered_window("user_id", ["ts", "event_id"])
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(W.rolling_mean("value", w, 3), 4).alias("rolling_mean_3"),
+        F.round(W.rolling_std("value", w, 3), 4).alias("rolling_std_3"),
+        F.round(W.lag_col("value", w, 1), 4).alias("value_lag1"),
+        F.round(W.diff_col("value", w, 1), 4).alias("value_diff"),
+    )
+
+
+Q17_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER w3, 4) AS rolling_mean_3,
+       ROUND(COALESCE(STDDEV(value) OVER w3, 0.0), 4) AS rolling_std_3,
+       ROUND(LAG(value, 1) OVER w, 4) AS value_lag1,
+       ROUND(value - LAG(value, 1) OVER w, 4) AS value_diff
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q18_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-run detection (W6) — the temp-drift
+    rule pattern (src/models.py:66-127): runs of value>50 lasting ≥3 rows."""
+    ev = _t(spark, sf_dir, "events")
+    return W.detect_runs(
+        ev,
+        F.col("value") > 50,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        min_run_length=3,
+    ).select("event_id", "user_id", F.col("_run_len").alias("run_len"))
+
+
+Q18_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS cond
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN LAG(cond) OVER w IS NULL OR cond <> LAG(cond) OVER w
+                 THEN 1 ELSE 0 END AS boundary
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM b
+), l AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, run_id) AS run_len FROM r
+)
+SELECT event_id, user_id, CAST(run_len AS BIGINT) AS run_len
+FROM l WHERE cond = 1 AND run_len >= 3
+"""
+
+
+def q19_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group forward-fill of nulls (P11 — pandas groupby().ffill(),
+    src/pipeline_batch.py:55-59). Nulls synthesized on 'error' events."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.ordered_window("user_id", ["ts", "event_id"])
+    gapped = ev.withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    return gapped.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(W.ffill("v", w), F.lit(0.0)), 4).alias("value_ffilled"),
+    )
+
+
+Q19_SQL = """
+SELECT event_id, user_id,
+       ROUND(COALESCE(
+         LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0), 4) AS value_ffilled
+FROM events
+"""
+
+
+def q20_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentile rank (W9 — the energy_percentile gap,
+    src/export_json.py:99). Unique tiebreaker c_custkey keeps it exact."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w) * 100, 4).alias("acctbal_percentile"),
+    )
+
+
+Q20_SQL = """
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 100, 4) AS acctbal_percentile
+FROM customer
+"""
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session assignment via lag + cumulative
+    sum — the batch form of session_window (pyspark guide 'Common OLAP
+    patterns'). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.ordered_window("user_id", ["ts", "event_id"])
+    gap = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", gap)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.sum("new_sess") + 1).cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q21_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal scalar functions (SURVEY §2.8) + semi-structured
+# ---------------------------------------------------------------------------
+
+def q22_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-truncated daily rollup (A13/F4 — dashboard daily anomaly
+    counts, src/dashboard_app.py:406-416)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+Q22_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+def q23_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day extraction + 2-key agg (F1 — the business-hours mode
+    logic, src/generate_hvac_data.py:38-46)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+Q23_SQL = """
+SELECT CAST(HOUR(ts) AS INTEGER) AS hour, event_type,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props field → typed column (F22
+    inverse; the props column is the engine's JSON-ingestion surface)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q24_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text statistics per language: token counting + length profile
+    (LLM-pipeline text analysis; JVM-side split, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(tokens), 4).alias("avg_tokens"),
+            F.max(tokens).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q25_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 4) AS avg_tokens,
+       CAST(MAX(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (F20 + P14): keep min doc_id per
+    sha256(text). At 100 TB this is THE first dedup pass — hash-groupBy
+    shuffles 32-byte digests, not documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_duplicates_removed"),
+        )
+    )
+
+
+Q26_SQL = """
+WITH h AS (
+  SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT COUNT(*) AS n_unique,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_duplicates_removed
+FROM h
+"""
+
+
+def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over the embedding
+    column (ANN baseline). Dot product via zip_with + aggregate — JVM-side,
+    no UDF. Scale path: LSH-bucketed variant in operators.similarity.
+
+    Query vector: embedding of vec_id=0, broadcast as a literal via
+    crossJoin of a 1-row DF (broadcast nested-loop, no shuffle).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+Q27_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS n1,
+         SUM(CAST(q.qv[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS n2
+  FROM embeddings e, q, RANGE(1, 65) t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
+FROM d
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL),
+    "q03_segment_revenue": QuerySpec(q03_segment_revenue, Q03_SQL),
+    "q05_region_rollup": QuerySpec(q05_region_rollup, Q05_SQL),
+    "q06_revenue_delta": QuerySpec(q06_revenue_delta, Q06_SQL),
+    "q07_case_bands": QuerySpec(q07_case_bands, Q07_SQL),
+    "q08_conditional_share": QuerySpec(q08_conditional_share, Q08_SQL),
+    "q09_weighted_avg": QuerySpec(q09_weighted_avg, Q09_SQL),
+    "q10_grouping_sets": QuerySpec(q10_grouping_sets, Q10_SQL),
+    "q11_distinct_count": QuerySpec(q11_distinct_count, Q11_SQL),
+    "q12_anti_join": QuerySpec(q12_anti_join, Q12_SQL),
+    "q13_semi_join": QuerySpec(q13_semi_join, Q13_SQL),
+    "q14_union_tag": QuerySpec(q14_union_tag, Q14_SQL),
+    "q15_topk_per_group": QuerySpec(q15_topk_per_group, Q15_SQL),
+    "q16_dedup_first": QuerySpec(q16_dedup_first, Q16_SQL),
+    "q17_rolling_events": QuerySpec(q17_rolling_events, Q17_SQL),
+    "q18_runs": QuerySpec(q18_runs, Q18_SQL),
+    "q19_ffill": QuerySpec(q19_ffill, Q19_SQL),
+    "q20_percent_rank": QuerySpec(q20_percent_rank, Q20_SQL),
+    "q21_sessionize": QuerySpec(q21_sessionize, Q21_SQL),
+    "q22_daily_counts": QuerySpec(q22_daily_counts, Q22_SQL),
+    "q23_hourly_profile": QuerySpec(q23_hourly_profile, Q23_SQL),
+    "q24_json_extract": QuerySpec(q24_json_extract, Q24_SQL),
+    "q25_text_stats": QuerySpec(q25_text_stats, Q25_SQL),
+    "q26_exact_dedup": QuerySpec(q26_exact_dedup, Q26_SQL),
+    "q27_embedding_topk": QuerySpec(q27_embedding_topk, Q27_SQL),
+}
