@@ -1,0 +1,113 @@
+"""Serving-layer queries (E2 /alerts, E3 /alerts/summary;
+reference ``src/db.py:113-236``, ``src/api.py:105-261``).
+
+The reference builds SQL strings incrementally against PostgreSQL; here the
+dynamic predicate builder (P5) composes DataFrame filters over the anomaly
+table, and the 4-statement summary becomes ONE grouping-sets pass (A7) —
+one scan, one shuffle, versus four round-trips.
+
+At scale the anomaly table is parquet partitioned by date (see
+sources.writers.write_anomalies); the timestamp predicates prune
+partitions, replacing the reference's PostgreSQL indexes (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.aggregates import (
+    multi_dim_summary,
+)
+
+MAX_LIMIT = 5000  # src/api.py:127-132
+DEFAULT_LIMIT = 500
+
+
+def _apply_filters(
+    df: DataFrame,
+    start_time: str | _dt.datetime | None = None,
+    end_time: str | _dt.datetime | None = None,
+    zone_id: str | None = None,
+    severity: str | None = None,
+    rule_name: str | None = None,
+) -> DataFrame:
+    """Dynamic predicate builder (src/db.py:138-159): optional conjuncts."""
+    out = df
+    if start_time is not None:
+        out = out.filter(F.col("timestamp") >= F.lit(start_time).cast("timestamp"))
+    if end_time is not None:
+        out = out.filter(F.col("timestamp") <= F.lit(end_time).cast("timestamp"))
+    if zone_id is not None:
+        out = out.filter(F.col("zone_id") == zone_id)
+    if severity is not None:
+        out = out.filter(F.col("severity") == severity)
+    if rule_name is not None:
+        out = out.filter(F.col("rule_name") == rule_name)
+    return out
+
+
+def query_anomalies(
+    anomalies: DataFrame,
+    limit: int = DEFAULT_LIMIT,
+    **filters: Any,
+) -> DataFrame:
+    """GET /alerts: filters → ORDER BY timestamp DESC LIMIT n (bounded
+    1..5000, src/api.py:127-132). Plans as TakeOrderedAndProject — the
+    limit pushes into each partition before the single-partition merge."""
+    limit = max(1, min(int(limit), MAX_LIMIT))
+    return (
+        _apply_filters(anomalies, **filters)
+        .orderBy(F.desc("timestamp"), F.asc("zone_id"), F.asc("rule_name"))
+        .limit(limit)
+    )
+
+
+def anomaly_summary(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
+    """GET /alerts/summary: total + by-severity + by-rule + by-zone-top-10
+    (src/db.py:171-236) in one grouping-sets job instead of four queries."""
+    base = _apply_filters(anomalies, **filters).cache()
+    try:
+        total = base.count()
+        rows = multi_dim_summary(
+            base,
+            ["severity", "rule_name", "zone_id"],
+            [F.count(F.lit(1)).alias("n")],
+        ).collect()
+        by_severity: dict[str, int] = {}
+        by_rule: dict[str, int] = {}
+        by_zone: dict[str, int] = {}
+        for r in rows:
+            if r["severity"] is not None:
+                by_severity[r["severity"]] = r["n"]
+            elif r["rule_name"] is not None:
+                by_rule[r["rule_name"]] = r["n"]
+            elif r["zone_id"] is not None:
+                by_zone[r["zone_id"]] = r["n"]
+        top_zones = dict(
+            sorted(by_zone.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        )  # ORDER BY count DESC LIMIT 10 (src/db.py:222-229)
+        return {
+            "total_anomalies": total,
+            "by_severity": by_severity,
+            "by_rule": by_rule,
+            "by_zone": top_zones,
+        }
+    finally:
+        base.unpersist()
+
+
+def format_alerts(df: DataFrame) -> list[dict[str, Any]]:
+    """Row formatting for the API boundary (src/api.py:183-190):
+    ISO-8601 timestamps, plain dicts."""
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        for k in ("timestamp", "created_at"):
+            if d.get(k) is not None:
+                d[k] = d[k].isoformat()
+        out.append(d)
+    return out
