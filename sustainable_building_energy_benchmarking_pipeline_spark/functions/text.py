@@ -1,0 +1,150 @@
+"""Text-analysis column expressions for training-data pipelines
+(BASELINE.json north-star: language-ID, quality scoring, token counting,
+document fingerprinting). All pure ``F.*`` compositions — JVM-side,
+whole-stage-codegen, no Python in the hot path.
+
+These operate on the ``documents`` table (doc_id, text, lang, source,
+n_chars) but take plain columns so they compose with any corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenization pattern: word runs, digit runs, or single
+# non-space symbols (the GPT-2 pre-tokenizer family shape, simplified to
+# a JVM-regex-safe form).
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier. Deliberately small: the operator is the point, the
+# lexicons are swappable.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("bigint")
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization via regexp_extract_all (word/digit/symbol runs)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("bigint")
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped).cast("double") / F.length(text)
+    ).otherwise(0.0)
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^0-9]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped).cast("double") / F.length(text)
+    ).otherwise(0.0)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = ws_tokens(F.lower(text))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang]))
+    )
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality score in [0, 1] — the Gopher/C4-style
+    rule family: length band, word-length band, punctuation share,
+    stopword presence. Weights are illustrative; each component is a
+    documented, swappable expression.
+    """
+    n_tok = ws_token_count(text)
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    awl = avg_token_length(text)
+    awl_ok = (awl >= 2.0) & (awl <= 12.0)
+    punct_ok = punct_ratio(text) < 0.3
+    stop_ok = stopword_ratio(text) > 0.01
+    return (
+        len_ok.cast("double") * 0.3
+        + awl_ok.cast("double") * 0.3
+        + punct_ok.cast("double") * 0.2
+        + stop_ok.cast("double") * 0.2
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-profile language identification: argmax over per-language
+    token-hit counts, 'und' (undetermined) when nothing matches.
+
+    Pure expression: one pass builds the token array, then K membership
+    counts + a greatest/when ladder — no UDF, no shuffle.
+    """
+    toks = ws_tokens(F.lower(text))
+
+    def hit_count(words: list[str]) -> Column:
+        # factory binds `words` eagerly; a default-arg lambda would make
+        # Spark's higher-order-function wrapper treat it as a lambda param
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: hit_count(words) for lang, words in LANG_PROFILES.items()}
+    # zh texts rarely whitespace-tokenize; count substring hits instead
+    zh_chars = LANG_PROFILES["zh"]
+    scores["zh"] = sum(
+        (F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))).cast("int")
+        for ch in zh_chars
+    )
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_PROFILES:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Whitespace-normalized SHA-256 content fingerprint (F20) — the exact-
+    dedup key: case-folded, runs of whitespace collapsed."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.sha2(normalized, 256)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingle array (distinct) — the unit set for Jaccard/MinHash.
+
+    Built with sequence+transform over the token array: zero UDFs, linear
+    in document length.
+    """
+    toks = ws_tokens(F.lower(text))
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(joined)).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )

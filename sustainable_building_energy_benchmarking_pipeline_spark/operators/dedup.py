@@ -1,0 +1,368 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north-star): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup.
+
+Scale design — the whole point of these shapes at 100 TB:
+- exact dedup shuffles 32-byte digests, never documents;
+- MinHash/LSH shuffles fixed-size signatures; candidate pairs come from
+  band-bucket equi-joins (each bucket small), never a global cross join;
+- n-gram Jaccard is only ever computed on candidate pairs (LSH buckets) or
+  within explicit blocking keys;
+- embedding near-dup has a brute-force (exact, oracle-able) form and a
+  random-hyperplane-LSH form whose bucket join is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+    content_fingerprint,
+    shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized content fingerprint."""
+    return (
+        df.withColumn("_fp", content_fingerprint(F.col(text_col)))
+        .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_fp")))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as array<bigint>: for each of ``num_hashes`` salted
+    xxhash64 functions, the min over the document's shingles. Pure
+    expressions — one transform per hash over the shingle array."""
+    def salted_min(salt: int) -> Column:
+        # factory binds the salt eagerly; a `lambda s, i=i:` default-arg
+        # closure would be treated by Spark as an (element, index) binary
+        # lambda, collapsing all hash functions into one
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(salt))))
+
+    return F.array(*[salted_min(seed + i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    signature → ``bands`` bands of r=num_hashes/bands rows → band hash →
+    explode → self-join on (band_idx, band_hash). Returns distinct
+    (id_a < id_b) candidate pairs. Two documents collide in some band with
+    probability 1−(1−J^r)^b (the classic S-curve). Default 32 bands × r=2
+    gives ≈100% recall at J≥0.5; the exact-Jaccard verify step removes the
+    extra false candidates r=2 admits.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    # Materialize the shingle array, then the signature, as separate
+    # projections: each of the 64 salted-min arms must reference the
+    # computed `_sh` column, not inline the whole shingle expression tree
+    # 64× (which overflows codegen and falls back to interpreted eval —
+    # ~100× slower; CollapseProject keeps multi-referenced non-cheap
+    # aliases materialized, so the boundary survives optimization).
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    # hash each shingle string to a bigint ONCE; the 64 salted arms then
+    # re-hash 8-byte ints instead of traversing ~20-char strings 64×
+    hs_df = sh_df.select(
+        "id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs")
+    )
+    banded = (
+        hs_df.select(
+            "id", minhash_signature(F.col("_hs"), num_hashes, seed).alias("_sig")
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("_sig", b * r + 1, r), lambda x: x.cast("string")
+                                ),
+                                ",",
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_of_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step after
+    LSH). Joins the shingle arrays in (broadcast when small), computes
+    |∩|/|∪| with array expressions.
+
+    Shingles are xxhash64-hashed to bigint before the set ops: intersect/
+    union on 8-byte ints beats ~20-char strings ~4×, and with ≤10⁴
+    distinct shingles per doc the 64-bit collision probability (~n²/2⁶⁵)
+    is negligible, so counts equal the string-set counts."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("_sh")
+    ).select("id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
+    verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, seed
+    )
+    return jaccard_of_pairs(cands, df, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with explicit blocking (exact, oracle-able)
+# ---------------------------------------------------------------------------
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[Column],
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within the same blocking key,
+    computed with an inverted index instead of a pair join.
+
+    Shape: explode (id, shingle) postings → self-join on (block, shingle)
+    → count co-occurrences per pair (= |∩|) → |∪| = |A|+|B|−|∩|. Work is
+    Σ_s c_s² over posting-list sizes — near-linear when shingles are
+    mostly unique — versus the pair join's Σ_blk n_blk² full array
+    intersections, and it parallelizes on the (block, shingle) shuffle
+    key rather than one task per block. This is the 100 TB shape; the
+    blocking key still bounds the worst-case posting blowup.
+
+    Deterministic (no LSH), so it serves as the SQL-oracle-able dedup
+    query. Only pairs sharing ≥1 shingle surface, hence the
+    ``threshold > 0`` requirement (zero-overlap pairs have Jaccard 0).
+    Shingle strings are xxhash64-hashed to bigint first — posting joins
+    on 8-byte ints; with ≤10⁴ distinct shingles per doc the 64-bit
+    collision probability is negligible, so counts equal the string-set
+    oracle's.
+    """
+    assert threshold > 0.0, "inverted-index Jaccard only surfaces overlapping pairs"
+    blk = [f"_blk{i}" for i in range(len(block_cols))]
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(f"_blk{i}") for i, c in enumerate(block_cols)],
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).select(
+        "id",
+        *blk,
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    postings = sh.select(
+        "id", *blk, F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.s") == F.col("b.s"))
+    for c in blk:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.count(F.lit(1)).cast("int")
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(inter.alias("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: JVM-side token hashing (xxhash64 via
+    transform — codegen, no Python string work), then a vectorized Pandas
+    UDF for the 64-lane bit-vote accumulation.
+
+    The bit-vote is a dense (n_tokens × 64) NumPy matrix op — the
+    documented exception to the no-Python-hot-path rule (Arrow batch of
+    int64 arrays in, per-row matrix math, no per-character Python).
+    Output: (id, simhash bigint).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import ws_tokens
+
+    @pandas_udf("long")
+    def _bit_vote(hash_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hash_arrays):
+            if hs is None or len(hs) == 0:
+                continue
+            hashes = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            sim = (powers[votes > 0]).sum(dtype=np.uint64)
+            out[i] = sim.astype(np.int64) if sim < 2**63 else np.int64(int(sim) - 2**64)
+        return pd.Series(out)
+
+    tok_hashes = F.transform(
+        ws_tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    return df.select(
+        F.col(id_col).alias("id"), _bit_vote(tok_hashes).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup: pairs within ``max_hamming`` bits.
+
+    Banding trick for scale: split the 64-bit hash into (max_hamming+1)
+    chunks — any pair within max_hamming bits agrees exactly on ≥1 chunk
+    (pigeonhole), so candidates come from chunk equi-joins, then the exact
+    Hamming distance (bit_count of xor) filters.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sigs = simhash64(df, text_col, id_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute force, oracle-able). Quadratic —
+    the verify/baseline path; the LSH form in operators.similarity is the
+    scale path. Vectors are unit-normalized before the pair join (norms
+    once per row, not per pair) and the per-pair cosine is one unrolled
+    dot product when ``dim`` is given (codegen, no higher-order fns)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import dot, normalized
+
+    v = normalized(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "nv"
+    ).drop("v")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.nv"), F.col("b.nv"), dim).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

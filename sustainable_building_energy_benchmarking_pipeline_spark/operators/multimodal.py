@@ -1,0 +1,141 @@
+"""Multimodal column operators (BASELINE.json north-star).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct — the lakehouse-native representation (what e.g. the open
+image-dataset parquet layouts do). The Spark-side plumbing here — schema,
+partition sizing, Arrow batch shape, mapInPandas signatures — is real and
+tested; the actual codec calls are STUBBED (this container has no
+image/audio libraries): ``decode_*`` raise ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic hash-derived payload so
+the distributed pipeline can be exercised end-to-end.
+
+Scale notes: binary payloads make row size the partition-sizing driver —
+``media_repartition`` targets bytes per partition, not rows. Feature
+extraction is mapInPandas with small Arrow batches (payloads are big;
+10k-row default batches would OOM — set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image | audio | video
+    T.StructField("content", T.BinaryType(), True),       # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType(), True),    # png/jpeg/wav/mp4…
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]), True),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_pixel", T.DoubleType(), True),
+    T.StructField("feature_vec", T.ArrayType(T.FloatType()), True),
+])
+
+
+def synthesize_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus: payload bytes derived from
+    sha2(media_id) — real binary columns, stable across runs/partitions."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    i = F.col("id")
+    payload = F.repeat(F.sha2(i.cast("string"), 256), 8).cast("binary")
+    return spark.range(n).select(
+        i.alias("media_id"),
+        kinds[(i % 3).cast("int")].alias("kind"),
+        payload.alias("content"),
+        F.struct(
+            F.lit("png").alias("format"),
+            ((i % 16) * 64 + 64).cast("int").alias("width"),
+            ((i % 9) * 64 + 64).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_repartition(df: DataFrame, target_mb_per_partition: int = 64,
+                      avg_row_bytes: int = 1 << 20) -> DataFrame:
+    """Partition by payload bytes, not rows: binary rows are huge, so the
+    rows-per-partition target is bytes-derived. (At read time prefer
+    spark.sql.files.maxPartitionBytes; this is the post-transform form.)"""
+    rows_per_part = max(1, (target_mb_per_partition << 20) // avg_row_bytes)
+    n = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(n, F.col("media_id") % (rows_per_part * n))
+
+
+def _decode_image_real(content: bytes, meta) -> "object":
+    raise NotImplementedError(
+        "image codecs are not available in this runtime; call with fake=True "
+        "to exercise the pipeline with deterministic hash-derived pixels"
+    )
+
+
+def extract_image_features(
+    df: DataFrame, fake: bool = False, feature_dim: int = 8
+) -> DataFrame:
+    """Decode → feature-extract over Arrow batches (mapInPandas).
+
+    The batch loop, column pruning (only image rows; only needed columns),
+    schema, and output contract are the real engine pieces. The decode is
+    the stubbed codec call.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                content = r["content"]
+                meta = r["meta"]
+                if not fake:
+                    _decode_image_real(content, meta)  # raises: codec absent
+                # deterministic fake decode: pixels from payload digest
+                digest = hashlib.sha256(bytes(content or b"")).digest()
+                arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+                vec = (arr[:feature_dim] / 255.0).astype(np.float32)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(content or b""),
+                        "width": meta["width"] if meta is not None else None,
+                        "height": meta["height"] if meta is not None else None,
+                        "mean_pixel": float(arr.mean() / 255.0),
+                        "feature_vec": vec.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    pruned = df.filter(F.col("kind") == "image").select("media_id", "content", "meta")
+    return pruned.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into frame
+    timestamps (sequence+explode) that a decoder would materialize. The
+    expansion — the Spark-side shape — is real; the pixel decode is the
+    stub above."""
+    vids = df.filter(F.col("kind") == "video")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(3000))
+    return vids.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), dur - 1, F.lit(every_ms))).alias("frame_ts_ms"),
+    )

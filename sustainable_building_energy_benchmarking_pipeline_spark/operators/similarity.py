@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (BASELINE.json north-star):
+brute-force cosine top-k as the exact baseline, random-hyperplane LSH as
+the approximate scale path.
+
+Scale design: brute force is one scan (fine when the query set is small —
+the query side broadcasts); LSH turns top-k into an equi-join on bucket
+signatures so the corpus shuffles once by bucket and each comparison pool
+is small. Recall is tunable via (n_planes, n_tables); the pytest suite
+measures recall against the exact baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array<float|double> columns, JVM-side (no UDF).
+
+    With ``dim`` given, unrolls to a flat ``Σ a[i]*b[i]`` add chain —
+    plain GetArrayItem/Multiply/Add expressions that whole-stage codegen
+    compiles (the hot-pair-join path). Without it, falls back to
+    zip_with+aggregate higher-order functions, which are interpreted
+    per-element (~10× slower — fine for one-pass row-wise use only).
+    """
+    if dim is not None:
+        terms = [
+            a.getItem(i).cast("double") * b.getItem(i).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def normalized(
+    df: DataFrame, vec_col: str, out_col: str = "_nv", num_partitions: int | None = None
+) -> DataFrame:
+    """Append a unit-normalized copy of ``vec_col``.
+
+    Pair joins should join on normalized vectors so cosine degrades to a
+    bare dot product — norms are computed once per row here instead of
+    once per *pair* (at N rows that's N norms, not N² — the difference
+    between 2 k and 2 M norm evaluations on the sf0.1 embeddings table).
+
+    The repartition between the norm and the division is load-bearing
+    twice over: (a) it's an optimization barrier — without it
+    CollapseProject inlines the norm aggregate *inside* the per-element
+    transform lambda, recomputing it dim× per row; (b) embedding corpora
+    small enough to sit in one parquet file would otherwise run the whole
+    downstream pair join as a single task.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("_norm", norm(F.col(vec_col)))
+        .repartition(n)
+        .withColumn(
+            out_col,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")),
+        )
+        .drop("_norm")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (the ANN baseline/oracle).
+
+    The query is a literal array — constant-folded, no join at all. Top-k
+    plans as TakeOrderedAndProject. Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            cosine(F.col(vec_col), q, dim=len(query_vec)).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side literals; tiny)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def rp_lsh_signature(
+    vec: Column, planes: list[list[float]], dim: int | None = None
+) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of dot),
+    packed into a bigint. SimHash-for-vectors (Charikar 2002)."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in p]), dim) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + (b.cast("long") * F.lit(2**i).cast("long"))
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket in each of
+    ``n_tables`` independent hash tables, exact-rerank the union.
+
+    One scan: all table signatures come from a single vectorized Pandas
+    UDF — one (batch × dim) @ (dim × n_tables·n_planes) matmul per Arrow
+    batch, then sign-bit packing (the dense-linear-algebra exception to
+    the no-Python rule; an expression-tree form with n_tables·n_planes
+    unrolled dots compiles a multi-thousand-node predicate, which costs
+    more in codegen than the query itself at this scale). The probe is an
+    OR of per-table bucket equalities; at scale the corpus signature
+    table is computed once and reused across queries; candidates per
+    query ≈ corpus/2^n_planes × n_tables.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(query_vec)
+    all_planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    powers = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    q_bits = (all_planes @ np.asarray(query_vec, dtype=np.float64)) >= 0
+    q_sigs = [
+        int((q_bits[t * n_planes : (t + 1) * n_planes] * powers).sum())
+        for t in range(n_tables)
+    ]
+
+    @pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ all_planes.T) >= 0  # (n, n_tables*n_planes)
+        sigs = np.stack(
+            [
+                (bits[:, t * n_planes : (t + 1) * n_planes] * powers).sum(axis=1)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )  # (n, n_tables)
+        return pd.Series(list(sigs))
+
+    with_sig = corpus.withColumn("_sigs", _sigs(F.col(vec_col)))
+    probe = None
+    for t, qs in enumerate(q_sigs):
+        hit = F.col("_sigs").getItem(t) == F.lit(qs)
+        probe = hit if probe is None else (probe | hit)
+    cand = with_sig.filter(probe).drop("_sigs")
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def pairwise_topk_per_label(
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Blocked all-pairs top-k: nearest neighbors within each label block —
+    the grouped form of similarity search (block = partition key, so the
+    quadratic term is per-block). Vectors are unit-normalized before the
+    pair join (norms once per row, not per pair); the per-pair work is one
+    unrolled dot product when ``dim`` is given."""
+    from pyspark.sql import Window
+
+    v = normalized(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lbl"),
+            F.col(vec_col).alias("v"),
+        ),
+        "v",
+        "nv",
+    ).drop("v")
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b, (F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("a.lbl").alias("label"),
+        F.col("b.id").alias("neighbor_id"),
+        dot(F.col("a.nv"), F.col("b.nv"), dim).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

