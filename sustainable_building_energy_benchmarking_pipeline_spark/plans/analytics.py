@@ -1109,6 +1109,95 @@ FROM r WHERE rn <= 3
 """
 
 
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA shape: text bytes as the opaque binary
+    payload, kind from doc_id, metadata struct derived from n_chars. The
+    deterministic stand-in corpus for the multimodal plumbing queries
+    (this container has no codecs — see operators.multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("png").alias("format"),
+            (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 48).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def q38_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + typed metadata struct per
+    media row, aggregated per kind (payload bytes via octet length of the
+    binary column, dims from the struct). Exercises the opaque-binary
+    representation end-to-end without any codec."""
+    media = _media_from_documents(spark, sf_dir)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.round(F.avg("meta.width"), 4).alias("avg_width"),
+            F.round(F.avg("meta.height"), 4).alias("avg_height"),
+        )
+        .orderBy("kind")
+    )
+
+
+Q38_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(n_chars % 640 + 64 AS INT) AS width,
+         CAST(n_chars % 480 + 48 AS INT) AS height
+  FROM documents
+)
+SELECT kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(width), 4) AS avg_width,
+       ROUND(AVG(height), 4) AS avg_height
+FROM m GROUP BY kind ORDER BY kind
+"""
+
+
+def q39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence+explode expansion of frame
+    timestamps a decoder would materialize), re-aggregated to per-video
+    frame counts — the row-explosion shape is the real Spark-side work."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = _media_from_documents(spark, sf_dir)
+    frames = frame_sample_plan(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+Q39_SQL = """
+SELECT doc_id AS media_id,
+       CAST((n_chars * 10 - 1) // 1000 + 1 AS BIGINT) AS n_frames,
+       CAST(((n_chars * 10 - 1) // 1000) * 1000 AS BIGINT) AS last_frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1149,4 +1238,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q35_embedding_neardup": QuerySpec(q35_embedding_neardup, Q35_SQL),
     "q36_ann_lsh_topk": QuerySpec(q36_ann_lsh_topk, None),
     "q37_knn_per_label": QuerySpec(q37_knn_per_label, Q37_SQL),
+    "q38_media_metadata": QuerySpec(q38_media_metadata, Q38_SQL),
+    "q39_frame_sample": QuerySpec(q39_frame_sample, Q39_SQL),
 }

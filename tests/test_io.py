@@ -1,0 +1,126 @@
+"""IO layer tests (SURVEY §2.1): round-trips, fallback discovery, alias
+coalescing, ingestion metadata, sidecar + content-hash write skipping."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import io as sio
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("x", T.DoubleType(), True),
+])
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, -0.5)], schema=SCHEMA
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_round_trip(spark, small_df, tmp_path, fmt):
+    path = str(tmp_path / f"t.{fmt}")
+    sio.write_table(small_df, path, fmt=fmt)
+    back = sio.read_table(spark, path, schema=SCHEMA, fmt=fmt)
+    assert back.count() == 3
+    assert [f.name for f in back.schema.fields] == ["id", "name", "x"]
+    assert {r["id"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_partitioned_write_prunes(spark, small_df, tmp_path):
+    path = str(tmp_path / "part.parquet")
+    sio.write_table(small_df.withColumn("bucket", F.col("id") % 2), path,
+                    partition_by=["bucket"])
+    back = sio.read_table(spark, path)
+    pruned = back.filter(F.col("bucket") == 1)
+    assert pruned.count() == 2
+    # the bucket predicate must be a partition filter on the scan, not a
+    # post-scan data filter
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "extended"
+    ) if hasattr(pruned, "_jdf") else ""
+    if plan:
+        physical = plan.split("== Physical Plan ==")[-1]
+        assert "PartitionFilters" in physical
+        assert "Filter (bucket" not in physical
+
+
+def test_fallback_scan_priority(spark, small_df, tmp_path):
+    primary, fallback = tmp_path / "processed", tmp_path / "sample"
+    fallback.mkdir()
+    sio.write_table(small_df, str(fallback / "data.parquet"))
+    # primary missing → falls back
+    got = sio.fallback_scan(spark, [str(primary), str(fallback)])
+    assert got.count() == 3
+    # primary present → wins
+    primary.mkdir(exist_ok=True)
+    sio.write_table(small_df.limit(1), str(primary / "data.parquet"))
+    got2 = sio.fallback_scan(spark, [str(primary), str(fallback)])
+    assert got2.count() == 1
+    with pytest.raises(FileNotFoundError):
+        sio.fallback_scan(spark, [str(tmp_path / "nope")])
+
+
+def test_coalesce_aliases(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, "n2", None)],
+        schema="building_id long, name string, energy_kwh double",
+    )
+    out = sio.coalesce_aliases(
+        df,
+        {
+            "id": ["building_id", "bld_id"],
+            "name": ["display_name", "name"],
+            "energy": ["energy", "energy_kwh"],
+            "rating": ["rating"],
+        },
+        defaults={"energy": 0.0, "rating": "unknown"},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert out.columns == ["id", "name", "energy", "rating"]
+    assert rows[1]["name"] is None and rows[2]["name"] == "n2"
+    assert rows[2]["energy"] == 0.0  # null → default
+    assert rows[1]["rating"] == "unknown"  # absent column → default
+
+
+def test_ingestion_metadata(spark, small_df, tmp_path):
+    path = str(tmp_path / "in.parquet")
+    sio.write_table(small_df, path)
+    got = sio.with_ingestion_metadata(sio.read_table(spark, path))
+    r = got.first()
+    assert r["_ingested_at"] is not None
+    assert "in.parquet" in r["_source_file"]
+
+
+def test_sidecar_and_hash_skip(spark, small_df, tmp_path):
+    path = str(tmp_path / "gold.parquet")
+    wrote = sio.write_if_changed(small_df, path, metadata={"layer": "gold"})
+    assert wrote is True
+    with open(os.path.join(path, "_metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["layer"] == "gold" and len(meta["content_sha256"]) == 64
+
+    # same content (different row order) → skip
+    assert sio.write_if_changed(small_df.orderBy(F.desc("id")), path) is False
+    # changed content → rewrite
+    assert sio.write_if_changed(small_df.filter("id < 3"), path) is True
+
+
+def test_content_hash_properties(spark, small_df):
+    h1 = sio.content_hash(small_df)
+    h2 = sio.content_hash(small_df.orderBy(F.desc("id")))
+    h3 = sio.content_hash(small_df.repartition(7))
+    assert h1 == h2 == h3  # order/partition-insensitive
+    assert sio.content_hash(small_df.limit(2)) != h1
+    # row-multiplicity must change the hash (xor alone would cancel)
+    doubled = small_df.unionByName(small_df)
+    assert sio.content_hash(doubled) != h1
