@@ -131,13 +131,18 @@ def content_fingerprint(text: Column) -> Column:
     return F.sha2(normalized, 256)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingle array (distinct) — the unit set for Jaccard/MinHash.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingle array (distinct) from an ALREADY-MATERIALIZED token
+    array column — the unit set for Jaccard/MinHash. Zero UDFs, linear in
+    document length.
 
-    Built with sequence+transform over the token array: zero UDFs, linear
-    in document length.
+    ``toks`` must be a plain column reference, not the tokenization
+    expression: this expression references it from inside transform
+    lambdas, and Catalyst does not common-subexpression-eliminate across
+    lambda boundaries — an inline ``split`` would re-run the regex once
+    per shingle position (measured ~10× slowdown). Project the token
+    array first (see operators.dedup call sites), then pass ``F.col``.
     """
-    toks = ws_tokens(F.lower(text))
     n = F.size(toks)
     joined = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -148,3 +153,12 @@ def shingles(text: Column, k: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Single-expression convenience form of ``shingles_from_tokens``.
+
+    Prefer the two-projection form (materialize ``ws_tokens(lower(text))``
+    first) on hot paths — see shingles_from_tokens for why.
+    """
+    return shingles_from_tokens(ws_tokens(F.lower(text)), k)

@@ -21,8 +21,42 @@ from pyspark.sql import functions as F
 
 from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
     content_fingerprint,
-    shingles,
+    shingles_from_tokens,
+    ws_tokens,
 )
+
+
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int,
+    extra: list | None = None,
+) -> DataFrame:
+    """(id, *extra, sh: array<bigint>) via three projections: tokens →
+    shingles → xxhash64 per shingle. Each stage materializes before the
+    next references it element-wise — inlining the tokenizer into the
+    shingle lambdas re-runs the regex split once per shingle position
+    (Catalyst doesn't CSE across lambda boundaries), a measured ~10×
+    slowdown on the sf0.1 corpus. ``extra`` is a list of (Column, name)
+    pairs carried through.
+
+    The leading repartition parallelizes the string-heavy stages when the
+    input arrives as a handful of small files (one ~5 MB parquet file =
+    one task otherwise); downstream pair joins reshuffle on their own
+    keys anyway, so the extra round-robin exchange costs one pass over
+    the raw text and buys full-cluster tokenization."""
+    extra_names = [name for _, name in (extra or [])]
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(name) for c, name in (extra or [])],
+        ws_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    sh = toks.select(
+        "id", *extra_names, shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
+    )
+    return sh.select(
+        "id", *extra_names,
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("sh"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -76,23 +110,17 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Materialize the shingle array, then the signature, as separate
-    # projections: each of the 64 salted-min arms must reference the
-    # computed `_sh` column, not inline the whole shingle expression tree
-    # 64× (which overflows codegen and falls back to interpreted eval —
-    # ~100× slower; CollapseProject keeps multi-referenced non-cheap
-    # aliases materialized, so the boundary survives optimization).
-    sh_df = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
-    # hash each shingle string to a bigint ONCE; the 64 salted arms then
-    # re-hash 8-byte ints instead of traversing ~20-char strings 64×
-    hs_df = sh_df.select(
-        "id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs")
-    )
+    # Staged projections (tokens → shingles → bigint hashes → signature):
+    # each of the 64 salted-min arms references the materialized hashed-
+    # shingle column — inlining the shingle expression 64× overflows
+    # codegen and falls back to interpreted eval (~100× slower), and the
+    # arms re-hash 8-byte ints instead of traversing ~20-char strings.
+    # CollapseProject keeps multi-referenced non-cheap aliases
+    # materialized, so the stage boundaries survive optimization.
+    hs_df = _hashed_shingles(df, text_col, id_col, shingle_k)
     banded = (
         hs_df.select(
-            "id", minhash_signature(F.col("_hs"), num_hashes, seed).alias("_sig")
+            "id", minhash_signature(F.col("sh"), num_hashes, seed).alias("_sig")
         )
         .select(
             "id",
@@ -139,9 +167,7 @@ def jaccard_of_pairs(
     union on 8-byte ints beats ~20-char strings ~4×, and with ≤10⁴
     distinct shingles per doc the 64-bit collision probability (~n²/2⁶⁵)
     is negligible, so counts equal the string-set counts."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("_sh")
-    ).select("id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("sh"))
+    sh = _hashed_shingles(docs, text_col, id_col, shingle_k)
     out = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -208,14 +234,9 @@ def blocked_jaccard_pairs(
     """
     assert threshold > 0.0, "inverted-index Jaccard only surfaces overlapping pairs"
     blk = [f"_blk{i}" for i in range(len(block_cols))]
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *[c.alias(f"_blk{i}") for i, c in enumerate(block_cols)],
-        shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).select(
-        "id",
-        *blk,
-        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("sh"),
+    sh = _hashed_shingles(
+        df, text_col, id_col, shingle_k,
+        extra=[(c, f"_blk{i}") for i, c in enumerate(block_cols)],
     )
     postings = sh.select(
         "id", *blk, F.size("sh").alias("sz"), F.explode("sh").alias("s")
@@ -281,7 +302,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tok_hashes = F.transform(
         ws_tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    return df.select(
+    # round-robin first: single-file corpora otherwise run the tokenize +
+    # UDF stages in one task (see _hashed_shingles)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"), _bit_vote(tok_hashes).alias("simhash")
     )
 
@@ -346,23 +369,14 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (brute force, oracle-able). Quadratic —
-    the verify/baseline path; the LSH form in operators.similarity is the
-    scale path. Vectors are unit-normalized before the pair join (norms
-    once per row, not per pair) and the per-pair cosine is one unrolled
-    dot product when ``dim`` is given (codegen, no higher-order fns)."""
-    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import dot, normalized
-
-    v = normalized(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", "nv"
-    ).drop("v")
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            dot(F.col("a.nv"), F.col("b.nv"), dim).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    """Exact cosine near-dup pairs (brute force, oracle-able). Quadratic
+    by definition — but distributed as a block matmul, not a row-pair
+    join: see operators.similarity.allpairs_cosine for the shape (per-
+    task memory bounded by block size, BLAS inner loop, ~6× faster than
+    the expression-per-pair join at sf0.1). The LSH paths are the
+    sub-quadratic alternatives when approximation is acceptable."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        allpairs_cosine,
     )
+
+    return allpairs_cosine(df, threshold, id_col=id_col, vec_col=vec_col)
