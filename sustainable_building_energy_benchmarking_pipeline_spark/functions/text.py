@@ -96,14 +96,14 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def language_id(text: Column) -> Column:
-    """Stopword-profile language identification: argmax over per-language
-    token-hit counts, 'und' (undetermined) when nothing matches.
-
-    Pure expression: one pass builds the token array, then K membership
-    counts + a greatest/when ladder — no UDF, no shuffle.
+def language_id_from_tokens(toks: Column, text: Column) -> Column:
+    """Stopword-profile language identification from a MATERIALIZED
+    lowercase token array (see shingles_from_tokens for why the token
+    array must be its own projection — the K per-language membership
+    filters would otherwise each re-run the tokenizer): argmax over
+    per-language token-hit counts, 'und' when nothing matches. ``text``
+    is still needed for the zh substring counts.
     """
-    toks = ws_tokens(F.lower(text))
 
     def hit_count(words: list[str]) -> Column:
         # factory binds `words` eagerly; a default-arg lambda would make
@@ -122,6 +122,15 @@ def language_id(text: Column) -> Column:
     for lang in LANG_PROFILES:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+def language_id(text: Column) -> Column:
+    """Single-expression convenience form of ``language_id_from_tokens``.
+
+    Prefer the two-projection form (materialize ``ws_tokens(lower(text))``
+    first) on hot paths — the inline tokenizer re-runs per language score.
+    """
+    return language_id_from_tokens(ws_tokens(F.lower(text)), text)
 
 
 def content_fingerprint(text: Column) -> Column:

@@ -833,12 +833,23 @@ ORDER BY source
 
 def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language identification (text analysis) — confusion
-    counts of predicted vs labeled language."""
-    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import language_id
+    counts of predicted vs labeled language. Token array materializes in
+    its own projection (lambda consumers don't CSE the tokenizer) and the
+    single-file corpus repartitions before the string-heavy stage."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        language_id_from_tokens,
+        ws_tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select(
+        "lang", "text", ws_tokens(F.lower(F.col("text"))).alias("_toks")
+    )
     return (
-        docs.withColumn("lang_pred", language_id(F.col("text")))
+        toks.withColumn(
+            "lang_pred", language_id_from_tokens(F.col("_toks"), F.col("text"))
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
@@ -1198,6 +1209,67 @@ ORDER BY media_id
 """
 
 
+def q40_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()/summary() profile (A10, src/pipeline_batch.py:186-189)
+    as an explicit single-pass aggregate: count/mean/std/min/max +
+    exact quartiles per numeric column, unpivoted to one row per column.
+    Exact percentile (not approx) so DuckDB can oracle it; at 100 TB use
+    percentile_approx and drop the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            F.round(F.stddev(c), 4).alias(f"{c}__std"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"{c}__q1"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"{c}__median"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"{c}__q3"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stats = ["count", "mean", "std", "min", "q1", "median", "q3", "max"]
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            *[F.col(f"{c}__{s}").cast("double").alias(s) for s in stats],
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.column", *[f"r.{s}" for s in stats])
+        .orderBy("column")
+    )
+
+
+Q40_SQL = """
+WITH s AS (
+  SELECT * FROM (
+    VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount')
+  ) t(col)
+)
+SELECT col AS "column",
+       CAST(COUNT(v) AS DOUBLE) AS "count",
+       ROUND(AVG(v), 4) AS mean,
+       ROUND(STDDEV_SAMP(v), 4) AS std,
+       ROUND(MIN(v), 4) AS "min",
+       ROUND(quantile_cont(v, 0.25), 4) AS q1,
+       ROUND(quantile_cont(v, 0.5), 4) AS median,
+       ROUND(quantile_cont(v, 0.75), 4) AS q3,
+       ROUND(MAX(v), 4) AS "max"
+FROM s, LATERAL (
+  SELECT CASE col WHEN 'l_quantity' THEN l_quantity
+                  WHEN 'l_extendedprice' THEN l_extendedprice
+                  ELSE l_discount END AS v
+  FROM lineitem
+)
+GROUP BY col ORDER BY col
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1240,4 +1312,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q37_knn_per_label": QuerySpec(q37_knn_per_label, Q37_SQL),
     "q38_media_metadata": QuerySpec(q38_media_metadata, Q38_SQL),
     "q39_frame_sample": QuerySpec(q39_frame_sample, Q39_SQL),
+    "q40_numeric_profile": QuerySpec(q40_numeric_profile, Q40_SQL),
 }
