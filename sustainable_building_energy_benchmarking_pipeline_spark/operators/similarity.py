@@ -270,6 +270,55 @@ def ann_lsh_topk(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means coarse
+    quantizer → per-vector nearest-centroid assignment → probe the
+    ``nprobe`` centroids nearest the query → exact rerank within those
+    lists. The complementary scale path to RP-LSH (``ann_lsh_topk``):
+    data-adaptive cells instead of data-oblivious hyperplanes.
+
+    Spark shape: centroids train distributedly (pyspark.ml KMeans over
+    the corpus), assignment is one vectorized matmul per Arrow batch,
+    probing is a partition-prunable equi-filter on the centroid id — at
+    scale the corpus is written partitioned by ``_cell`` and a query
+    touches nprobe/nlist of the data. Candidates ≈ corpus·nprobe/nlist.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(query_vec)
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, dim)
+
+    @pandas_udf("int")
+    def _nearest_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe_cells = (
+        ((centroids - q[None, :]) ** 2).sum(axis=1).argsort()[:nprobe].tolist()
+    )
+    cand = corpus.withColumn("_cell", _nearest_cell(F.col(vec_col))).filter(
+        F.col("_cell").isin([int(c) for c in probe_cells])
+    )
+    return brute_force_topk(cand.drop("_cell"), query_vec, k, vec_col, id_col)
+
+
 def pairwise_topk_per_label(
     corpus: DataFrame,
     k: int = 5,

@@ -1270,6 +1270,81 @@ GROUP BY col ORDER BY col
 """
 
 
+def q41_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join enrichment (J1, src/dashboard_app.py:147-152 shape):
+    every left row survives; unmatched right side nulls → coalesced 0.
+    Scale: aggregate-then-join keeps the join input one row per key;
+    the small side broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q41_SQL = """
+SELECT c_custkey, c_name,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.total_spent, 0.0) AS total_spent
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def q42_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of heterogeneous tables with a tag column and missing-column
+    null padding (U2, notebooks/benchmarking_medallion.py:379-395 —
+    the reference attempted this and aborted on schema mismatch;
+    ``unionByName(allowMissingColumns=True)`` is the fix)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("customer").alias("entity"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.lit("nation").alias("entity"),
+    )
+    unioned = cust.unionByName(nat, allowMissingColumns=True)
+    # null-padded columns are the operator's point; the -1 sentinel is
+    # only for the value-hash compare (the harness sorts rows and NULLs
+    # don't order)
+    return unioned.select(
+        "name",
+        F.coalesce("acctbal", F.lit(-1.0)).alias("acctbal"),
+        "entity",
+        F.coalesce("regionkey", F.lit(-1)).alias("regionkey"),
+    ).orderBy("entity", "name")
+
+
+Q42_SQL = """
+SELECT c_name AS name, ROUND(c_acctbal, 2) AS acctbal, 'customer' AS entity,
+       CAST(-1 AS BIGINT) AS regionkey
+FROM customer
+UNION ALL
+SELECT n_name AS name, -1.0 AS acctbal, 'nation' AS entity,
+       n_regionkey AS regionkey
+FROM nation
+ORDER BY entity, name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1313,4 +1388,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q38_media_metadata": QuerySpec(q38_media_metadata, Q38_SQL),
     "q39_frame_sample": QuerySpec(q39_frame_sample, Q39_SQL),
     "q40_numeric_profile": QuerySpec(q40_numeric_profile, Q40_SQL),
+    "q41_left_enrich": QuerySpec(q41_left_enrich, Q41_SQL),
+    "q42_union_missing_columns": QuerySpec(q42_union_missing_columns, Q42_SQL),
 }

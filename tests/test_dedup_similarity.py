@@ -174,3 +174,25 @@ def test_frame_sample_plan(spark):
     n_videos = media.filter(F.col("kind") == "video").count()
     assert len(rows) == n_videos * 6  # 3000ms default / 500ms
     assert all(r.frame_ts_ms % 500 == 0 for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(embeddings):
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    exact = [r.id for r in similarity.brute_force_topk(corpus, qv, k=10).collect()]
+    approx = [
+        r.id
+        for r in similarity.ivf_topk(corpus, qv, k=10, nlist=8, nprobe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_probes_subset(embeddings):
+    """nprobe < nlist must actually restrict the candidate set."""
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    full = similarity.ivf_topk(corpus, qv, k=10**6, nlist=8, nprobe=8).count()
+    probed = similarity.ivf_topk(corpus, qv, k=10**6, nlist=8, nprobe=2).count()
+    assert full == corpus.count()
+    assert probed < full

@@ -124,3 +124,14 @@ def test_content_hash_properties(spark, small_df):
     # row-multiplicity must change the hash (xor alone would cancel)
     doubled = small_df.unionByName(small_df)
     assert sio.content_hash(doubled) != h1
+
+
+def test_union_missing_columns_pads_null(spark):
+    """U2: unionByName(allowMissingColumns=True) pads absent columns with
+    NULL on the side that lacks them."""
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, b double")
+    u = a.unionByName(b, allowMissingColumns=True)
+    rows = {r["id"]: r for r in u.collect()}
+    assert set(u.columns) == {"id", "a", "b"}
+    assert rows[1]["b"] is None and rows[2]["a"] is None
