@@ -336,24 +336,31 @@ def simhash_near_duplicates(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    # bucket-grouped pair emission instead of a self-join: one aggregation
+    # computes the (Pandas-UDF) signatures once — a self-join would run
+    # the whole signature pipeline per side — and buckets with a single
+    # member (the overwhelming majority) drop before any pair work.
+    # Bucket sizes are bounded by duplicate-cluster size, so the per-
+    # bucket quadratic expansion is the candidate set itself.
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pairs = (
+        buckets.select("xs", F.explode("xs").alias("x"))
+        .select("x", F.explode("xs").alias("y"))
+        .filter(F.col("x.id") < F.col("y.id"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
         )
-        .distinct()
+        .distinct()  # same pair can collide in several chunks
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select(
+    return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
 
