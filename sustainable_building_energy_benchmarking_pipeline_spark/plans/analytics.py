@@ -1345,6 +1345,52 @@ ORDER BY entity, name
 """
 
 
+def q43_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (the event-time form of q21's
+    lag+cumsum): per (user, session) start/end/size. Streaming-ready —
+    the same expression runs under a watermark in
+    streaming/events_stream.py. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q43_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1390,4 +1436,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q40_numeric_profile": QuerySpec(q40_numeric_profile, Q40_SQL),
     "q41_left_enrich": QuerySpec(q41_left_enrich, Q41_SQL),
     "q42_union_missing_columns": QuerySpec(q42_union_missing_columns, Q42_SQL),
+    "q43_session_windows": QuerySpec(q43_session_windows, Q43_SQL),
 }

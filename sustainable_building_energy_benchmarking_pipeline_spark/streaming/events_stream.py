@@ -1,0 +1,70 @@
+"""Structured Streaming sessionization over the events stream.
+
+The streaming counterpart of plans.analytics.q43_session_windows: the
+SAME ``session_window`` aggregation under an event-time watermark. In
+append mode a (user, session) row emits once the watermark passes the
+session's close (last event + gap) — Spark merges/extends open sessions
+in state until then, which is exactly the semantics the batch
+gaps-and-islands form computes in one pass.
+
+Scale: state is keyed by (user_id, open session) — the hash shuffle on
+user_id bounds per-executor state to its user subset, and the watermark
+bounds how long a session can stay open. No custom stateful code needed:
+session_window is the built-in operator (contrast streaming/hvac_stream,
+where the trailing-row-buffer semantics force applyInPandasWithState).
+
+The driver testdata's ``events.parquet`` carries TIMESTAMP(NANOS);
+streaming file sources get the same normalized micro-second rows the
+batch path produces via session.load_table — write those to the stream
+input directory (tests do exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def session_stats_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session aggregation — append-mode rows are CLOSED
+    sessions, column-identical to q43's batch output."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -189,3 +189,65 @@ def test_windowed_zone_stats_subset_of_batch(spark, hvac_input_dir, tmp_path_fac
         )
 
     assert rounded(got).exceptAll(rounded(expected)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# events: session_window streaming vs batch
+# ---------------------------------------------------------------------------
+
+def test_session_stream_matches_batch_closed_sessions(spark, tmp_path_factory):
+    """Streamed (watermark-closed) sessions must be exactly the batch
+    session_window rows whose close precedes the final watermark."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import load_table
+    from sustainable_building_energy_benchmarking_pipeline_spark.streaming.events_stream import (
+        event_stream,
+        session_stats_stream,
+    )
+
+    base = tmp_path_factory.mktemp("events_stream")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    input_dir = str(base / "input")
+    # two in-order files so sessions span micro-batches
+    mid = events.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    events.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.parquet(input_dir)
+    events.filter(F.col("ts").cast("double") > mid).coalesce(1).write.mode("append").parquet(input_dir)
+
+    sink, ckpt = str(base / "sink"), str(base / "ckpt")
+    q = (
+        session_stats_stream(event_stream(spark, input_dir, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+    assert got.count() > 0
+
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    # every emitted session matches a batch session exactly
+    assert got.exceptAll(batch).count() == 0
+    # and the stream emitted every session that closed before the final
+    # watermark (max event time - 1h watermark delay)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = batch.filter(
+        F.col("session_end") < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    assert closed.exceptAll(got).count() == 0
