@@ -21,8 +21,6 @@ from pyspark.sql import functions as F
 
 from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
     content_fingerprint,
-    shingles_from_tokens,
-    ws_tokens,
 )
 
 
@@ -30,32 +28,65 @@ def _hashed_shingles(
     df: DataFrame, text_col: str, id_col: str, shingle_k: int,
     extra: list | None = None,
 ) -> DataFrame:
-    """(id, *extra, sh: array<bigint>) via three projections: tokens →
-    shingles → xxhash64 per shingle. Each stage materializes before the
-    next references it element-wise — inlining the tokenizer into the
-    shingle lambdas re-runs the regex split once per shingle position
-    (Catalyst doesn't CSE across lambda boundaries), a measured ~10×
-    slowdown on the sf0.1 corpus. ``extra`` is a list of (Column, name)
-    pairs carried through.
+    """(id, *extra, sh: array<bigint>): distinct k-token shingles of the
+    lowercased whitespace-tokenized text, each hashed to a stable 64-bit
+    int, via ONE vectorized Pandas UDF.
 
-    The leading repartition parallelizes the string-heavy stages when the
-    input arrives as a handful of small files (one ~5 MB parquet file =
-    one task otherwise); downstream pair joins reshuffle on their own
-    keys anyway, so the extra round-robin exchange costs one pass over
-    the raw text and buys full-cluster tokenization."""
-    extra_names = [name for _, name in (extra or [])]
+    Why a UDF on a text hot path: the expression form (tokens → per-
+    position slice/array_join transform → per-shingle xxhash64) runs
+    entirely in interpreted higher-order functions — Spark does not
+    codegen lambda bodies — measured 3.5 s for the sf0.1 corpus vs
+    ~0.4 s for this Arrow-batched version (the same documented exception
+    as simhash64's bit-vote). Hashing is blake2b-8 (process-independent,
+    unlike Python's salted str hash — workers must agree on every hash).
+    The functions.text expression forms remain for one-off columns.
+
+    Token semantics match ws_tokens / the DuckDB oracles: ASCII ``\\s+``
+    split, empties dropped. With ≤10⁴ distinct shingles per doc the
+    64-bit collision probability (~n²/2⁶⁵) is negligible, so set sizes
+    equal the string-set sizes the oracle computes.
+
+    ``extra`` is a list of (Column, name) pairs carried through. The
+    leading repartition parallelizes the UDF stage when the input
+    arrives as a handful of small files (one ~5 MB parquet file = one
+    task otherwise); downstream pair joins reshuffle on their own keys
+    anyway."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    k = shingle_k
+
+    @pandas_udf("array<long>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        def hashed(text: str | None) -> list[int]:
+            if text is None:
+                return []
+            toks = [t for t in ws.split(text.strip().lower()) if t]
+            if len(toks) >= k:
+                shs = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            elif toks:
+                shs = {" ".join(toks)}
+            else:
+                return []
+            return [
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "big",
+                    signed=True,
+                )
+                for s in shs
+            ]
+
+        return pd.Series([hashed(t) for t in texts])
+
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    toks = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         *[c.alias(name) for c, name in (extra or [])],
-        ws_tokens(F.lower(F.col(text_col))).alias("_toks"),
-    )
-    sh = toks.select(
-        "id", *extra_names, shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
-    )
-    return sh.select(
-        "id", *extra_names,
-        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("sh"),
+        _sh(F.col(text_col)).alias("sh"),
     )
 
 
@@ -77,69 +108,66 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature as array<bigint>: for each of ``num_hashes`` salted
-    xxhash64 functions, the min over the document's shingles. Pure
-    expressions — one transform per hash over the shingle array."""
-    def salted_min(salt: int) -> Column:
-        # factory binds the salt eagerly; a `lambda s, i=i:` default-arg
-        # closure would be treated by Spark as an (element, index) binary
-        # lambda, collapsing all hash functions into one
-        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(salt))))
-
-    return F.array(*[salted_min(seed + i) for i in range(num_hashes)])
+def _splitmix64(z: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer, vectorized over uint64 (wraparound mult is
+    numpy's native mod-2⁶⁴ behavior). A full-avalanche mixer, so
+    ``splitmix64(x ^ salt_i)`` is an independent-enough hash family for
+    MinHash (each salt permutes the shingle space differently)."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 32,
-    shingle_k: int = 3,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
+def minhash_band_hashes(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42
+):
+    """Pandas-UDF factory: hashed-shingle array → array of ``bands`` LSH
+    band hashes (the per-band hash of r = num_hashes/bands consecutive
+    MinHash signature values).
 
-    signature → ``bands`` bands of r=num_hashes/bands rows → band hash →
-    explode → self-join on (band_idx, band_hash). Returns distinct
-    (id_a < id_b) candidate pairs. Two documents collide in some band with
-    probability 1−(1−J^r)^b (the classic S-curve). Default 32 bands × r=2
-    gives ≈100% recall at J≥0.5; the exact-Jaccard verify step removes the
-    extra false candidates r=2 admits.
-    """
+    One vectorized kernel per Arrow batch: (num_hashes × n_shingles)
+    salted SplitMix64 matrix → column-min → reshape (bands, r) → fold
+    each band with a mix step. The expression-tree form (num_hashes
+    array_min/transform arms + ``bands`` slice/array_join/xxhash64
+    combines) is interpreted per element — ~14 M lambda evaluations at
+    sf0.1 — and dominates the whole near-dup pipeline; this kernel is
+    the same documented exception as simhash64's bit-vote. Empty/null
+    shingle sets yield NULL (posexplode then drops the row, so shingle-
+    less docs never become candidates)."""
+    from pyspark.sql.functions import pandas_udf
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Staged projections (tokens → shingles → bigint hashes → signature):
-    # each of the 64 salted-min arms references the materialized hashed-
-    # shingle column — inlining the shingle expression 64× overflows
-    # codegen and falls back to interpreted eval (~100× slower), and the
-    # arms re-hash 8-byte ints instead of traversing ~20-char strings.
-    # CollapseProject keeps multi-referenced non-cheap aliases
-    # materialized, so the stage boundaries survive optimization.
-    hs_df = _hashed_shingles(df, text_col, id_col, shingle_k)
-    banded = (
-        hs_df.select(
-            "id", minhash_signature(F.col("sh"), num_hashes, seed).alias("_sig")
-        )
-        .select(
-            "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * r + 1, r), lambda x: x.cast("string")
-                                ),
-                                ",",
-                            )
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_hash"),
-        )
+    rng = np.random.RandomState(seed)
+    salts = rng.randint(0, 2**63, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @pandas_udf("array<long>")
+    def _bands(sh_arrays: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = []
+        for hs in sh_arrays:
+            if hs is None or len(hs) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            sig = _splitmix64(x[None, :] ^ salts[:, None]).min(axis=1)  # (num_hashes,)
+            band_vals = sig.reshape(bands, r)
+            h = band_vals[:, 0]
+            for j in range(1, r):
+                h = _splitmix64(h ^ band_vals[:, j])
+            out.append(h.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _bands
+
+
+def _lsh_candidates_from_shingles(
+    hs_df: DataFrame, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) band-collision pairs from a hashed-shingle
+    DataFrame (``_hashed_shingles`` output)."""
+    band_udf = minhash_band_hashes(num_hashes, bands, seed)
+    banded = hs_df.select("id", band_udf(F.col("sh")).alias("_bh")).select(
+        "id", F.posexplode("_bh").alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -155,19 +183,35 @@ def minhash_lsh_candidates(
     )
 
 
-def jaccard_of_pairs(
-    pairs: DataFrame, docs: DataFrame, text_col: str = "text",
-    id_col: str = "doc_id", shingle_k: int = 3,
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (the verify step after
-    LSH). Joins the shingle arrays in (broadcast when small), computes
-    |∩|/|∪| with array expressions.
+    """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Shingles are xxhash64-hashed to bigint before the set ops: intersect/
-    union on 8-byte ints beats ~20-char strings ~4×, and with ≤10⁴
-    distinct shingles per doc the 64-bit collision probability (~n²/2⁶⁵)
-    is negligible, so counts equal the string-set counts."""
-    sh = _hashed_shingles(docs, text_col, id_col, shingle_k)
+    hashed shingles → ``bands`` band hashes (one vectorized UDF, see
+    minhash_band_hashes) → posexplode → self-join on (band_idx,
+    band_hash). Returns distinct (id_a < id_b) candidate pairs. Two
+    documents collide in some band with probability 1−(1−J^r)^b (the
+    classic S-curve). Default 32 bands × r=2 gives ≈100% recall at
+    J≥0.5; the exact-Jaccard verify step removes the extra false
+    candidates r=2 admits.
+    """
+    hs_df = _hashed_shingles(df, text_col, id_col, shingle_k)
+    return _lsh_candidates_from_shingles(hs_df, num_hashes, bands, seed)
+
+
+def _jaccard_of_pairs_from_shingles(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs given a hashed-
+    shingle DataFrame: |∩|/|∪| via array expressions (array_intersect/
+    union on 8-byte ints — JVM-native, no lambdas — beats string sets
+    ~4×; the bigint collision probability is negligible, so counts equal
+    the string-set counts the oracle computes)."""
     out = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -181,6 +225,18 @@ def jaccard_of_pairs(
     )
 
 
+def jaccard_of_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step
+    after LSH), recomputing shingles from the documents. When the caller
+    already holds the hashed-shingle frame, prefer the shared-scan path
+    (see minhash_near_duplicates)."""
+    sh = _hashed_shingles(docs, text_col, id_col, shingle_k)
+    return _jaccard_of_pairs_from_shingles(pairs, sh)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     threshold: float = 0.7,
@@ -192,11 +248,19 @@ def minhash_near_duplicates(
     seed: int = 42,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
-    verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k, seed
-    )
-    return jaccard_of_pairs(cands, df, text_col, id_col, shingle_k).filter(
+    verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard).
+
+    One hashed-shingle frame feeds both the banding and verify stages.
+    ReuseExchange dedupes its repartition, but the shingle UDF sits
+    downstream of it and still evaluates once per consumer branch —
+    measured cheaper here than `.persist()`, whose materialization
+    barrier costs more than the ~0.4 s of repeated UDF work (persist
+    only pays off when the corpus is large enough that tokenize+hash
+    dominates the barrier, i.e. the 100 TB deployment, where callers
+    should persist the shingle frame to MEMORY_AND_DISK themselves)."""
+    hs = _hashed_shingles(df, text_col, id_col, shingle_k)
+    cands = _lsh_candidates_from_shingles(hs, num_hashes, bands, seed)
+    return _jaccard_of_pairs_from_shingles(cands, hs).filter(
         F.col("jaccard") >= threshold
     )
 

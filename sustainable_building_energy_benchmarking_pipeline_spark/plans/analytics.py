@@ -833,11 +833,15 @@ ORDER BY source
 
 def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language identification (text analysis) — confusion
-    counts of predicted vs labeled language. Token array materializes in
-    its own projection (lambda consumers don't CSE the tokenizer) and the
-    single-file corpus repartitions before the string-heavy stage."""
+    counts of predicted vs labeled language. Three staged projections
+    (tokens → per-language scores → argmax): lambda consumers don't CSE
+    the tokenizer, and the argmax CASE references each score ~7×, so both
+    materialize before their consumers. The single-file corpus
+    repartitions before the string-heavy stage."""
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
-        language_id_from_tokens,
+        LANG_PROFILES,
+        language_argmax,
+        language_scores,
         ws_tokens,
     )
 
@@ -846,10 +850,16 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", "text", ws_tokens(F.lower(F.col("text"))).alias("_toks")
     )
+    scored = toks.select(
+        "lang",
+        *[
+            c.alias(f"_s_{lang}")
+            for lang, c in language_scores(F.col("_toks"), F.col("text")).items()
+        ],
+    )
+    pred = language_argmax({lang: F.col(f"_s_{lang}") for lang in LANG_PROFILES})
     return (
-        toks.withColumn(
-            "lang_pred", language_id_from_tokens(F.col("_toks"), F.col("text"))
-        )
+        scored.withColumn("lang_pred", pred)
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
