@@ -1401,6 +1401,54 @@ ORDER BY user_id, session_start
 """
 
 
+def q44_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: for every purchase, the same user's
+    latest click at/before it — the as-of join (operators/asof.py: union
+    + window, ONE shuffle on user_id, no range/theta join). Inner form
+    (unmatched purchases filtered); gap as exact integer microseconds
+    (a rounded float gap can straddle a half-ulp boundary between Spark
+    and the oracle). Oracle: DuckDB's native ASOF JOIN."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+    )
+    return (
+        joined.filter(F.col("click_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+Q44_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1447,4 +1495,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q41_left_enrich": QuerySpec(q41_left_enrich, Q41_SQL),
     "q42_union_missing_columns": QuerySpec(q42_union_missing_columns, Q42_SQL),
     "q43_session_windows": QuerySpec(q43_session_windows, Q43_SQL),
+    "q44_asof_attribution": QuerySpec(q44_asof_attribution, Q44_SQL),
 }

@@ -1,0 +1,91 @@
+"""as-of join semantics (operators/asof.py) on hand-computed fixtures,
+plus the plan-shape guarantee (one shuffle, no nested-loop join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10)),
+            (2, "u1", _ts(20)),
+            (3, "u1", _ts(5)),   # before every right row
+            (4, "u2", _ts(10)),  # key with no right rows at all
+        ],
+        "lid INT, k STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts(8), 1.0),
+            (101, "u1", _ts(10), 2.0),  # equal-ts: inclusive for lid=1
+            (102, "u1", _ts(15), 3.0),
+        ],
+        "rid INT, k STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_unmatched(frames):
+    left, right = frames
+    got = {
+        r["lid"]: (r["rid_right"], r["v_right"])
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert got == {
+        1: (101, 2.0),   # equal ts matches (inclusive), beats the 08:00 row
+        2: (102, 3.0),   # latest at/before 20
+        3: (None, None), # nothing at/before 5
+        4: (None, None), # key never appears on the right
+    }
+
+
+def test_forward(frames):
+    left, right = frames
+    got = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(left, right, on="ts", by=["k"], direction="forward").collect()
+    }
+    assert got == {1: 101, 2: None, 3: 100, 4: None}
+
+
+def test_tolerance_voids_far_matches(frames):
+    left, right = frames
+    got = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], tolerance=F.expr("INTERVAL 2 MINUTES")
+        ).collect()
+    }
+    # lid=2 matched rid=102 at a 5-minute gap -> voided; lid=1 gap 0 -> kept
+    assert got == {1: 101, 2: None, 3: None, 4: None}
+
+
+def test_right_ts_tie_breaks_by_payload(spark):
+    left = spark.createDataFrame([(1, "u", _ts(10))], "lid INT, k STRING, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(9)), (9, "u", _ts(9)), (8, "u", _ts(9))],
+        "rid INT, k STRING, ts TIMESTAMP",
+    )
+    [row] = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert row["rid_right"] == 9  # max payload struct wins (unique id first)
+
+
+def test_plan_one_shuffle_no_nested_loop(frames):
+    left, right = frames
+    plan = asof_join(left, right, on="ts", by=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # exactly one hash-partitioning exchange (on the by-key) feeds the window
+    n_hash_exchanges = plan.count("hashpartitioning")
+    assert n_hash_exchanges == 1, plan
