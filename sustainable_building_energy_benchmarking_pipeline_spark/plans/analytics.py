@@ -1449,6 +1449,82 @@ ORDER BY purchase_id
 """
 
 
+def q45_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) in ONE pass —
+    the A7 family's ordered-hierarchy form (q10 is the flat GROUPING SETS
+    form). Dimension joins broadcast (nation/region are tiny; customer
+    under the broadcast threshold at bench SF — at 100 TB customer
+    becomes a shuffle join on o_custkey and the rollup still aggregates
+    partially map-side). Subtotal labels coalesce to 'ALL' so the output
+    carries no NULLs (driver contract)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    df = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+Q45_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+def q46_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type. The pivot
+    values are PINNED — an unpinned pivot runs an extra distinct-scan
+    job to discover them and leaves the output schema data-dependent
+    (non-negotiable at 100 TB). Missing (day, type) cells fill 0."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+Q46_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1496,4 +1572,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q42_union_missing_columns": QuerySpec(q42_union_missing_columns, Q42_SQL),
     "q43_session_windows": QuerySpec(q43_session_windows, Q43_SQL),
     "q44_asof_attribution": QuerySpec(q44_asof_attribution, Q44_SQL),
+    "q45_rollup_revenue": QuerySpec(q45_rollup_revenue, Q45_SQL),
+    "q46_pivot_event_types": QuerySpec(q46_pivot_event_types, Q46_SQL),
 }

@@ -46,6 +46,30 @@ def event_stream(
     return reader.parquet(input_dir)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    within_watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming counterpart of
+    operators.dedup.exact_dedup: first occurrence per key wins, duplicates
+    arriving in LATER micro-batches are dropped against keyed state.
+
+    ``within_watermark`` bounds the state (production setting): duplicates
+    are only guaranteed dropped if they arrive within that event-time
+    delay of the first occurrence — state older than the watermark is
+    evicted, which is the only way dedup state stays finite on an
+    unbounded stream. Without it, state grows with distinct keys
+    (exact-forever semantics: fine for tests/backfills, not for 100 TB
+    streams). Keyed-state shuffle is on ``keys`` — same partitioning
+    logic as the batch groupBy."""
+    keys = keys or ["event_id"]
+    if within_watermark is not None:
+        return stream.withWatermark(ts_col, within_watermark).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
 def session_stats_stream(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -251,3 +251,56 @@ def test_session_stream_matches_batch_closed_sessions(spark, tmp_path_factory):
         F.col("session_end") < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
     )
     assert closed.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# events: streaming dedup vs batch distinct
+# ---------------------------------------------------------------------------
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    """Duplicates injected into a LATER micro-batch must be dropped by the
+    keyed dedup state; output key set == batch-distinct key set. The
+    watermark delay exceeds the corpus time span, so no state is evicted
+    and the check is exact."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import load_table
+    from sustainable_building_energy_benchmarking_pipeline_spark.streaming.events_stream import (
+        dedup_stream,
+        event_stream,
+    )
+
+    base = tmp_path_factory.mktemp("events_dedup")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = events.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    first_half = events.filter(F.col("ts").cast("double") <= mid)
+    dups = first_half.orderBy("event_id").limit(100)  # re-arrive in batch 2
+    input_dir = str(base / "input")
+    first_half.coalesce(1).write.parquet(input_dir)
+    (
+        events.filter(F.col("ts").cast("double") > mid)
+        .unionByName(dups)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(input_dir)
+    )
+
+    sink, ckpt = str(base / "sink"), str(base / "ckpt")
+    q = (
+        dedup_stream(
+            event_stream(spark, input_dir, max_files_per_trigger=1),
+            keys=["event_id"],
+            within_watermark="60 days",
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()  # every duplicate dropped, nothing else
+    assert got.select("event_id").distinct().count() == events.count()
