@@ -240,16 +240,24 @@ def ann_lsh_topk(
     )  # (n_tables*n_planes, dim)
     powers = 2 ** np.arange(n_planes, dtype=np.int64)
 
-    q_bits = (all_planes @ np.asarray(query_vec, dtype=np.float64)) >= 0
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bits = (all_planes @ q) >= 0
     q_sigs = [
         int((q_bits[t * n_planes : (t + 1) * n_planes] * powers).sum())
         for t in range(n_tables)
     ]
+    qn = q / (np.linalg.norm(q) or 1.0)
 
-    @pandas_udf("array<long>")
-    def _sigs(vecs: pd.Series) -> pd.Series:
+    # the exact-cosine rerank value rides along in the SAME kernel: a
+    # brute_force_topk over the candidates would rebuild its dim-unrolled
+    # dot/norm expression tree per query — multi-thousand Catalyst nodes
+    # whose analyze/optimize/codegen time (~2 s) dwarfs scoring 10³
+    # candidates; here it's one extra BLAS matvec on rows already in the
+    # Arrow batch
+    @pandas_udf("struct<sigs: array<long>, cos: double>")
+    def _sig_cos(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
-            return pd.Series([], dtype=object)
+            return pd.DataFrame({"sigs": [], "cos": []})
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ all_planes.T) >= 0  # (n, n_tables*n_planes)
         sigs = np.stack(
@@ -259,15 +267,25 @@ def ann_lsh_topk(
             ],
             axis=1,
         )  # (n, n_tables)
-        return pd.Series(list(sigs))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat @ qn) / norms
+        return pd.DataFrame({"sigs": list(sigs), "cos": cos})
 
-    with_sig = corpus.withColumn("_sigs", _sigs(F.col(vec_col)))
+    with_sig = corpus.withColumn("_sc", _sig_cos(F.col(vec_col)))
     probe = None
     for t, qs in enumerate(q_sigs):
-        hit = F.col("_sigs").getItem(t) == F.lit(qs)
+        hit = F.col("_sc").getField("sigs").getItem(t) == F.lit(qs)
         probe = hit if probe is None else (probe | hit)
-    cand = with_sig.filter(probe).drop("_sigs")
-    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+    return (
+        with_sig.filter(probe)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("_sc").getField("cos").alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("id"))
+        .limit(k)
+    )
 
 
 def ivf_topk(
@@ -326,31 +344,87 @@ def pairwise_topk_per_label(
     id_col: str = "vec_id",
     label_col: str = "label",
     dim: int | None = None,
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """Blocked all-pairs top-k: nearest neighbors within each label block —
-    the grouped form of similarity search (block = partition key, so the
-    quadratic term is per-block). Vectors are unit-normalized before the
-    pair join (norms once per row, not per pair); the per-pair work is one
-    unrolled dot product when ``dim`` is given."""
+    """k nearest neighbors within each label block — the grouped form of
+    similarity search, as a distributed block matmul (the allpairs_cosine
+    shape) + a candidate-merge window.
+
+    Each label's rows are split into ceil(max_label/block_rows) chunks;
+    every (label, chunk-pair) group computes its sims as ONE NumPy matmul
+    and emits only its block-local top-k per row; a final window keeps
+    the global top-k among the ≤ n_chunks·k candidates per id (block-
+    local top-k is a superset filter: the true top-k within a label is
+    the top-k of the per-block top-ks). Per-task memory is bounded by
+    block_rows² sims regardless of label skew; the expression-pair-join
+    form this replaces evaluated a dim-term dot per pair interpreted —
+    measured ~5× slower at sf0.1. ``dim`` is accepted for API
+    compatibility (the kernel reads vector length from the data).
+
+    Ties break by (cosine DESC, neighbor_id ASC) in both the block
+    kernel and the merge window, so results are deterministic."""
     from pyspark.sql import Window
 
-    v = normalized(
+    sizes = corpus.groupBy(label_col).count().agg(F.max("count")).first()[0]
+    n_chunks = max(1, -(-int(sizes or 0) // block_rows))
+
+    fields = {f.name: f.dataType for f in corpus.schema.fields}
+    out_schema = T.StructType([
+        T.StructField("id", fields[id_col], True),
+        T.StructField("label", fields[label_col], True),
+        T.StructField("neighbor_id", fields[id_col], True),
+        T.StructField("cosine_sim", T.DoubleType(), True),
+    ])
+
+    def topk_frame(sims: np.ndarray, ids_a, ids_b, lbl) -> pd.DataFrame:
+        kk = min(k, sims.shape[1])
+        rows = {"id": [], "neighbor_id": [], "cosine_sim": []}
+        for i in range(sims.shape[0]):
+            order = np.lexsort((ids_b, -sims[i]))[:kk]
+            keep = order[np.isfinite(sims[i][order])]
+            rows["id"].extend([ids_a[i]] * len(keep))
+            rows["neighbor_id"].extend(ids_b[keep])
+            rows["cosine_sim"].extend(sims[i][keep])
+        out = pd.DataFrame(rows)
+        out.insert(1, "label", lbl)
+        return out
+
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        lbl, gi, gj = key
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = pdf["_id"].to_numpy()
+        if gi == gj:
+            sims = mat @ mat.T
+            np.fill_diagonal(sims, -np.inf)
+            return topk_frame(sims, ids, ids, lbl)
+        a_mask = (pdf["_c"] == gi).to_numpy()
+        A, B = mat[a_mask], mat[~a_mask]
+        ids_a, ids_b = ids[a_mask], ids[~a_mask]
+        sims = A @ B.T
+        return pd.concat(
+            [topk_frame(sims, ids_a, ids_b, lbl), topk_frame(sims.T, ids_b, ids_a, lbl)],
+            ignore_index=True,
+        )
+
+    rep = (
         corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(label_col).alias("lbl"),
-            F.col(vec_col).alias("v"),
-        ),
-        "v",
-        "nv",
-    ).drop("v")
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b, (F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") != F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id"),
-        F.col("a.lbl").alias("label"),
-        F.col("b.id").alias("neighbor_id"),
-        dot(F.col("a.nv"), F.col("b.nv"), dim).alias("cosine_sim"),
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lbl"),
+            F.col(vec_col).alias("_v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int").alias("_c"),
+        )
+        .withColumn("_p", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+        .withColumn("_gi", F.least("_c", "_p"))
+        .withColumn("_gj", F.greatest("_c", "_p"))
+        .drop("_p")
     )
+    cands = rep.groupBy("_lbl", "_gi", "_gj").applyInPandas(block_pair, out_schema)
     w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
