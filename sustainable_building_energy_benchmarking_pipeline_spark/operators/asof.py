@@ -26,7 +26,9 @@ Spark-first shape — the union + window trick, NOT a range join:
   "inclusive" means a right row at exactly left.ts matches. Among right
   rows sharing (key, ts) the struct's own ordering (lexicographic by
   field) breaks the tie deterministically — put a unique id first in
-  ``right_cols``.
+  ``right_cols``. NB: DuckDB's ASOF JOIN picks an *unspecified* row
+  among equal timestamps, so differential comparisons against it must
+  pre-dedup the right side per (key, ts) on both engines (q44 does).
 
 Oracle parity: semantically identical to DuckDB/QuestDB/kdb ``ASOF
 JOIN`` (tested against DuckDB's in tests/test_queries_oracle.py via

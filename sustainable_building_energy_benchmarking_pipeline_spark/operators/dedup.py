@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
     content_fingerprint,
 )
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
+    ensure_min_partitions,
+)
 
 
 def _hashed_shingles(
@@ -47,9 +50,11 @@ def _hashed_shingles(
     equal the string-set sizes the oracle computes.
 
     ``extra`` is a list of (Column, name) pairs carried through. The
-    leading repartition parallelizes the UDF stage when the input
-    arrives as a handful of small files (one ~5 MB parquet file = one
-    task otherwise); downstream pair joins reshuffle on their own keys
+    leading ``ensure_min_partitions`` parallelizes the UDF stage when
+    the input arrives as a handful of small files (one ~5 MB parquet
+    file = one task otherwise) while costing nothing when the corpus
+    already has enough partitions (the 100 TB path — no blanket
+    shuffle); downstream pair joins reshuffle on their own keys
     anyway."""
     import hashlib
     import re
@@ -82,7 +87,7 @@ def _hashed_shingles(
 
         return pd.Series([hashed(t) for t in texts])
 
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = ensure_min_partitions(df)
     return df.select(
         F.col(id_col).alias("id"),
         *[c.alias(name) for c, name in (extra or [])],
@@ -366,9 +371,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tok_hashes = F.transform(
         ws_tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    # round-robin first: single-file corpora otherwise run the tokenize +
-    # UDF stages in one task (see _hashed_shingles)
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    # round-robin only when under-partitioned: single-file corpora
+    # otherwise run the tokenize + UDF stages in one task (see
+    # _hashed_shingles); already-partitioned corpora pay no shuffle
+    return ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), _bit_vote(tok_hashes).alias("simhash")
     )
 

@@ -135,7 +135,9 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     stub above."""
     vids = df.filter(F.col("kind") == "video")
     dur = F.coalesce(F.col("meta.duration_ms"), F.lit(3000))
-    return vids.select(
+    # zero/negative-duration media have no frames — and F.sequence raises
+    # on an empty [0, dur-1] range, so the filter is load-bearing
+    return vids.filter(dur > 0).select(
         "media_id",
         F.explode(F.sequence(F.lit(0), dur - 1, F.lit(every_ms))).alias("frame_ts_ms"),
     )

@@ -66,22 +66,31 @@ def normalized(
     once per *pair* (at N rows that's N norms, not N² — the difference
     between 2 k and 2 M norm evaluations on the sf0.1 embeddings table).
 
-    The repartition between the norm and the division is load-bearing
-    twice over: (a) it's an optimization barrier — without it
-    CollapseProject inlines the norm aggregate *inside* the per-element
-    transform lambda, recomputing it dim× per row; (b) embedding corpora
-    small enough to sit in one parquet file would otherwise run the whole
-    downstream pair join as a single task.
+    One vectorized Pandas UDF (matrix row-normalize per Arrow batch —
+    the dense-linear-algebra exception): partition-preserving, no
+    shuffle, and immune to the CollapseProject pitfall the expression
+    form has (the norm aggregate gets inlined dim× inside the transform
+    lambda unless an optimization barrier separates them). Zero vectors
+    pass through unscaled. ``ensure_min_partitions`` parallelizes
+    single-file corpora only.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.withColumn("_norm", norm(F.col(vec_col)))
-        .repartition(n)
-        .withColumn(
-            out_col,
-            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")),
-        )
-        .drop("_norm")
+    from pyspark.sql.functions import pandas_udf
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    @pandas_udf("array<double>")
+    def _unit(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series(list(mat / norms[:, None]))
+
+    return ensure_min_partitions(df, num_partitions).withColumn(
+        out_col, _unit(F.col(vec_col))
     )
 
 
@@ -344,29 +353,34 @@ def pairwise_topk_per_label(
     id_col: str = "vec_id",
     label_col: str = "label",
     dim: int | None = None,
-    block_rows: int = 4096,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """k nearest neighbors within each label block — the grouped form of
     similarity search, as a distributed block matmul (the allpairs_cosine
     shape) + a candidate-merge window.
 
-    Each label's rows are split into ceil(max_label/block_rows) chunks;
-    every (label, chunk-pair) group computes its sims as ONE NumPy matmul
-    and emits only its block-local top-k per row; a final window keeps
-    the global top-k among the ≤ n_chunks·k candidates per id (block-
-    local top-k is a superset filter: the true top-k within a label is
-    the top-k of the per-block top-ks). Per-task memory is bounded by
-    block_rows² sims regardless of label skew; the expression-pair-join
-    form this replaces evaluated a dim-term dot per pair interpreted —
-    measured ~5× slower at sf0.1. ``dim`` is accepted for API
-    compatibility (the kernel reads vector length from the data).
+    Each label's rows are split into ``n_chunks`` chunks; every (label,
+    chunk-pair) group computes its sims as ONE NumPy matmul and emits
+    only its block-local top-k per row; a final window keeps the global
+    top-k among the ≤ n_chunks·k candidates per id (block-local top-k is
+    a superset filter: the true top-k within a label is the top-k of the
+    per-block top-ks). Per-task memory is bounded by
+    (max_label_rows/n_chunks)² sims; the expression-pair-join form this
+    replaces evaluated a dim-term dot per pair interpreted — measured
+    ~5× slower at sf0.1. ``dim`` is accepted for API compatibility (the
+    kernel reads vector length from the data).
+
+    ``n_chunks`` defaults from defaultParallelism rather than a
+    count-the-labels pre-job (an extra full scan just to size chunks);
+    at 100 TB size it from table stats: n_chunks ≈ max label rows /
+    4096 keeps each block matmul comfortably in task memory.
 
     Ties break by (cosine DESC, neighbor_id ASC) in both the block
     kernel and the merge window, so results are deterministic."""
     from pyspark.sql import Window
 
-    sizes = corpus.groupBy(label_col).count().agg(F.max("count")).first()[0]
-    n_chunks = max(1, -(-int(sizes or 0) // block_rows))
+    if n_chunks is None:
+        n_chunks = max(2, int(corpus.sparkSession.sparkContext.defaultParallelism ** 0.5))
 
     fields = {f.name: f.dataType for f in corpus.schema.fields}
     out_schema = T.StructType([

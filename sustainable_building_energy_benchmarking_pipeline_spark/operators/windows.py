@@ -129,7 +129,13 @@ def sliding_sign_change_count(
     n_rows: int,
 ) -> Column:
     """W7 core: count of sign changes of ``value_col`` within the trailing
-    ``n_rows`` window (src/models.py:210-215, oscillating-control rule).
+    ``n_rows``-row window — exactly the reference's
+    ``np.sum(np.diff(np.sign(window)) != 0)`` over a 12-row window
+    (src/models.py:210-215, oscillating-control rule): a *change* is any
+    pair where ``sign != sign(lag)`` (transitions through zero count),
+    and an ``n_rows`` window holds ``n_rows - 1`` pairs, hence the
+    ``-(n_rows - 2)`` frame (the pair crossing the window boundary is
+    excluded). First-row pairs (lag NULL) count 0.
 
     The reference advances non-overlapping windows; this overlapping-window
     version flags supersets of the reference's rows — callers needing exact
@@ -138,9 +144,9 @@ def sliding_sign_change_count(
     """
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     sign_change = F.when(
-        F.signum(c) * F.signum(F.lag(c, 1).over(w)) < 0, 1
+        F.signum(c) != F.signum(F.lag(c, 1).over(w)), 1
     ).otherwise(0)
-    return F.sum(sign_change).over(w.rowsBetween(-(n_rows - 1), 0))
+    return F.sum(sign_change).over(w.rowsBetween(-(n_rows - 2), 0))
 
 
 def top_k_per_group(

@@ -279,20 +279,32 @@ ORDER BY l_returnflag
 
 def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS multi-dimensional summary in one pass (A7) — the
-    /alerts/summary by-severity/by-rule/by-zone pattern (src/db.py:171-236)."""
+    /alerts/summary by-severity/by-rule/by-zone pattern (src/db.py:171-236).
+    The inactive dimension per set coalesces to 'ALL' (q45's convention):
+    the driver contract disallows NULLs in registry output."""
     orders = _t(spark, sf_dir, "orders")
-    return A.multi_dim_summary(
-        orders,
-        ["o_orderstatus", "o_orderpriority"],
-        [
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        ],
-    ).orderBy("o_orderstatus", "o_orderpriority")
+    return (
+        A.multi_dim_summary(
+            orders,
+            ["o_orderstatus", "o_orderpriority"],
+            [
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            ],
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
 
 
 Q10_SQL = """
-SELECT o_orderstatus, o_orderpriority,
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
        COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS total_price
 FROM orders
@@ -466,6 +478,11 @@ def q17_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE shuffle on user_id serves all four window expressions (same
     WindowSpec → same exchange, verified in .explain).
+
+    Lag/diff are NULL on each group's first row; both coalesce to 0.0
+    (mirrored in the oracle) because the driver contract disallows NULLs
+    in registry output — the bfill+fillna(0) convention the reference
+    itself applies to its lag features (src/pipeline_batch.py:149).
     """
     ev = _t(spark, sf_dir, "events")
     w = W.ordered_window("user_id", ["ts", "event_id"])
@@ -474,8 +491,8 @@ def q17_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(W.rolling_mean("value", w, 3), 4).alias("rolling_mean_3"),
         F.round(W.rolling_std("value", w, 3), 4).alias("rolling_std_3"),
-        F.round(W.lag_col("value", w, 1), 4).alias("value_lag1"),
-        F.round(W.diff_col("value", w, 1), 4).alias("value_diff"),
+        F.round(F.coalesce(W.lag_col("value", w, 1), F.lit(0.0)), 4).alias("value_lag1"),
+        F.round(F.coalesce(W.diff_col("value", w, 1), F.lit(0.0)), 4).alias("value_diff"),
     )
 
 
@@ -483,8 +500,8 @@ Q17_SQL = """
 SELECT event_id, user_id,
        ROUND(AVG(value) OVER w3, 4) AS rolling_mean_3,
        ROUND(COALESCE(STDDEV(value) OVER w3, 0.0), 4) AS rolling_std_3,
-       ROUND(LAG(value, 1) OVER w, 4) AS value_lag1,
-       ROUND(value - LAG(value, 1) OVER w, 4) AS value_diff
+       ROUND(COALESCE(LAG(value, 1) OVER w, 0.0), 4) AS value_lag1,
+       ROUND(COALESCE(value - LAG(value, 1) OVER w, 0.0), 4) AS value_diff
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
        w3 AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -573,11 +590,15 @@ FROM customer
 def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session assignment via lag + cumulative
     sum — the batch form of session_window (pyspark guide 'Common OLAP
-    patterns'). One shuffle on user_id."""
+    patterns'). One shuffle on user_id.
+
+    Gap boundary is ``>=`` (a gap of exactly 30 min starts a new session)
+    to match Spark's session_window half-open [t, t+gap) semantics — so
+    q21 and q43 agree with each other and with the streaming path."""
     ev = _t(spark, sf_dir, "events")
     w = W.ordered_window("user_id", ["ts", "event_id"])
     gap = F.when(
-        (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES"), 1
+        (F.col("ts") - F.lag("ts").over(w)) >= F.expr("INTERVAL 30 MINUTES"), 1
     ).otherwise(0)
     sess = ev.withColumn("new_sess", gap)
     return (
@@ -594,7 +615,7 @@ Q21_SQL = """
 WITH g AS (
   SELECT user_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+                   >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
 SELECT user_id,
@@ -748,32 +769,24 @@ FROM h
 
 def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding
-    column (ANN baseline). Dot product via zip_with + aggregate — JVM-side,
-    no UDF. Scale path: LSH-bucketed variant in operators.similarity.
+    column (ANN baseline). Dot/norm via similarity.cosine(dim=64): a flat
+    unrolled GetArrayItem add-chain that whole-stage codegen compiles —
+    ~10× the interpreted zip_with/aggregate HOF form on this hot path.
+    Scale path: LSH-bucketed variant in operators.similarity.
 
     Query vector: embedding of vec_id=0, broadcast as a literal via
     crossJoin of a 1-row DF (broadcast nested-loop, no shuffle).
     """
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import cosine
+
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4).alias("cosine_sim"),
+            F.round(cosine(F.col("embedding"), F.col("qv"), dim=64), 4).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
@@ -845,8 +858,12 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # gated: parallelizes single-file corpora, no-op when already partitioned
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "lang", "text", ws_tokens(F.lower(F.col("text"))).alias("_toks")
     )
@@ -1214,7 +1231,7 @@ SELECT doc_id AS media_id,
        CAST((n_chars * 10 - 1) // 1000 + 1 AS BIGINT) AS n_frames,
        CAST(((n_chars * 10 - 1) // 1000) * 1000 AS BIGINT) AS last_frame_ts_ms
 FROM documents
-WHERE doc_id % 3 = 2
+WHERE doc_id % 3 = 2 AND n_chars > 0
 ORDER BY media_id
 """
 
@@ -1359,7 +1376,9 @@ def q43_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization (the event-time form of q21's
     lag+cumsum): per (user, session) start/end/size. Streaming-ready —
     the same expression runs under a watermark in
-    streaming/events_stream.py. One shuffle on user_id."""
+    streaming/events_stream.py. One shuffle on user_id. Windows are
+    half-open [t, t+gap): an event exactly 30 min after the last starts
+    a NEW session — the oracle (and q21) use the same ``>=`` boundary."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -1382,7 +1401,7 @@ Q43_SQL = """
 WITH g AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+                   >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), s AS (
   SELECT user_id, ts, value,
@@ -1407,15 +1426,22 @@ def q44_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     + window, ONE shuffle on user_id, no range/theta join). Inner form
     (unmatched purchases filtered); gap as exact integer microseconds
     (a rounded float gap can straddle a half-ulp boundary between Spark
-    and the oracle). Oracle: DuckDB's native ASOF JOIN."""
+    and the oracle). Oracle: DuckDB's native ASOF JOIN.
+
+    The right side pre-dedups to one click per (user_id, ts) — max
+    event_id — because DuckDB ASOF picks an *unspecified* row among
+    equal timestamps while asof_join deterministically takes the max
+    payload struct; deduping both sides pins the same candidate."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id", "value"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "ts", "user_id"
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
     )
     joined = asof_join(
         purchases,
@@ -1443,7 +1469,9 @@ SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts,
        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, ts) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY purchase_id
 """

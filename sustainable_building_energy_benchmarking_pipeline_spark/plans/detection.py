@@ -109,14 +109,9 @@ def oscillating_control_window(
     superset of the reference's non-overlapping scan.
     """
     w = W.ordered_window("zone_id", "timestamp")
-    pair_change = F.when(
-        F.signum(F.col("temp_change_rate"))
-        != F.signum(F.lag("temp_change_rate", 1).over(w)),
-        1,
-    ).otherwise(0)
     flagged = features.withColumn(
         "_sign_changes",
-        F.sum(pair_change).over(w.rowsBetween(-(window_size - 2), 0)),
+        W.sliding_sign_change_count("temp_change_rate", w, window_size),
     ).filter(F.col("_sign_changes") > max_sign_changes)
     return _as_anomalies(
         flagged, "temp_zone_c", F.lit(2.0), "oscillating_control", F.lit("medium")

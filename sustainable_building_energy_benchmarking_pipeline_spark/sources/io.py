@@ -179,20 +179,25 @@ def write_with_sidecar(
 
 def content_hash(df: DataFrame) -> str:
     """Order-insensitive SHA-256 of the full content: per-row sha2 over
-    the canonical JSON of a sorted-field struct, XOR-aggregated via
-    bit_xor so the hash is partition- and order-independent, then hashed
-    once more with the row count (bit_xor alone is forgeable by row
-    multiplicity). Distributed — no collect of data, one aggregate row."""
+    the canonical JSON of a sorted-field struct, SUM-aggregated (into
+    decimal, overflow-free) so the hash is partition- and order-
+    independent but multiplicity-sensitive. SUM, not bit_xor: under XOR
+    any dataset in which every row appears an even number of times
+    cancels to 0 ({a,a,b,b} and {c,c,d,d} collide — a silent skipped
+    write); an order-insensitive sum keeps each duplicate's
+    contribution. Two independent hash lanes + the row count make
+    engineered collisions impractical. Distributed — no collect of
+    data, one aggregate row."""
     import hashlib
 
     cols = sorted(df.columns)
     row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
     agg = df.agg(
-        F.bit_xor(F.xxhash64(row_json)).alias("l0"),
-        F.bit_xor(F.xxhash64(row_json, F.lit("lane-2"))).alias("l1"),
+        F.sum(F.xxhash64(row_json).cast("decimal(38,0)")).alias("l0"),
+        F.sum(F.xxhash64(row_json, F.lit("lane-2")).cast("decimal(38,0)")).alias("l1"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    payload = json.dumps([agg["n"], agg["l0"], agg["l1"]])
+    payload = json.dumps([agg["n"], str(agg["l0"]), str(agg["l1"])])
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
