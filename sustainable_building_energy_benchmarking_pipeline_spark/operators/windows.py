@@ -171,7 +171,92 @@ def top_k_per_group(
 
 
 def percentile_rank(order_by: Column) -> Column:
-    """W9: percent_rank × 100 — the ``energy_percentile`` column the export
-    schema carries but the reference never truly computes
-    (src/export_json.py:99,119; SURVEY W9 'a genuine gap worth implementing')."""
+    """W9 (bounded-input form): percent_rank × 100 — the
+    ``energy_percentile`` column the export schema carries but the
+    reference never truly computes (src/export_json.py:99,119; SURVEY W9
+    'a genuine gap worth implementing').
+
+    A no-partition window forces every row through ONE task — fine for
+    the export path's bounded building tables, a scale-killer on a fact
+    table. Unbounded inputs use ``distributed_percent_rank``."""
     return F.percent_rank().over(Window.orderBy(order_by)) * 100
+
+
+def distributed_percent_rank(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    out_col: str = "percent_rank",
+    scale: float = 1.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W9 (scale form): global percent-rank with NO single-task window —
+    the two-pass distributed CDF.
+
+    ``Window.orderBy(...)`` with no partition key funnels the whole
+    table through one task (Spark warns "No Partition Defined"). This
+    computes the identical ranks distributed:
+
+    1. ``repartitionByRange`` on the order keys (deterministic
+       reservoir-sampled bounds) + ``sortWithinPartitions`` — a sorted
+       range partitioning, every partition's keys strictly below the
+       next partition's (ascending, NULLS FIRST in both APIs);
+    2. per-row LOCAL rank for free from
+       ``monotonically_increasing_id()``: post-sort, its low 33 bits are
+       the row's position within its partition and its high bits the
+       partition id — JVM-side, zero extra shuffle, no Python;
+    3. per-partition row counts (a tiny ``n_partitions``-row aggregate)
+       collect to the driver, cumulative offsets broadcast-join back;
+    4. global rank = offset + local rank; percent_rank = rank/(n−1).
+
+    The ranged frame is persisted (MEMORY_AND_DISK) before the counts
+    job: range-exchange *sampling is nondeterministic across jobs* (a
+    re-executed exchange draws different bounds), so the counts job and
+    the final job MUST read the same materialized partitions or the
+    offsets silently misalign. Cost: one linear materialization + a
+    cached re-read versus the single-task sort of the window form — the
+    right trade everywhere above toy scale (the cache is released by
+    Spark's ContextCleaner when the result goes out of scope).
+
+    ``order_by`` must be a unique ordering (append a tiebreaker column,
+    as every LIMIT/top-k query here already does): with unique keys
+    rank == row_number and the result equals SQL PERCENT_RANK exactly;
+    duplicate keys would get arbitrary distinct ranks instead of tying.
+    Returns ``df`` + ``out_col`` (percent_rank × ``scale``); single-row
+    input gets 0.0 (the SQL convention).
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
+    with_id = (
+        ranged.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33))
+        .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .drop("_mid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = sorted(
+        with_id.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    if not stats:
+        return df.withColumn(out_col, F.lit(0.0))
+    total = sum(r["_cnt"] for r in stats)
+    offsets, acc = [], 0
+    for r in stats:
+        offsets.append((r["_pid"], acc))
+        acc += r["_cnt"]
+    off_df = spark.createDataFrame(offsets, "_pid LONG, _off LONG")
+    rank0 = (F.col("_off") + F.col("_lrn")).cast("double")
+    pct = (
+        (rank0 / F.lit(float(total - 1))) * F.lit(float(scale))
+        if total > 1
+        else F.lit(0.0)
+    )
+    return (
+        with_id.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, pct)
+        .drop("_pid", "_lrn", "_off")
+    )

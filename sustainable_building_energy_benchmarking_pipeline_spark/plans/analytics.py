@@ -571,12 +571,18 @@ FROM events
 
 def q20_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global percentile rank (W9 — the energy_percentile gap,
-    src/export_json.py:99). Unique tiebreaker c_custkey keeps it exact."""
+    src/export_json.py:99). Unique tiebreaker c_custkey keeps it exact.
+
+    Distributed two-pass CDF (range partition + local ranks + cumulative
+    offsets, operators.windows.distributed_percent_rank) — NOT the
+    no-partition window, which funnels the whole table through one task
+    and dies at 100× scale."""
     cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return cust.select(
-        "c_custkey",
-        F.round(F.percent_rank().over(w) * 100, 4).alias("acctbal_percentile"),
+    ranked = W.distributed_percent_rank(
+        cust, ["c_acctbal", "c_custkey"], out_col="_pct", scale=100.0
+    )
+    return ranked.select(
+        "c_custkey", F.round(F.col("_pct"), 4).alias("acctbal_percentile")
     )
 
 

@@ -22,6 +22,9 @@ from sustainable_building_energy_benchmarking_pipeline_spark.functions.scalar im
     coalesce_aliases,
     split_trim,
 )
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+    distributed_percent_rank,
+)
 
 PIPELINE_NAME = "sustainable_building_benchmarking"
 
@@ -77,12 +80,19 @@ def resolve_building_records(df: DataFrame) -> DataFrame:
         .otherwise("Poor"),
     )
     # percentile: use provided column, else TRUE percent-rank by EUI (W9)
+    # via the distributed two-pass CDF — no single-task global window
+    # even on this bounded path (operators.windows.distributed_percent_rank)
     pct_present = any(c in out.columns for c in _ALIASES["pct"])
     if pct_present:
         pct = coalesce_aliases(out, _ALIASES["pct"], 50).cast("int")
     else:
-        pct = F.round(F.percent_rank().over(Window.orderBy("_eui_sort")) * 100).cast("int")
-        out = out.withColumn("_eui_sort", eui)
+        out = distributed_percent_rank(
+            out.withColumn("_eui_sort", eui),
+            ["_eui_sort", "_rn"],
+            out_col="_pctr",
+            scale=100.0,
+        )
+        pct = F.round(F.col("_pctr")).cast("int")
 
     # certifications: array column passes through; string column is split
     # on commas and trimmed (F12); absent → empty array

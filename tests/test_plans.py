@@ -99,3 +99,36 @@ def test_events_scan_prunes_columns(spark):
     plan = plan_of(QUERIES["q17_rolling_events"].fn(spark, SF_DIR))
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "payload" not in read_schema
+
+
+def test_q20_percent_rank_is_distributed(spark):
+    """W9 scale contract: the global percent-rank must NOT plan a
+    no-partition WindowExec (single-task sort of the whole table)."""
+    df = QUERIES["q20_percent_rank"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" not in plan, "q20 must use the two-pass CDF, not a global window"
+    assert "SinglePartition" not in plan
+
+
+def test_distributed_percent_rank_matches_sql(spark):
+    """distributed_percent_rank == SQL PERCENT_RANK under a unique
+    ordering, and stable across repeated runs (partition-pinning)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        distributed_percent_rank,
+    )
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    got = distributed_percent_rank(
+        cust, ["c_acctbal", "c_custkey"], out_col="pr"
+    ).select("c_custkey", "pr")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    want = cust.select("c_custkey", F.percent_rank().over(w).alias("pr"))
+    g = {r.c_custkey: r.pr for r in got.collect()}
+    e = {r.c_custkey: r.pr for r in want.collect()}
+    assert g.keys() == e.keys()
+    assert all(abs(g[k] - e[k]) < 1e-12 for k in e)
+    g2 = {r.c_custkey: r.pr for r in got.collect()}
+    assert g2 == g
