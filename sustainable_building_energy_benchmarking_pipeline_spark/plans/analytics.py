@@ -1559,6 +1559,78 @@ ORDER BY day
 """
 
 
+def q47_oscillation_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window oscillation count (W7 — the oscillating-control rule,
+    reference src/models.py:210-215: count sign changes of the rate-of-
+    change within a 12-row window, flag when > 6).
+
+    diff → pair-change indicator → trailing-frame sum, all over ONE
+    (user_id, ts) window spec: one shuffle serves the lag, the diff and
+    the frame sum. Indicators are 0/1 (never NULL — first-row pairs with
+    a NULL lag count 0 via the CASE), so the output is NULL-free.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.ordered_window("user_id", ["ts", "event_id"])
+    with_dv = ev.withColumn("_dv", W.diff_col("value", w, 1))
+    osc = W.sliding_sign_change_count("_dv", w, 12)
+    return (
+        with_dv.withColumn("sign_changes_12", osc.cast("bigint"))
+        .filter(F.col("sign_changes_12") > 6)
+        .select("event_id", "user_id", "sign_changes_12")
+    )
+
+
+Q47_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         value - LAG(value) OVER w AS dv
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN SIGN(dv) <> SIGN(LAG(dv) OVER w) THEN 1 ELSE 0 END AS chg
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS osc
+  FROM c
+)
+SELECT event_id, user_id, CAST(osc AS BIGINT) AS sign_changes_12
+FROM s WHERE osc > 6
+"""
+
+
+def q48_custom_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom categorical sort key (W10 — the Excellent→Good→Average→Poor
+    CASE ordering, reference notebooks/benchmarking_medallion.py:239-244),
+    over event types with a business-priority order. The rank column is
+    part of the output so the custom ordering is observable to the
+    order-insensitive differential compare."""
+    ev = _t(spark, sf_dir, "events")
+    rank = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 3)
+        .when(F.col("event_type") == "view", 4)
+        .otherwise(5)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("sort_rank", rank.cast("int"))
+        .orderBy("sort_rank")
+    )
+
+
+Q48_SQL = """
+WITH a AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
+SELECT event_type, n_events,
+       CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+            WHEN 'click' THEN 3 WHEN 'view' THEN 4 ELSE 5 END AS sort_rank
+FROM a ORDER BY sort_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1608,4 +1680,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q44_asof_attribution": QuerySpec(q44_asof_attribution, Q44_SQL),
     "q45_rollup_revenue": QuerySpec(q45_rollup_revenue, Q45_SQL),
     "q46_pivot_event_types": QuerySpec(q46_pivot_event_types, Q46_SQL),
+    "q47_oscillation_window": QuerySpec(q47_oscillation_window, Q47_SQL),
+    "q48_custom_sort": QuerySpec(q48_custom_sort, Q48_SQL),
 }
