@@ -346,6 +346,115 @@ def ivf_topk(
     return brute_force_topk(cand.drop("_cell"), query_vec, k, vec_col, id_col)
 
 
+def ivf_topk_exact(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """EXACT top-k via an IVF index with triangle-inequality cell pruning
+    — the fixed-``nprobe`` ``ivf_topk``'s provably lossless sibling.
+
+    All vectors are unit-normalized, so cosine order ≡ L2 order
+    (d² = 2 − 2·cos). For a cell with centroid cᵢ and radius
+    rᵢ = max_{x∈cell} ‖x̂ − cᵢ‖, any member satisfies
+    ‖q̂ − x̂‖ ≥ ‖q̂ − cᵢ‖ − rᵢ, so once an upper bound d_τ on the kth
+    neighbor distance is known, cells with ‖q̂ − cᵢ‖ − rᵢ > d_τ cannot
+    hold a top-k member and are skipped. The result is therefore exactly
+    brute-force top-k for ANY centroid set — k-means quality (and any
+    cross-session nondeterminism in it) affects only how many cells are
+    pruned, never the answer. On clustered corpora the probe touches
+    O(k/nlist) of the data; on adversarially uniform vectors it degrades
+    to a full scan, still correct.
+
+    Three bounded jobs: (1) per-cell stats (nlist rows: count + radius),
+    (2) seed bound d_τ from the nearest cells holding ≥ k vectors,
+    (3) exact rerank over the surviving cells (at scale: the corpus is
+    written partitioned by ``_cell`` and jobs 2-3 are partition-pruned
+    scans). The assigned frame is persisted across the three jobs.
+    """
+    from pyspark import StorageLevel
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    # max_iter trades centroid quality (pruning power) for train time
+    # only — exactness never depends on convergence
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    cnorms = np.linalg.norm(centroids, axis=1)
+    cnorms[cnorms == 0] = 1.0
+    centroids = centroids / cnorms[:, None]  # cells live on the unit sphere too
+
+    @pandas_udf("struct<cell: int, dist: double>")
+    def _cell_dist(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "dist": pd.Series([], dtype="float64")})
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        return pd.DataFrame({
+            "cell": cells.astype("int32"),
+            "dist": np.sqrt(d2[np.arange(len(cells)), cells]),
+        })
+
+    assigned = corpus.withColumn("_cd", _cell_dist(F.col(vec_col))).select(
+        "*", F.col("_cd.cell").alias("_cell"), F.col("_cd.dist").alias("_cdist")
+    ).drop("_cd").persist(StorageLevel.MEMORY_AND_DISK)
+
+    # job 1: nlist tiny rows — cell populations and radii
+    stats = {
+        r["_cell"]: (r["n"], r["r"])
+        for r in assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("_cdist").alias("r"))
+        .collect()
+    }
+    d_cell = np.sqrt(((centroids - qn[None, :]) ** 2).sum(axis=1))
+    order = np.argsort(d_cell, kind="stable")
+
+    # job 2: seed the kth-distance bound from the nearest cells with ≥ k rows
+    seed_cells, have = [], 0
+    for c in order:
+        if int(c) in stats:
+            seed_cells.append(int(c))
+            have += stats[int(c)][0]
+            if have >= k:
+                break
+    kth = (
+        brute_force_topk(
+            assigned.filter(F.col("_cell").isin(seed_cells)), query_vec, k,
+            vec_col, id_col,
+        )
+        .orderBy(F.asc("cosine_sim"))
+        .first()
+    )
+    d_tau = float(np.sqrt(max(0.0, 2.0 - 2.0 * kth["cosine_sim"]))) if kth else float("inf")
+
+    # job 3: exact rerank over every cell the bound cannot exclude
+    probe = [
+        int(c) for c in order
+        if int(c) in stats and d_cell[int(c)] - stats[int(c)][1] <= d_tau + 1e-9
+    ]
+    # assigned stays persisted for the returned (lazy) rerank — an
+    # unpersist here would evict the blocks before the caller's action
+    # runs; the executor LRU reclaims them under pressure
+    return brute_force_topk(
+        assigned.filter(F.col("_cell").isin(probe)), query_vec, k, vec_col, id_col
+    )
+
+
 def pairwise_topk_per_label(
     corpus: DataFrame,
     k: int = 5,

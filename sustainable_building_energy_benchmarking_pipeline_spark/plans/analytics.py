@@ -1729,6 +1729,43 @@ FROM a ORDER BY sort_rank
 """
 
 
+def q49_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) similarity search with triangle-inequality
+    cell pruning — EXACT top-k by construction (normalize → cosine ≡ L2,
+    skip cells whose ``‖q−cᵢ‖ − rᵢ`` exceeds the kth-neighbor bound; see
+    operators.similarity.ivf_topk_exact), so the brute-force cosine SQL
+    is a true oracle regardless of k-means behavior. The fixed-nprobe
+    approximate variant (ivf_topk) shares the index shape and is
+    recall-tested in tests/test_dedup_similarity.py."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        ivf_topk_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk_exact(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=16, max_iter=8
+    ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+Q49_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS n1,
+         SUM(CAST(q.qv[CAST(i AS INT)] AS DOUBLE) * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS n2
+  FROM embeddings e, q, RANGE(1, 65) t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id AS id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
+FROM d
+ORDER BY cosine_sim DESC, id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1780,4 +1817,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q46_pivot_event_types": QuerySpec(q46_pivot_event_types, Q46_SQL),
     "q47_oscillation_window": QuerySpec(q47_oscillation_window, Q47_SQL),
     "q48_custom_sort": QuerySpec(q48_custom_sort, Q48_SQL),
+    "q49_ivf_topk": QuerySpec(q49_ivf_topk, Q49_SQL),
 }

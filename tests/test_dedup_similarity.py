@@ -188,6 +188,17 @@ def test_ivf_recall_vs_brute_force(embeddings):
     assert recall >= 0.5, f"IVF recall@10 = {recall}"
 
 
+def test_ivf_exact_equals_brute_force(embeddings):
+    """Triangle-inequality pruning must be lossless: exact-IVF output ==
+    brute force, bit-for-bit on ids and to float tolerance on cosines."""
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    exact = [(r.id, r.cosine_sim) for r in similarity.brute_force_topk(corpus, qv, k=10).collect()]
+    ivf = [(r.id, r.cosine_sim) for r in similarity.ivf_topk_exact(corpus, qv, k=10, nlist=8, max_iter=4).collect()]
+    assert [i for i, _ in ivf] == [i for i, _ in exact]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(ivf, exact))
+
+
 def test_ivf_probes_subset(embeddings):
     """nprobe < nlist must actually restrict the candidate set."""
     qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
