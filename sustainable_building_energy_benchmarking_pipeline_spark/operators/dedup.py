@@ -284,29 +284,37 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     seed: int = 42,
     min_band_collisions: int = 1,
+    persist_shingles: bool = True,
     broadcast_max_docs: int = 50_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
     verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard).
 
-    One hashed-shingle frame feeds the banding and both verify sides, so
-    it is persisted (MEMORY_AND_DISK) and materialized with one count —
-    without the persist the shingle UDF re-evaluates once per consumer
-    branch (three times here). The count doubles as the corpus-size
-    probe: small corpora (≤ ``broadcast_max_docs``) get broadcast-hash
-    verify joins instead of two sort-merge shuffles of the candidate
-    set; at 100 TB the shingle frame stays distributed and the verify is
-    a shuffled join on doc ids — the correct shape at that scale."""
+    ``persist_shingles`` picks the execution posture. True (default, the
+    reuse/cluster posture): the shingle frame — feeding the banding and
+    both verify sides — is persisted (MEMORY_AND_DISK) and materialized
+    with one count, so the tokenize+hash UDF runs once instead of once
+    per consumer branch, and the count doubles as the corpus-size probe:
+    small corpora (≤ ``broadcast_max_docs``) get broadcast-hash verify
+    joins instead of two sort-merge shuffles of the candidate set.
+    False (the single-shot cold posture, e.g. a one-off bench/CLI run):
+    no persist barrier, no sizing job, no broadcast builds — fewest
+    scheduler round-trips; the UDF re-evaluates per branch, which is
+    cheaper than the extra jobs when the whole pipeline runs exactly
+    once. At 100 TB the shingle frame stays distributed either way and
+    the verify is a shuffled join on doc ids — the correct shape."""
     hs = _hashed_shingles(df, text_col, id_col, shingle_k)
-    from pyspark import StorageLevel
+    use_broadcast = False
+    if persist_shingles:
+        from pyspark import StorageLevel
 
-    hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = hs.count()
+        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
+        use_broadcast = hs.count() <= broadcast_max_docs
     cands = _lsh_candidates_from_shingles(
         hs, num_hashes, bands, seed, min_band_collisions
     )
     return _jaccard_of_pairs_from_shingles(
-        cands, hs, broadcast_shingles=n_docs <= broadcast_max_docs
+        cands, hs, broadcast_shingles=use_broadcast
     ).filter(F.col("jaccard") >= threshold)
 
 

@@ -355,6 +355,7 @@ def ivf_topk_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iter: int = 20,
+    init_mode: str = "random",
 ) -> DataFrame:
     """EXACT top-k via an IVF index with triangle-inequality cell pruning
     — the fixed-``nprobe`` ``ivf_topk``'s provably lossless sibling.
@@ -385,10 +386,13 @@ def ivf_topk_exact(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
 
-    # max_iter trades centroid quality (pruning power) for train time
-    # only — exactness never depends on convergence
+    # max_iter / init_mode trade centroid quality (pruning power) for
+    # train time only — exactness never depends on convergence. random
+    # init skips k-means||'s multi-pass seeding (~3× faster to train);
+    # the approximate ivf_topk keeps k-means|| because its recall DOES
+    # depend on cell quality
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode=init_mode).fit(train)
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     cnorms = np.linalg.norm(centroids, axis=1)
     cnorms[cnorms == 0] = 1.0
@@ -424,25 +428,26 @@ def ivf_topk_exact(
     d_cell = np.sqrt(((centroids - qn[None, :]) ** 2).sum(axis=1))
     order = np.argsort(d_cell, kind="stable")
 
-    # job 2: seed the kth-distance bound from the nearest cells with ≥ k rows
-    seed_cells, have = [], 0
+    # kth-distance upper bound from cell stats alone — no scan needed:
+    # every member of cell i lies within d_i + r_i of the query (triangle
+    # inequality), so once the nearest cells cumulatively hold ≥ k
+    # vectors, the kth neighbor is within max(d_i + r_i) over that
+    # prefix. Weaker than scanning the seed cells for the true kth
+    # distance (probes a few more cells) but saves a whole job and a
+    # second compiled scoring pass — the better trade for one-shot
+    # queries; a query-batch service amortizes and can re-tighten.
+    d_tau, have, prefix_max = float("inf"), 0, 0.0
     for c in order:
-        if int(c) in stats:
-            seed_cells.append(int(c))
-            have += stats[int(c)][0]
-            if have >= k:
-                break
-    kth = (
-        brute_force_topk(
-            assigned.filter(F.col("_cell").isin(seed_cells)), query_vec, k,
-            vec_col, id_col,
-        )
-        .orderBy(F.asc("cosine_sim"))
-        .first()
-    )
-    d_tau = float(np.sqrt(max(0.0, 2.0 - 2.0 * kth["cosine_sim"]))) if kth else float("inf")
+        ci = int(c)
+        if ci not in stats:
+            continue
+        have += stats[ci][0]
+        prefix_max = max(prefix_max, d_cell[ci] + stats[ci][1])
+        if have >= k:
+            d_tau = prefix_max
+            break
 
-    # job 3: exact rerank over every cell the bound cannot exclude
+    # job 2: exact rerank over every cell the bound cannot exclude
     probe = [
         int(c) for c in order
         if int(c) in stats and d_cell[int(c)] - stats[int(c)][1] <= d_tau + 1e-9

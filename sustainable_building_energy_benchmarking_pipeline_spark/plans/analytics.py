@@ -1066,8 +1066,11 @@ def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # persist_shingles=False: registry queries are single-shot — the
+    # persist barrier + sizing + broadcast-build jobs cost more than the
+    # one repeated UDF pass they save (see minhash_near_duplicates)
     return minhash_near_duplicates(
-        docs, threshold=0.5, num_hashes=64, bands=32
+        docs, threshold=0.5, num_hashes=64, bands=32, persist_shingles=False
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1743,8 +1746,12 @@ def q49_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # nlist/max_iter sized for the test corpora (a few k vectors): exact
+    # output is unconditional, so the only tuning criterion is train
+    # cost vs pruning benefit — at 100 TB raise nlist to ~√N and train
+    # the quantizer on a sample
     return ivf_topk_exact(
-        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=16, max_iter=8
+        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=8, max_iter=4
     ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
