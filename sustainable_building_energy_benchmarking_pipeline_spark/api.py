@@ -1,0 +1,186 @@
+"""HTTP serving shell (E1-E4): the reference's two FastAPI apps as one
+Flask app over the Spark-backed serving plans.
+
+Reference parity:
+- ``/`` and ``/health`` and ``POST /benchmark`` — the benchmarking API
+  (reference ``api/main.py:51-89``); the health probe substitutes a
+  1-row Spark job for the reference's PostgreSQL ``SELECT 1``
+  (``src/api.py:76-103``) since the engine's store is parquet.
+- ``GET /alerts`` and ``GET /alerts/summary`` — the HVAC alerts API
+  (reference ``src/api.py:105-261``), backed by ``plans.serving``:
+  the dynamic-predicate + TakeOrderedAndProject query and the one-pass
+  grouping-sets summary instead of the reference's four SQL round-trips
+  (``src/db.py:113-236``).
+
+Validation mirrors the reference observable behavior: malformed
+timestamps and severities → 400 with the same messages
+(``src/api.py:138-160, 228-244``); body/type errors on ``/benchmark``
+and out-of-range ``limit`` → 422 (what FastAPI's pydantic/Query layers
+return). The summary response uses the reference's list-of-records
+shape ordered count-DESC (``src/db.py:204-229``).
+
+Flask is the shell because it is what this environment provides; the
+app factory takes the SparkSession and the anomalies DataFrame, so
+tests drive it with ``app.test_client()`` — no socket needed. The web
+layer holds no query logic: everything is in ``plans.serving`` /
+``plans.benchmarking``, which is the part that runs at scale.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sustainable_building_energy_benchmarking_pipeline_spark.plans import serving
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.benchmarking import (
+    benchmark_building,
+)
+
+_SEVERITIES = ("low", "medium", "high")
+
+
+def _valid_iso(ts: str) -> bool:
+    try:
+        _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        return True
+    except ValueError:
+        return False
+
+
+def _records(d: dict[str, int], key: str) -> list[dict[str, Any]]:
+    """{value: n} → reference record shape, count DESC (src/db.py:204-229)."""
+    return [
+        {key: v, "count": n}
+        for v, n in sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+
+
+def create_app(spark: SparkSession, anomalies: DataFrame):
+    """Build the Flask app over a session and an anomalies DataFrame."""
+    try:
+        from flask import Flask, jsonify, request
+    except ImportError as e:  # pragma: no cover - flask is present here
+        raise ImportError(
+            "The HTTP shell needs flask; the query logic in plans.serving "
+            "works without it."
+        ) from e
+
+    app = Flask("sustainable_building_energy_benchmarking_pipeline_spark")
+
+    @app.get("/")
+    def root():
+        return jsonify(
+            {
+                "message": "Sustainable Building Energy Benchmarking API",
+                "version": "1.0.0",
+                "endpoints": {
+                    "/benchmark": "POST - Benchmark a building's energy performance",
+                    "/health": "GET - Health check endpoint",
+                    "/alerts": "GET - Query anomaly alerts with filters",
+                    "/alerts/summary": "GET - Get anomaly summary statistics",
+                },
+            }
+        )
+
+    @app.get("/health")
+    def health():
+        try:
+            spark.range(1).count()
+            engine = "connected"
+        except Exception as e:  # pragma: no cover - session loss
+            engine = f"error: {e}"
+        return jsonify(
+            {
+                "status": "healthy" if engine == "connected" else "degraded",
+                "timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                "engine": engine,
+            }
+        )
+
+    @app.post("/benchmark")
+    def benchmark():
+        body = request.get_json(silent=True)
+        if not isinstance(body, dict):
+            return jsonify({"detail": "Invalid JSON body"}), 422
+        errors = []
+        if not isinstance(body.get("building_id"), str):
+            errors.append("building_id: str required")
+        for fld in ("area", "energy_consumption"):
+            if not isinstance(body.get(fld), (int, float)) or isinstance(
+                body.get(fld), bool
+            ):
+                errors.append(f"{fld}: number required")
+        if not isinstance(body.get("building_type"), str):
+            errors.append("building_type: str required")
+        if errors:
+            return jsonify({"detail": errors}), 422
+        return jsonify(benchmark_building(body))
+
+    def _validate_window() -> tuple[dict[str, Any], Any]:
+        filters: dict[str, Any] = {}
+        for param, key in (("start", "start_time"), ("end", "end_time")):
+            v = request.args.get(param)
+            if v is not None:
+                if not _valid_iso(v):
+                    return {}, (
+                        jsonify(
+                            {
+                                "detail": f"Invalid {param} timestamp format. "
+                                "Use ISO 8601 (e.g., 2024-01-01T00:00:00)"
+                            }
+                        ),
+                        400,
+                    )
+                filters[key] = v.replace("T", " ").replace("Z", "")
+        return filters, None
+
+    @app.get("/alerts")
+    def alerts():
+        filters, err = _validate_window()
+        if err:
+            return err
+        severity = request.args.get("severity")
+        if severity is not None:
+            if severity not in _SEVERITIES:
+                return (
+                    jsonify(
+                        {"detail": "Invalid severity. Must be one of: low, medium, high"}
+                    ),
+                    400,
+                )
+            filters["severity"] = severity
+        for param in ("zone_id", "rule_name"):
+            if request.args.get(param) is not None:
+                filters[param] = request.args.get(param)
+        try:
+            limit = int(request.args.get("limit", serving.DEFAULT_LIMIT))
+        except ValueError:
+            return jsonify({"detail": "limit: integer required"}), 422
+        if not 1 <= limit <= serving.MAX_LIMIT:
+            return (
+                jsonify({"detail": f"limit must be in [1, {serving.MAX_LIMIT}]"}),
+                422,
+            )
+        rows = serving.format_alerts(
+            serving.query_anomalies(anomalies, limit=limit, **filters)
+        )
+        return jsonify({"count": len(rows), "anomalies": rows})
+
+    @app.get("/alerts/summary")
+    def alerts_summary():
+        filters, err = _validate_window()
+        if err:
+            return err
+        s = serving.anomaly_summary(anomalies, **filters)
+        return jsonify(
+            {
+                "total": s["total_anomalies"],
+                "by_severity": _records(s["by_severity"], "severity"),
+                "by_rule": _records(s["by_rule"], "rule_name"),
+                "by_zone": _records(s["by_zone"], "zone_id"),
+            }
+        )
+
+    return app

@@ -72,8 +72,12 @@ def resolve_building_records(df: DataFrame) -> DataFrame:
     co2 = F.coalesce(
         coalesce_aliases(out, _ALIASES["co2"]).cast("double"), F.round(eui * 0.22, 10)
     )
+    # F13: case-normalize supplied ratings ("excellent"/"EXCELLENT" →
+    # "Excellent") the way the reference's rating.capitalize() does
+    # before bucketing (src/export_demo_json.py:188); initcap is the
+    # column form for the one-word rating ladder
     rating = F.coalesce(
-        coalesce_aliases(out, _ALIASES["rating"]).cast("string"),
+        F.initcap(coalesce_aliases(out, _ALIASES["rating"]).cast("string")),
         F.when(eui < 70, "Excellent")
         .when(eui < 90, "Good")
         .when(eui < 110, "Average")

@@ -1,0 +1,111 @@
+"""HTTP serving shell tests (reference api/main.py + src/api.py behavior),
+driven through Flask's test client — no socket, same session as the suite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+from sustainable_building_energy_benchmarking_pipeline_spark.api import create_app
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "timestamp": t0 + dt.timedelta(minutes=5 * i),
+            "zone_id": f"Z{i % 4 + 1}",
+            "ahu_id": "AHU1",
+            "metric": "temp_zone_c",
+            "score": 1.0 + (i % 10) / 10,
+            "rule_name": ["temp_drift", "clogged_filter"][i % 2],
+            "severity": ["low", "medium", "high"][i % 3],
+            "fault_type_label": "none",
+        }
+        for i in range(60)
+    ]
+    anomalies = spark.createDataFrame(pd.DataFrame(rows)).cache()
+    app = create_app(spark, anomalies)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_root_and_health(client):
+    r = client.get("/")
+    assert r.status_code == 200
+    assert "/benchmark" in r.get_json()["endpoints"]
+    h = client.get("/health")
+    assert h.status_code == 200
+    assert h.get_json()["status"] == "healthy"
+
+
+def test_benchmark_scoring(client):
+    # reference example: 50000 kWh / 1000 m2 -> EUI 50 -> Good
+    r = client.post(
+        "/benchmark",
+        json={
+            "building_id": "B001",
+            "area": 1000.0,
+            "energy_consumption": 50000.0,
+            "building_type": "office",
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["eui"] == 50.0
+    assert body["performance_rating"] == "Good"
+    assert len(body["recommendations"]) == 3
+
+
+def test_benchmark_validation_422(client):
+    r = client.post("/benchmark", json={"building_id": "B001", "area": "big"})
+    assert r.status_code == 422
+    assert any("area" in e for e in r.get_json()["detail"])
+
+
+def test_alerts_filters_and_shape(client):
+    r = client.get("/alerts?severity=high&limit=5")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["count"] == 5
+    assert all(a["severity"] == "high" for a in body["anomalies"])
+    # ISO timestamps, most recent first (src/api.py:183-190 behavior)
+    ts = [dt.datetime.fromisoformat(a["timestamp"]) for a in body["anomalies"]]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_alerts_validation(client):
+    assert client.get("/alerts?start=not-a-time").status_code == 400
+    assert client.get("/alerts?severity=catastrophic").status_code == 400
+    assert client.get("/alerts?limit=0").status_code == 422
+    assert client.get("/alerts?limit=999999").status_code == 422
+
+
+def test_alerts_time_window(client):
+    r = client.get(
+        "/alerts?start=2024-01-01T00:30:00&end=2024-01-01T01:00:00&limit=5000"
+    )
+    assert r.status_code == 200
+    for a in r.get_json()["anomalies"]:
+        t = dt.datetime.fromisoformat(a["timestamp"])
+        assert dt.datetime(2024, 1, 1, 0, 30) <= t <= dt.datetime(2024, 1, 1, 1)
+
+
+def test_summary_reference_shape(client):
+    r = client.get("/alerts/summary")
+    assert r.status_code == 200
+    s = r.get_json()
+    assert s["total"] == 60
+    assert sum(rec["count"] for rec in s["by_severity"]) == 60
+    counts = [rec["count"] for rec in s["by_severity"]]
+    assert counts == sorted(counts, reverse=True)  # ORDER BY count DESC
+    assert {rec["rule_name"] for rec in s["by_rule"]} == {
+        "temp_drift", "clogged_filter",
+    }
+    assert len(s["by_zone"]) <= 10

@@ -146,6 +146,20 @@ def test_export_alias_coalescing(spark):
     assert b["co2_intensity_kg_m2"] == round(95.0 * 0.22, 1)
 
 
+def test_export_rating_case_normalized(spark):
+    """F13: supplied ratings are capitalize()-normalized like the
+    reference's bucketing (src/export_demo_json.py:188)."""
+    df = spark.createDataFrame(
+        [("X1", "Oslo", 100.0, "Office", 2010, 95.0, "excellent"),
+         ("X2", "Oslo", 100.0, "Office", 2010, 95.0, "POOR")],
+        ["building_id", "city", "area_m2", "building_type", "year_built",
+         "eui", "rating"],
+    )
+    doc = ex.assemble_export_document(df)
+    ratings = {b["building_id"]: b["rating"] for b in doc["buildings"]}
+    assert ratings == {"X1": "Excellent", "X2": "Poor"}
+
+
 def test_export_validation_catches_missing():
     assert ex.validate_export_document({"pipeline": "x"})  # many errors
     errs = ex.validate_export_document(
