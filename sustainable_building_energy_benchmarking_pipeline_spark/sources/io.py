@@ -238,21 +238,29 @@ def read_jdbc(
 ) -> DataFrame:
     """Parameterized-SELECT scan (src/db.py:166). Pass the partition_*
     quartet for a parallel range-partitioned read — a single-connection
-    JDBC scan is the 100 TB anti-pattern."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    JDBC scan is the 100 TB anti-pattern.
+
+    Spark forbids combining the ``query`` option with ``partitionColumn``
+    (found the hard way against embedded Derby — see
+    tests/test_io.py::test_jdbc_roundtrip_derby), so the partitioned
+    form wraps the SELECT as a ``dbtable`` subquery; Spark then appends
+    its per-partition range predicates to that derived table. Quote
+    identifiers in ``query``/``partition_column`` to match how Spark
+    writes them (it creates tables with quoted, case-preserved names,
+    which case-folding databases like Derby otherwise won't resolve)."""
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_subq")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions or 8))
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 
