@@ -76,6 +76,33 @@ def test_minhash_recall_vs_exact(spark, oracle_sf_dir):
     assert got <= truth_pairs | got  # tautology guard; precision via threshold
 
 
+def test_minhash_postures_agree(corpus):
+    """The persist+broadcast reuse posture, the single-shot posture, and
+    collision-counting must all emit the same verified pair set."""
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_near_duplicates(
+            corpus, threshold=0.4, persist_shingles=False
+        ).collect()
+    }
+    persisted = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_near_duplicates(
+            corpus, threshold=0.4, persist_shingles=True, broadcast_max_docs=10**6
+        ).collect()
+    }
+    counted = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_near_duplicates(
+            corpus, threshold=0.4, num_hashes=64, bands=64, min_band_collisions=2
+        ).collect()
+    }
+    assert base == persisted
+    # r=1 with >=2-collision counting is a (near-certain) superset shape
+    # at this threshold; on the planted corpus it must find the same set
+    assert counted == base
+
+
 def test_simhash_exact_dups_zero_hamming(corpus):
     sigs = {r.id: r.simhash for r in dedup.simhash64(corpus).collect()}
     for i in range(5):
