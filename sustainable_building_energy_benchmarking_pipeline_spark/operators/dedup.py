@@ -515,3 +515,159 @@ def embedding_near_duplicates(
     )
 
     return allpairs_cosine(df, threshold, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components + representative selection
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where
+    ``component`` is the MIN id reachable through the pair graph — the
+    deterministic cluster label dedup pipelines key on.
+
+    Iterative min-label propagation (the GraphFrames-free shape): each
+    round joins current labels across edges and keeps the minimum of a
+    node's own label and its neighbors'; stops when no label changed.
+    Rounds needed = graph diameter in the worst case, but near-dup
+    graphs are unions of small dense cliques (diameter ≤ 2-3), so 2-4
+    rounds close real corpora. Each round is one join + one aggregate
+    shuffle on the node id; ``localCheckpoint`` truncates the lineage so
+    round N's plan does not replay rounds 1..N-1 (the classic iterative-
+    DataFrame blowup). The convergence probe rides the SAME aggregate
+    (max(changed) — no separate scan). At 100 TB prefer the large-star/
+    small-star variant for skewed mega-components; for dedup clusters
+    bounded by near-dup semantics this direct form is the right cost.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("id"), F.col("u").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("_nmin"), F.col("component"))
+                    < F.col("component")
+                ).cast("int").alias("_chg"),
+            )
+            .localCheckpoint()  # materializes; truncates lineage
+        )
+        changed = updated.agg(F.max("_chg")).first()[0]
+        labels = updated.drop("_chg")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels
+
+
+def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with path compression: min-id label per
+    node. For the pair counts near-dup graphs actually produce (pairs ≪
+    corpus), this is microseconds where the distributed loop is jobs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    driver_max_pairs: int = 5_000_000,
+) -> DataFrame:
+    """Cluster near-duplicate documents and pick a representative: the
+    full LLM-corpus dedup endgame (pairs alone under-remove — three
+    documents A~B~C with no A~C pair must still collapse to ONE kept
+    doc). Output: (doc_id, cluster_rep, is_rep) for every document;
+    singletons are their own representative.
+
+    Pipeline: MinHash-LSH verified pairs ≥ threshold → connected
+    components (min-id labels) → left-join back onto the corpus.
+    Keeping ``is_rep`` rows yields the deduplicated corpus; the
+    representative choice (min doc_id per component) is deterministic
+    and matches the exact-SQL oracle's recursive closure.
+
+    Component strategy is size-gated: the verified pair graph is orders
+    of magnitude smaller than the corpus (it lists only near-duplicate
+    relations), so up to ``driver_max_pairs`` it is collected and closed
+    with driver union-find — microseconds and zero extra jobs, the shape
+    production dedup uses even at corpus scales of 10⁹ docs. Beyond the
+    gate (adversarially duplicate-heavy corpora) it falls back to the
+    distributed min-label propagation in ``connected_components``. The
+    collect is bounded by the gate, not the corpus."""
+    pairs = minhash_near_duplicates(
+        df, threshold=threshold, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
+        persist_shingles=False,
+    ).persist()
+    try:
+        n_pairs = pairs.count()
+        if n_pairs <= driver_max_pairs:
+            labels = _union_find_components(
+                [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+            )
+            spark = df.sparkSession
+            if labels:
+                comps = spark.createDataFrame(
+                    list(labels.items()), "id long, component long"
+                )
+            else:
+                comps = spark.createDataFrame([], "id long, component long")
+        else:
+            comps = connected_components(pairs)
+        return (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(
+                F.broadcast(comps) if n_pairs <= driver_max_pairs else comps,
+                F.col("doc_id") == comps["id"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+            )
+            .withColumn(
+                "is_rep", (F.col("doc_id") == F.col("cluster_rep")).cast("boolean")
+            )
+        )
+    finally:
+        pairs.unpersist(blocking=False)

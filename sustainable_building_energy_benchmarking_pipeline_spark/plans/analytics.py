@@ -1773,6 +1773,63 @@ LIMIT 10
 """
 
 
+def q50_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING with representative selection — pairs
+    alone under-remove (A~B~C with no direct A~C pair must still keep
+    one document): MinHash-LSH verified pairs at the provable-recall
+    threshold (see q33) → connected components by iterative min-label
+    propagation (operators.dedup.connected_components) → every doc
+    labeled with its cluster's min doc_id. The oracle recomputes the
+    exact pair graph in SQL and closes it with a recursive CTE, so
+    component labels are compared end-to-end."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.5)
+
+
+Q50_SQL = r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LEN(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, LEN(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+         WHEN LEN(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE [] END AS sh
+  FROM d
+), z AS (
+  SELECT doc_id, LEN(sh) AS n, UNNEST(sh) AS g FROM s
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+  FROM z a JOIN z b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), p AS (
+  SELECT id_a, id_b FROM i
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), closure(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT c.u, e2.v FROM closure c JOIN e e2 ON c.v = e2.u
+), m AS (
+  SELECT u, LEAST(u, MIN(v)) AS rep FROM closure GROUP BY u
+)
+SELECT doc_id,
+       COALESCE(m.rep, doc_id) AS cluster_rep,
+       doc_id = COALESCE(m.rep, doc_id) AS is_rep
+FROM documents LEFT JOIN m ON documents.doc_id = m.u
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1825,4 +1882,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q47_oscillation_window": QuerySpec(q47_oscillation_window, Q47_SQL),
     "q48_custom_sort": QuerySpec(q48_custom_sort, Q48_SQL),
     "q49_ivf_topk": QuerySpec(q49_ivf_topk, Q49_SQL),
+    "q50_dedup_clusters": QuerySpec(q50_dedup_clusters, Q50_SQL),
 }

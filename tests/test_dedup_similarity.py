@@ -103,6 +103,36 @@ def test_minhash_postures_agree(corpus):
     assert counted == base
 
 
+def test_connected_components_transitive(spark):
+    """A-B, B-C (no A-C edge) must share one component labeled min id;
+    forces the distributed min-label loop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comps = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_clusters_strategies_agree(corpus):
+    """Driver union-find and distributed propagation produce identical
+    labels; singletons are their own representative."""
+    fast = {(r.doc_id, r.cluster_rep, r.is_rep)
+            for r in dedup.dedup_clusters(corpus, threshold=0.4).collect()}
+    dist = {(r.doc_id, r.cluster_rep, r.is_rep)
+            for r in dedup.dedup_clusters(corpus, threshold=0.4,
+                                          driver_max_pairs=0).collect()}
+    assert fast == dist
+    reps = {r for (_, r, _) in fast}
+    n_docs = corpus.count()
+    # planted corpus: each cluster collapses to its min id
+    assert len(fast) == n_docs
+    assert all(rep <= d for (d, rep, _) in fast)
+    # kept set = is_rep rows = number of distinct representatives
+    assert sum(1 for (_, _, k) in fast if k) == len(reps)
+
+
 def test_simhash_exact_dups_zero_hamming(corpus):
     sigs = {r.id: r.simhash for r in dedup.simhash64(corpus).collect()}
     for i in range(5):
