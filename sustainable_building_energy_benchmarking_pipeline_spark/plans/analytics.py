@@ -1830,6 +1830,112 @@ FROM documents LEFT JOIN m ON documents.doc_id = m.u
 """
 
 
+def q51_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators.retrieval): top-10 documents for a
+    3-term query — the targeted-corpus-slicing primitive. Filtered
+    explode → tiny tf/df aggregates broadcast back, one plan."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, ["join", "stream", "window"])
+        .select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+Q51_SQL = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(LEN(toks) AS DOUBLE) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS t FROM base)
+  WHERE t IN ('join', 'stream', 'window')
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.doc_id,
+         LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS term_score
+  FROM tf JOIN dfreq d USING (t) JOIN lens l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+def q52_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly: each user's full event-type sequence
+    in (ts, event_id) order, fingerprinted. collect_list of (ts,
+    event_id, type) structs + array_sort gives a deterministic order
+    WITHOUT a per-group sort shuffle beyond the groupBy itself (struct
+    sort is lexicographic on the leading fields); the sequence ships as
+    a sha256 fingerprint so the compare covers exact order without
+    hashing megabyte rows."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda x: x["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sha2(F.array_join(seq, ","), 256).alias("seq_sha"),
+    )
+
+
+Q52_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       sha256(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_sha
+FROM events
+GROUP BY user_id
+"""
+
+
+def q53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: 20 docs per language by
+    sha256(doc_id) rank — the class-balancing step of a training-data
+    pipeline, with hash-rank standing in for a seeded RNG so the sample
+    is reproducible across engines, partitionings, and reruns (F.rand
+    is partitioning-dependent; a hash of the key is not). One window
+    shuffle on the stratum key."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .select("doc_id", "lang", F.col("_rk").cast("int").alias("sample_rank"))
+    )
+
+
+Q53_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1883,4 +1989,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q48_custom_sort": QuerySpec(q48_custom_sort, Q48_SQL),
     "q49_ivf_topk": QuerySpec(q49_ivf_topk, Q49_SQL),
     "q50_dedup_clusters": QuerySpec(q50_dedup_clusters, Q50_SQL),
+    "q51_bm25_search": QuerySpec(q51_bm25_search, Q51_SQL),
+    "q52_event_sequences": QuerySpec(q52_event_sequences, Q52_SQL),
+    "q53_stratified_sample": QuerySpec(q53_stratified_sample, Q53_SQL),
 }
