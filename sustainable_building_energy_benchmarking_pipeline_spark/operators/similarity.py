@@ -355,7 +355,7 @@ def ivf_topk_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iter: int = 20,
-    init_mode: str = "random",
+    train_sample: int = 10_000,
 ) -> DataFrame:
     """EXACT top-k via an IVF index with triangle-inequality cell pruning
     — the fixed-``nprobe`` ``ivf_topk``'s provably lossless sibling.
@@ -372,28 +372,49 @@ def ivf_topk_exact(
     O(k/nlist) of the data; on adversarially uniform vectors it degrades
     to a full scan, still correct.
 
-    Three bounded jobs: (1) per-cell stats (nlist rows: count + radius),
-    (2) seed bound d_τ from the nearest cells holding ≥ k vectors,
-    (3) exact rerank over the surviving cells (at scale: the corpus is
-    written partitioned by ``_cell`` and jobs 2-3 are partition-pruned
-    scans). The assigned frame is persisted across the three jobs.
+    The coarse quantizer trains driver-side with numpy Lloyd's on a
+    ``train_sample``-bounded sample — the shape production IVF builds
+    use at any corpus size (FAISS trains on ~max(10⁴, 50·nlist)
+    samples): centroid quality needs a sample, not the corpus, and a
+    10⁴×64 float matrix is megabytes. The distributed-MLlib training
+    path stays available in ``ivf_topk`` (whose recall DOES depend on
+    cell quality); here sampling affects pruning power only.
+
+    Two bounded Spark jobs after training: (1) per-cell stats (nlist
+    rows: count + radius), (2) exact rerank over every cell the
+    stats-derived kth-distance bound cannot exclude (at scale: the
+    corpus is written partitioned by ``_cell`` and job 2 is a
+    partition-pruned scan). The assigned frame is persisted across them.
     """
     from pyspark import StorageLevel
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
 
-    # max_iter / init_mode trade centroid quality (pruning power) for
-    # train time only — exactness never depends on convergence. random
-    # init skips k-means||'s multi-pass seeding (~3× faster to train);
-    # the approximate ivf_topk keeps k-means|| because its recall DOES
-    # depend on cell quality
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter, initMode=init_mode).fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col).limit(train_sample).collect()
+        ]
+    )
+    snorms = np.linalg.norm(sample, axis=1)
+    snorms[snorms == 0] = 1.0
+    sample = sample / snorms[:, None]
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(max_iter):  # Lloyd's on the unit sphere
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.vstack(
+            [
+                sample[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
+                for c in range(len(centroids))
+            ]
+        )
+        if np.allclose(new, centroids):
+            break
+        centroids = new
     cnorms = np.linalg.norm(centroids, axis=1)
     cnorms[cnorms == 0] = 1.0
     centroids = centroids / cnorms[:, None]  # cells live on the unit sphere too
