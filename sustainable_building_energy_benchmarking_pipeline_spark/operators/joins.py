@@ -1,0 +1,88 @@
+"""Join strategies beyond what AQE picks automatically.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime; ``salted_join`` is the explicit form for when the skew is known
+ahead of time (one mega-key dominating a fact table) or when running
+without AQE — the classic salt-and-replicate decomposition, expressed as
+plain DataFrame ops so Catalyst still plans each side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side once per
+    bucket, so one hot key's rows spread over ``salt_buckets`` tasks
+    instead of hammering a single reducer.
+
+    Semantically identical to ``left.join(right, on, how)`` for inner
+    and left joins (each left row meets each matching right row exactly
+    once: the row's salt picks one replica). Cost: right side ×
+    ``salt_buckets`` — use when right is the small-but-not-broadcastable
+    side and left's key distribution is heavy-tailed; broadcast beats
+    salting whenever the right side fits (Spark then does not shuffle
+    left at all).
+
+    The salt is ``pmod(xxhash64(monotonically_increasing_id()), b)`` —
+    row-unique, so even a single key's rows spread evenly; deterministic
+    per task attempt is NOT required since any bucket is correct.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salted_left = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted_left.join(replicated_right, [on, "_salt"], how).drop("_salt")
+
+
+def latest_state_per_key(
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    order_cols: list[Column | str],
+    how: str = "max_by",
+) -> DataFrame:
+    """CDC/upsert compaction WITHOUT a table format: reduce an update
+    stream to the latest row per key — the merge step Delta/Iceberg
+    perform internally, expressed over plain parquet.
+
+    ``max_by`` form: one aggregation (partial map-side combine, single
+    shuffle of one struct per key per map task — the 100 TB shape).
+    ``window`` form (how="window"): row_number() DESC, filter rn=1 —
+    same result, but shuffles every row; kept for when the full ordered
+    history is needed anyway. ``order_cols`` must totally order updates
+    within a key (e.g. ts + a unique id as tiebreaker) for deterministic
+    output.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ords = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if how == "max_by":
+        payload = F.struct(*[F.col(c) for c in updates.columns])
+        rank = F.struct(*ords)
+        latest = updates.groupBy(*keys).agg(
+            F.max_by(payload, rank).alias("_row")
+        )
+        return latest.select([F.col(f"_row.{c}").alias(c) for c in updates.columns])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in ords])
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

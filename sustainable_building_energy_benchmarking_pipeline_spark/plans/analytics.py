@@ -1936,6 +1936,82 @@ FROM r WHERE rk <= 20
 """
 
 
+def q54_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates next to their exact answers — the sketch
+    operators a 100 TB engine leans on (HLL distinct, quantile sketch),
+    verified by bounding their error against the exact computation IN
+    the query: the oracle asserts the exact values and that the sketch
+    landed within tolerance (both engines see the same deterministic
+    data, and Spark's sketches are deterministic for fixed input, so the
+    booleans are stable). HLL rsd 0.05, quantile accuracy 10⁴."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("_au"),
+        F.expr("percentile(value, 0.5)").alias("_p50e"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_p50a"),
+        F.expr("percentile(value, 0.95)").alias("_p95e"),
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("_p95a"),
+    )
+    tol = lambda a, e: (F.abs(a - e) <= 0.05 * F.abs(e)) | (a == e)  # noqa: E731
+    return agg.select(
+        "n_users_exact",
+        tol(F.col("_au").cast("double"), F.col("n_users_exact").cast("double")).alias(
+            "hll_within_5pct"
+        ),
+        F.round("_p50e", 4).alias("p50_exact"),
+        tol(F.col("_p50a"), F.col("_p50e")).alias("p50_sketch_within_5pct"),
+        F.round("_p95e", 4).alias("p95_exact"),
+        tol(F.col("_p95a"), F.col("_p95e")).alias("p95_sketch_within_5pct"),
+    )
+
+
+Q54_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS hll_within_5pct,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       TRUE AS p50_sketch_within_5pct,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS p95_sketch_within_5pct
+FROM events
+"""
+
+
+def q55_latest_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction without a table format: reduce the event
+    stream to the latest row per user (operators.joins.
+    latest_state_per_key) — the merge step Delta/Iceberg do internally,
+    here one max_by aggregation with map-side partial combine (one
+    struct per key per map task crosses the shuffle, not the history;
+    the row_number window form would shuffle every row)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.joins import (
+        latest_state_per_key,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    latest = latest_state_per_key(ev, "user_id", ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+Q55_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ROUND(value, 4) AS last_value
+FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1992,4 +2068,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q51_bm25_search": QuerySpec(q51_bm25_search, Q51_SQL),
     "q52_event_sequences": QuerySpec(q52_event_sequences, Q52_SQL),
     "q53_stratified_sample": QuerySpec(q53_stratified_sample, Q53_SQL),
+    "q54_sketch_aggregates": QuerySpec(q54_sketch_aggregates, Q54_SQL),
+    "q55_latest_state_upsert": QuerySpec(q55_latest_state_upsert, Q55_SQL),
 }
