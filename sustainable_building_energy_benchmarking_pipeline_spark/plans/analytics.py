@@ -2012,6 +2012,93 @@ FROM r WHERE rn = 1
 """
 
 
+def q56_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (F.window, the batch form of the
+    streaming window aggregate): 6-hour buckets per event type. One
+    groupBy shuffle; window bounds are computed per row, no join."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q56_SQL = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q57_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 6-hour windows advancing
+    every 2 hours — each event lands in 3 overlapping windows. Spark
+    expands the row into its windows inside the aggregate (no explicit
+    join); the oracle reproduces the expansion with a 3-offset
+    generate_series cross join, which is exactly what the operator
+    computes."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+Q57_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '2 hours', ts) - (o.off * INTERVAL '2 hours') AS window_start
+  FROM events CROSS JOIN (SELECT UNNEST(range(0, 3)) AS off) o
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM expanded
+GROUP BY window_start
+"""
+
+
+def q58_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q46's pivot): orders' numeric
+    facets to long (key, metric, value) form via the stack expression —
+    one projection, rows × n_metrics output, no shuffle at all."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        F.length("o_orderpriority").cast("double").alias("priority_len"),
+    )
+    return wide.select(
+        "o_orderkey",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'order_year', order_year,"
+            " 'priority_len', priority_len) AS (metric, value)"
+        ),
+    ).select("o_orderkey", "metric", F.round("value", 4).alias("value"))
+
+
+Q58_SQL = """
+SELECT o_orderkey, metric, ROUND(value, 4) AS value FROM (
+  SELECT o_orderkey, 'total_price' AS metric, o_totalprice AS value FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'order_year', CAST(YEAR(o_orderdate) AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'priority_len', CAST(LEN(o_orderpriority) AS DOUBLE) FROM orders
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2070,4 +2157,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q53_stratified_sample": QuerySpec(q53_stratified_sample, Q53_SQL),
     "q54_sketch_aggregates": QuerySpec(q54_sketch_aggregates, Q54_SQL),
     "q55_latest_state_upsert": QuerySpec(q55_latest_state_upsert, Q55_SQL),
+    "q56_tumbling_windows": QuerySpec(q56_tumbling_windows, Q56_SQL),
+    "q57_hopping_windows": QuerySpec(q57_hopping_windows, Q57_SQL),
+    "q58_unpivot_melt": QuerySpec(q58_unpivot_melt, Q58_SQL),
 }
