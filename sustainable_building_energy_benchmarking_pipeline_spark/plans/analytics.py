@@ -2099,6 +2099,106 @@ SELECT o_orderkey, metric, ROUND(value, 4) AS value FROM (
 """
 
 
+def q59_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment for training-data export: documents
+    are laid out in a deterministic order (lang, doc_id) and cut into
+    shards of ~50k tokens by cumulative-sum binning — shard id =
+    floor((cumsum − tokens) / budget), i.e. the shard the document
+    STARTS in. One window shuffle; per-shard stats verify balance. The
+    running total is per-lang so shards never mix languages (and the
+    window key bounds the cumsum partition, the 100 TB shape — a global
+    unpartitioned cumsum would be q20's single-task anti-pattern)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = 50_000
+    toks = docs.select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("n_tok")
+    )
+    sharded = toks.withColumn(
+        "shard",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast("int"),
+    )
+    return sharded.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("shard_tokens"),
+    )
+
+
+Q59_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), s AS (
+  SELECT lang,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 50000) AS INT) AS shard,
+         n_tok
+  FROM t
+)
+SELECT lang, shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM s GROUP BY lang, shard
+"""
+
+
+def q60_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: global top-20 word bigrams with
+    document frequencies — explode adjacent-token pairs (JVM transform
+    over the token array, no UDF), count, TakeOrderedAndProject."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("_t")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    lambda x, i: F.concat_ws(" ", x, F.element_at("_t", i + 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+Q60_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), b AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM t WHERE LEN(tk) >= 2
+)
+SELECT bigram, COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2160,4 +2260,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q56_tumbling_windows": QuerySpec(q56_tumbling_windows, Q56_SQL),
     "q57_hopping_windows": QuerySpec(q57_hopping_windows, Q57_SQL),
     "q58_unpivot_melt": QuerySpec(q58_unpivot_melt, Q58_SQL),
+    "q59_shard_packing": QuerySpec(q59_shard_packing, Q59_SQL),
+    "q60_top_bigrams": QuerySpec(q60_top_bigrams, Q60_SQL),
 }
