@@ -1216,7 +1216,7 @@ d AS (
 )
 SELECT vec_id AS id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
 FROM d
-ORDER BY cosine_sim DESC, id
+ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, id
 LIMIT 10
 """
 
@@ -1768,7 +1768,7 @@ d AS (
 )
 SELECT vec_id AS id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
 FROM d
-ORDER BY cosine_sim DESC, id
+ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, id
 LIMIT 10
 """
 
@@ -1839,11 +1839,13 @@ def q51_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # top-k on the UNROUNDED score (rounding after the limit) so the
+    # boundary can't flip between engines when two scores round equal
     return (
         bm25_scores(docs, ["join", "stream", "window"])
-        .select("doc_id", F.round("bm25", 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
+        .select("doc_id", F.round("bm25", 4).alias("bm25"))
     )
 
 
@@ -1871,7 +1873,7 @@ WITH base AS (
 )
 SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
 FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id
+ORDER BY SUM(term_score) DESC, doc_id
 LIMIT 10
 """
 
