@@ -1994,11 +1994,13 @@ def q55_latest_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type", "value"
     )
     latest = latest_state_per_key(ev, "user_id", ["ts", "event_id"])
+    # coalesce: driver contract forbids NULLs in registry output, and a
+    # regenerated corpus could carry NULL values on the latest row
     return latest.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
-        F.round("value", 4).alias("last_value"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 4).alias("last_value"),
     )
 
 
@@ -2009,7 +2011,7 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-       ROUND(value, 4) AS last_value
+       ROUND(COALESCE(value, 0.0), 4) AS last_value
 FROM r WHERE rn = 1
 """
 
