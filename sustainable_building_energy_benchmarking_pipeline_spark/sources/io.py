@@ -285,3 +285,43 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction (the maintenance pass a 100 TB lake needs)
+# ---------------------------------------------------------------------------
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table directory into ~``target_file_bytes`` files —
+    the OPTIMIZE/compaction pass that keeps scan task counts sane after
+    many small incremental writes (a thousand 1 MB files cost a
+    thousand tasks + footer reads; one 128 MB file costs one).
+
+    File count comes from the table's actual on-disk size (filesystem
+    stat, no data scan), then one shuffle-free coalesce rewrite when
+    shrinking, or repartition when growing parallelism. Writes to a
+    temp sibling then atomically swaps directories, so readers never
+    see a partial table. Returns the new file count."""
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = read_table(spark, path, fmt=fmt)
+    current = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files < current else df.repartition(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

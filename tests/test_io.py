@@ -197,3 +197,26 @@ def test_versioned_table_time_travel(spark, tmp_path):
     import os as _os
     _os.makedirs(_os.path.join(path, "_v99"))
     assert V.read_versioned(spark, path).count() == 2
+
+
+def test_orc_roundtrip(spark, tmp_path, small_df):
+    """S-format dispatch covers ORC (bundled in Spark natively)."""
+    p = str(tmp_path / "t.orc")
+    sio.write_table(small_df, p)
+    back = sio.read_table(spark, p)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in small_df.collect()}
+
+
+def test_compact_table(spark, tmp_path):
+    """Compaction rewrites a many-small-files table into few files and
+    preserves content through the atomic directory swap."""
+    import glob as _glob
+
+    p = str(tmp_path / "frag")
+    spark.range(10_000).repartition(64).write.parquet(p)
+    before = len(_glob.glob(os.path.join(p, "*.parquet")))
+    assert before >= 32
+    n = sio.compact_table(spark, p, target_file_bytes=10**9)
+    after = len(_glob.glob(os.path.join(p, "*.parquet")))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(p).count() == 10_000
