@@ -304,3 +304,83 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
     got = spark.read.parquet(sink)
     assert got.count() == events.count()  # every duplicate dropped, nothing else
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_latest_state_stream_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState latest-state: after availableNow over 3
+    micro-batch files (the middle one arriving out of order), the final
+    emission per user equals the batch latest_state_per_key compaction
+    (q55 semantics) — late rows older than the held state are ignored."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.joins import (
+        latest_state_per_key,
+    )
+    from sustainable_building_energy_benchmarking_pipeline_spark.streaming.state_stream import (
+        latest_state_stream,
+    )
+
+    base = tmp_path_factory.mktemp("tws")
+    input_dir = str(base / "in")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "user_id": u,
+            "ts": t0 + dt.timedelta(minutes=m),
+            "event_id": u * 1000 + m,
+            "value": float(u * 100 + m),
+        }
+        for u in range(6)
+        for m in range(30)
+    ]
+    full = spark.createDataFrame(pd.DataFrame(rows))
+    # minute ranges per file: the 10-19 slice lands in the LAST file, so
+    # one whole micro-batch is late relative to already-held state
+    for i, lo in enumerate([0, 20, 10]):
+        (
+            full.filter((F.col("ts") >= t0 + dt.timedelta(minutes=lo))
+                        & (F.col("ts") < t0 + dt.timedelta(minutes=lo + 10)))
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(input_dir)
+        )
+
+    schema = "user_id bigint, ts timestamp, event_id bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out = latest_state_stream(
+        stream, "user_id", ["ts", "event_id"], schema
+    )
+    sink = str(base / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(sink)
+    # the LAST emission per user is that user's final state
+    final_stream = {
+        r.user_id: (r.ts, r.event_id, r.value)
+        for r in latest_state_per_key(emitted, "user_id", ["ts", "event_id"]).collect()
+    }
+    batch = {
+        r.user_id: (r.ts, r.event_id, r.value)
+        for r in latest_state_per_key(
+            full.select("user_id", "ts", "event_id", "value"),
+            "user_id",
+            ["ts", "event_id"],
+        ).collect()
+    }
+    assert final_stream == batch
+    # bounded emissions: at most one row per (user, micro-batch)
+    assert emitted.count() <= 6 * 3
