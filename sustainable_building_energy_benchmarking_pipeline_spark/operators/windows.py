@@ -248,7 +248,18 @@ def distributed_percent_rank(
     for r in stats:
         offsets.append((r["_pid"], acc))
         acc += r["_cnt"]
-    off_df = spark.createDataFrame(offsets, "_pid LONG, _off LONG")
+    # attach offsets: for bounded partition counts a create_map literal
+    # beats a broadcast join (no build side, no extra exchange — 0.64 s
+    # vs 1.07 s at sf0.1); past ~1k partitions the literal's expression
+    # tree gets expensive to analyze, so fall back to the broadcast join
+    if len(offsets) <= 1024:
+        off_map = F.create_map(
+            *[F.lit(v) for pid, off in offsets for v in (pid, off)]
+        )
+        offset_applied = with_id.withColumn("_off", off_map[F.col("_pid")])
+    else:
+        off_df = spark.createDataFrame(offsets, "_pid LONG, _off LONG")
+        offset_applied = with_id.join(F.broadcast(off_df), "_pid")
     rank0 = (F.col("_off") + F.col("_lrn")).cast("double")
     pct = (
         (rank0 / F.lit(float(total - 1))) * F.lit(float(scale))
@@ -256,7 +267,6 @@ def distributed_percent_rank(
         else F.lit(0.0)
     )
     return (
-        with_id.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, pct)
+        offset_applied.withColumn(out_col, pct)
         .drop("_pid", "_lrn", "_off")
     )

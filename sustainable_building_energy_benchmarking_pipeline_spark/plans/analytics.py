@@ -775,27 +775,21 @@ FROM h
 
 def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding
-    column (ANN baseline). Dot/norm via similarity.cosine(dim=64): a flat
-    unrolled GetArrayItem add-chain that whole-stage codegen compiles —
-    ~10× the interpreted zip_with/aggregate HOF form on this hot path.
-    Scale path: LSH-bucketed variant in operators.similarity.
-
-    Query vector: embedding of vec_id=0, broadcast as a literal via
-    crossJoin of a 1-row DF (broadcast nested-loop, no shuffle).
+    column (ANN baseline) — one Arrow-batched scan scoring each batch as
+    a single BLAS matmul (similarity.brute_force_topk_kernel), then
+    TakeOrderedAndProject. No join, no shuffle; the query vector is a
+    bounded 1-row driver collect that ships in the UDF closure.
+    Scale path: LSH/IVF-bucketed variants in operators.similarity.
     """
-    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import cosine
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        brute_force_topk_kernel,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qv"), dim=64), 4).alias("cosine_sim"),
-        )
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-        .limit(10)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return brute_force_topk_kernel(emb.filter(F.col("vec_id") != 0), qv, k=10).select(
+        F.col("id").alias("vec_id"),
+        F.round("cosine_sim", 4).alias("cosine_sim"),
     )
 
 
@@ -812,7 +806,7 @@ d AS (
 )
 SELECT vec_id, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
 FROM d
-ORDER BY cosine_sim DESC, vec_id
+ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, vec_id
 LIMIT 10
 """
 
