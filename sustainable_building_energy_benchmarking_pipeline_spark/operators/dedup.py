@@ -634,6 +634,11 @@ def dedup_clusters(
     gate (adversarially duplicate-heavy corpora) it falls back to the
     distributed min-label propagation in ``connected_components``. The
     collect is bounded by the gate, not the corpus."""
+    # cold posture (persist_shingles=False) on purpose: the pair frame is
+    # persisted below, so the whole upstream runs exactly once either
+    # way, and A/B under the engine session shows the shingle persist
+    # only adds barrier/broadcast jobs on the first (cold) run — 11.9 s
+    # vs 5.7 s cold, indistinguishable (~1.8 s) warm at sf0.1
     pairs = minhash_near_duplicates(
         df, threshold=threshold, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,

@@ -382,7 +382,9 @@ def ivf_topk(
     cand = corpus.withColumn("_cell", _nearest_cell(F.col(vec_col))).filter(
         F.col("_cell").isin([int(c) for c in probe_cells])
     )
-    return brute_force_topk(cand.drop("_cell"), query_vec, k, vec_col, id_col)
+    # kernel rerank: the fleet is already up for _nearest_cell, and the
+    # expression form would pay its dim-unrolled analysis bill here
+    return brute_force_topk_kernel(cand.drop("_cell"), query_vec, k, vec_col, id_col)
 
 
 def ivf_topk_exact(
@@ -514,8 +516,10 @@ def ivf_topk_exact(
     ]
     # assigned stays persisted for the returned (lazy) rerank — an
     # unpersist here would evict the blocks before the caller's action
-    # runs; the executor LRU reclaims them under pressure
-    return brute_force_topk(
+    # runs; the executor LRU reclaims them under pressure. Kernel rerank:
+    # the fleet is already up for _cell_dist, and the expression form
+    # would pay its dim-unrolled analysis bill on every invocation
+    return brute_force_topk_kernel(
         assigned.filter(F.col("_cell").isin(probe)), query_vec, k, vec_col, id_col
     )
 
