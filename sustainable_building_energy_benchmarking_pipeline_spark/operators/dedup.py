@@ -676,3 +676,52 @@ def dedup_clusters(
         )
     finally:
         pairs.unpersist(blocking=False)
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing n-gram
+    spans with an evaluation/benchmark set — the overlap check every
+    training-data pipeline runs before a model ships (the published
+    recipes use 8-13 token spans; ``n`` is the knob).
+
+    Output: (doc_id, n_shared, contaminated) for every corpus document
+    with at least one shared n-gram; ``contaminated`` applies the
+    ``min_shared`` threshold (single-collision noise vs real leakage).
+
+    Scale shape: benchmark sets are tiny next to the corpus (10³-10⁶
+    docs vs 10⁹), so the DISTINCT eval n-gram set builds small and
+    BROADCASTS — the corpus side is one scan + explode + broadcast-hash
+    semi-match + partial-agg count, no corpus shuffle of text at all
+    (the groupBy shuffles only (doc_id, matched-gram) survivors). The
+    n-gram expressions are the same zero-UDF token/shingle forms the
+    Jaccard path uses (functions.text.shingles_from_tokens).
+    """
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        shingles_from_tokens,
+        ws_tokens,
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            ws_tokens(F.lower(F.col(text_col))).alias("_t"),
+        )
+        return toks.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("_t"), n)).alias("g")
+        )
+
+    eval_grams = grams(eval_df).select("g").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .withColumn("contaminated", F.col("n_shared") >= F.lit(min_shared))
+    )

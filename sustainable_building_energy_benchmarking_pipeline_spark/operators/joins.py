@@ -86,3 +86,54 @@ def latest_state_per_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def binned_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    point_col: str = "p",
+    bin_size: int = 32,
+) -> DataFrame:
+    """Interval × point range join (``lo <= p < hi``) as an EQUI-join on
+    bin ids — the operator Spark itself lacks: a plain non-equi join
+    plans as BroadcastNestedLoopJoin (O(|I|·|P|) comparisons, and a hard
+    wall once neither side broadcasts).
+
+    Shape: each interval replicates to every ``bin_size``-wide bin it
+    overlaps (``ceil(span / bin_size)`` rows, bounded replication); each
+    point maps to exactly one bin; the join is then a hash equi-join on
+    the bin id — both sides shuffle ONCE on the bin key, comparisons
+    happen only within a bin, and the exact predicate filters the bin's
+    false candidates. Pick ``bin_size`` near the median interval span:
+    smaller bins → more interval replicas; larger bins → more false
+    candidates per bin. Hot bins (a point pile-up) are ordinary join
+    skew — AQE's skew split (on in session.py) handles them.
+
+    ``lo``/``hi``/``point`` must be integer-valued columns (days since
+    epoch, unix seconds, …) — callers convert dates/timestamps first.
+    Column names must not collide across the two inputs (rename before
+    calling, as with any join).
+    """
+    w = F.lit(int(bin_size))
+    # empty intervals (hi <= lo) match nothing; drop them BEFORE the
+    # sequence, which would otherwise count DOWN for stop < start and
+    # replicate the interval into wrong bins
+    binned_intervals = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w),
+                F.floor((F.col(hi_col) - 1) / w),
+            )
+        ),
+    )
+    binned_points = points.withColumn("_bin", F.floor(F.col(point_col) / w))
+    return (
+        binned_points.join(binned_intervals, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -2197,6 +2197,242 @@ LIMIT 20
 """
 
 
+def q61_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.ngram_decontaminate):
+    corpus documents sharing ≥1 distinct 5-gram with the held-out eval
+    slice (doc_id % 97 == 0 stands in for the benchmark set), flagged
+    contaminated at ≥3 shared grams. Eval n-gram set broadcasts; the
+    corpus side is one scan — no corpus shuffle of text."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=5,
+        min_shared=3,
+    ).orderBy("doc_id")
+
+
+Q61_SQL = r"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LEN(tk) >= 5 THEN
+           list_distinct(list_transform(range(1, LEN(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')))
+         WHEN LEN(tk) > 0 THEN [array_to_string(tk, ' ')]
+         ELSE [] END AS sh
+  FROM d
+), e AS (
+  SELECT DISTINCT UNNEST(sh) AS g FROM s WHERE doc_id % 97 = 0
+), c AS (
+  SELECT doc_id, UNNEST(sh) AS g FROM s WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared,
+       COUNT(DISTINCT c.g) >= 3 AS contaminated
+FROM c JOIN e USING (g)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def q62_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality rules):
+    distinct-token ratio and top-token fraction, with the repetition
+    flag both engines derive from UNROUNDED ratios. Shape: explode →
+    two-level partial aggregation on (doc_id, token) then doc_id — all
+    JVM expressions, map-side combine on both hops."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    distinct_ratio = F.count(F.lit(1)).cast("double") / n
+    top_fraction = F.max("cnt").cast("double") / n
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(distinct_ratio, 4).alias("distinct_ratio"),
+            F.round(top_fraction, 4).alias("top_fraction"),
+            ((top_fraction > 0.25) | (distinct_ratio < 0.5)).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q62_SQL = r"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), t AS (
+  SELECT doc_id, UNNEST(tk) AS tok FROM d
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS distinct_ratio,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_fraction,
+       (CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.25
+        OR CAST(COUNT(*) AS DOUBLE) / SUM(cnt) < 0.5) AS repetitive
+FROM c
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q63_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (the A-family's missing quantile
+    aggregate): p50/p90/p99 of event value per event_type via Spark's
+    ``percentile`` — linear interpolation, same definition as DuckDB's
+    ``quantile_cont``. One partial-agg shuffle on the group key. At
+    corpus scale swap in ``percentile_approx`` (t-digest, mergeable
+    sketches) — exact percentile must collect each group's values; the
+    approx form is the 100 TB default, kept exact here for the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pct.getItem(0), 4).alias("p50"),
+            F.round(pct.getItem(1), 4).alias("p90"),
+            F.round(pct.getItem(2), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q63_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q64_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × point RANGE join via the binned equi-join operator
+    (operators.joins.binned_range_join) — no BroadcastNestedLoopJoin.
+    Audit windows derive lazily from the orders table itself (40
+    20-day windows at a 70-day stride from min(o_orderdate); one tiny
+    agg row exploded — no driver collect); each order lands in the
+    windows covering its date; output = per-window order counts and
+    revenue. Bin width 21 days ≈ the window span, so each interval
+    replicates to ≤2 bins."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    windows = (
+        orders.agg(F.min(F.to_date("o_orderdate")).alias("_mn"))
+        .select(F.datediff(F.col("_mn"), epoch).alias("_mn_day"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("window_id"),
+            F.col("_mn_day"),
+        )
+        .select(
+            "window_id",
+            (F.col("_mn_day") + F.col("window_id") * 70).alias("lo"),
+            (F.col("_mn_day") + F.col("window_id") * 70 + 20).alias("hi"),
+        )
+    )
+    points = orders.select(
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("p"),
+        "o_totalprice",
+    )
+    return (
+        binned_range_join(windows, points, bin_size=21)
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("window_id")
+    )
+
+
+Q64_SQL = """
+WITH m AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', MIN(CAST(o_orderdate AS DATE))) AS mn_day
+  FROM orders
+), w AS (
+  SELECT i AS window_id, mn_day + i * 70 AS lo, mn_day + i * 70 + 20 AS hi
+  FROM m, range(0, 40) t(i)
+), p AS (
+  SELECT DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS p, o_totalprice
+  FROM orders
+)
+SELECT window_id,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM p JOIN w ON p.p >= w.lo AND p.p < w.hi
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
+def q65_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent id
+    hash — the split must be stable across runs, partitionings, and
+    engines, which ``F.rand`` is not. First hex char of sha256(doc_id):
+    0-b → train (12/16), c-d → val (2/16), e-f → test (2/16). Pure JVM
+    expressions, one partial-agg shuffle on the 3 split keys; sha256
+    hex is identical in Spark and DuckDB so the oracle reproduces the
+    exact assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 1)
+    split = (
+        F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+Q65_SQL = """
+WITH s AS (
+  SELECT CASE WHEN SUBSTR(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+              WHEN SUBSTR(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s
+GROUP BY split
+ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2260,4 +2496,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q58_unpivot_melt": QuerySpec(q58_unpivot_melt, Q58_SQL),
     "q59_shard_packing": QuerySpec(q59_shard_packing, Q59_SQL),
     "q60_top_bigrams": QuerySpec(q60_top_bigrams, Q60_SQL),
+    "q61_decontaminate": QuerySpec(q61_decontaminate, Q61_SQL),
+    "q62_repetition_quality": QuerySpec(q62_repetition_quality, Q62_SQL),
+    "q63_value_percentiles": QuerySpec(q63_value_percentiles, Q63_SQL),
+    "q64_range_join_windows": QuerySpec(q64_range_join_windows, Q64_SQL),
+    "q65_hash_split": QuerySpec(q65_hash_split, Q65_SQL),
 }

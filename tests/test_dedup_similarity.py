@@ -264,3 +264,25 @@ def test_ivf_probes_subset(embeddings):
     probed = similarity.ivf_topk(corpus, qv, k=10**6, nlist=8, nprobe=2).count()
     assert full == corpus.count()
     assert probed < full
+
+
+def test_ngram_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a full 5-gram span with an eval doc is
+    flagged; a doc with entirely disjoint vocabulary never appears."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing words here"),  # planted leak
+            (2, "totally disjoint vocabulary nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_decontaminate(corpus, eval_df, n=5).collect()}
+    assert 1 in rows and rows[1].contaminated  # 4 shared 5-grams >= 3
+    assert rows[1].n_shared == 4
+    assert 2 not in rows

@@ -77,3 +77,48 @@ def test_latest_state_tiebreaker(spark):
     )
     out = J.latest_state_per_key(df, "user_id", ["ts", "event_id"]).collect()
     assert len(out) == 1 and out[0].event_id == 11
+
+
+def test_binned_range_join_matches_nonequi(spark):
+    """binned_range_join == plain non-equi join (lo <= p < hi), including
+    overlapping intervals (a point matching several) and points outside
+    every interval; empty intervals (hi <= lo) match nothing."""
+    intervals = spark.createDataFrame(
+        [
+            (0, 10, 40),    # spans several bins at width 8
+            (1, 35, 50),    # overlaps interval 0 on [35, 40)
+            (2, 200, 203),  # inside one bin
+            (3, 60, 60),    # empty — must contribute nothing
+            (4, 70, 65),    # inverted — must contribute nothing
+        ],
+        "iid int, lo long, hi long",
+    )
+    points = spark.range(0, 250).select(F.col("id").alias("p"))
+    got = {
+        (r.iid, r.p)
+        for r in J.binned_range_join(intervals, points, bin_size=8).collect()
+    }
+    want = {
+        (r.iid, r.p)
+        for r in points.join(
+            intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+        ).collect()
+    }
+    assert got == want
+    assert all(iid not in (3, 4) for iid, _ in got)
+
+
+def test_binned_range_join_bin_size_invariance(spark):
+    """The result set is independent of bin width (only cost changes)."""
+    intervals = spark.createDataFrame(
+        [(0, 5, 23), (1, 17, 18)], "iid int, lo long, hi long"
+    )
+    points = spark.range(0, 30).select(F.col("id").alias("p"))
+    results = [
+        {
+            (r.iid, r.p)
+            for r in J.binned_range_join(intervals, points, bin_size=w).collect()
+        }
+        for w in (1, 4, 64)
+    ]
+    assert results[0] == results[1] == results[2]
