@@ -191,3 +191,40 @@ def shingles(text: Column, k: int = 3) -> Column:
     first) on hot paths — see shingles_from_tokens for why.
     """
     return shingles_from_tokens(ws_tokens(F.lower(text)), k)
+
+
+# --- PII detection / redaction -------------------------------------------
+#
+# The standard pre-training scrub (emails, phone numbers, IPv4) as plain
+# Java-regex expressions — JVM-side, codegen-friendly, no UDF. Patterns
+# stay in the RE2-compatible subset (char classes, bounded quantifiers, no
+# backrefs) so a DuckDB oracle can run the identical strings.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d-]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# Replacement order matters: IPv4 before phone (a dashed phone regex can
+# never match a dotted IP, but an IP's digit runs could seed a partial
+# phone match once neighbors are rewritten), email first since its local
+# part may contain digits a later pass would chew up.
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts (email/phone/ipv4) for audit metrics —
+    one ``regexp_count`` scan per pattern, all JVM expressions."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with a ``[TYPE]`` tag. Chained
+    ``regexp_replace`` — a fixed number of passes over the string
+    regardless of match count, order fixed by ``_PII_ORDER``."""
+    out = text
+    for name in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name.upper()}]")
+    return out

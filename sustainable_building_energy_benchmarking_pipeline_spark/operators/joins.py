@@ -137,3 +137,71 @@ def binned_range_join(
         )
         .drop("_bin")
     )
+
+
+def _deletion_variants(s: Column) -> Column:
+    """``s`` plus every string obtained by deleting one character —
+    the SymSpell deletion neighborhood, |s|+1 entries, duplicates
+    removed. Pure JVM transform; the empty-string guard matters because
+    ``F.sequence(1, 0)`` counts DOWN instead of producing an empty
+    sequence."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))),
+    )
+    return F.when(F.length(s) > 0, F.array_union(F.array(s), dels)).otherwise(
+        F.array(s)
+    )
+
+
+def fuzzy_join_ed1(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Fuzzy key join at edit distance ≤ 1 (insert/delete/substitute) —
+    the entity-resolution operator Spark lacks: a naive form is an
+    O(|L|·|R|) cross join with a levenshtein filter, which plans as
+    BroadcastNestedLoopJoin and hits a wall once neither side fits in
+    memory.
+
+    Shape (symmetric-deletion blocking, SymSpell): two strings within
+    edit distance 1 NECESSARILY share a member of each other's deletion
+    neighborhood ({s} ∪ one-char deletions, |s|+1 entries), so each side
+    explodes to its neighborhood, candidates come from an EQUI-join on
+    ``xxhash64(variant)`` (8-byte shuffle keys instead of strings), and
+    the exact ``levenshtein`` check — linear-cost, run only on distinct
+    candidate pairs — removes the false candidates (shared-variant is
+    not sufficient: "ab"/"ba" share "a" at distance 2; hash collisions
+    land in the same net). Work scales with Σ bucket² over variant
+    buckets — the LSH-bucket cost model, not |L|·|R|; a pile-up on a
+    short common variant is ordinary join skew (AQE splits it).
+
+    Returns distinct ``(left_key, right_key, dist)`` with dist ≤ 1,
+    NULL keys dropped. Self-matches of a self-join (same string both
+    sides) come back at dist 0 — filter at the call site.
+    """
+    lv = (
+        left.select(F.col(left_key).cast("string").alias("left_key"))
+        .where(F.col("left_key").isNotNull())
+        .distinct()
+        .select("left_key", F.explode(_deletion_variants(F.col("left_key"))).alias("_v"))
+        .select("left_key", F.xxhash64("_v").alias("_h"))
+    )
+    rv = (
+        right.select(F.col(right_key).cast("string").alias("right_key"))
+        .where(F.col("right_key").isNotNull())
+        .distinct()
+        .select(
+            "right_key", F.explode(_deletion_variants(F.col("right_key"))).alias("_v")
+        )
+        .select("right_key", F.xxhash64("_v").alias("_h"))
+    )
+    return (
+        lv.join(rv, "_h")
+        .select("left_key", "right_key")
+        .distinct()
+        .withColumn("dist", F.levenshtein("left_key", "right_key"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -2433,6 +2433,186 @@ ORDER BY split
 """
 
 
+def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions.text.redact_pii): the
+    pre-training scrub every corpus pipeline runs. The testdata carries
+    no PII, so a contact-card string is synthesized from customer
+    fields with the IDENTICAL expression in both engines, then the real
+    regex operators run on it: per-pattern audit counts
+    (email/phone/ipv4) and the masked string. All JVM regexp — one
+    projection, no shuffle at all except the output sort. Note the
+    9-digit zero-padded id inside c_name itself matches the phone
+    pattern (aggressive masking is the point) — both engines count it.
+    """
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com> +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(".7"),
+    )
+    with_contact = cust.select("c_custkey", contact.alias("_contact"))
+    counts = pii_counts(F.col("_contact"))
+    return with_contact.select(
+        "c_custkey",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        redact_pii(F.col("_contact")).alias("redacted"),
+    ).orderBy("c_custkey")
+
+
+Q66_SQL = r"""
+WITH c AS (
+  SELECT c_custkey,
+         c_name || ' <' || LOWER(REPLACE(c_name, '#', '.'))
+           || '@example.com> +1-555-'
+           || LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR)
+           || '.' || CAST(c_custkey % 100 AS VARCHAR) || '.7' AS contact
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(LEN(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(LEN(regexp_extract_all(contact, '\+?\d[\d-]{7,}\d')) AS INT) AS n_phone,
+       CAST(LEN(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+         '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted
+FROM c
+ORDER BY c_custkey
+"""
+
+
+def q67_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via the SymSpell fuzzy join
+    (operators.joins.fuzzy_join_ed1): for every customer name, how many
+    other names sit within edit distance 1 and which sorts first — the
+    dirty-key reconciliation step of record linkage. The deletion-
+    neighborhood equi-join does Σ bucket² work instead of the naive
+    |N|² cross join the oracle runs; levenshtein verifies candidates
+    only."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.joins import (
+        fuzzy_join_ed1,
+    )
+
+    names = _t(spark, sf_dir, "customer").select("c_name")
+    pairs = fuzzy_join_ed1(names, names, "c_name", "c_name").filter(
+        F.col("left_key") != F.col("right_key")
+    )
+    return (
+        pairs.groupBy(F.col("left_key").alias("c_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("right_key").alias("nearest"),
+        )
+        .orderBy("c_name")
+    )
+
+
+Q67_SQL = """
+SELECT a.c_name AS c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       MIN(b.c_name) AS nearest
+FROM customer a JOIN customer b
+  ON a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+GROUP BY a.c_name
+ORDER BY c_name
+"""
+
+
+def q68_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type — 20 buckets
+    over the global [min, max]. Two passes: a 1-row global-stats agg
+    broadcast back onto the scan (no driver round-trip, no collect),
+    then one partial-agg shuffle on (event_type, bucket). The bucket
+    arithmetic keeps the IDENTICAL operation order in both engines so
+    IEEE-754 floor boundaries agree exactly; rounding happens only on
+    the displayed bucket floor, never the bucket id."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("_mn")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select("event_type", bucket.alias("bucket"), (F.col("_mn") + bucket * width).alias("_lo"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_lo"), 4).alias("bucket_lo"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q68_SQL = """
+WITH s AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), b AS (
+  SELECT event_type,
+         CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / 20.0)), 19) AS INT) AS bucket,
+         mn + CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / 20.0)), 19) AS INT) * ((mx - mn) / 20.0) AS lo
+  FROM events, s
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(lo), 4) AS bucket_lo
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+def q69_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate — trailing 1-hour count and sum per
+    user, a RANGE frame over event-time micros (the row-count windows
+    of W1-W5 can't express \"last hour\" under irregular event spacing).
+    One window shuffle on user_id; the frame is
+    rangeBetween(-3.6e9 µs, 0) over unix_micros so tie rows (same user,
+    same timestamp) are frame peers in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.round(F.sum("value").over(w), 4).alias("sum_trailing"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q69_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       ROUND(SUM(value) OVER w, 4) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2501,4 +2681,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q63_value_percentiles": QuerySpec(q63_value_percentiles, Q63_SQL),
     "q64_range_join_windows": QuerySpec(q64_range_join_windows, Q64_SQL),
     "q65_hash_split": QuerySpec(q65_hash_split, Q65_SQL),
+    "q66_pii_redaction": QuerySpec(q66_pii_redaction, Q66_SQL),
+    "q67_fuzzy_name_match": QuerySpec(q67_fuzzy_name_match, Q67_SQL),
+    "q68_value_histogram": QuerySpec(q68_value_histogram, Q68_SQL),
+    "q69_trailing_hour": QuerySpec(q69_trailing_hour, Q69_SQL),
 }

@@ -122,3 +122,44 @@ def test_binned_range_join_bin_size_invariance(spark):
         for w in (1, 4, 64)
     ]
     assert results[0] == results[1] == results[2]
+
+
+def test_fuzzy_join_ed1_matches_naive_levenshtein(spark):
+    """Deletion-neighborhood blocking + verify == naive cross join with
+    levenshtein <= 1, across insert/delete/substitute pairs, a shared-
+    variant-but-distance-2 pair (ab/ba), and an unrelated key."""
+    left = spark.createDataFrame(
+        [("kitten",), ("kittn",), ("sitten",), ("ab",), ("zzz",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("kitten",), ("kitte",), ("mitten",), ("ba",), ("qqq",)], "k string"
+    )
+    got = {
+        (r.left_key, r.right_key, r.dist)
+        for r in J.fuzzy_join_ed1(left, right, "k", "k").collect()
+    }
+    naive = {
+        (r["lk"], r["rk"], r["d"])
+        for r in left.selectExpr("k AS lk")
+        .crossJoin(right.selectExpr("k AS rk"))
+        .selectExpr("lk", "rk", "levenshtein(lk, rk) AS d")
+        .filter("d <= 1")
+        .collect()
+    }
+    assert got == naive
+    assert ("ab", "ba", 2) not in got  # shared variant 'a'/'b' but ed=2
+    assert ("kitten", "kitten", 0) in got  # exact matches survive at dist 0
+
+
+def test_fuzzy_join_ed1_empty_and_single_char(spark):
+    """Empty string pairs with every single-char key (one insert) and
+    itself; the F.sequence(1,0) count-down guard keeps it from
+    exploding into wrong variants."""
+    keys = spark.createDataFrame([("",), ("a",), ("b",), ("xy",)], "k string")
+    got = {
+        (r.left_key, r.right_key)
+        for r in J.fuzzy_join_ed1(keys, keys, "k", "k").collect()
+    }
+    assert ("", "a") in got and ("", "b") in got and ("", "") in got
+    assert ("a", "b") in got  # substitution
+    assert ("", "xy") not in got  # distance 2
