@@ -100,6 +100,31 @@ def anomaly_summary(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
         base.unpersist()
 
 
+def stat_tiles(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
+    """Dashboard stat tiles (src/dashboard_app.py:270-294): total anomalies,
+    high-severity count, top-1 rule by count, top-1 zone by count.
+
+    One grouping-sets pass over the filtered table (reusing anomaly_summary's
+    single-scan design) instead of the reference's four cached queries; the
+    top-1 picks are driver-side over the already-small per-dimension maps.
+    Ties break by name ascending, matching grouped_top_n's determinism rule.
+    """
+    summary = anomaly_summary(anomalies, **filters)
+
+    def _top1(counts: dict[str, int]) -> dict[str, Any] | None:
+        if not counts:
+            return None
+        name, n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return {"name": name, "count": n}
+
+    return {
+        "total_anomalies": summary["total_anomalies"],
+        "high_severity": summary["by_severity"].get("high", 0),
+        "top_rule": _top1(summary["by_rule"]),
+        "top_zone": _top1(summary["by_zone"]),
+    }
+
+
 def format_alerts(df: DataFrame) -> list[dict[str, Any]]:
     """Row formatting for the API boundary (src/api.py:183-190):
     ISO-8601 timestamps, plain dicts."""

@@ -67,20 +67,74 @@ def get_spark(
     return spark
 
 
+# Minimal expected column sets per driver testdata table (TESTDATA.md). A
+# regenerated testdata drop that renames/drops a column should fail here with
+# a named error (one smoke test), not as an AnalysisException in sixty
+# consumers mid-query.
+EXPECTED_TESTDATA_COLUMNS: dict[str, set[str]] = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_type", "p_retailprice"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"},
+    "lineitem": {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+# Loaded-table cache keyed by (spark app id, sf_dir, table). DataFrames are
+# immutable logical plans, so reuse across queries is safe; this removes the
+# repeated footer-read/analysis cost when the driver sweeps 60+ registry
+# queries in one session.
+_TABLE_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-testdata parquet table with schema quirks handled."""
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as long and convert to microsecond
-        # TimestampType (integer DIV keeps full precision — a double cast
-        # would truncate ns-since-epoch beyond 2^53).
+        # events.parquet has shipped with several physical layouts for `ts`
+        # (TIMESTAMP(NANOS), TIMESTAMP(MICROS), plain TIMESTAMP). Gate the
+        # normalization on the *loaded* dtype so all of them resolve to a
+        # session-TZ TimestampType:
+        #   bigint        — nanos read as long (nanosAsLong); integer DIV 1000
+        #                   keeps full precision (a double cast would truncate
+        #                   ns-since-epoch beyond 2^53)
+        #   timestamp_ntz — micros without TZ; session TZ is UTC, so a plain
+        #                   cast matches the DuckDB oracle semantics
+        #   timestamp     — already what we want
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(path)
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        df = spark.read.parquet(path)
+    expected = EXPECTED_TESTDATA_COLUMNS.get(name)
+    if expected:
+        missing = expected - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"testdata schema drift: table '{name}' at {path} is missing "
+                f"expected column(s) {sorted(missing)}; loaded columns: "
+                f"{df.columns}. Update session.EXPECTED_TESTDATA_COLUMNS and "
+                f"the affected queries together."
+            )
+    _TABLE_CACHE[cache_key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

@@ -240,3 +240,34 @@ def test_format_alerts_iso(anomalies):
     alerts = serving.format_alerts(serving.query_anomalies(anomalies, limit=3))
     assert len(alerts) == 3
     dt.datetime.fromisoformat(alerts[0]["timestamp"])
+
+
+def test_stat_tiles_parity_with_pandas(anomalies):
+    """W8 dashboard tiles (src/dashboard_app.py:270-294): parity with a
+    pandas recomputation on the same fixture."""
+    tiles = serving.stat_tiles(anomalies)
+    pdf = anomalies.toPandas()
+    assert tiles["total_anomalies"] == len(pdf)
+    assert tiles["high_severity"] == int((pdf["severity"] == "high").sum())
+    rule_counts = pdf["rule_name"].value_counts()
+    top_rules = rule_counts[rule_counts == rule_counts.max()].index
+    assert tiles["top_rule"]["name"] == sorted(top_rules)[0]
+    assert tiles["top_rule"]["count"] == int(rule_counts.max())
+    zone_counts = pdf["zone_id"].value_counts()
+    top_zones = zone_counts[zone_counts == zone_counts.max()].index
+    assert tiles["top_zone"]["name"] == sorted(top_zones)[0]
+    assert tiles["top_zone"]["count"] == int(zone_counts.max())
+    # filtered tiles restrict every dimension
+    t2 = serving.stat_tiles(anomalies, severity="high")
+    assert t2["total_anomalies"] == t2["high_severity"]
+
+
+def test_stat_tiles_empty(spark, anomalies):
+    empty = anomalies.limit(0)
+    tiles = serving.stat_tiles(empty)
+    assert tiles == {
+        "total_anomalies": 0,
+        "high_severity": 0,
+        "top_rule": None,
+        "top_zone": None,
+    }
