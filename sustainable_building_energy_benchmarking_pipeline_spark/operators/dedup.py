@@ -643,26 +643,31 @@ def dedup_clusters(
         df, threshold=threshold, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
         persist_shingles=False,
-    ).persist()
-    try:
-        n_pairs = pairs.count()
-        if n_pairs <= driver_max_pairs:
-            labels = _union_find_components(
-                [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    )
+    # One action gates AND fetches: limit(N+1).collect() short-circuits at
+    # the gate, so the common case (pairs ≪ gate) pays a single pipeline
+    # run with no persist barrier and no separate count job. Only the
+    # adversarial over-gate case re-runs the pipeline, under persist, for
+    # the distributed closure.
+    probe = pairs.limit(driver_max_pairs + 1).collect()
+    small = len(probe) <= driver_max_pairs
+    if small:
+        labels = _union_find_components([(r["id_a"], r["id_b"]) for r in probe])
+        spark = df.sparkSession
+        if labels:
+            comps = spark.createDataFrame(
+                list(labels.items()), "id long, component long"
             )
-            spark = df.sparkSession
-            if labels:
-                comps = spark.createDataFrame(
-                    list(labels.items()), "id long, component long"
-                )
-            else:
-                comps = spark.createDataFrame([], "id long, component long")
         else:
-            comps = connected_components(pairs)
+            comps = spark.createDataFrame([], "id long, component long")
+    else:
+        pairs = pairs.persist()
+        comps = connected_components(pairs)
+    try:
         return (
             df.select(F.col(id_col).alias("doc_id"))
             .join(
-                F.broadcast(comps) if n_pairs <= driver_max_pairs else comps,
+                F.broadcast(comps) if small else comps,
                 F.col("doc_id") == comps["id"],
                 "left",
             )
@@ -675,7 +680,8 @@ def dedup_clusters(
             )
         )
     finally:
-        pairs.unpersist(blocking=False)
+        if not small:
+            pairs.unpersist(blocking=False)
 
 
 def ngram_decontaminate(

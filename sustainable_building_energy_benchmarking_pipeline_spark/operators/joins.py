@@ -139,19 +139,17 @@ def binned_range_join(
     )
 
 
-def _deletion_variants(s: Column) -> Column:
-    """``s`` plus every string obtained by deleting one character —
-    the SymSpell deletion neighborhood, |s|+1 entries, duplicates
-    removed. Pure JVM transform; the empty-string guard matters because
+def _deletion_variants_pos(s: Column) -> Column:
+    """Every string obtained by deleting one character of ``s``; array
+    index k (0-based) = deletion at position k+1. Pure JVM transform.
+    Empty input yields an empty array — the slice guard matters because
     ``F.sequence(1, 0)`` counts DOWN instead of producing an empty
     sequence."""
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length(s)),
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
         lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))),
     )
-    return F.when(F.length(s) > 0, F.array_union(F.array(s), dels)).otherwise(
-        F.array(s)
-    )
+    return F.slice(raw, 1, F.length(s))
 
 
 def fuzzy_join_ed1(
@@ -166,42 +164,75 @@ def fuzzy_join_ed1(
     BroadcastNestedLoopJoin and hits a wall once neither side fits in
     memory.
 
-    Shape (symmetric-deletion blocking, SymSpell): two strings within
-    edit distance 1 NECESSARILY share a member of each other's deletion
-    neighborhood ({s} ∪ one-char deletions, |s|+1 entries), so each side
-    explodes to its neighborhood, candidates come from an EQUI-join on
-    ``xxhash64(variant)`` (8-byte shuffle keys instead of strings), and
-    the exact ``levenshtein`` check — linear-cost, run only on distinct
-    candidate pairs — removes the false candidates (shared-variant is
-    not sufficient: "ab"/"ba" share "a" at distance 2; hash collisions
-    land in the same net). Work scales with Σ bucket² over variant
-    buckets — the LSH-bucket cost model, not |L|·|R|; a pile-up on a
-    short common variant is ordinary join skew (AQE splits it).
+    Shape: position-aware SymSpell decomposition. Each edit class is an
+    exact equi-join, so there is NO verification step and NO dedup:
+
+    - dist 0 (equality): ``s = t`` directly;
+    - substitution: ``del_i(s) = del_i(t)`` at the SAME position i ⟺
+      s and t differ at exactly position i — join the position-indexed
+      deletion arrays on (i, variant). A pair differing at exactly one
+      position matches at exactly that i, so each pair emits once;
+    - deletion/insertion: ``t = del_i(s)`` (resp. ``s = del_i(t)``) —
+      join the whole key against the other side's DISTINCT deletion
+      variants (array-level distinct, so duplicate characters cannot
+      double-emit a pair).
+
+    The classes are disjoint (equal lengths vs lengths ±1), so the
+    union needs no distinct. Versus the classic shared-neighborhood
+    join + levenshtein verify, this removes the two wide ops that
+    dominate it (the verify ran on every band collision, the distinct
+    shuffled them) and splits the variant buckets by position — Σ
+    bucket² drops, which is also the 100 TB skew story. Work remains
+    the LSH-bucket cost model, not |L|·|R|; a pile-up on a short common
+    variant is ordinary join skew (AQE splits it).
 
     Returns distinct ``(left_key, right_key, dist)`` with dist ≤ 1,
     NULL keys dropped. Self-matches of a self-join (same string both
     sides) come back at dist 0 — filter at the call site.
     """
-    lv = (
+    L = (
         left.select(F.col(left_key).cast("string").alias("left_key"))
         .where(F.col("left_key").isNotNull())
         .distinct()
-        .select("left_key", F.explode(_deletion_variants(F.col("left_key"))).alias("_v"))
-        .select("left_key", F.xxhash64("_v").alias("_h"))
     )
-    rv = (
+    R = (
         right.select(F.col(right_key).cast("string").alias("right_key"))
         .where(F.col("right_key").isNotNull())
         .distinct()
-        .select(
-            "right_key", F.explode(_deletion_variants(F.col("right_key"))).alias("_v")
-        )
-        .select("right_key", F.xxhash64("_v").alias("_h"))
     )
-    return (
-        lv.join(rv, "_h")
-        .select("left_key", "right_key")
-        .distinct()
-        .withColumn("dist", F.levenshtein("left_key", "right_key"))
-        .filter(F.col("dist") <= 1)
+    dist0, dist1 = F.lit(0).alias("dist"), F.lit(1).alias("dist")
+
+    eq = L.join(R, F.col("left_key") == F.col("right_key")).select(
+        "left_key", "right_key", dist0
     )
+
+    lp = L.select(
+        "left_key",
+        F.posexplode(_deletion_variants_pos(F.col("left_key"))).alias("_i", "_v"),
+    )
+    rp = R.select(
+        "right_key",
+        F.posexplode(_deletion_variants_pos(F.col("right_key"))).alias("_i", "_v"),
+    )
+    sub = (
+        lp.join(rp, ["_i", "_v"])
+        .where(F.col("left_key") != F.col("right_key"))
+        .select("left_key", "right_key", dist1)
+    )
+
+    ldel = L.select(
+        "left_key",
+        F.explode(F.array_distinct(_deletion_variants_pos(F.col("left_key")))).alias("_v"),
+    )
+    rdel = R.select(
+        "right_key",
+        F.explode(F.array_distinct(_deletion_variants_pos(F.col("right_key")))).alias("_v"),
+    )
+    deln = ldel.join(R, F.col("_v") == F.col("right_key")).select(
+        "left_key", "right_key", dist1
+    )
+    insn = L.join(rdel, F.col("left_key") == F.col("_v")).select(
+        "left_key", "right_key", dist1
+    )
+
+    return eq.unionByName(sub).unionByName(deln).unionByName(insn)
