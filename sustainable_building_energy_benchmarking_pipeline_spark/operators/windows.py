@@ -224,6 +224,62 @@ def distributed_percent_rank(
     Returns ``df`` + ``out_col`` (percent_rank × ``scale``); single-row
     input gets 0.0 (the SQL convention).
     """
+    ranked, total = _global_rank0(df, order_by, num_partitions)
+    if ranked is None:
+        return df.withColumn(out_col, F.lit(0.0))
+    rank0 = F.col("_rn0").cast("double")
+    pct = (
+        (rank0 / F.lit(float(total - 1))) * F.lit(float(scale))
+        if total > 1
+        else F.lit(0.0)
+    )
+    return ranked.withColumn(out_col, pct).drop("_rn0")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NTILE(k) with NO single-task window — same two-pass global rank as
+    ``distributed_percent_rank``, then SQL NTILE's bucket arithmetic from
+    the 0-based rank: with n rows, the first ``n mod k`` buckets hold
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` (first buckets biggest —
+    the standard that a round-robin formula does NOT reproduce).
+
+    ``order_by`` must be a unique ordering (tiebreaker column) for
+    deterministic bucket membership at the boundaries. Returns ``df`` +
+    ``out_col`` (INT, 1-based), matching ``NTILE(k) OVER (ORDER BY ...)``
+    row-for-row."""
+    ranked, total = _global_rank0(df, order_by, num_partitions)
+    if ranked is None:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    big = -(-total // k)          # ceil(n/k)
+    small = total // k
+    n_big = total % k
+    big_span = n_big * big
+    rn0 = F.col("_rn0")
+    bucket = (
+        F.when(rn0 < big_span, (rn0 / big).cast("int") + 1)
+        .otherwise((F.lit(n_big) + (rn0 - big_span) / F.lit(max(small, 1))).cast("int") + 1)
+        if small > 0
+        else (rn0 / big).cast("int") + 1
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_rn0")
+
+
+def _global_rank0(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame | None, int]:
+    """Shared two-pass global 0-based row number (steps 1-4 of
+    ``distributed_percent_rank``'s docstring): range-partition + local
+    sort, local position from ``monotonically_increasing_id`` bit-split,
+    per-partition counts → cumulative offsets applied back. Returns
+    (df + ``_rn0``, total rows); (None, 0) on empty input."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
@@ -242,7 +298,7 @@ def distributed_percent_rank(
         key=lambda r: r["_pid"],
     )
     if not stats:
-        return df.withColumn(out_col, F.lit(0.0))
+        return None, 0
     total = sum(r["_cnt"] for r in stats)
     offsets, acc = [], 0
     for r in stats:
@@ -260,13 +316,8 @@ def distributed_percent_rank(
     else:
         off_df = spark.createDataFrame(offsets, "_pid LONG, _off LONG")
         offset_applied = with_id.join(F.broadcast(off_df), "_pid")
-    rank0 = (F.col("_off") + F.col("_lrn")).cast("double")
-    pct = (
-        (rank0 / F.lit(float(total - 1))) * F.lit(float(scale))
-        if total > 1
-        else F.lit(0.0)
-    )
     return (
-        offset_applied.withColumn(out_col, pct)
-        .drop("_pid", "_lrn", "_off")
+        offset_applied.withColumn("_rn0", F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off"),
+        total,
     )

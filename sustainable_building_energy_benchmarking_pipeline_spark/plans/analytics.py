@@ -2686,3 +2686,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q68_value_histogram": QuerySpec(q68_value_histogram, Q68_SQL),
     "q69_trailing_hour": QuerySpec(q69_trailing_hour, Q69_SQL),
 }
+
+# q70+ live in analytics_ext (import must follow QuerySpec/_t definitions
+# above — analytics_ext imports them back from this module).
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics_ext import (  # noqa: E402
+    EXT_QUERIES,
+)
+
+QUERIES.update(EXT_QUERIES)

@@ -1,0 +1,650 @@
+"""Analytics registry extension — q70+: training-data prep, funnel /
+cohort analytics, statistical profiling, and time-series interpolation.
+
+Same contract as ``plans/analytics.py`` (each query paired with a DuckDB
+oracle); split into a second module purely to keep file sizes sane. The
+registry in ``analytics.py`` merges ``EXT_QUERIES`` at import time.
+
+Determinism rules are identical: unique tiebreakers under every LIMIT /
+top-k, floats rounded the same on both sides, count-likes BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QuerySpec, _t
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 200
+
+
+def q70_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking — the training-sequence prep step
+    that turns a document corpus into bounded-length chunks (cf. the
+    reference's row-window feature framing; here the LLM-corpus analog).
+
+    Scale: pure JVM ``sequence``/``posexplode``/``substring`` — narrow,
+    no shuffle at all; output partitioning inherits the scan. The
+    ``length > 0`` guard matters because ``sequence(0, -1)`` counts
+    DOWN instead of producing an empty sequence.
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_CHARS))).cast("int")
+    chunk = F.col("text").substr(
+        F.col("chunk_id") * CHUNK_CHARS + 1, F.lit(CHUNK_CHARS)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length(chunk).alias("chunk_chars"),
+            F.sha2(chunk, 256).alias("chunk_sha"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+Q70_SQL = f"""
+WITH e AS (
+  SELECT doc_id, text,
+         UNNEST(range(0, CAST(CEIL(LENGTH(text) / {CHUNK_CHARS}.0) AS INT))) AS chunk_id
+  FROM documents WHERE LENGTH(text) > 0
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(LENGTH(substr(text, CAST(chunk_id AS INT) * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS INT) AS chunk_chars,
+       sha256(substr(text, CAST(chunk_id AS INT) * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_sha
+FROM e
+ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel / cohorts / mode
+# ---------------------------------------------------------------------------
+
+def q71_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view → click after it → purchase after that):
+    per-stage distinct-user counts. Classic product-analytics sequence
+    query the reference's per-zone rule chain approximates.
+
+    Scale: three grouped-min aggregations, each shuffled on user_id; the
+    stage tables shrink monotonically, and each join is on the same
+    user_id key so AQE coalesces to the same partitioning. No window, no
+    collect."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        stage("view", v)
+        .unionByName(stage("view>click", c))
+        .unionByName(stage("view>click>purchase", p))
+    )
+
+
+Q71_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+UNION ALL
+SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+"""
+
+
+def q72_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, distinct
+    active users per (cohort_week, week_offset).
+
+    Scale: two aggregations and one join, all keyed on user_id — one
+    shuffle partitioning serves all three (AQE reuses it); the final
+    (cohort, offset) agg is tiny. date_trunc('week') is Monday-based in
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q72_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q73_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group — each user's most frequent event type, ties broken
+    alphabetically. The grouped-argmax shape (A6's top-N cousin with a
+    deterministic tiebreak).
+
+    Scale: count agg shuffles on (user, type); the argmax is
+    ``max_by`` over a sort-key struct in a second agg on user — no
+    window, no row_number, both aggs partial-combine map-side."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # max_by with an orderable struct: highest n, then lexicographically
+    # SMALLEST type — negate by using reversed string is ugly; instead
+    # min_by on (-n, type).
+    pick = cnt.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(F.col("event_type"), F.col("n")), F.struct(-F.col("n"), F.col("event_type"))
+        ).alias("_m")
+    )
+    return pick.select(
+        "user_id",
+        F.col("_m.event_type").alias("mode_type"),
+        F.col("_m.n").alias("n"),
+    ).orderBy("user_id")
+
+
+Q73_SQL = """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM cnt
+)
+SELECT user_id, event_type AS mode_type, n
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling
+# ---------------------------------------------------------------------------
+
+def q74_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quartile bucketing of customers by account balance with a
+    unique tiebreaker (c_custkey), then per-bucket stats.
+
+    Scale: ``F.ntile`` over a global order funnels the table through ONE
+    task; this uses ``distributed_ntile`` (operators/windows.py) — the
+    same two-pass range-partitioned global rank as q20's percent_rank,
+    with NTILE's first-buckets-biggest arithmetic applied to the rank —
+    so the sort stays distributed and the result is row-identical to
+    ``NTILE(4) OVER (ORDER BY bal, key)``."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    return (
+        distributed_ntile(cust, ["c_acctbal", "c_custkey"], 4, out_col="bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q74_SQL = """
+WITH b AS (
+  SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+  FROM customer
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal,
+       ROUND(AVG(c_acctbal), 4) AS avg_bal
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q75_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance between lineitem measures,
+    per return flag — the feature-correlation profile step of an ML prep
+    pipeline.
+
+    Scale: one shuffle on l_returnflag (3 groups); corr/covar are
+    single-pass partial-aggregable moments (JVM ImperativeAggregate), so
+    map-side combine reduces each partition to 3 moment tuples."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q75_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q76_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD), flagging |value − median| > 3·MAD. The robust cousin of the
+    reference's z-score rule (src/anomaly_detection.py) — median/MAD
+    don't blow up on the heavy tail that wrecks mean/std.
+
+    Scale: two exact-percentile aggs on a 5-group key plus two
+    broadcast joins of 5-row dims back to the fact — the fact table is
+    scanned twice but never shuffled wide (percentile shuffles 5 groups).
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (q63 precedent)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    return (
+        dev.select("event_type", "dev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q76_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad, ANY_VALUE(med) AS med
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(ANY_VALUE(m.med), 4) AS med,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text / corpus analytics
+# ---------------------------------------------------------------------------
+
+def _tokens(text):
+    """lower → split \\s+ → drop empties; the corpus-wide tokenizer
+    convention shared with functions/text.py and every text oracle."""
+    return F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def q77_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (score = tf · ln(N/df)) — the
+    classic sparse retrieval/feature step BM25 (q51) generalizes.
+
+    Scale: explode → (doc, term) count shuffles on the pair key; the
+    document-frequency table aggregates from the SAME (doc, term)
+    intermediate (one scan), and joins back on term — a skew-prone
+    shuffle join at corpus scale (stopword terms are hot keys; AQE skew
+    split handles it, and a min-df/stopword prune is the knob). The N
+    scalar joins as a broadcast literal-row, not a collect."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        pairs.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("rn").alias("rank"),
+            "term",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q77_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents
+), pairs AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+), scored AS (
+  SELECT p.doc_id, p.term,
+         p.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / d.df) AS score
+  FROM pairs p JOIN dft d USING (term)
+), r AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, ROUND(score, 6) AS score
+FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def q80_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution Shannon entropy per document — the
+    information-density quality signal complementing q62's repetition
+    ratios (low entropy ⇒ repetitive/templated text).
+
+    Scale: explode → (doc, term) count → per-doc moment agg. Uses the
+    identity H = log2(n) − (Σ c·log2 c)/n so the second agg is a plain
+    sum (partial-aggregable), not a collect_list."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+            ).alias("_h"),
+        )
+        .select("doc_id", "n_tokens", F.round("_h", 6).alias("entropy"))
+        .orderBy("doc_id")
+    )
+
+
+Q80_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents
+), cnt AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS entropy
+FROM cnt GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series interpolation / OLAP cube
+# ---------------------------------------------------------------------------
+
+def q78_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid resample with linear interpolation — the
+    reference's regular-interval HVAC frame (5-min grid,
+    src/generate_hvac_data.py) generalized to irregular event streams:
+    project each user's events onto an hourly grid, linearly
+    interpolating between the bracketing events (nearest value at the
+    edges).
+
+    Shape: union(events, grid) → one window per user ordered by
+    (ts, is_grid, event_id): ffill carries (prev_ts, prev_val) forward,
+    a mirrored future-frame window picks (next_ts, next_val); the
+    interpolation is pure arithmetic. Exact-ts duplicates are
+    pre-averaged so the bracketing values are deterministic.
+
+    Scale: grid generation is sequence/explode off the per-user min/max
+    agg (no driver loop); ONE shuffle on user_id serves the agg, the
+    union, and both window passes (same partition key). Row count =
+    events + user·hours — linear, no quadratic term."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"), F.min("event_id").alias("event_id"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("ts"),
+    )
+    unioned = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lit(0).alias("is_grid"),
+        "event_id",
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    order = [F.col("ts_us"), F.col("is_grid"), F.coalesce("event_id", F.lit(1 << 62))]
+    w_past = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_future = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts_us"))
+    filled = unioned.select(
+        "user_id",
+        "ts_us",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w_past).alias("pv"),
+        F.last(ev_ts, ignorenulls=True).over(w_past).alias("pt"),
+        F.first("value", ignorenulls=True).over(w_future).alias("nv"),
+        F.first(ev_ts, ignorenulls=True).over(w_future).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("ts_us") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return (
+        filled.where(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("ts_us")).alias("grid_ts"),
+            F.round(interp, 4).alias("value"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+Q78_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, AVG(value) AS value, MIN(event_id) AS event_id
+  FROM events GROUP BY user_id, ts
+), bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1
+  FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+  FROM bounds
+), u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value, 0 AS is_grid, event_id FROM ev
+  UNION ALL
+  SELECT user_id, epoch_us(ts), NULL, 1, NULL FROM grid
+), f AS (
+  SELECT user_id, ts_us, is_grid,
+         LAST_VALUE(value IGNORE NULLS) OVER w_past AS pv,
+         LAST_VALUE(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS) OVER w_past AS pt,
+         FIRST_VALUE(value IGNORE NULLS) OVER w_future AS nv,
+         FIRST_VALUE(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS) OVER w_future AS nt
+  FROM u
+  WINDOW
+    w_past AS (PARTITION BY user_id ORDER BY ts_us, is_grid, COALESCE(event_id, 4611686018427387904)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_future AS (PARTITION BY user_id ORDER BY ts_us, is_grid, COALESCE(event_id, 4611686018427387904)
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, make_timestamp(ts_us) AS grid_ts,
+       ROUND(CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (ts_us - pt) * 1.0 / (nt - pt)
+             END, 4) AS value
+FROM f WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""
+
+
+def q79_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (orderstatus, order year) — all four grouping
+    combinations in one pass, completing the grouping-sets family (q10
+    GROUPING SETS, q45 ROLLUP).
+
+    Scale: Spark expands CUBE to a 4× row replication before one
+    shuffle — same single-shuffle story as q10; grouping_id
+    disambiguates subtotal NULLs from data NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", F.year("o_orderdate").alias("o_year"), "o_totalprice")
+        .cube("o_orderstatus", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_year")
+    )
+
+
+Q79_SQL = """
+SELECT o_orderstatus,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, EXTRACT(year FROM o_orderdate))
+ORDER BY gid, o_orderstatus, o_year
+"""
+
+
+EXT_QUERIES: dict[str, QuerySpec] = {
+    "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
+    "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
+    "q72_cohort_retention": QuerySpec(q72_cohort_retention, Q72_SQL),
+    "q73_mode_event_type": QuerySpec(q73_mode_event_type, Q73_SQL),
+    "q74_ntile_buckets": QuerySpec(q74_ntile_buckets, Q74_SQL),
+    "q75_numeric_correlation": QuerySpec(q75_numeric_correlation, Q75_SQL),
+    "q76_mad_outliers": QuerySpec(q76_mad_outliers, Q76_SQL),
+    "q77_tfidf_terms": QuerySpec(q77_tfidf_terms, Q77_SQL),
+    "q78_grid_interpolation": QuerySpec(q78_grid_interpolation, Q78_SQL),
+    "q79_cube_orders": QuerySpec(q79_cube_orders, Q79_SQL),
+    "q80_token_entropy": QuerySpec(q80_token_entropy, Q80_SQL),
+}

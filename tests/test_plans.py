@@ -132,3 +132,32 @@ def test_distributed_percent_rank_matches_sql(spark):
     assert all(abs(g[k] - e[k]) < 1e-12 for k in e)
     g2 = {r.c_custkey: r.pr for r in got.collect()}
     assert g2 == g
+
+
+def test_distributed_ntile_matches_sql(spark):
+    """distributed_ntile == SQL NTILE(k) row-for-row under a unique
+    ordering, across remainder cases (n mod k ∈ {0, ≠0}) and k > n."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    for k in (4, 7):
+        got = distributed_ntile(
+            cust, ["c_acctbal", "c_custkey"], k, out_col="b"
+        ).select("c_custkey", "b")
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        want = cust.select("c_custkey", F.ntile(k).over(w).alias("b"))
+        g = {r.c_custkey: r.b for r in got.collect()}
+        e = {r.c_custkey: r.b for r in want.collect()}
+        assert g == e, f"k={k}: {len([x for x in e if g[x] != e[x]])} mismatches"
+
+    tiny = cust.limit(3)
+    got = distributed_ntile(tiny, ["c_acctbal", "c_custkey"], 8, out_col="b")
+    assert sorted(r.b for r in got.collect()) == [1, 2, 3]
+
+    empty = cust.where(F.lit(False))
+    assert distributed_ntile(empty, ["c_custkey"], 4, out_col="b").count() == 0
