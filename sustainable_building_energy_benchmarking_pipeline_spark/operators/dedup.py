@@ -653,13 +653,27 @@ def dedup_clusters(
     small = len(probe) <= driver_max_pairs
     if small:
         labels = _union_find_components([(r["id_a"], r["id_b"]) for r in probe])
-        spark = df.sparkSession
-        if labels:
-            comps = spark.createDataFrame(
-                list(labels.items()), "id long, component long"
+        if len(labels) <= 4096:
+            # map-literal attach: near-dup labels cover a sliver of the
+            # corpus, so skip the join entirely — one projection over the
+            # scan, no broadcast build/exchange (same trade as the offset
+            # map in windows._global_rank0; 4096 keys ≈ the analyzer
+            # comfort bound for a literal expression tree)
+            lbl_map = (
+                F.create_map(*[F.lit(v) for k, c in labels.items() for v in (k, c)])
+                if labels
+                else F.create_map()
             )
-        else:
-            comps = spark.createDataFrame([], "id long, component long")
+            rep = F.coalesce(lbl_map[F.col("doc_id")], F.col("doc_id"))
+            return (
+                df.select(F.col(id_col).alias("doc_id"))
+                .withColumn("cluster_rep", rep)
+                .withColumn(
+                    "is_rep", (F.col("doc_id") == F.col("cluster_rep")).cast("boolean")
+                )
+            )
+        spark = df.sparkSession
+        comps = spark.createDataFrame(list(labels.items()), "id long, component long")
     else:
         pairs = pairs.persist()
         comps = connected_components(pairs)

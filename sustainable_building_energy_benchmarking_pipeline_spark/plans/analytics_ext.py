@@ -635,6 +635,83 @@ ORDER BY gid, o_orderstatus, o_year
 """
 
 
+def q81_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of value over event time via the built-in
+    regression aggregates (regr_slope/intercept/r2) — closed-form OLS as
+    a single-pass groupBy, the declarative form of 'fit a tiny model per
+    group' that needs no applyInPandas.
+
+    Scale: one shuffle on event_type; the regression moments are
+    partial-aggregable (sums of x, y, xy, x², y²), so map-side combine
+    reduces each partition to 5 moment rows. Hours-since-epoch keeps the
+    x scale small enough that both engines' double accumulation agrees
+    to the rounding tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("x")
+    return (
+        ev.select("event_type", x, F.col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+            F.regr_count("y", "x").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q81_SQL = """
+SELECT event_type,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 4) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2,
+       CAST(regr_count(y, x) AS BIGINT) AS n
+FROM (SELECT event_type, epoch_us(ts) / 3600000000.0 AS x, value AS y FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q82_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation completeness (§2.7 beyond union): customers who
+    ordered in BOTH 1995 and 1996 (INTERSECT) but NOT in 1997 (EXCEPT),
+    enriched with their market segment.
+
+    Scale: Spark plans INTERSECT/EXCEPT as left-semi / left-anti
+    aggregate joins on the full row — three year-filtered projections of
+    the same orders scan, each shuffled on custkey, then a broadcast-able
+    dim join. Year filters push to the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return o.where(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    both = keys(1995).intersect(keys(1996)).exceptAll(keys(1997))
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        both.join(cust, both["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q82_SQL = """
+WITH survivors AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM survivors JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -647,4 +724,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q78_grid_interpolation": QuerySpec(q78_grid_interpolation, Q78_SQL),
     "q79_cube_orders": QuerySpec(q79_cube_orders, Q79_SQL),
     "q80_token_entropy": QuerySpec(q80_token_entropy, Q80_SQL),
+    "q81_linear_trend": QuerySpec(q81_linear_trend, Q81_SQL),
+    "q82_intersect_except": QuerySpec(q82_intersect_except, Q82_SQL),
 }

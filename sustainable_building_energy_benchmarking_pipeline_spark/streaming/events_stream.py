@@ -92,3 +92,63 @@ def session_stats_stream(
             "sum_value",
         )
     )
+
+
+def attribution_join_stream(
+    stream: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time range join: each OUTCOME event (e.g.
+    purchase) paired with every TRIGGER event (e.g. click) by the same
+    user in the preceding ``horizon`` — the streaming counterpart of
+    q44/q64's attribution range join, and the one streaming operator
+    class (two buffered sides, watermark-bounded state on BOTH) that no
+    single-input stateful op expresses.
+
+    Semantics: inner join on user_id with the time-range predicate
+    ``trigger.ts < outcome.ts AND trigger.ts >= outcome.ts − horizon``.
+    For an INNER stream-stream join Spark emits a pair as soon as both
+    rows have arrived; the watermarks + range condition let it EVICT a
+    buffered row once no future match can exist (trigger older than
+    outcome-watermark − horizon; outcome older than trigger-watermark).
+    Over a finite availableNow run the emitted set is exactly the batch
+    range join of the same rows (the parity test asserts set-equality).
+
+    Scale: both sides shuffle once on user_id into the join's keyed
+    state store; per-key state is bounded by rate × (horizon + watermark
+    delay), independent of stream length. Without the watermark pair
+    Spark must buffer both sides forever — the unbounded-state trap this
+    wrapper makes unrepresentable (both watermarks are mandatory here).
+    """
+    trig = (
+        stream.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("event_id").alias("trigger_id"),
+            F.col("user_id"),
+            F.col("ts").alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    outc = (
+        stream.where(F.col("event_type") == outcome_type)
+        .select(
+            F.col("event_id").alias("outcome_id"),
+            F.col("user_id").alias("o_user_id"),
+            F.col("ts").alias("outcome_ts"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("outcome_ts", watermark)
+    )
+    return trig.join(
+        outc,
+        (F.col("user_id") == F.col("o_user_id"))
+        & (F.col("trigger_ts") < F.col("outcome_ts"))
+        & (F.col("trigger_ts") >= F.col("outcome_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "user_id", "trigger_id", "outcome_id", "trigger_ts", "outcome_ts",
+        "outcome_value",
+    )

@@ -384,3 +384,63 @@ def test_latest_state_stream_matches_batch(spark, tmp_path_factory):
     assert final_stream == batch
     # bounded emissions: at most one row per (user, micro-batch)
     assert emitted.count() <= 6 * 3
+
+
+# ---------------------------------------------------------------------------
+# events: stream-stream range join vs batch range join
+# ---------------------------------------------------------------------------
+
+def test_attribution_join_stream_matches_batch(spark, tmp_path_factory):
+    """Stream-stream inner range join over a finite availableNow run must
+    emit exactly the batch range join of the same rows, across
+    micro-batch boundaries (trigger and outcome in different files)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import load_table
+    from sustainable_building_energy_benchmarking_pipeline_spark.streaming.events_stream import (
+        attribution_join_stream,
+        event_stream,
+    )
+
+    base = tmp_path_factory.mktemp("attr_join_stream")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    input_dir = str(base / "input")
+    mid = events.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    events.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.parquet(input_dir)
+    events.filter(F.col("ts").cast("double") > mid).coalesce(1).write.mode("append").parquet(input_dir)
+
+    sink, ckpt = str(base / "sink"), str(base / "ckpt")
+    q = (
+        attribution_join_stream(event_stream(spark, input_dir, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("trigger_id"), "user_id", F.col("ts").alias("trigger_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("outcome_id"),
+        F.col("user_id").alias("o_user_id"),
+        F.col("ts").alias("outcome_ts"),
+        F.col("value").alias("outcome_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("o_user_id"))
+        & (F.col("trigger_ts") < F.col("outcome_ts"))
+        & (F.col("trigger_ts") >= F.col("outcome_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id", "trigger_id", "outcome_id", "trigger_ts", "outcome_ts",
+        "outcome_value",
+    )
+    assert batch.count() > 0, "fixture must produce at least one attributed pair"
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
