@@ -157,6 +157,7 @@ def fuzzy_join_ed1(
     right: DataFrame,
     left_key: str,
     right_key: str,
+    self_join: bool = False,
 ) -> DataFrame:
     """Fuzzy key join at edit distance ≤ 1 (insert/delete/substitute) —
     the entity-resolution operator Spark lacks: a naive form is an
@@ -189,6 +190,13 @@ def fuzzy_join_ed1(
     Returns distinct ``(left_key, right_key, dist)`` with dist ≤ 1,
     NULL keys dropped. Self-matches of a self-join (same string both
     sides) come back at dist 0 — filter at the call site.
+
+    ``self_join=True`` declares left and right the SAME key set (the
+    entity-resolution self-match case) and halves the work: the dist-0
+    class is exactly the identity pairs (emitted without a join), and
+    the insertion class is the mirror image of the deletion class
+    (``s = del_i(t)`` ⟺ ``t`` inserts into ``s``), so one join serves
+    both via a column swap. Caller-visible output is identical.
     """
     L = (
         left.select(F.col(left_key).cast("string").alias("left_key"))
@@ -202,9 +210,12 @@ def fuzzy_join_ed1(
     )
     dist0, dist1 = F.lit(0).alias("dist"), F.lit(1).alias("dist")
 
-    eq = L.join(R, F.col("left_key") == F.col("right_key")).select(
-        "left_key", "right_key", dist0
-    )
+    if self_join:
+        eq = L.select("left_key", F.col("left_key").alias("right_key"), dist0)
+    else:
+        eq = L.join(R, F.col("left_key") == F.col("right_key")).select(
+            "left_key", "right_key", dist0
+        )
 
     lp = L.select(
         "left_key",
@@ -224,15 +235,24 @@ def fuzzy_join_ed1(
         "left_key",
         F.explode(F.array_distinct(_deletion_variants_pos(F.col("left_key")))).alias("_v"),
     )
-    rdel = R.select(
-        "right_key",
-        F.explode(F.array_distinct(_deletion_variants_pos(F.col("right_key")))).alias("_v"),
-    )
     deln = ldel.join(R, F.col("_v") == F.col("right_key")).select(
         "left_key", "right_key", dist1
     )
-    insn = L.join(rdel, F.col("left_key") == F.col("_v")).select(
-        "left_key", "right_key", dist1
-    )
+    if self_join:
+        insn = deln.select(
+            F.col("right_key").alias("left_key"),
+            F.col("left_key").alias("right_key"),
+            dist1,
+        )
+    else:
+        rdel = R.select(
+            "right_key",
+            F.explode(
+                F.array_distinct(_deletion_variants_pos(F.col("right_key")))
+            ).alias("_v"),
+        )
+        insn = L.join(rdel, F.col("left_key") == F.col("_v")).select(
+            "left_key", "right_key", dist1
+        )
 
     return eq.unionByName(sub).unionByName(deln).unionByName(insn)

@@ -2510,7 +2510,7 @@ def q67_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     names = _t(spark, sf_dir, "customer").select("c_name")
-    pairs = fuzzy_join_ed1(names, names, "c_name", "c_name").filter(
+    pairs = fuzzy_join_ed1(names, names, "c_name", "c_name", self_join=True).filter(
         F.col("left_key") != F.col("right_key")
     )
     return (

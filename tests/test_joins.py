@@ -163,3 +163,21 @@ def test_fuzzy_join_ed1_empty_and_single_char(spark):
     assert ("", "a") in got and ("", "b") in got and ("", "") in got
     assert ("a", "b") in got  # substitution
     assert ("", "xy") not in got  # distance 2
+
+
+def test_fuzzy_join_ed1_self_join_mode_identical(spark):
+    """self_join=True (identity dist-0 + mirrored insertion class) must
+    produce exactly the general-mode result on the same key set."""
+    keys = spark.createDataFrame(
+        [("kitten",), ("kittn",), ("sitten",), ("ab",), ("ba",), ("a",), ("",), ("zzz",)],
+        "k string",
+    )
+    general = {
+        (r.left_key, r.right_key, r.dist)
+        for r in J.fuzzy_join_ed1(keys, keys, "k", "k").collect()
+    }
+    fast = {
+        (r.left_key, r.right_key, r.dist)
+        for r in J.fuzzy_join_ed1(keys, keys, "k", "k", self_join=True).collect()
+    }
+    assert fast == general
