@@ -60,9 +60,18 @@ def asof_join(
     suffixed ``_right``). ``tolerance`` (an INTERVAL column, e.g.
     ``F.expr("INTERVAL 1 HOUR")``) voids matches farther than the given
     gap from the left timestamp — the match becomes NULL, the row stays.
+
+    ``direction="nearest"`` (pandas merge_asof parity) picks whichever
+    of the backward/forward candidates is closer in time, backward
+    winning exact ties. Same single union + window pass — both fills
+    ride the one sorted partition, so nearest costs no extra shuffle.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, right_cols, tolerance)
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = by or []
     if right_cols is None:
         right_cols = {
@@ -109,6 +118,75 @@ def asof_join(
         else:
             in_tol = m.getField("_rts") <= F.col("_ts") + tolerance
         m = F.when(in_tol, F.col("_m"))
+    return matched.select(
+        *[F.col(f"_lv.{c}").alias(c) for c in left.columns],
+        *[m.getField(out).alias(out) for out in right_cols.values()],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None,
+    right_cols: dict[str, str] | None,
+    tolerance: Column | None,
+) -> DataFrame:
+    """direction="nearest": both directional fills over ONE sorted
+    union, then per-row choice of the closer candidate (backward wins
+    ties — pandas merge_asof semantics). Right rows sort before left at
+    equal ts, so an exact-ts right row is the backward candidate at
+    Δ = 0 and beats any forward row; the forward frame starting at the
+    current (left) row therefore never needs to see equal-ts rights."""
+    by = by or []
+    if right_cols is None:
+        right_cols = {
+            c: f"{c}_right" for c in right.columns if c not in (*by, on)
+        }
+    payload = F.struct(
+        F.col(on).alias("_rts"),
+        *[F.col(c).alias(out) for c, out in right_cols.items()],
+    ).alias("_rv")
+    l = left.select(
+        *by,
+        F.col(on).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lv"),
+        F.lit(None).cast(right.select(payload).schema["_rv"].dataType).alias("_rv"),
+    )
+    r = right.select(
+        *by,
+        F.col(on).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_lv"].dataType).alias("_lv"),
+        payload,
+    )
+    w = Window.partitionBy(*by).orderBy("_ts", "_side", "_rv")
+    back = F.last("_rv", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first("_rv", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_mb", back)
+        .withColumn("_mf", fwd)
+        .filter(F.col("_side") == 1)
+    )
+    ts = F.col("_ts")
+    mb, mf = F.col("_mb"), F.col("_mf")
+    if tolerance is not None:
+        mb = F.when(mb.getField("_rts") >= ts - tolerance, mb)
+        mf = F.when(mf.getField("_rts") <= ts + tolerance, mf)
+    d_b = ts.cast("double") - mb.getField("_rts").cast("double")
+    d_f = mf.getField("_rts").cast("double") - ts.cast("double")
+    m = (
+        F.when(mb.isNull(), mf)
+        .when(mf.isNull(), mb)
+        .when(d_b <= d_f, mb)
+        .otherwise(mf)
+    )
     return matched.select(
         *[F.col(f"_lv.{c}").alias(c) for c in left.columns],
         *[m.getField(out).alias(out) for out in right_cols.values()],

@@ -712,6 +712,135 @@ ORDER BY c_mktsegment
 """
 
 
+def q83_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user stream (Markov
+    prep for behavioral sequence modeling): count and row-normalized
+    probability of each prev→curr pair.
+
+    Scale: one window shuffle on user_id (lag over event-time order,
+    event_id tiebreak for same-ts determinism), then a tiny (5×5 max)
+    aggregation; the probability normalizer is a window over prev_type —
+    25 rows, negligible. No self-join: lag IS the transition operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("curr_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    ).orderBy("prev_type", "curr_type")
+
+
+Q83_SQL = """
+WITH t AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS curr_type
+  FROM events
+), c AS (
+  SELECT prev_type, curr_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, curr_type
+)
+SELECT prev_type, curr_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+ORDER BY prev_type, curr_type
+"""
+
+
+def q84_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per event type: quartile boundaries from
+    exact percentiles, then per-bucket counts — the complement of q68's
+    equi-width buckets (these adapt to the distribution; the optimizer-
+    statistics shape).
+
+    Scale: one 5-group percentile agg (array of 3 cut points per type),
+    broadcast back onto the fact, bucket index = how many cut points lie
+    strictly below the value (sum of three comparisons — no per-row
+    search). The fact shuffles only for the final (type, bucket) count."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("qs")
+    )
+    bucket = (
+        (F.col("value") > F.col("qs")[0]).cast("int")
+        + (F.col("value") > F.col("qs")[1]).cast("int")
+        + (F.col("value") > F.col("qs")[2]).cast("int")
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q84_SQL = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5)  AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST((e.value > c.q1) AS INT) + CAST((e.value > c.q2) AS INT)
+         + CAST((e.value > c.q3) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type, bucket
+ORDER BY e.event_type, bucket
+"""
+
+
+def q85_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization as a declarative plan — the
+    registry-facing form of ml/isolation_forest's StandardScaler step:
+    (value − μ_type)/σ_type for every event, no Python in the loop.
+
+    Scale: grouped moments (5 rows) broadcast back onto the fact — the
+    fact table never shuffles at all (scan → broadcast-join → project);
+    contrast the window form (sum over partition) which would shuffle
+    the full table on event_type — 5 hot keys, the skew trap."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q85_SQL = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+ORDER BY e.event_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -726,4 +855,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q80_token_entropy": QuerySpec(q80_token_entropy, Q80_SQL),
     "q81_linear_trend": QuerySpec(q81_linear_trend, Q81_SQL),
     "q82_intersect_except": QuerySpec(q82_intersect_except, Q82_SQL),
+    "q83_event_transitions": QuerySpec(q83_event_transitions, Q83_SQL),
+    "q84_equidepth_histogram": QuerySpec(q84_equidepth_histogram, Q84_SQL),
+    "q85_zscore_normalize": QuerySpec(q85_zscore_normalize, Q85_SQL),
 }

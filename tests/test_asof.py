@@ -89,3 +89,53 @@ def test_plan_one_shuffle_no_nested_loop(frames):
     # exactly one hash-partitioning exchange (on the by-key) feeds the window
     n_hash_exchanges = plan.count("hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' == pandas merge_asof(direction='nearest') on
+    randomized per-key series, with and without tolerance (backward wins
+    exact ties in both)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, f"k{rng.randint(3)}", base + dt.timedelta(minutes=int(rng.randint(0, 500))))
+        for i in range(80)
+    ]
+    # unique (k, ts) per right row by construction — Spark and pandas
+    # would otherwise pick equal-ts duplicates differently
+    slots = [(k, m) for k in range(3) for m in range(0, 500, 7)]
+    rng.shuffle(slots)
+    rrows = [
+        (100 + i, f"k{k}", base + dt.timedelta(minutes=m), float(i))
+        for i, (k, m) in enumerate(slots[:60])
+    ]
+    left = spark.createDataFrame(lrows, "lid INT, k STRING, ts TIMESTAMP")
+    right = spark.createDataFrame(rrows, "rid INT, k STRING, ts TIMESTAMP, v DOUBLE")
+
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts", "v"]).sort_values("ts")
+
+    for tol_spark, tol_pd in [
+        (None, None),
+        (F.expr("INTERVAL 30 MINUTES"), pd.Timedelta(minutes=30)),
+    ]:
+        got = {
+            r.lid: r.v_right
+            for r in asof_join(
+                left, right,
+                on="ts", by=["k"],
+                right_cols={"rid": "rid_right", "v": "v_right"},
+                direction="nearest", tolerance=tol_spark,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction="nearest", tolerance=tol_pd
+        )
+        want = {
+            int(row.lid): (None if pd.isna(row.v) else float(row.v))
+            for row in want_df.itertuples()
+        }
+        assert got == want, {k: (got[k], want[k]) for k in want if got[k] != want[k]}
