@@ -841,6 +841,155 @@ ORDER BY e.event_id
 """
 
 
+def q86_trailing_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional rolling window: per event, the error count and rate
+    over the user's trailing 10 events — the sliding health signal a
+    rule engine thresholds on (the ROWS-frame cousin of q69's RANGE
+    frame, with a CASE-conditioned aggregate instead of a plain count).
+
+    Scale: one window shuffle on user_id; the conditional sum rides the
+    same frame as the row count — one WindowExec, two aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(is_err).over(w).alias("n_errors_10"),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "n_errors_10",
+            F.round(F.col("n_errors_10") / F.col("n_window"), 6).alias("err_rate"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q86_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_errors_10,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w * 1.0
+             / COUNT(*) OVER w, 6) AS err_rate
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def q87_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly value sums, then lag
+    over the week sequence — the trend-report shape (aggregate first,
+    window over the TINY aggregate, never over the fact).
+
+    Scale: the fact shuffles once into (type, week) partial-agg; the lag
+    window runs over ~5×5 rows. Ordering the window by the week column
+    itself keeps missing weeks as true gaps (lag is previous OBSERVED
+    week — documented, matches the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("total").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "wk",
+            "total",
+            F.round((F.col("total") - prev) / prev, 6).alias("wow_pct"),
+        )
+        .orderBy("event_type", "wk")
+    )
+
+
+Q87_SQL = """
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         ROUND(SUM(value), 4) AS total
+  FROM events GROUP BY event_type, wk
+)
+SELECT event_type, wk, total,
+       ROUND((total - LAG(total) OVER w) / LAG(total) OVER w, 6) AS wow_pct
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+ORDER BY event_type, wk
+"""
+
+
+def q88_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel completion latency: for users finishing the strict
+    view → click → purchase sequence (q71's stage table), distribution
+    stats of end-to-end seconds — the "how long does conversion take"
+    follow-up every funnel count invites.
+
+    Scale: same three shrinking user_id-keyed aggregations as q71, then
+    ONE global single-row aggregate over the completed-user table (tiny
+    by construction — aggregate of an aggregate, never the fact)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+    )
+    secs = (F.unix_micros("t3") - F.unix_micros("t1")) / 1_000_000.0
+    return p.select(secs.alias("latency_s")).agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("latency_s"), 4).alias("avg_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("median_s"),
+        F.round(F.max("latency_s"), 4).alias("max_s"),
+    )
+
+
+Q88_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, ANY_VALUE(v.t1) AS t1
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, ANY_VALUE(c.t1) AS t1
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+), lat AS (
+  SELECT (epoch_us(t3) - epoch_us(t1)) / 1000000.0 AS latency_s FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(AVG(latency_s), 4) AS avg_s,
+       ROUND(quantile_cont(latency_s, 0.5), 4) AS median_s,
+       ROUND(MAX(latency_s), 4) AS max_s
+FROM lat
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -858,4 +1007,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q83_event_transitions": QuerySpec(q83_event_transitions, Q83_SQL),
     "q84_equidepth_histogram": QuerySpec(q84_equidepth_histogram, Q84_SQL),
     "q85_zscore_normalize": QuerySpec(q85_zscore_normalize, Q85_SQL),
+    "q86_trailing_error_rate": QuerySpec(q86_trailing_error_rate, Q86_SQL),
+    "q87_wow_growth": QuerySpec(q87_wow_growth, Q87_SQL),
+    "q88_funnel_latency": QuerySpec(q88_funnel_latency, Q88_SQL),
 }

@@ -50,3 +50,30 @@ def test_no_single_partition_window(spark, name):
         "or use the two-pass distributed form (operators.windows."
         "distributed_percent_rank)"
     )
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# each crossJoins a SINGLE-ROW broadcast global-stats frame (corpus size,
+# global min/max) — a 1×N nested loop is a constant attach, not a join.
+_SINGLE_ROW_CROSSJOIN_OK = {
+    "q51_bm25_search",        # broadcast 1-row corpus stats
+    "q68_value_histogram",    # broadcast 1-row global min/max
+    "q77_tfidf_terms",        # broadcast 1-row document count
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_quadratic_joins(spark, name):
+    """No registry query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin only for allowlisted single-row constant
+    attaches — anything else is the O(|L|·|R|) trap that a range/fuzzy
+    predicate silently plans when its equi-join decomposition regresses."""
+    df = QUERIES[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in _SINGLE_ROW_CROSSJOIN_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin on non-trivial inputs — "
+            "decompose the predicate into an equi-join (banding, binning, "
+            "deletion variants) or broadcast a true single-row frame"
+        )
