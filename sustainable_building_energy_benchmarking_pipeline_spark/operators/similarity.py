@@ -345,6 +345,7 @@ def ivf_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_iter: int = 20,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: k-means coarse
     quantizer → per-vector nearest-centroid assignment → probe the
@@ -364,7 +365,7 @@ def ivf_topk(
 
     dim = len(query_vec)
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, dim)
 
     @pandas_udf("int")

@@ -990,6 +990,32 @@ FROM lat
 """
 
 
+def q89_ivf_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF top-k with fixed nprobe — the 100 TB ANN serving
+    path (probe nprobe/nlist of the data; candidates ≈ N·nprobe/nlist),
+    complementing q49's exact triangle-inequality variant and q36's
+    RP-LSH. Approximate BY DESIGN: no SQL oracle exists (the driver
+    records the weaker rows-only check); the quality contract lives in
+    tests/test_dedup_similarity.py — recall@10 vs brute force at this
+    (nlist, nprobe), and probed-candidate-count < corpus as the
+    work-bound invariant. k-means trains distributedly (pyspark.ml),
+    assignment is one Arrow matmul, probing is an equi-filter that
+    becomes a partition-pruned scan when the corpus is written
+    partitioned by cell."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # max_iter=5: recall depends on cell quality only marginally past a
+    # few Lloyd iterations (the rerank is exact within probed cells);
+    # the distributed KMeans fit dominates this query's wall time
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=8, nprobe=4, max_iter=5
+    ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1010,4 +1036,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q86_trailing_error_rate": QuerySpec(q86_trailing_error_rate, Q86_SQL),
     "q87_wow_growth": QuerySpec(q87_wow_growth, Q87_SQL),
     "q88_funnel_latency": QuerySpec(q88_funnel_latency, Q88_SQL),
+    "q89_ivf_approx_topk": QuerySpec(q89_ivf_approx_topk, None),
 }
