@@ -1016,6 +1016,84 @@ def q89_ivf_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def q90_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding geometry via higher-order ARRAY functions —
+    L2 norms from ``F.aggregate`` over the vector column, fully JVM-side
+    (the declarative counterpart of the Arrow kernels in
+    operators/similarity.py: right below ~a few hundred dims, lambda
+    interpretation beats Arrow round-trips; above, the kernel wins —
+    both live in this codebase on purpose).
+
+    Scale: narrow projection (no explode — the array never flattens to
+    rows), one shuffle on label for the 4-group aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return (
+        emb.select(
+            "label",
+            F.sqrt(sq_norm).alias("_nrm"),
+            F.element_at("embedding", 1).cast("double").alias("_c0"),
+            F.size("embedding").alias("_dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.first("_dim").alias("dim"),
+            F.round(F.avg("_nrm"), 6).alias("avg_norm"),
+            F.round(F.avg("_c0"), 6).alias("avg_c0"),
+        )
+        .orderBy("label")
+    )
+
+
+Q90_SQL = """
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ANY_VALUE(LEN(embedding)) AS dim,
+       ROUND(AVG(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 6) AS avg_norm,
+       ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+def q91_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving flatten (``posexplode_outer``): long tokens
+    (> 8 chars) per document, KEEPING documents with none as a NULL row
+    — the left-join-shaped explode that plain explode silently drops
+    (the row-count trap when a flatten feeds a coverage metric).
+
+    Scale: narrow generate — no shuffle at all; output order restored by
+    sort keys, not by generation order."""
+    docs = _t(spark, sf_dir, "documents")
+    long_toks = F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 8)
+    return (
+        docs.select("doc_id", F.posexplode_outer(long_toks).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+Q91_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), x -> x <> ''),
+                     x -> LENGTH(x) > 8) AS arr
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         UNNEST(range(0, LEN(arr))) AS pos,
+         UNNEST(arr) AS token
+  FROM t WHERE LEN(arr) > 0
+)
+SELECT t.doc_id, CAST(e.pos AS INT) AS pos, e.token
+FROM t LEFT JOIN e USING (doc_id)
+ORDER BY t.doc_id, pos
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1037,4 +1115,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q87_wow_growth": QuerySpec(q87_wow_growth, Q87_SQL),
     "q88_funnel_latency": QuerySpec(q88_funnel_latency, Q88_SQL),
     "q89_ivf_approx_topk": QuerySpec(q89_ivf_approx_topk, None),
+    "q90_embedding_stats": QuerySpec(q90_embedding_stats, Q90_SQL),
+    "q91_outer_explode": QuerySpec(q91_outer_explode, Q91_SQL),
 }

@@ -220,3 +220,36 @@ def test_compact_table(spark, tmp_path):
     after = len(_glob.glob(os.path.join(p, "*.parquet")))
     assert n == 1 and after == 1
     assert spark.read.parquet(p).count() == 10_000
+
+
+def test_csv_malformed_row_handling(spark, tmp_path_factory):
+    """Corrupt-input policy on CSV scans: PERMISSIVE captures the raw bad
+    line in the corrupt-record column and nulls unparsable fields;
+    DROPMALFORMED removes the row entirely — the 100 TB ingestion choice
+    between auditability and clean-feed simplicity."""
+    from pyspark.sql import types as T
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.io import read_table
+
+    base = tmp_path_factory.mktemp("csv_malformed")
+    p = base / "rows.csv"
+    p.write_text("id,val\n1,10.5\nnot_an_int,oops,extra\n3,2.5\n")
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("val", T.DoubleType(), True),
+        T.StructField("_corrupt", T.StringType(), True),
+    ])
+    permissive = read_table(
+        spark, str(p), schema=schema, fmt="csv",
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt",
+    ).cache()
+    assert permissive.count() == 3
+    bad = permissive.filter(F.col("_corrupt").isNotNull()).collect()
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_corrupt"]
+
+    dropped = read_table(
+        spark, str(p),
+        schema=T.StructType(schema.fields[:2]), fmt="csv", mode="DROPMALFORMED",
+    )
+    assert [r.id for r in dropped.collect()] == [1, 3]
