@@ -1094,6 +1094,90 @@ ORDER BY t.doc_id, pos
 """
 
 
+def q92_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-3 WITHOUT a window: collect_list of (value, id)
+    structs → array_sort → slice → posexplode. The aggregation-based
+    alternative to q15's row_number form — one pass with partial
+    aggregation instead of a full sort of every group (the right shape
+    when k ≪ group size and groups are few; the window form wins when
+    per-group state must stay bounded).
+
+    Scale caveat (docstring IS the contract): collect_list state is
+    O(group size) per key — safe here (struct is 16 bytes, groups are
+    users), but for unbounded groups use the window form or an
+    aggregator with a bounded heap."""
+    ev = _t(spark, sf_dir, "events")
+    sorted_arr = F.array_sort(
+        F.collect_list(F.struct(F.col("value"), F.col("event_id"))),
+        # comparator: value DESC, event_id ASC (unique tiebreak)
+        lambda a, b: F.when(a["value"] > b["value"], -1)
+        .when(a["value"] < b["value"], 1)
+        .otherwise(
+            F.when(a["event_id"] < b["event_id"], -1)
+            .when(a["event_id"] > b["event_id"], 1)
+            .otherwise(0)
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.slice(sorted_arr, 1, 3).alias("_top"))
+        .select("user_id", F.posexplode("_top").alias("pos", "_s"))
+        .select(
+            "user_id",
+            (F.col("pos") + 1).alias("rank"),
+            F.col("_s.event_id").alias("event_id"),
+            F.round(F.col("_s.value"), 4).alias("value"),
+        )
+        .orderBy("user_id", "rank")
+    )
+
+
+Q92_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT user_id, CAST(rank AS INT) AS rank, event_id, ROUND(value, 4) AS value
+FROM r WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+def q93_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard with TIES KEPT: dense_rank over rounded value bands
+    per event type, all rows of the top-2 bands — the rank-semantics
+    member (row_number < rank < dense_rank) the top-k family needs for
+    'best N scores including every holder'.
+
+    Scale: one window shuffle on event_type (5 groups — skew-prone on a
+    bigger key set; the two-pass global form of q20 generalizes)."""
+    ev = _t(spark, sf_dir, "events")
+    band = F.round(F.col("value"), 0)
+    w = Window.partitionBy("event_type").orderBy(F.desc_nulls_last(band))
+    return (
+        ev.select(
+            "event_type", "event_id", band.alias("band"),
+            F.dense_rank().over(w).alias("dr"),
+        )
+        .where(F.col("dr") <= 2)
+        .select("event_type", F.col("dr").alias("band_rank"), "band", "event_id")
+        .orderBy("event_type", "band_rank", "event_id")
+    )
+
+
+Q93_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, ROUND(value, 0) AS band,
+         DENSE_RANK() OVER (PARTITION BY event_type ORDER BY ROUND(value, 0) DESC) AS dr
+  FROM events
+)
+SELECT event_type, CAST(dr AS INT) AS band_rank, band, event_id
+FROM r WHERE dr <= 2
+ORDER BY event_type, band_rank, event_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1117,4 +1201,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q89_ivf_approx_topk": QuerySpec(q89_ivf_approx_topk, None),
     "q90_embedding_stats": QuerySpec(q90_embedding_stats, Q90_SQL),
     "q91_outer_explode": QuerySpec(q91_outer_explode, Q91_SQL),
+    "q92_agg_topk": QuerySpec(q92_agg_topk, Q92_SQL),
+    "q93_dense_rank_ties": QuerySpec(q93_dense_rank_ties, Q93_SQL),
 }
