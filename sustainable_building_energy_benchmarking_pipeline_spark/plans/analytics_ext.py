@@ -490,9 +490,13 @@ def q78_grid_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-averaged so the bracketing values are deterministic.
 
     Scale: grid generation is sequence/explode off the per-user min/max
-    agg (no driver loop); ONE shuffle on user_id serves the agg, the
-    union, and both window passes (same partition key). Row count =
-    events + user·hours — linear, no quadratic term."""
+    agg (no driver loop). Three keyed exchanges in the executed plan:
+    the (user, ts) pre-average, the user-keyed bounds agg, and the
+    post-union window (union output drops partitioning info, so the
+    window re-shuffles regardless of branch keys — a Spark planner
+    property, not a query choice). All three move linear data; row
+    count = events + user·hours — no quadratic term. Both window frames
+    (ffill + mirrored future) share the ONE WindowExec sort."""
     ev = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id", "ts")
