@@ -102,3 +102,42 @@ def read_versioned(
 def table_history(path: str) -> list[dict[str, Any]]:
     """The commit log (Delta's DESCRIBE HISTORY equivalent)."""
     return list(_read_log(path))
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    metadata: dict[str, Any] | None = None,
+) -> int:
+    """MERGE (upsert): rows in ``updates`` replace current rows with the
+    same key; unmatched keys insert — Delta's ``MERGE WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT`` over the versioned table, giving
+    the substitute the full CRUD surface (write/append/merge/read/
+    time-travel/history).
+
+    Mechanics: anti-join the CURRENT snapshot against the update keys
+    (surviving rows), union the updates, commit as one OVERWRITE version
+    — readers see pre- or post-merge state only, never a mix. If
+    ``updates`` carries several rows per key they all land, matching
+    Delta's multi-row-source behavior for inserts (dedup upstream when
+    one-row-per-key matters).
+
+    Scale: one shuffled anti-join on the key (broadcast when updates are
+    dim-sized) + a full snapshot rewrite. The rewrite is the honest cost
+    of copy-on-write MERGE — real Delta pays it per touched FILE; doing
+    better here needs file-level pruning this substitute does not model
+    (documented gap, same family as concurrent writers)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    current = read_versioned(spark, path)
+    surviving = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = surviving.unionByName(updates.select(*current.columns))
+    # lazy read-through is safe: snapshot dirs are immutable and never
+    # deleted, and the merged plan pinned its source snapshots when
+    # read_versioned resolved the log — the overwrite commit only adds
+    # a log entry on top
+    return write_versioned(
+        merged, path, mode="overwrite",
+        metadata={**(metadata or {}), "op": "merge", "keys": keys},
+    )

@@ -253,3 +253,33 @@ def test_csv_malformed_row_handling(spark, tmp_path_factory):
         schema=T.StructType(schema.fields[:2]), fmt="csv", mode="DROPMALFORMED",
     )
     assert [r.id for r in dropped.collect()] == [1, 3]
+
+
+def test_versioned_merge_upsert(spark, tmp_path):
+    """merge_versioned: matched keys update, unmatched insert, one new
+    overwrite version per merge, and time travel still reaches the
+    pre-merge state."""
+    from pyspark.sql import Row
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.versioned import (
+        merge_versioned,
+        read_versioned,
+        table_history,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    v0 = write_versioned(base, path)
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="NEW")])
+    v1 = merge_versioned(spark, path, updates, "k")
+    assert v1 == v0 + 1
+
+    got = {(r.k, r.v) for r in read_versioned(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "NEW")}
+    # pre-merge snapshot intact via time travel
+    before = {(r.k, r.v) for r in read_versioned(spark, path, version=v0).collect()}
+    assert before == {(1, "a"), (2, "b"), (3, "c")}
+    assert table_history(path)[-1]["metadata"]["op"] == "merge"

@@ -97,3 +97,37 @@ def test_foreachbatch_versioned_sink(spark, tmp_path_factory):
         .select("user_id", F.col("_s.value").alias("value"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must split a skewed shuffle partition at join time
+    (SortMergeJoin(skew=true) + AQEShuffleRead 'skewed' in the final
+    adaptive plan) — the runtime answer to hot keys that complements the
+    explicit salted join in operators/joins.py. Skew thresholds are
+    lowered (and restored) so a local-scale hot key crosses them."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of rows on one key: one shuffle partition dwarfs the others
+        big = spark.range(400_000).select(
+            (F.when(F.col("id") % 100 < 90, 7).otherwise(F.col("id") % 1000)).alias("k"),
+            F.rand(1).alias("x"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        j = big.join(right, "k").select(F.sum("x"))
+        j.collect()  # execute THIS frame so its adaptive plan finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
