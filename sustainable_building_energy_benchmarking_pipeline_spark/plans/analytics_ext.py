@@ -11,6 +11,8 @@ top-k, floats rounded the same on both sides, count-likes BIGINT.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1182,6 +1184,45 @@ ORDER BY event_type, band_rank, event_id
 """
 
 
+def q94_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG Pandas UDF — the user-defined
+    aggregation API class (scalar Pandas UDFs, mapInPandas,
+    applyInPandas and applyInPandasWithState are all exercised
+    elsewhere; this is the remaining surface). Geometric mean per event
+    type, chosen because it reduces to EXP(AVG(LN(x))) so the UDAF has
+    an exact SQL oracle — the point is the API mechanics, not the math
+    (a plain-expression form would be the production choice, exactly as
+    the docstring convention for every Python-path operator here).
+
+    Scale: GROUPED_AGG ships each group's column to ONE Python worker —
+    no partial aggregation — so per-group cardinality must fit a task
+    (5 types × 20k rows here). For unbounded groups prefer the
+    expression form or a two-stage partial (ln-sum + count, then
+    combine); the zero guard keeps ln() off -inf."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(geo_mean("value"), 6).alias("geo_mean_value"))
+        .orderBy("event_type")
+    )
+
+
+Q94_SQL = """
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geo_mean_value
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1207,4 +1248,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q91_outer_explode": QuerySpec(q91_outer_explode, Q91_SQL),
     "q92_agg_topk": QuerySpec(q92_agg_topk, Q92_SQL),
     "q93_dense_rank_ties": QuerySpec(q93_dense_rank_ties, Q93_SQL),
+    "q94_grouped_agg_udaf": QuerySpec(q94_grouped_agg_udaf, Q94_SQL),
 }
