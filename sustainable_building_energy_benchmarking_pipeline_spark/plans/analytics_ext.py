@@ -1223,6 +1223,46 @@ ORDER BY event_type
 """
 
 
+def q95_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE window frame — peers defined by VALUE distance, not
+    row position: for each order, how many same-status orders price
+    within ±100, and their share of that band's revenue. Completes the
+    frame-type family (ROWS q17/q86, time-RANGE q69, value-RANGE here);
+    the three differ exactly when duplicates/gaps appear, which is why
+    each needs its own query.
+
+    Scale: one window shuffle on o_orderstatus (3 groups — same skew
+    caveat and two-pass remedy as every global-ish window here)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-100, 100)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.count(F.lit(1)).over(w).alias("n_band"),
+            F.round(
+                F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6
+            ).alias("band_share"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q95_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_band,
+       ROUND(o_totalprice / SUM(o_totalprice) OVER w, 6) AS band_share
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1249,4 +1289,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q92_agg_topk": QuerySpec(q92_agg_topk, Q92_SQL),
     "q93_dense_rank_ties": QuerySpec(q93_dense_rank_ties, Q93_SQL),
     "q94_grouped_agg_udaf": QuerySpec(q94_grouped_agg_udaf, Q94_SQL),
+    "q95_value_range_frame": QuerySpec(q95_value_range_frame, Q95_SQL),
 }
