@@ -1263,6 +1263,40 @@ ORDER BY o_orderkey
 """
 
 
+def q96_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (quantile_disc semantics): the smallest
+    actual value whose cumulative distribution reaches p — always a
+    value PRESENT in the data, versus q63's interpolated percentile
+    (the two differ on every even-count group; both belong in a complete
+    engine because sketches/optimizer stats use disc and metrics use
+    cont).
+
+    Shape: cume_dist window per type, then min-over-threshold per p —
+    a conditional min aggregate, no second window. One shuffle on
+    event_type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    cd = ev.select(
+        "event_type", "value", F.cume_dist().over(w).alias("_cd")
+    )
+    agg = [
+        F.min(F.when(F.col("_cd") >= p, F.col("value"))).alias(f"p{int(p*100):02d}")
+        for p in (0.25, 0.5, 0.9)
+    ]
+    return cd.groupBy("event_type").agg(*agg).orderBy("event_type")
+
+
+Q96_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1290,4 +1324,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q93_dense_rank_ties": QuerySpec(q93_dense_rank_ties, Q93_SQL),
     "q94_grouped_agg_udaf": QuerySpec(q94_grouped_agg_udaf, Q94_SQL),
     "q95_value_range_frame": QuerySpec(q95_value_range_frame, Q95_SQL),
+    "q96_percentile_disc": QuerySpec(q96_percentile_disc, Q96_SQL),
 }
