@@ -98,6 +98,7 @@ def main() -> None:
             break
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -105,7 +106,22 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # truncation-proof headline: the full line above is ~5 KB (one entry per
+    # query) and the driver's tail capture has clipped its head before
+    # (BENCH_r03 lost the total). Emit a short (<300 B) summary LAST so a
+    # parseable headline always survives tail truncation.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
             }
         )
     )

@@ -65,6 +65,13 @@ def asof_join(
     of the backward/forward candidates is closer in time, backward
     winning exact ties. Same single union + window pass — both fills
     ride the one sorted partition, so nearest costs no extra shuffle.
+
+    Equal-timestamp right duplicates: when several right rows share
+    (by, on), the winner is the MAX payload struct (lexicographic by
+    field order) — deterministic, but not pandas' "last input row".
+    For strict pandas parity either pre-dedup the right side per
+    (by, on) or map a unique, input-order column as the FIRST entry of
+    ``right_cols`` so it drives the tiebreak.
     """
     if direction == "nearest":
         return _asof_nearest(left, right, on, by, right_cols, tolerance)
@@ -137,7 +144,11 @@ def _asof_nearest(
     ties — pandas merge_asof semantics). Right rows sort before left at
     equal ts, so an exact-ts right row is the backward candidate at
     Δ = 0 and beats any forward row; the forward frame starting at the
-    current (left) row therefore never needs to see equal-ts rights."""
+    current (left) row therefore never needs to see equal-ts rights.
+
+    Right rows sharing (by, ts) resolve to the max payload struct (the
+    sort's third key), NOT pandas' last-input-row — see asof_join
+    docstring for the parity recipe."""
     by = by or []
     if right_cols is None:
         right_cols = {

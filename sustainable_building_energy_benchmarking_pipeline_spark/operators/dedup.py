@@ -659,12 +659,16 @@ def dedup_clusters(
             # scan, no broadcast build/exchange (same trade as the offset
             # map in windows._global_rank0; 4096 keys ≈ the analyzer
             # comfort bound for a literal expression tree)
-            lbl_map = (
-                F.create_map(*[F.lit(v) for k, c in labels.items() for v in (k, c)])
-                if labels
-                else F.create_map()
-            )
-            rep = F.coalesce(lbl_map[F.col("doc_id")], F.col("doc_id"))
+            if labels:
+                lbl_map = F.create_map(
+                    *[F.lit(v) for k, c in labels.items() for v in (k, c)]
+                )
+                rep = F.coalesce(lbl_map[F.col("doc_id")], F.col("doc_id"))
+            else:
+                # zero near-dup pairs: an argless create_map() types as
+                # map<void,void> and the lookup throws DATATYPE_MISMATCH —
+                # every doc is its own singleton representative
+                rep = F.col("doc_id")
             return (
                 df.select(F.col(id_col).alias("doc_id"))
                 .withColumn("cluster_rep", rep)

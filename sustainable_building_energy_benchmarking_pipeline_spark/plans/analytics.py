@@ -88,6 +88,74 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (O2/O3): ORDER BY o_totalprice DESC LIMIT 10, unique
+    tiebreaker o_orderkey. Reference shape: the alerts endpoint's
+    ``ORDER BY ... DESC LIMIT ?`` (src/db.py:161-163).
+
+    Scale: must plan as TakeOrderedAndProject — each task keeps a 10-row
+    heap, the driver merges P heaps; no global sort, no full shuffle.
+    A plan-hygiene test asserts the physical operator.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 2) AS total_price,
+       o_orderpriority
+FROM orders
+ORDER BY total_price DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery — count orders per
+    priority where at least one lineitem shipped late-window with a big
+    quantity. Spark expresses EXISTS as LEFT SEMI join (J3).
+
+    Scale: semi join shuffles only (orderkey) pairs, and the lineitem
+    side is filtered+projected to one column before the exchange; the
+    final agg is a 5-group partial/final pair.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight multi-predicate filter → global agg (A4).
 
@@ -2619,7 +2687,9 @@ ORDER BY event_id
 
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL),
+    "q02_top_revenue_orders": QuerySpec(q02_top_revenue_orders, Q02_SQL),
     "q03_segment_revenue": QuerySpec(q03_segment_revenue, Q03_SQL),
+    "q04_priority_exists": QuerySpec(q04_priority_exists, Q04_SQL),
     "q05_region_rollup": QuerySpec(q05_region_rollup, Q05_SQL),
     "q06_revenue_delta": QuerySpec(q06_revenue_delta, Q06_SQL),
     "q07_case_bands": QuerySpec(q07_case_bands, Q07_SQL),

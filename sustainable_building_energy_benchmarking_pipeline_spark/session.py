@@ -87,11 +87,48 @@ EXPECTED_TESTDATA_COLUMNS: dict[str, set[str]] = {
     "embeddings": {"vec_id", "embedding", "label"},
 }
 
-# Loaded-table cache keyed by (spark app id, sf_dir, table). DataFrames are
-# immutable logical plans, so reuse across queries is safe; this removes the
-# repeated footer-read/analysis cost when the driver sweeps 60+ registry
-# queries in one session.
-_TABLE_CACHE: dict[tuple[str, str, str], object] = {}
+# Loaded-table cache keyed by (spark app id, sf_dir, table, source mtime).
+# DataFrames are immutable logical plans, so reuse across queries is safe;
+# this removes the repeated footer-read/analysis cost when the driver sweeps
+# 90+ registry queries in one session. The mtime in the key invalidates
+# naturally when a testdata path is regenerated in-place (several tests
+# rewrite derived dirs); the size bound keeps many-sf_dir sessions from
+# growing without limit.
+_TABLE_CACHE: dict[tuple[str, str, str, float], object] = {}
+_TABLE_CACHE_MAX = 256
+
+
+def clear_table_cache() -> None:
+    """Drop all memoized table plans (for tests that rewrite testdata and
+    need the new file listing picked up immediately)."""
+    _TABLE_CACHE.clear()
+
+
+def _path_mtime(path: str) -> float:
+    """Best-effort change signal for a parquet file or directory: the
+    directory mtime changes when part-files are added/replaced."""
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
+def _parquet_has_nanos(path: str) -> bool:
+    """Driver-side footer probe: does this parquet carry TIMESTAMP(NANOS)
+    columns? Used to gate the session-wide ``nanosAsLong`` conf so loading
+    one table never changes how unrelated nanos-free parquet reads."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return any(
+            pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            for f in schema
+        )
+    except Exception:
+        # conservative: keep the legacy-read behavior if the probe fails
+        return True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -99,7 +136,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cache_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        _path_mtime(path),
+    )
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -114,7 +156,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         #   timestamp_ntz — micros without TZ; session TZ is UTC, so a plain
         #                   cast matches the DuckDB oracle semantics
         #   timestamp     — already what we want
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is an SQLConf with no per-read equivalent, so setting
+        # it is unavoidably session-wide; gate it on a driver-side footer
+        # probe so it flips ONLY when this file genuinely carries NANOS —
+        # loading events never changes how other (nanos-free) parquet reads.
+        if (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            != "true"
+            and _parquet_has_nanos(path)
+        ):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":
@@ -133,6 +184,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
                 f"{df.columns}. Update session.EXPECTED_TESTDATA_COLUMNS and "
                 f"the affected queries together."
             )
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     _TABLE_CACHE[cache_key] = df
     return df
 

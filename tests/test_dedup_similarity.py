@@ -115,6 +115,18 @@ def test_connected_components_transitive(spark):
                      20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_dedup_clusters_no_pairs(spark):
+    """Regression (round-3 advice): a corpus with ZERO near-duplicate
+    pairs must yield all-singleton clusters, not crash on the argless
+    create_map() (map<void,void> lookup → DATATYPE_MISMATCH)."""
+    rows = [(i, f"entirely unique document {i} tokens {i * 17} {i * 31} nothing shared")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.dedup_clusters(df, threshold=0.9).collect()
+    assert len(out) == 8
+    assert all(r.cluster_rep == r.doc_id and r.is_rep for r in out)
+
+
 def test_dedup_clusters_strategies_agree(corpus):
     """Driver union-find and distributed propagation produce identical
     labels; singletons are their own representative."""
