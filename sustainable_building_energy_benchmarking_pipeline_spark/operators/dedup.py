@@ -165,9 +165,35 @@ def minhash_band_hashes(
     return _bands
 
 
+def _chunked_bucket(xs_col: str, cap: int):
+    """Bound quadratic pair emission from one LSH bucket: above ``cap``
+    members, split the collected array into overlapping windows of size
+    ``cap`` with stride ``cap - 1`` (consecutive windows share one
+    element). Pair mass drops from O(n²) to O(n·cap) per bucket while
+    the shared element keeps every window TRANSITIVELY connected — so
+    connected-components clustering still merges the whole bucket into
+    one cluster, and "has ≥1 duplicate partner" recall is preserved.
+    Only pair-granular recall is reduced (two specific docs ≥cap apart
+    in the bucket won't emit a direct pair from THIS bucket; they can
+    still pair via another band). Adversarial mega-buckets (constant
+    boilerplate corpus) are exactly the case where member identity
+    within the bucket is interchangeable, so the loss is benign.
+
+    Returns an array<array<...>> column of windows (a single window for
+    buckets at or under the cap)."""
+    n = F.size(xs_col)
+    k_last = F.floor((n - F.lit(2)) / F.lit(cap - 1)).cast("int")
+    return F.when(n <= cap, F.array(F.col(xs_col))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k_last),
+            lambda i: F.slice(F.col(xs_col), i * (cap - 1) + 1, cap),
+        )
+    )
+
+
 def _lsh_candidates_from_shingles(
     hs_df: DataFrame, num_hashes: int, bands: int, seed: int,
-    min_band_collisions: int = 1,
+    min_band_collisions: int = 1, bucket_cap: int = 256,
 ) -> DataFrame:
     """Distinct (id_a < id_b) band-collision pairs from a hashed-shingle
     DataFrame (``_hashed_shingles`` output).
@@ -188,18 +214,22 @@ def _lsh_candidates_from_shingles(
     buckets — the overwhelming majority — drop before any pair work
     (measured ~2× the SMJ form at sf0.1). The collected array is one id
     per bucket member (8 bytes each), so even a pathological million-doc
-    bucket is an 8 MB row; the quadratic pair mass itself streams out of
-    the explode and is identical under either emission strategy."""
+    bucket is an 8 MB row; the quadratic pair mass is then bounded by
+    ``bucket_cap`` — buckets above the cap are chunk-split into
+    overlapping windows (see _chunked_bucket) so one adversarial
+    mega-bucket emits O(n·cap) pairs, not O(n²), while staying one
+    connected component for clustering."""
     band_udf = minhash_band_hashes(num_hashes, bands, seed)
     banded = hs_df.select("id", band_udf(F.col("sh")).alias("_bh")).select(
         "id", F.posexplode("_bh").alias("band_idx", "band_hash")
     )
     pairs = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list("id").alias("xs"))
+        .agg(F.sort_array(F.collect_list("id")).alias("xs"))
         .filter(F.size("xs") > 1)
-        .select(F.explode("xs").alias("id_a"), "xs")
-        .select("id_a", F.explode("xs").alias("id_b"))
+        .select(F.explode(_chunked_bucket("xs", bucket_cap)).alias("w"))
+        .select(F.explode("w").alias("id_a"), "w")
+        .select("id_a", F.explode("w").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
     )
     if min_band_collisions <= 1:
@@ -220,6 +250,7 @@ def minhash_lsh_candidates(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -229,10 +260,14 @@ def minhash_lsh_candidates(
     documents collide in some band with probability 1−(1−J^r)^b (the
     classic S-curve). Default 32 bands × r=2 gives ≈100% recall at
     J≥0.5; the exact-Jaccard verify step removes the extra false
-    candidates r=2 admits.
+    candidates r=2 admits. Buckets above ``bucket_cap`` members are
+    chunk-split (see _chunked_bucket) so adversarial mega-buckets emit
+    O(n·cap) pairs instead of O(n²).
     """
     hs_df = _hashed_shingles(df, text_col, id_col, shingle_k)
-    return _lsh_candidates_from_shingles(hs_df, num_hashes, bands, seed)
+    return _lsh_candidates_from_shingles(
+        hs_df, num_hashes, bands, seed, bucket_cap=bucket_cap
+    )
 
 
 def _jaccard_of_pairs_from_shingles(
@@ -286,6 +321,7 @@ def minhash_near_duplicates(
     min_band_collisions: int = 1,
     persist_shingles: bool = True,
     broadcast_max_docs: int = 50_000,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
     verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard).
@@ -311,7 +347,7 @@ def minhash_near_duplicates(
         hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
         use_broadcast = hs.count() <= broadcast_max_docs
     cands = _lsh_candidates_from_shingles(
-        hs, num_hashes, bands, seed, min_band_collisions
+        hs, num_hashes, bands, seed, min_band_collisions, bucket_cap=bucket_cap
     )
     return _jaccard_of_pairs_from_shingles(
         cands, hs, broadcast_shingles=use_broadcast
@@ -468,12 +504,17 @@ def simhash_near_duplicates(
     # computes the (Pandas-UDF) signatures once — a self-join would run
     # the whole signature pipeline per side — and buckets with a single
     # member (the overwhelming majority) drop before any pair work.
-    # Bucket sizes are bounded by duplicate-cluster size, so the per-
-    # bucket quadratic expansion is the candidate set itself.
+    # Normal bucket sizes track duplicate-cluster size; adversarial
+    # mega-buckets (e.g. a constant boilerplate corpus collapsing one
+    # chunk value) are bounded by the same overlapping chunk-split as
+    # the MinHash path (_chunked_bucket): O(n·cap) pairs, still one
+    # connected component. sort_array makes window membership
+    # deterministic (collect_list order is partition-order-dependent).
     buckets = (
         chunks.groupBy("chunk_idx", "chunk_val")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("xs"))
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs"))
         .filter(F.size("xs") > 1)
+        .select(F.explode(_chunked_bucket("xs", 256)).alias("xs"))
     )
     pairs = (
         buckets.select("xs", F.explode("xs").alias("x"))

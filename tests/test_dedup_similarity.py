@@ -115,6 +115,41 @@ def test_connected_components_transitive(spark):
                      20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_mega_bucket_pair_emission_bounded(spark):
+    """Adversarial constant-text corpus: every doc lands in the SAME LSH
+    bucket in every band. Uncapped emission would be O(n²) pairs; the
+    overlapping chunk-split must bound it to O(n·cap) while keeping the
+    whole bucket one connected component (the chain-link element)."""
+    n, cap = 60, 8
+    boiler = "this exact boilerplate paragraph repeats verbatim across the whole corpus"
+    df = spark.createDataFrame([(i, boiler) for i in range(n)], ["doc_id", "text"])
+    pairs = [(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_candidates(df, bucket_cap=cap).collect()]
+    assert 0 < len(pairs) <= n * cap, f"pair emission not bounded: {len(pairs)}"
+    comps = dedup._union_find_components(pairs)
+    assert set(comps) == set(range(n))
+    assert len(set(comps.values())) == 1, "chunk-split broke bucket connectivity"
+
+
+def test_mega_bucket_simhash_bounded(spark):
+    """Same adversarial shape through the SimHash path (cap fixed 256):
+    300 identical docs → identical signatures → one mega-bucket per
+    chunk. Capped emission stays well under the n²/2 blowup and the pair
+    graph remains a single component."""
+    n = 300
+    boiler = "identical simhash boilerplate document body for every row in the corpus"
+    df = spark.createDataFrame([(i, boiler) for i in range(n)], ["doc_id", "text"])
+    pairs = [(r.id_a, r.id_b) for r in
+             dedup.simhash_near_duplicates(df, max_hamming=3).collect()]
+    # windows of 256 with stride 255 over 300 ids: [0..255] + [255..299]
+    # → C(256,2) + C(45,2) pairs; uncapped would be C(300,2) = 44850
+    expected = 256 * 255 // 2 + 45 * 44 // 2
+    assert 0 < len(pairs) <= expected, f"uncapped blowup: {len(pairs)}"
+    comps = dedup._union_find_components(pairs)
+    assert set(comps) == set(range(n))
+    assert len(set(comps.values())) == 1
+
+
 def test_dedup_clusters_no_pairs(spark):
     """Regression (round-3 advice): a corpus with ZERO near-duplicate
     pairs must yield all-singleton clusters, not crash on the argless
