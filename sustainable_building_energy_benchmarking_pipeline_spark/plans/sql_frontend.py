@@ -1,0 +1,893 @@
+"""Spark-SQL front-end strings for the registry queries whose DuckDB
+oracle text is not ANSI-portable (DuckDB list/lambda builtins, 1-based
+slicing, ``quantile_cont``, ``ASOF JOIN`` ...).
+
+The reference drives its store exclusively through SQL strings
+(reference src/db.py:138-163), so SQL-string parity is product surface,
+not test scaffolding: a user porting reference SQL must be able to run
+every query shape through ``spark.sql(...)`` and get the DataFrame
+plan's answer. ``tests/test_sql_surface.py`` asserts exactly that for
+every entry here plus the ANSI-portable oracles at sf0.001.
+
+Dialect translation notes (DuckDB → Spark):
+- ``string_split_regex``→``split``, ``list_filter``→``filter``,
+  ``list_transform``→``transform``, ``list_sum``→``aggregate``,
+  ``LEN``→``size``/``length``, ``list_distinct``→``array_distinct``,
+  ``array_to_string``→``array_join``, ``UNNEST``→``LATERAL VIEW
+  explode``; 1-based ``l[i]``/``l[i:j]`` → ``element_at``/``slice``.
+- ``sha256(x)``→``sha2(x, 256)``; ``epoch_us``→``unix_micros``;
+  ``make_timestamp(us)``→``timestamp_micros``;
+  ``quantile_cont``→``percentile``; ``time_bucket``→unix-second floor.
+- ``ASOF JOIN`` → max-ts-per-left + join-back (same inner semantics).
+- ``WITH RECURSIVE`` transitive closure (q50) → unrolled min-label
+  propagation (near-dup graphs are unions of near-cliques; sf0.001's
+  diameter is covered by 4 rounds — parity-tested, not assumed).
+"""
+
+from __future__ import annotations
+
+# Shared fragments -----------------------------------------------------------
+
+_TOKS = r"filter(split(trim(lower(text)), '\\s+'), t -> t <> '')"
+_TOKS_CASED = r"filter(split(trim(text), '\\s+'), t -> t <> '')"
+
+# 3-gram shingle set of a token array (mirrors operators/dedup shingles;
+# NB DuckDB's l[i:i+2] slice is INCLUSIVE of both ends = 3 elements)
+_SHINGLES2 = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "array_distinct(transform(sequence(1, size(toks) - 2), "
+    "i -> array_join(slice(toks, i, 3), ' '))) "
+    "WHEN size(toks) > 0 THEN array(array_join(toks, ' ')) "
+    "ELSE array() END"
+)
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _cos_topk(alias_id: str) -> str:
+    """Brute-force cosine top-10 against vec_id 0 (q27/q36/q49 oracle shape)."""
+    dot = _DOT.format(a="e.embedding", b="q.qv")
+    n1 = _DOT.format(a="e.embedding", b="e.embedding")
+    n2 = _DOT.format(a="q.qv", b="q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         {dot} AS dot, {n1} AS n1, {n2} AS n2
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id AS {alias_id}, ROUND(dot / (SQRT(n1) * SQRT(n2)), 4) AS cosine_sim
+FROM d
+ORDER BY dot / (SQRT(n1) * SQRT(n2)) DESC, {alias_id}
+LIMIT 10
+"""
+
+
+_STOPSETS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+}
+_ZH_CHARS = ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"]
+
+
+def _stop_count(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _STOPSETS[lang])
+    return f"size(filter(toks, t -> array_contains(array({arr}), t)))"
+
+
+_ZH_COUNT = " + ".join(
+    f"(length(text) - length(replace(text, '{c}', '')))" for c in _ZH_CHARS
+)
+
+_LANG_SCORES = [
+    ("en", _stop_count("en")),
+    ("es", _stop_count("es")),
+    ("fr", _stop_count("fr")),
+    ("de", _stop_count("de")),
+    ("zh", f"({_ZH_COUNT})"),
+]
+_GREATEST = "GREATEST(" + ", ".join(s for _, s in _LANG_SCORES) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_GREATEST} <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {score} = {_GREATEST} THEN '{lang}'" for lang, score in _LANG_SCORES
+    )
+    + " ELSE 'und' END"
+)
+
+
+SPARK_SQL: dict[str, str] = {}
+
+# --- simple builtin swaps ---------------------------------------------------
+
+SPARK_SQL["q08_conditional_share"] = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       ROUND(100.0D * SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) / COUNT(*), 2) AS pct_positive
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+SPARK_SQL["q19_ffill"] = """
+SELECT event_id, user_id,
+       ROUND(COALESCE(
+         LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END, true)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         0.0), 4) AS value_ffilled
+FROM events
+"""
+
+SPARK_SQL["q24_json_extract"] = """
+SELECT event_type,
+       ROUND(AVG(CAST(get_json_object(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_SQL["q25_text_stats"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(size(split(text, ' '))), 4) AS avg_tokens,
+       CAST(MAX(size(split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+SPARK_SQL["q26_exact_dedup"] = """
+WITH h AS (
+  SELECT sha2(text, 256) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT COUNT(*) AS n_unique,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_duplicates_removed
+FROM h
+"""
+
+SPARK_SQL["q27_embedding_topk"] = _cos_topk("vec_id")
+SPARK_SQL["q36_ann_lsh_topk"] = _cos_topk("id")
+SPARK_SQL["q49_ivf_topk"] = _cos_topk("id")
+
+SPARK_SQL["q28_bpe_tokens"] = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))), 4) AS avg_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+SPARK_SQL["q29_language_id"] = f"""
+WITH d AS (
+  SELECT lang, text, {_TOKS} AS toks FROM documents
+), p AS (
+  SELECT lang, {_LANG_CASE} AS lang_pred FROM d
+)
+SELECT lang, lang_pred, COUNT(*) AS n
+FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+SPARK_SQL["q30_quality_filter"] = f"""
+WITH d AS (
+  SELECT source, text,
+         {_TOKS_CASED} AS ctoks,
+         {_TOKS} AS toks
+  FROM documents
+), m AS (
+  SELECT source,
+         size(ctoks) AS n_tok,
+         CASE WHEN size(ctoks) > 0
+              THEN CAST(aggregate(ctoks, 0, (a, t) -> a + length(t)) AS DOUBLE) / size(ctoks)
+              ELSE 0.0 END AS awl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct,
+         CASE WHEN size(toks) > 0
+              THEN CAST(size(filter(toks, t -> array_contains(array('the','and','of','to','a','in','is','that','for','with'), t))) AS DOUBLE) / size(toks)
+              ELSE 0.0 END AS stopr
+  FROM d
+), s AS (
+  SELECT source,
+         (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0D ELSE 0.0D END) * 0.3D
+       + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0D ELSE 0.0D END) * 0.3D
+       + (CASE WHEN punct < 0.3 THEN 1.0D ELSE 0.0D END) * 0.2D
+       + (CASE WHEN stopr > 0.01 THEN 1.0D ELSE 0.0D END) * 0.2D AS q
+  FROM m
+)
+SELECT source,
+       ROUND(AVG(q), 4) AS avg_quality,
+       CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+       COUNT(*) AS n_docs
+FROM s GROUP BY source ORDER BY source
+"""
+
+SPARK_SQL["q31_fingerprint_dedup"] = r"""
+SELECT COUNT(DISTINCT sha2(lower(regexp_replace(trim(text), '\\s+', ' ')), 256)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT sha2(lower(regexp_replace(trim(text), '\\s+', ' ')), 256)) AS n_duplicates
+FROM documents
+"""
+
+# --- dedup / similarity family ---------------------------------------------
+
+SPARK_SQL["q32_jaccard_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS blk,
+         {_TOKS} AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, blk, {_SHINGLES2} AS sh FROM d
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+           / size(array_distinct(concat(a.sh, b.sh))) AS jaccard
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM p WHERE jaccard >= 0.04
+ORDER BY id_a, id_b
+"""
+
+SPARK_SQL["q33_minhash_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, {_SHINGLES2} AS sh FROM d
+), z AS (
+  SELECT doc_id, size(sh) AS n, g
+  FROM s LATERAL VIEW explode(sh) t AS g
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM z a JOIN z b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM i WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+
+# SimHash: per-token sha256-hex → 64 sign votes → per-bit majority sign;
+# hamming = count of differing vote signs (bit order irrelevant to the count)
+SPARK_SQL["q34_simhash_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), h AS (
+  SELECT doc_id, transform(toks, t -> substr(sha2(t, 256), 1, 16)) AS hx FROM d
+), v AS (
+  SELECT doc_id,
+         transform(sequence(0, 63), j ->
+           coalesce(aggregate(hx, 0, (acc, x) ->
+             acc + 2 * ((CAST(conv(substr(x, CAST(16 - FLOOR(j / 4) AS INT), 1), 16, 10) AS INT) >> CAST(j % 4 AS INT)) & 1) - 1
+           ), 0)) AS votes
+  FROM h
+), g AS (
+  SELECT doc_id, transform(votes, w -> CASE WHEN w > 0 THEN 1 ELSE 0 END) AS sig FROM v
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> x <> y), z -> z)) AS INT) AS hamming
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE size(filter(zip_with(a.sig, b.sig, (x, y) -> x <> y), z -> z)) <= 3
+"""
+
+SPARK_SQL["q35_embedding_neardup"] = f"""
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a="a.embedding", b="b.embedding")} AS dot,
+         {_DOT.format(a="a.embedding", b="a.embedding")} AS na,
+         {_DOT.format(a="b.embedding", b="b.embedding")} AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+FROM d WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+SPARK_SQL["q37_knn_per_label"] = f"""
+WITH p AS (
+  SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
+         {_DOT.format(a="a.embedding", b="b.embedding")}
+           / (SQRT({_DOT.format(a="a.embedding", b="a.embedding")})
+              * SQRT({_DOT.format(a="b.embedding", b="b.embedding")})) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT id, label, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM p
+)
+SELECT id, label, neighbor_id, ROUND(cos, 4) AS cosine_sim
+FROM r WHERE rn <= 3
+"""
+
+SPARK_SQL["q38_media_metadata"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1) AS kind,
+         octet_length(text) AS n_bytes,
+         CAST(n_chars % 640 + 64 AS INT) AS width,
+         CAST(n_chars % 480 + 48 AS INT) AS height
+  FROM documents
+)
+SELECT kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(width), 4) AS avg_width,
+       ROUND(AVG(height), 4) AS avg_height
+FROM m GROUP BY kind ORDER BY kind
+"""
+
+SPARK_SQL["q39_frame_sample"] = """
+SELECT doc_id AS media_id,
+       CAST(FLOOR((n_chars * 10 - 1) / 1000) + 1 AS BIGINT) AS n_frames,
+       CAST(FLOOR((n_chars * 10 - 1) / 1000) * 1000 AS BIGINT) AS last_frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2 AND n_chars > 0
+ORDER BY media_id
+"""
+
+SPARK_SQL["q40_numeric_profile"] = """
+WITH u AS (
+  SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+)
+SELECT col AS `column`,
+       CAST(COUNT(v) AS DOUBLE) AS `count`,
+       ROUND(AVG(v), 4) AS mean,
+       ROUND(STDDEV_SAMP(v), 4) AS std,
+       ROUND(MIN(v), 4) AS `min`,
+       ROUND(percentile(v, 0.25), 4) AS q1,
+       ROUND(percentile(v, 0.5), 4) AS median,
+       ROUND(percentile(v, 0.75), 4) AS q3,
+       ROUND(MAX(v), 4) AS `max`
+FROM u GROUP BY col ORDER BY col
+"""
+
+SPARK_SQL["q44_asof_attribution"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), best AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         MAX(c.ts) AS click_ts
+  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+  GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT b.purchase_id, b.user_id, b.purchase_ts,
+       c.event_id AS click_id, b.click_ts,
+       unix_micros(b.purchase_ts) - unix_micros(b.click_ts) AS gap_us
+FROM best b JOIN c ON b.user_id = c.user_id AND b.click_ts = c.ts
+ORDER BY purchase_id
+"""
+
+# q50: DuckDB's WITH RECURSIVE closure → unrolled min-label propagation.
+# Spark 4 recursive CTEs require UNION ALL (the cyclic closure graph would
+# not terminate), so propagate min labels a fixed 4 rounds instead —
+# near-dup graphs are unions of near-cliques (diameter ≤ ~3); the parity
+# test fails loudly if the fixture ever needs more rounds.
+SPARK_SQL["q50_dedup_clusters"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, {_SHINGLES2} AS sh FROM d
+), z AS (
+  SELECT doc_id, size(sh) AS n, g
+  FROM s LATERAL VIEW explode(sh) t AS g
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM z a JOIN z b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), p AS (
+  SELECT id_a, id_b FROM i
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+  UNION
+  SELECT id_a, id_a FROM p
+  UNION
+  SELECT id_b, id_b FROM p
+), l0 AS (
+  SELECT u, MIN(v) AS lbl FROM e GROUP BY u
+), l1 AS (
+  SELECT e.u, MIN(l0.lbl) AS lbl FROM e JOIN l0 ON e.v = l0.u GROUP BY e.u
+), l2 AS (
+  SELECT e.u, MIN(l1.lbl) AS lbl FROM e JOIN l1 ON e.v = l1.u GROUP BY e.u
+), l3 AS (
+  SELECT e.u, MIN(l2.lbl) AS lbl FROM e JOIN l2 ON e.v = l2.u GROUP BY e.u
+)
+SELECT doc_id,
+       COALESCE(l3.lbl, doc_id) AS cluster_rep,
+       doc_id = COALESCE(l3.lbl, doc_id) AS is_rep
+FROM documents LEFT JOIN l3 ON documents.doc_id = l3.u
+"""
+
+SPARK_SQL["q51_bm25_search"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), lens AS (
+  SELECT doc_id, CAST(size(toks) AS DOUBLE) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, t FROM base LATERAL VIEW explode(toks) x AS t)
+  WHERE t IN ('join', 'stream', 'window')
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.doc_id,
+         LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS term_score
+  FROM tf JOIN dfreq d USING (t) JOIN lens l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY SUM(term_score) DESC, doc_id
+LIMIT 10
+"""
+
+SPARK_SQL["q52_event_sequences"] = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       sha2(array_join(transform(
+         array_sort(collect_list(struct(ts, event_id, event_type))),
+         x -> x.event_type), ','), 256) AS seq_sha
+FROM events
+GROUP BY user_id
+"""
+
+SPARK_SQL["q53_stratified_sample"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sha2(CAST(doc_id AS STRING), 256), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 20
+"""
+
+SPARK_SQL["q54_sketch_aggregates"] = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS hll_within_5pct,
+       ROUND(percentile(value, 0.5), 4) AS p50_exact,
+       TRUE AS p50_sketch_within_5pct,
+       ROUND(percentile(value, 0.95), 4) AS p95_exact,
+       TRUE AS p95_sketch_within_5pct
+FROM events
+"""
+
+SPARK_SQL["q56_tumbling_windows"] = """
+SELECT timestamp_seconds(FLOOR(unix_seconds(ts) / 21600) * 21600) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+SPARK_SQL["q57_hopping_windows"] = """
+WITH expanded AS (
+  SELECT timestamp_seconds(FLOOR(unix_seconds(ts) / 7200) * 7200 - off * 7200) AS window_start
+  FROM events LATERAL VIEW explode(sequence(0, 2)) o AS off
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM expanded
+GROUP BY window_start
+"""
+
+SPARK_SQL["q59_shard_packing"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(size({_TOKS_CASED}) AS BIGINT) AS n_tok
+  FROM documents
+), s AS (
+  SELECT lang,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 50000) AS INT) AS shard,
+         n_tok
+  FROM t
+)
+SELECT lang, shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM s GROUP BY lang, shard
+"""
+
+SPARK_SQL["q60_top_bigrams"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), b AS (
+  SELECT doc_id, bigram
+  FROM t
+  LATERAL VIEW explode(transform(sequence(1, size(tk) - 1),
+    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) x AS bigram
+  WHERE size(tk) >= 2
+)
+SELECT bigram, COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+"""
+
+SPARK_SQL["q61_decontaminate"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN size(tk) >= 5 THEN
+           array_distinct(transform(sequence(1, size(tk) - 4),
+             i -> array_join(slice(tk, i, 5), ' ')))
+         WHEN size(tk) > 0 THEN array(array_join(tk, ' '))
+         ELSE array() END AS sh
+  FROM d
+), e AS (
+  SELECT DISTINCT g FROM s LATERAL VIEW explode(sh) t AS g WHERE doc_id % 97 = 0
+), c AS (
+  SELECT doc_id, g FROM s LATERAL VIEW explode(sh) t AS g WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared,
+       COUNT(DISTINCT c.g) >= 3 AS contaminated
+FROM c JOIN e USING (g)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+SPARK_SQL["q62_repetition_quality"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), t AS (
+  SELECT doc_id, tok FROM d LATERAL VIEW explode(tk) x AS tok
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS distinct_ratio,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_fraction,
+       (CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.25
+        OR CAST(COUNT(*) AS DOUBLE) / SUM(cnt) < 0.5) AS repetitive
+FROM c
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+SPARK_SQL["q63_value_percentiles"] = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(percentile(value, 0.5), 4) AS p50,
+       ROUND(percentile(value, 0.9), 4) AS p90,
+       ROUND(percentile(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_SQL["q64_range_join_windows"] = """
+WITH m AS (
+  SELECT MIN(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')) AS mn_day
+  FROM orders
+), w AS (
+  SELECT i AS window_id, mn_day + i * 70 AS lo, mn_day + i * 70 + 20 AS hi
+  FROM m LATERAL VIEW explode(sequence(0, 39)) t AS i
+), p AS (
+  SELECT datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS p, o_totalprice
+  FROM orders
+)
+SELECT window_id,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM p JOIN w ON p.p >= w.lo AND p.p < w.hi
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+SPARK_SQL["q65_hash_split"] = """
+WITH s AS (
+  SELECT CASE WHEN SUBSTR(sha2(CAST(doc_id AS STRING), 256), 1, 1) <= 'b' THEN 'train'
+              WHEN SUBSTR(sha2(CAST(doc_id AS STRING), 256), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s
+GROUP BY split
+ORDER BY split
+"""
+
+SPARK_SQL["q66_pii_redaction"] = r"""
+WITH c AS (
+  SELECT c_custkey,
+         concat(c_name, ' <', lower(replace(c_name, '#', '.')),
+                '@example.com> +1-555-',
+                lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'),
+                ' ip 10.', CAST(c_custkey % 256 AS STRING),
+                '.', CAST(c_custkey % 100 AS STRING), '.7') AS contact
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(size(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
+       CAST(size(regexp_extract_all(contact, '\\+?\\d[\\d-]{7,}\\d', 0)) AS INT) AS n_phone,
+       CAST(size(regexp_extract_all(contact, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS INT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]'),
+         '\\+?\\d[\\d-]{7,}\\d', '[PHONE]') AS redacted
+FROM c
+ORDER BY c_custkey
+"""
+
+SPARK_SQL["q69_trailing_hour"] = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       ROUND(SUM(value) OVER w, 4) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+SPARK_SQL["q70_doc_chunks"] = """
+WITH e AS (
+  SELECT doc_id, text, chunk_id
+  FROM documents
+  LATERAL VIEW explode(sequence(0, CAST(CEIL(length(text) / 200.0) AS INT) - 1)) t AS chunk_id
+  WHERE length(text) > 0
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(length(substr(text, CAST(chunk_id AS INT) * 200 + 1, 200)) AS INT) AS chunk_chars,
+       sha2(substr(text, CAST(chunk_id AS INT) * 200 + 1, 200), 256) AS chunk_sha
+FROM e
+ORDER BY doc_id, chunk_id
+"""
+
+SPARK_SQL["q72_cohort_retention"] = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT cohort_week,
+       CAST(FLOOR(datediff(wk, cohort_week) / 7) AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+SPARK_SQL["q76_mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, percentile(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, percentile(dev, 0.5) AS mad, any_value(med) AS med
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(any_value(m.med), 4) AS med,
+       ROUND(any_value(m.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+SPARK_SQL["q77_tfidf_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+  LATERAL VIEW explode(tk) x AS term
+), pairs AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+), scored AS (
+  SELECT p.doc_id, p.term,
+         p.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / d.df) AS score
+  FROM pairs p JOIN dft d USING (term)
+), r AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, ROUND(score, 6) AS score
+FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+SPARK_SQL["q78_grid_interpolation"] = """
+WITH ev AS (
+  SELECT user_id, ts, AVG(value) AS value, MIN(event_id) AS event_id
+  FROM events GROUP BY user_id, ts
+), bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1
+  FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, g AS ts
+  FROM bounds LATERAL VIEW explode(sequence(t0, t1, INTERVAL 1 HOUR)) x AS g
+), u AS (
+  SELECT user_id, unix_micros(ts) AS ts_us, value, 0 AS is_grid, event_id FROM ev
+  UNION ALL
+  SELECT user_id, unix_micros(ts), NULL, 1, NULL FROM grid
+), f AS (
+  SELECT user_id, ts_us, is_grid,
+         LAST_VALUE(value, true) OVER w_past AS pv,
+         LAST_VALUE(CASE WHEN is_grid = 0 THEN ts_us END, true) OVER w_past AS pt,
+         FIRST_VALUE(value, true) OVER w_future AS nv,
+         FIRST_VALUE(CASE WHEN is_grid = 0 THEN ts_us END, true) OVER w_future AS nt
+  FROM u
+  WINDOW
+    w_past AS (PARTITION BY user_id ORDER BY ts_us, is_grid, COALESCE(event_id, 4611686018427387904)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_future AS (PARTITION BY user_id ORDER BY ts_us, is_grid, COALESCE(event_id, 4611686018427387904)
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, timestamp_micros(ts_us) AS grid_ts,
+       ROUND(CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (ts_us - pt) * 1.0 / (nt - pt)
+             END, 4) AS value
+FROM f WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""
+
+SPARK_SQL["q80_token_entropy"] = f"""
+WITH toks AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+  LATERAL VIEW explode(tk) x AS term
+), cnt AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS entropy
+FROM cnt GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+SPARK_SQL["q81_linear_trend"] = """
+SELECT event_type,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 4) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2,
+       CAST(regr_count(y, x) AS BIGINT) AS n
+FROM (SELECT event_type, unix_micros(ts) / 3600000000.0 AS x, value AS y FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_SQL["q83_event_transitions"] = """
+WITH t AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS curr_type
+  FROM events
+), c AS (
+  SELECT prev_type, curr_type, COUNT(*) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, curr_type
+)
+SELECT prev_type, curr_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+ORDER BY prev_type, curr_type
+"""
+
+SPARK_SQL["q84_equidepth_histogram"] = """
+WITH cuts AS (
+  SELECT event_type,
+         percentile(value, 0.25) AS q1,
+         percentile(value, 0.5)  AS q2,
+         percentile(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.value > c.q1 AS INT) + CAST(e.value > c.q2 AS INT)
+         + CAST(e.value > c.q3 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type, bucket
+ORDER BY e.event_type, bucket
+"""
+
+SPARK_SQL["q86_trailing_error_rate"] = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_errors_10,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w
+             / COUNT(*) OVER w, 6) AS err_rate
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+SPARK_SQL["q88_funnel_latency"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, any_value(v.t1) AS t1
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, any_value(c.t1) AS t1
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+), lat AS (
+  SELECT (unix_micros(t3) - unix_micros(t1)) / 1000000.0D AS latency_s FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(AVG(latency_s), 4) AS avg_s,
+       ROUND(percentile(latency_s, 0.5), 4) AS median_s,
+       ROUND(MAX(latency_s), 4) AS max_s
+FROM lat
+"""
+
+SPARK_SQL["q90_embedding_stats"] = """
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       any_value(size(embedding)) AS dim,
+       ROUND(AVG(SQRT(aggregate(embedding, CAST(0 AS DOUBLE),
+                                (a, x) -> a + CAST(x AS DOUBLE) * x))), 6) AS avg_norm,
+       ROUND(AVG(CAST(element_at(embedding, 1) AS DOUBLE)), 6) AS avg_c0
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+SPARK_SQL["q91_outer_explode"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         filter({_TOKS}, x -> length(x) > 8) AS arr
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, token
+FROM t
+LATERAL VIEW OUTER posexplode(arr) e AS pos, token
+ORDER BY doc_id, pos
+"""
+
+SPARK_SQL["q96_percentile_disc"] = """
+SELECT event_type,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,25 +1,32 @@
-"""spark.sql as a first-class query surface: for every registry query
-whose oracle SQL is portable ANSI, running that SQL through SPARK
-(tables registered as temp views by session.load_tables) must equal the
-DataFrame-API plan — same engine, two front-ends, one answer.
+"""spark.sql as a first-class query surface: EVERY registry query must
+be runnable as a SQL string through Spark — same engine, two
+front-ends, one answer (mirrors the reference, which drives its store
+exclusively through SQL strings, src/db.py:138-163).
 
-Three oracles (q08, q83, q86) parse in Spark but differ on dialect
-edges (rounding/division typing against their DuckDB-targeted text), so
-they stay DuckDB-only; the rest of the ~50 non-portable oracles use
-DuckDB list/lambda builtins that ANSI doesn't have."""
+Coverage split:
+- SPARK_PORTABLE: the DuckDB oracle text is ANSI enough to run in
+  Spark verbatim — the SAME string serves both engines.
+- plans.sql_frontend.SPARK_SQL: Spark-dialect translation for oracles
+  using DuckDB builtins (list lambdas, quantile_cont, ASOF JOIN, ...).
+- q89_ivf_approx_topk is the single exclusion: approximate ANN whose
+  result is recall-gated, not equality-checked, by design.
+"""
 
 from __future__ import annotations
 
 import pytest
 
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.sql_frontend import SPARK_SQL
 from sustainable_building_energy_benchmarking_pipeline_spark.session import load_tables
 from tests.oracle import normalize_result
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Oracle SQL that runs verbatim in Spark (ANSI-portable subset)
 SPARK_PORTABLE = [
-    "q01_pricing_summary", "q03_segment_revenue", "q05_region_rollup",
+    "q01_pricing_summary", "q02_top_revenue_orders", "q03_segment_revenue",
+    "q04_priority_exists", "q05_region_rollup",
     "q06_revenue_delta", "q07_case_bands", "q09_weighted_avg",
     "q10_grouping_sets", "q11_distinct_count", "q12_anti_join",
     "q13_semi_join", "q14_union_tag", "q15_topk_per_group",
@@ -32,8 +39,25 @@ SPARK_PORTABLE = [
     "q71_funnel_stages", "q73_mode_event_type", "q74_ntile_buckets",
     "q75_numeric_correlation", "q79_cube_orders", "q82_intersect_except",
     "q85_zscore_normalize", "q87_wow_growth", "q92_agg_topk",
-    "q93_dense_rank_ties",
+    "q93_dense_rank_ties", "q94_grouped_agg_udaf", "q95_value_range_frame",
 ]
+
+EXCLUDED = {"q89_ivf_approx_topk"}  # approximate by design; recall-gated
+
+
+def _sql_for(name: str) -> str:
+    if name in SPARK_SQL:
+        return SPARK_SQL[name]
+    assert name in SPARK_PORTABLE, f"{name} has no Spark SQL surface"
+    return QUERIES[name].sql
+
+
+def test_every_query_has_sql_surface():
+    missing = [
+        n for n in QUERIES
+        if n not in EXCLUDED and n not in SPARK_SQL and n not in SPARK_PORTABLE
+    ]
+    assert not missing, f"queries without a Spark SQL string: {missing}"
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -41,11 +65,13 @@ def _views(spark):
     load_tables(spark, SF_DIR)
 
 
-@pytest.mark.parametrize("name", SPARK_PORTABLE)
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(QUERIES) if n not in EXCLUDED]
+)
 def test_sql_frontend_matches_dataframe(spark, name):
     spec = QUERIES[name]
     df_api = spec.fn(spark, SF_DIR)
-    sql_api = spark.sql(spec.sql)
+    sql_api = spark.sql(_sql_for(name))
     a = normalize_result(df_api.columns, [tuple(r) for r in df_api.collect()])
     b = normalize_result(sql_api.columns, [tuple(r) for r in sql_api.collect()])
     assert a == b, f"{name}: SQL front-end diverges from DataFrame plan"
