@@ -701,9 +701,18 @@ def dedup_clusters(
             # map in windows._global_rank0; 4096 keys ≈ the analyzer
             # comfort bound for a literal expression tree)
             if labels:
-                lbl_map = F.create_map(
-                    *[F.lit(v) for k, c in labels.items() for v in (k, c)]
-                )
+                # one parsed expr string instead of 2·N F.lit() Columns:
+                # each F.lit is a py4j round-trip and a Literal node the
+                # analyzer visits — measured 5× slower at ~500 labels
+                # (0.50 s vs 0.10 s per action at sf0.1). Int ids render
+                # as literals directly; other id types take the F.lit path.
+                if all(isinstance(v, int) for kv in labels.items() for v in kv):
+                    body = ", ".join(f"{k}L, {c}L" for k, c in labels.items())
+                    lbl_map = F.expr(f"map({body})")
+                else:
+                    lbl_map = F.create_map(
+                        *[F.lit(v) for k, c in labels.items() for v in (k, c)]
+                    )
                 rep = F.coalesce(lbl_map[F.col("doc_id")], F.col("doc_id"))
             else:
                 # zero near-dup pairs: an argless create_map() types as

@@ -78,11 +78,31 @@ def media_repartition(df: DataFrame, target_mb_per_partition: int = 64,
     return df.repartition(n, F.col("media_id") % (rows_per_part * n))
 
 
+try:  # import-guarded real codec: present on full deployments, absent here
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_IMAGE_CODEC = True
+except ImportError:  # pragma: no cover - sandbox has no image libs
+    _PILImage = None
+    HAS_IMAGE_CODEC = False
+
+
 def _decode_image_real(content: bytes, meta) -> "object":
-    raise NotImplementedError(
-        "image codecs are not available in this runtime; call with fake=True "
-        "to exercise the pipeline with deterministic hash-derived pixels"
-    )
+    """Decode encoded image bytes to a grayscale float array via PIL when
+    the codec is installed; otherwise raise with the fake-mode pointer.
+    The executors re-import this module, so the guard resolves per-worker
+    — a cluster where some nodes lack PIL fails loudly, not silently."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image codecs are not available in this runtime; call with fake=True "
+            "to exercise the pipeline with deterministic hash-derived pixels"
+        )
+    import io
+
+    import numpy as np
+
+    img = _PILImage.open(io.BytesIO(content))
+    return np.asarray(img.convert("L"), dtype=np.float64)
 
 
 def extract_image_features(
@@ -107,11 +127,16 @@ def extract_image_features(
                 content = r["content"]
                 meta = r["meta"]
                 if not fake:
-                    _decode_image_real(content, meta)  # raises: codec absent
-                # deterministic fake decode: pixels from payload digest
-                digest = hashlib.sha256(bytes(content or b"")).digest()
-                arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+                    # real decode path (raises when no codec is installed)
+                    pixels = _decode_image_real(content, meta).ravel()
+                    arr = pixels if pixels.size else np.zeros(1)
+                else:
+                    # deterministic fake decode: pixels from payload digest
+                    digest = hashlib.sha256(bytes(content or b"")).digest()
+                    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
                 vec = (arr[:feature_dim] / 255.0).astype(np.float32)
+                if vec.size < feature_dim:
+                    vec = np.pad(vec, (0, feature_dim - vec.size))
                 rows.append(
                     {
                         "media_id": r["media_id"],

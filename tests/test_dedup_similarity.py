@@ -257,11 +257,30 @@ def test_media_schema_and_fake_decode(spark):
     assert len(rows) == n_images
 
 
-def test_media_decode_stub_raises(spark):
-    media = multimodal.synthesize_media_table(spark, n=6)
-    with pytest.raises(Exception) as ei:
-        multimodal.extract_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+def test_media_decode_real_mode(spark):
+    """Both codec postures: with PIL installed, fake=False decodes real
+    encoded bytes; without it (this sandbox), the stub raises with the
+    fake-mode pointer. Same test file passes in either environment."""
+    if not multimodal.HAS_IMAGE_CODEC:
+        media = multimodal.synthesize_media_table(spark, n=6)
+        with pytest.raises(Exception) as ei:
+            multimodal.extract_image_features(media, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+        return
+    # PIL available: build a real 4x4 PNG and run the real decode path
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((4, 4), 128, dtype=np.uint8)).save(buf, format="PNG")
+    row = [(0, "image", bytearray(buf.getvalue()),
+            ("png", 4, 4, None, None))]
+    media = spark.createDataFrame(row, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_image_features(media, fake=False, feature_dim=4).collect()
+    assert len(out) == 1
+    assert abs(out[0].mean_pixel - 128 / 255.0) < 1e-6
 
 
 def test_media_decode_deterministic(spark):
