@@ -1114,15 +1114,17 @@ def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact all-pairs Jaccard (Q33_SQL) is a true differential
     oracle.
 
-    32 bands × r = 2 at threshold 0.5: a true pair's per-band collision
-    probability is J², so missing all 32 bands has probability
-    (1−J²)³² ≤ 1e-4 at the J = 0.5 boundary — and the corpus's pair-
-    similarity distribution is bimodal (background pairs < 0.14, near-
-    dup pairs ≥ 0.8, where the miss probability is (1−0.64)³² ≈ 6e-15),
-    so the emitted set provably equals the exact set on any corpus this
-    generator produces. The verify stage recomputes exact Jaccard on
-    candidates, so emitted values are exact, and the fixed seed makes
-    the outcome deterministic — verified equal at sf0.01 and sf0.1."""
+    16 bands × r = 2 at threshold 0.5: a true pair's per-band collision
+    probability is J², and the corpus's pair-similarity distribution is
+    bimodal (background pairs < 0.14, near-dup pairs ≥ 0.8 — measured
+    at sf0.01 and sf0.1), so the miss probability for any true pair is
+    ≤ (1−0.64)¹⁶ ≈ 8e-8 and the emitted set provably equals the exact
+    set on any corpus this generator produces. Half the signature work
+    of the generic 64/32 default (q50 uses the same trade, same A/B);
+    a corpus with boundary pairs near J = 0.5 should keep 64/32, where
+    boundary recall is 0.9999 vs 0.99. The verify stage recomputes
+    exact Jaccard on candidates, so emitted values are exact, and the
+    fixed seed makes the outcome deterministic."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
         minhash_near_duplicates,
     )
@@ -1132,7 +1134,7 @@ def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist barrier + sizing + broadcast-build jobs cost more than the
     # one repeated UDF pass they save (see minhash_near_duplicates)
     return minhash_near_duplicates(
-        docs, threshold=0.5, num_hashes=64, bands=32, persist_shingles=False
+        docs, threshold=0.5, num_hashes=32, bands=16, persist_shingles=False
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -1297,6 +1297,199 @@ ORDER BY event_type
 """
 
 
+def q97_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate measurement at sub-document granularity: the
+    fraction of each document's distinct 5-gram shingles that occur in
+    ≥3 documents (navigation chrome, legal footers, template text
+    — the mass C4/RefinedWeb strip before training).
+
+    Shape: one inverted index over (gram → distinct-doc count) — grams
+    are distinct per doc, so ``COUNT(*)`` per gram IS the doc frequency
+    — then re-join the per-doc gram postings against the common-gram
+    set and re-aggregate per doc. Two hash shuffles (gram, doc_id),
+    both on well-distributed keys; no pair joins anywhere, so corpus
+    size scales the posting list linearly (same Σc postings shape as
+    q61's decontamination, pointed at intra-corpus recurrence instead
+    of an external eval set)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        shingles_from_tokens,
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    sh = toks.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), k=5).alias("sh")
+    )
+    posts = sh.select("doc_id", F.explode("sh").alias("g"))
+    common = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 3)
+        .select("g")
+    )
+    boiler = (
+        posts.join(common, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        sh.select("doc_id", F.size("sh").cast("bigint").alias("n_grams"))
+        .join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q97_SQL = r"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN LEN(tk) >= 5 THEN
+           list_distinct(list_transform(range(1, LEN(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')))
+         WHEN LEN(tk) > 0 THEN [array_to_string(tk, ' ')]
+         ELSE [] END AS sh
+  FROM d
+), posts AS (
+  SELECT doc_id, UNNEST(sh) AS g FROM s
+), common AS (
+  SELECT g FROM posts GROUP BY g HAVING COUNT(*) >= 3
+), boiler AS (
+  SELECT doc_id, COUNT(*) AS n_boiler FROM posts JOIN common USING (g) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(LEN(s.sh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       ROUND(CASE WHEN LEN(s.sh) > 0
+                  THEN COALESCE(b.n_boiler, 0) * 1.0 / LEN(s.sh)
+                  ELSE 0.0 END, 6) AS boiler_frac
+FROM s LEFT JOIN boiler b USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def q98_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights per source — the sampling
+    schedule every multi-source pretraining run needs (the α = 0.7
+    unigram-smoothing trick from multilingual LM training: upweight
+    small sources, damp the head). weight_s ∝ tokens_s^0.7 normalized;
+    epochs_s = how many passes over source s a 1M-token budget implies.
+
+    Shape: one groupBy(source) aggregate, then the 1-row Σ(tokens^α)
+    normalizer broadcast-attached (the q51/q77 single-row crossJoin
+    pattern — NOT a global window, which would plan Exchange
+    SinglePartition). Per-source stats are O(#sources) rows, so every
+    post-aggregate stage is trivially small at any corpus size."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pw = F.pow(F.col("n_tokens").cast("double"), 0.7)
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col("text"))).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum(pw).alias("_norm"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(pw / F.col("_norm"), 6).alias("mix_weight"),
+            F.round(
+                F.lit(1_000_000.0) * (pw / F.col("_norm")) / F.col("n_tokens"), 4
+            ).alias("epochs_at_1m"),
+        )
+        .orderBy("source")
+    )
+
+
+Q98_SQL = r"""
+WITH t AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(LEN(list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(POW(n_tokens, 0.7) / SUM(POW(n_tokens, 0.7)) OVER (), 6) AS mix_weight,
+       ROUND(1000000.0 * (POW(n_tokens, 0.7) / SUM(POW(n_tokens, 0.7)) OVER ()) / n_tokens, 4) AS epochs_at_1m
+FROM t
+ORDER BY source
+"""
+
+
+def q99_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-richness profile — type/token ratio and
+    hapax-legomena fraction, the corpus-health stats that catch
+    generator collapse (tiny vocabulary) or OCR noise (hapax flood)
+    before tokens are spent training on them.
+
+    Shape: explode tokens → (lang, term) count shuffle → per-lang
+    re-aggregate. Both shuffles key on well-spread values; the second
+    input is the per-language vocabulary, already far smaller than the
+    corpus."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    per_term = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_term.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"),
+            F.round(
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q99_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '')) AS term
+  FROM documents
+), c AS (
+  SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term
+)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab_size,
+       ROUND(COUNT(*) * 1.0 / SUM(cnt), 6) AS type_token_ratio,
+       ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hapax_frac
+FROM c
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1325,4 +1518,7 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q94_grouped_agg_udaf": QuerySpec(q94_grouped_agg_udaf, Q94_SQL),
     "q95_value_range_frame": QuerySpec(q95_value_range_frame, Q95_SQL),
     "q96_percentile_disc": QuerySpec(q96_percentile_disc, Q96_SQL),
+    "q97_boilerplate_ngrams": QuerySpec(q97_boilerplate_ngrams, Q97_SQL),
+    "q98_source_mix_weights": QuerySpec(q98_source_mix_weights, Q98_SQL),
+    "q99_lexical_richness": QuerySpec(q99_lexical_richness, Q99_SQL),
 }

@@ -882,6 +882,68 @@ LATERAL VIEW OUTER posexplode(arr) e AS pos, token
 ORDER BY doc_id, pos
 """
 
+SPARK_SQL["q97_boilerplate_ngrams"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN size(tk) >= 5 THEN
+           array_distinct(transform(sequence(1, size(tk) - 4),
+             i -> array_join(slice(tk, i, 5), ' ')))
+         WHEN size(tk) > 0 THEN array(array_join(tk, ' '))
+         ELSE array() END AS sh
+  FROM d
+), posts AS (
+  SELECT doc_id, g FROM s LATERAL VIEW explode(sh) t AS g
+), common AS (
+  SELECT g FROM posts GROUP BY g HAVING COUNT(*) >= 3
+), boiler AS (
+  SELECT doc_id, COUNT(*) AS n_boiler FROM posts JOIN common USING (g) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(size(s.sh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       ROUND(CASE WHEN size(s.sh) > 0
+                  THEN COALESCE(b.n_boiler, 0) * 1.0D / size(s.sh)
+                  ELSE 0.0D END, 6) AS boiler_frac
+FROM s LEFT JOIN boiler b USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+SPARK_SQL["q98_source_mix_weights"] = f"""
+WITH t AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(size({_TOKS_CASED})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), norm AS (
+  SELECT SUM(POW(n_tokens, 0.7D)) AS z FROM t
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(POW(n_tokens, 0.7D) / z, 6) AS mix_weight,
+       ROUND(1000000.0D * (POW(n_tokens, 0.7D) / z) / n_tokens, 4) AS epochs_at_1m
+FROM t CROSS JOIN norm
+ORDER BY source
+"""
+
+SPARK_SQL["q99_lexical_richness"] = f"""
+WITH toks AS (
+  SELECT lang, term
+  FROM (SELECT lang, {_TOKS} AS tk FROM documents)
+  LATERAL VIEW explode(tk) x AS term
+), c AS (
+  SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term
+)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab_size,
+       ROUND(COUNT(*) * 1.0D / SUM(cnt), 6) AS type_token_ratio,
+       ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0D / COUNT(*), 6) AS hapax_frac
+FROM c
+GROUP BY lang
+ORDER BY lang
+"""
+
 SPARK_SQL["q96_percentile_disc"] = """
 SELECT event_type,
        percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,

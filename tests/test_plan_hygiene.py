@@ -59,6 +59,7 @@ _SINGLE_ROW_CROSSJOIN_OK = {
     "q51_bm25_search",        # broadcast 1-row corpus stats
     "q68_value_histogram",    # broadcast 1-row global min/max
     "q77_tfidf_terms",        # broadcast 1-row document count
+    "q98_source_mix_weights", # broadcast 1-row mix normalizer
 }
 
 
