@@ -685,14 +685,20 @@ def dedup_clusters(
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
         persist_shingles=False,
     )
-    # One action gates AND fetches: limit(N+1).collect() short-circuits at
-    # the gate, so the common case (pairs ≪ gate) pays a single pipeline
-    # run with no persist barrier and no separate count job. Only the
-    # adversarial over-gate case re-runs the pipeline, under persist, for
-    # the distributed closure.
-    probe = pairs.limit(driver_max_pairs + 1).collect()
-    small = len(probe) <= driver_max_pairs
+    # Gate by persist + count, then collect from the cache: the pair
+    # frame is tiny (near-dup relations only), so the persist barrier is
+    # cheap, the count is one fully-parallel job, and the over-gate
+    # fallback reuses the SAME materialized pairs instead of re-running
+    # the pipeline. (A limit(N+1).collect() gate was A/B'd: Spark runs
+    # an unsatisfiable CollectLimit in sequential scale-up rounds, and
+    # measured slightly slower — 2.98 s vs 2.77 s at sf0.1.)
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    small = pairs.count() <= driver_max_pairs
     if small:
+        probe = pairs.collect()
+        pairs.unpersist(blocking=False)
         labels = _union_find_components([(r["id_a"], r["id_b"]) for r in probe])
         if len(labels) <= 4096:
             # map-literal attach: near-dup labels cover a sliver of the
@@ -729,8 +735,7 @@ def dedup_clusters(
         spark = df.sparkSession
         comps = spark.createDataFrame(list(labels.items()), "id long, component long")
     else:
-        pairs = pairs.persist()
-        comps = connected_components(pairs)
+        comps = connected_components(pairs)  # pairs still persisted
     try:
         return (
             df.select(F.col(id_col).alias("doc_id"))

@@ -346,6 +346,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iter: int = 20,
+    trainer: str = "mllib",
+    train_sample: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: k-means coarse
     quantizer → per-vector nearest-centroid assignment → probe the
@@ -353,20 +355,52 @@ def ivf_topk(
     lists. The complementary scale path to RP-LSH (``ann_lsh_topk``):
     data-adaptive cells instead of data-oblivious hyperplanes.
 
-    Spark shape: centroids train distributedly (pyspark.ml KMeans over
-    the corpus), assignment is one vectorized matmul per Arrow batch,
+    Spark shape: assignment is one vectorized matmul per Arrow batch,
     probing is a partition-prunable equi-filter on the centroid id — at
     scale the corpus is written partitioned by ``_cell`` and a query
     touches nprobe/nlist of the data. Candidates ≈ corpus·nprobe/nlist.
+
+    ``trainer`` picks the quantizer posture: ``"mllib"`` fits
+    distributed KMeans over the whole corpus (the every-vector-votes
+    shape); ``"sample"`` runs driver-side numpy Lloyd's on a
+    ``train_sample``-bounded sample — the production-IVF posture (FAISS
+    trains on ~max(10⁴, 50·nlist) samples: centroid quality needs a
+    sample, not the corpus) and MUCH cheaper in fixed overhead (MLlib's
+    fit is dozens of jobs; the sample fit is one bounded collect).
+    Recall at a given (nlist, nprobe) is gated by the same pytest for
+    either trainer.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
     dim = len(query_vec)
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, dim)
+    if trainer == "sample":
+        rows = corpus.select(vec_col).limit(train_sample).collect()
+        sample = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+        rng = np.random.RandomState(seed)
+        centroids = sample[
+            rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+        ]
+        for _ in range(max_iter):
+            d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = np.vstack(
+                [
+                    sample[assign == c].mean(axis=0)
+                    if (assign == c).any()
+                    else centroids[c]
+                    for c in range(len(centroids))
+                ]
+            )
+            if np.allclose(new, centroids):
+                break
+            centroids = new
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, dim)
 
     @pandas_udf("int")
     def _nearest_cell(vecs: pd.Series) -> pd.Series:

@@ -1004,10 +1004,12 @@ def q89_ivf_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     records the weaker rows-only check); the quality contract lives in
     tests/test_dedup_similarity.py — recall@10 vs brute force at this
     (nlist, nprobe), and probed-candidate-count < corpus as the
-    work-bound invariant. k-means trains distributedly (pyspark.ml),
-    assignment is one Arrow matmul, probing is an equi-filter that
-    becomes a partition-pruned scan when the corpus is written
-    partitioned by cell."""
+    work-bound invariant. Quantizer: sample-trained numpy Lloyd's (the
+    FAISS posture — one bounded collect instead of MLlib's
+    dozens-of-jobs fit; the distributed-MLlib trainer stays available
+    via trainer="mllib"); assignment is one Arrow matmul, probing is an
+    equi-filter that becomes a partition-pruned scan when the corpus is
+    written partitioned by cell."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
         ivf_topk,
     )
@@ -1015,10 +1017,10 @@ def q89_ivf_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # max_iter=5: recall depends on cell quality only marginally past a
-    # few Lloyd iterations (the rerank is exact within probed cells);
-    # the distributed KMeans fit dominates this query's wall time
+    # few Lloyd iterations (the rerank is exact within probed cells)
     return ivf_topk(
-        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=8, nprobe=4, max_iter=5
+        emb.filter(F.col("vec_id") != 0), qv, k=10, nlist=8, nprobe=4,
+        max_iter=5, trainer="sample",
     ).select("id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 

@@ -299,16 +299,22 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_ts_ms % 500 == 0 for r in rows)
 
 
-def test_ivf_recall_vs_brute_force(embeddings):
+@pytest.mark.parametrize("trainer", ["mllib", "sample"])
+def test_ivf_recall_vs_brute_force(embeddings, trainer):
+    """Both quantizer postures (distributed MLlib fit / FAISS-style
+    sample-trained Lloyd's — the q89 path) must clear the recall gate at
+    the registry's (nlist, nprobe)."""
     qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
     corpus = embeddings.filter(F.col("vec_id") != 0)
     exact = [r.id for r in similarity.brute_force_topk(corpus, qv, k=10).collect()]
     approx = [
         r.id
-        for r in similarity.ivf_topk(corpus, qv, k=10, nlist=8, nprobe=4).collect()
+        for r in similarity.ivf_topk(
+            corpus, qv, k=10, nlist=8, nprobe=4, trainer=trainer
+        ).collect()
     ]
     recall = len(set(exact) & set(approx)) / 10
-    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+    assert recall >= 0.5, f"IVF({trainer}) recall@10 = {recall}"
 
 
 def test_ivf_exact_equals_brute_force(embeddings):
