@@ -168,6 +168,86 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
         )
         return jsonify({"count": len(rows), "anomalies": rows})
 
+    @app.get("/dashboard")
+    def dashboard():
+        """Server-rendered HTML dashboard — the reference's Streamlit app
+        (src/dashboard_app.py:184-298: sidebar filters, four stat tiles,
+        anomaly table, per-dimension analytics) re-expressed as one
+        dependency-free page over the same serving plans. Streamlit is
+        not in this runtime; a self-contained page over the identical
+        data endpoints is the engine-native equivalent (the plots tab
+        maps to the /alerts JSON a charting client consumes)."""
+        import html as _html
+
+        filters, err = _validate_window()
+        if err:
+            return err
+        for param in ("zone_id", "severity", "rule_name"):
+            if request.args.get(param) is not None:
+                filters[param] = request.args.get(param)
+        try:
+            limit = int(request.args.get("limit", 50))
+        except ValueError:
+            return jsonify({"detail": "limit: integer required"}), 422
+        limit = max(1, min(limit, serving.MAX_LIMIT))
+
+        tiles = serving.stat_tiles(anomalies, **filters)
+        summary = serving.anomaly_summary(anomalies, **filters)
+        rows = serving.format_alerts(
+            serving.query_anomalies(anomalies, limit=limit, **filters)
+        )
+
+        def esc(v: Any) -> str:
+            return _html.escape(str(v if v is not None else ""))
+
+        def tile(label: str, value: Any) -> str:
+            return (
+                f'<div class="tile"><div class="v">{esc(value)}</div>'
+                f'<div class="l">{esc(label)}</div></div>'
+            )
+
+        def dim_table(title: str, counts: dict[str, int]) -> str:
+            body = "".join(
+                f"<tr><td>{esc(k)}</td><td>{v}</td></tr>"
+                for k, v in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+            return (
+                f"<h3>{esc(title)}</h3><table><tr><th>name</th><th>count</th>"
+                f"</tr>{body}</table>"
+            )
+
+        top_rule = tiles["top_rule"] or {"name": "N/A", "count": ""}
+        top_zone = tiles["top_zone"] or {"name": "N/A", "count": ""}
+        cols = ["timestamp", "zone_id", "rule_name", "severity", "metric_value"]
+        alert_rows = "".join(
+            "<tr>" + "".join(f"<td>{esc(r.get(c))}</td>" for c in cols) + "</tr>"
+            for r in rows
+        )
+        page = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>Anomaly Dashboard</title><style>
+body{{font-family:system-ui,sans-serif;margin:2rem;color:#222}}
+.tiles{{display:flex;gap:1rem;flex-wrap:wrap}}
+.tile{{border:1px solid #ddd;border-radius:8px;padding:1rem 1.5rem;min-width:10rem}}
+.tile .v{{font-size:1.6rem;font-weight:600}}.tile .l{{color:#666}}
+table{{border-collapse:collapse;margin:.5rem 0 1.5rem}}
+td,th{{border:1px solid #ddd;padding:.3rem .6rem;text-align:left}}
+th{{background:#f5f5f5}}</style></head><body>
+<h1>Anomaly Detection Dashboard</h1>
+<p>Filters: {esc(filters or 'none')} &middot; limit {limit}</p>
+<div class="tiles">
+{tile("Total Anomalies", tiles["total_anomalies"])}
+{tile("High Severity", tiles["high_severity"])}
+{tile("Top Rule", f"{top_rule['name']} ({top_rule['count']})")}
+{tile("Most Affected Zone", f"{top_zone['name']} ({top_zone['count']})")}
+</div>
+{dim_table("By severity", summary["by_severity"])}
+{dim_table("By rule", summary["by_rule"])}
+{dim_table("By zone", summary["by_zone"])}
+<h3>Recent anomalies ({len(rows)})</h3>
+<table><tr>{"".join(f"<th>{c}</th>" for c in cols)}</tr>{alert_rows}</table>
+</body></html>"""
+        return page, 200, {"Content-Type": "text/html; charset=utf-8"}
+
     @app.get("/alerts/summary")
     def alerts_summary():
         filters, err = _validate_window()

@@ -109,3 +109,19 @@ def test_summary_reference_shape(client):
         "temp_drift", "clogged_filter",
     }
     assert len(s["by_zone"]) <= 10
+
+
+def test_dashboard_html(client):
+    """Server-rendered dashboard (reference src/dashboard_app.py parity):
+    stat tiles + dimension tables + recent-anomaly table, filterable via
+    the same query params as /alerts."""
+    r = client.get("/dashboard")
+    assert r.status_code == 200
+    assert r.content_type.startswith("text/html")
+    body = r.get_data(as_text=True)
+    assert "Total Anomalies" in body and "Most Affected Zone" in body
+    assert "temp_drift" in body or "clogged_filter" in body
+    # filter narrows the table; invalid timestamps keep /alerts semantics
+    rf = client.get("/dashboard?severity=high&limit=3")
+    assert rf.status_code == 200
+    assert client.get("/dashboard?start=not-a-time").status_code == 400
