@@ -449,16 +449,44 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     @pandas_udf("long")
     def _bit_vote(hex_arrays: pd.Series) -> pd.Series:
-        out = np.zeros(len(hex_arrays), dtype=np.int64)
+        # whole-batch vectorization — no per-token Python: decode ALL hex
+        # prefixes via an ASCII nibble LUT, build one (total_tokens × 64)
+        # ±1 matrix, and segment-sum per document with np.add.reduceat
+        # (zero-token docs are excluded from the offsets list — reduceat
+        # returns x[i], not 0, for empty segments)
+        n = len(hex_arrays)
+        out = np.zeros(n, dtype=np.int64)
+        lens = np.array(
+            [0 if hs is None else len(hs) for hs in hex_arrays], dtype=np.int64
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = "".join(
+            h for hs in hex_arrays if hs is not None and len(hs) for h in hs
+        )
+        ascii_mat = np.frombuffer(flat.encode("ascii"), dtype=np.uint8).reshape(
+            total, 16
+        )
+        lut = np.zeros(256, dtype=np.uint64)
+        for v, c in enumerate(b"0123456789abcdef"):
+            lut[c] = v
+        nibbles = lut[ascii_mat]  # (total, 16)
+        shifts = (np.uint64(4) * np.arange(15, -1, -1, dtype=np.uint64))[None, :]
+        hashes = (nibbles << shifts).sum(axis=1, dtype=np.uint64)  # (total,)
+        pm = (
+            2 * ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            - 1
+        )  # (total, 64) of ±1
+        nz = lens > 0
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        votes = np.add.reduceat(pm, offsets, axis=0)  # (nz_docs, 64)
         powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(hex_arrays):
-            if hs is None or len(hs) == 0:
-                continue
-            hashes = np.array([int(h, 16) for h in hs], dtype=np.uint64)
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-            sim = (powers[votes > 0]).sum(dtype=np.uint64)
-            out[i] = sim.astype(np.int64) if sim < 2**63 else np.int64(int(sim) - 2**64)
+        sims = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nz] = sims.view(np.int64)  # two's-complement reinterpret
         return pd.Series(out)
 
     tok_hashes = F.transform(

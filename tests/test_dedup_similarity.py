@@ -115,6 +115,20 @@ def test_connected_components_transitive(spark):
                      20: 20, 21: 20, 22: 20, 23: 20}
 
 
+@pytest.mark.parametrize("n,cap", [(1, 8), (7, 8), (8, 8), (9, 8), (15, 8),
+                                   (16, 8), (17, 8), (100, 8), (2, 2), (5, 2)])
+def test_chunked_bucket_invariants(spark, n, cap):
+    """_chunked_bucket must (1) cover every element, (2) cap window size,
+    (3) chain-link consecutive windows so the bucket stays one connected
+    component, across off-by-one boundaries of the stride arithmetic."""
+    df = spark.createDataFrame([(list(range(n)),)], "xs: array<int>")
+    windows = df.select(dedup._chunked_bucket("xs", cap).alias("w")).first()["w"]
+    assert set(x for w in windows for x in w) == set(range(n))
+    assert all(len(w) <= cap for w in windows)
+    for a, b in zip(windows, windows[1:]):
+        assert set(a) & set(b), "consecutive windows must overlap"
+
+
 def test_mega_bucket_pair_emission_bounded(spark):
     """Adversarial constant-text corpus: every doc lands in the SAME LSH
     bucket in every band. Uncapped emission would be O(n²) pairs; the
