@@ -24,9 +24,11 @@ SF_BIG = "/root/testdata/sf0.1"
 HEAVY = [
     "q32_jaccard_neardup",
     "q33_minhash_neardup",
+    "q34_simhash_neardup",
     "q50_dedup_clusters",
     "q61_decontaminate",
     "q67_fuzzy_name_match",
+    "q97_boilerplate_ngrams",
 ]
 
 MAX_RATIO = 15.0
