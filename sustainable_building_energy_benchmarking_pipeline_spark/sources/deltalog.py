@@ -1,0 +1,233 @@
+"""Minimal Delta Lake protocol reader/writer — pure Python, no jar.
+
+``versioned.py`` provides the engine's own commit-log tables; this module
+speaks the actual **Delta transaction-log protocol** (the open spec:
+``_delta_log/%020d.json`` commits containing ``protocol`` / ``metaData``
+/ ``add`` / ``remove`` actions), so tables written here are readable by
+real Delta implementations (delta-spark, delta-rs) and vice versa for
+the supported subset. The reference stores every medallion layer in
+Delta (notebooks/benchmarking_medallion.py:98-104,127,270-277); with no
+Delta jar on this classpath, this is the engine-native way to still
+produce/consume protocol-conformant tables.
+
+Supported subset (documented, test-asserted):
+- unpartitioned parquet tables, JSON commits only (no checkpoints —
+  readers without a checkpoint replay the JSON log, which the spec
+  allows for any log length; checkpointing is an optimization);
+- append / overwrite writes, snapshot-isolated reads, time travel by
+  version, history listing;
+- single cluster-coordinator writer (commit N+1 is created with
+  O_CREAT|O_EXCL — a concurrent committer loses and must retry, which
+  is exactly Delta's optimistic-concurrency primitive on filesystems
+  with atomic create).
+
+Scale notes: the log is one small JSON per commit regardless of data
+size; reads hand Spark an explicit file list, so scans keep columnar
+pushdown/pruning. At very long table histories real deployments add
+checkpoints — out of scope here and stated in ``delta_history``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_delta_log"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG_DIR)
+
+
+def _commit_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_actions(path: str, version: int) -> list[dict[str, Any]]:
+    with open(_commit_file(path, version)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _replay(path: str, version: int | None) -> tuple[dict[str, dict], T.StructType]:
+    """Replay the JSON log up to ``version`` (inclusive; default latest).
+    Returns (active add-actions by relative path, table schema)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in table history {versions}")
+    active: dict[str, dict] = {}
+    schema: T.StructType | None = None
+    for v in versions:
+        if v > version:
+            break
+        for action in _read_actions(path, v):
+            if "metaData" in action:
+                schema = T.StructType.fromJson(
+                    json.loads(action["metaData"]["schemaString"])
+                )
+            elif "add" in action:
+                active[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                active.pop(action["remove"]["path"], None)
+    if schema is None:
+        raise ValueError(f"Delta log at {path} has no metaData action")
+    return active, schema
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    Data files are fully written (into a staging dir, then moved to the
+    table root under their Spark-unique part names) BEFORE the commit
+    JSON exists — the O_EXCL create of ``_delta_log/N.json`` is the
+    atomicity point, so readers can never observe a half-written commit
+    and a concurrent writer of the same version loses with
+    FileExistsError (retry = Delta's optimistic concurrency).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be append or overwrite")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    versions = _list_versions(path)
+    version = (versions[-1] + 1) if versions else 0
+    if version > 0:
+        # Delta schema enforcement: an append/overwrite whose schema
+        # drifts from the table's metaData is rejected, not silently
+        # unioned (schema EVOLUTION is an explicit option in real Delta;
+        # out of this subset)
+        _, table_schema = _replay(path, versions[-1])
+        if df.schema != table_schema:
+            raise ValueError(
+                f"schema mismatch vs Delta table at {path}: "
+                f"table={table_schema.simpleString()} "
+                f"df={df.schema.simpleString()}"
+            )
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(staging)
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        os.replace(src, os.path.join(path, name))  # part names are UUID-unique
+        adds.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, name)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+
+    actions: list[dict[str, Any]] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite" and version > 0:
+        prior_active, _ = _replay(path, versions[-1])
+        for rel in prior_active:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    )
+
+    payload = "".join(json.dumps(a) + "\n" for a in actions)
+    fd = os.open(_commit_file(path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        os.write(fd, payload.encode())
+    finally:
+        os.close(fd)
+    return version
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read as of ``version`` (default latest). The file list
+    comes from the log, never from directory listing — uncommitted
+    part files (a crashed writer's leftovers) are invisible, exactly
+    Delta's isolation guarantee."""
+    active, schema = _replay(path, version)
+    if not active:
+        return spark.createDataFrame([], schema)
+    files = [os.path.join(path, rel) for rel in sorted(active)]
+    return spark.read.schema(schema).parquet(*files)
+
+
+def delta_history(path: str) -> list[dict[str, Any]]:
+    """DESCRIBE HISTORY parity: one entry per version with timestamp,
+    operation and mode. (JSON-log replay only; checkpointed histories —
+    a pure read optimization — are out of the supported subset.)"""
+    out = []
+    for v in _list_versions(path):
+        info = next(
+            (a["commitInfo"] for a in _read_actions(path, v) if "commitInfo" in a),
+            {},
+        )
+        out.append(
+            {
+                "version": v,
+                "timestamp": info.get("timestamp"),
+                "operation": info.get("operation"),
+                "mode": (info.get("operationParameters") or {}).get("mode"),
+            }
+        )
+    return out

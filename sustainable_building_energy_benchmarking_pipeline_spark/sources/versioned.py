@@ -1,4 +1,9 @@
-"""Versioned parquet tables: the S3/S11 (Delta scan/sink) substitute.
+"""Versioned parquet tables: the engine-native S3/S11 (Delta scan/sink)
+mechanism. For tables that must interoperate with real Delta Lake
+deployments, ``sources/deltalog.py`` speaks the actual Delta
+transaction-log protocol (JSON commits of protocol/metaData/add/remove
+actions) with no jar required; this module keeps the simpler
+engine-local commit log used by the medallion/MERGE paths.
 
 delta-spark is not on this classpath, so the transactional mechanics the
 reference gets from Delta (notebooks/benchmarking_medallion.py:98-104,127)

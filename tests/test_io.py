@@ -283,3 +283,105 @@ def test_versioned_merge_upsert(spark, tmp_path):
     before = {(r.k, r.v) for r in read_versioned(spark, path, version=v0).collect()}
     assert before == {(1, "a"), (2, "b"), (3, "c")}
     assert table_history(path)[-1]["metadata"]["op"] == "merge"
+
+
+# ---------------------------------------------------------------------------
+# Delta transaction-log protocol (sources/deltalog.py)
+# ---------------------------------------------------------------------------
+
+def test_deltalog_roundtrip_and_time_travel(spark, tmp_path):
+    """Protocol-conformant Delta writes: JSON commits under _delta_log,
+    append/overwrite semantics, snapshot reads, time travel, history."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert dl.write_delta(df1, path, mode="append") == 0
+    assert dl.write_delta(df2, path, mode="append") == 1
+    got = {(r.id, r.v) for r in dl.read_delta(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel
+    v0 = {(r.id, r.v) for r in dl.read_delta(spark, path, version=0).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    # overwrite replaces the active set
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    assert dl.write_delta(df3, path, mode="overwrite") == 2
+    assert {(r.id, r.v) for r in dl.read_delta(spark, path).collect()} == {(9, "z")}
+    # prior snapshots still readable (snapshot isolation for time travel)
+    assert {(r.id, r.v) for r in dl.read_delta(spark, path, version=1).collect()} == got
+    hist = dl.delta_history(path)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["mode"] == "OVERWRITE"
+
+
+def test_deltalog_protocol_shape(spark, tmp_path):
+    """The emitted log IS the Delta spec's shape: %020d.json files of
+    newline-delimited actions, v0 carrying protocol+metaData, adds with
+    relative paths that exist on disk."""
+    import json as _json
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(spark.range(5).toDF("id"), path)
+    log = _os.path.join(path, "_delta_log", "0" * 20 + ".json")
+    assert _os.path.exists(log)
+    actions = [_json.loads(line) for line in open(log)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert actions[0]["protocol"]["minReaderVersion"] == 1
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(
+        not a["path"].startswith("/") and _os.path.exists(_os.path.join(path, a["path"]))
+        and a["size"] > 0
+        for a in adds
+    )
+
+
+def test_deltalog_crashed_writer_invisible(spark, tmp_path):
+    """Uncommitted part files (crashed writer) must be invisible: the
+    reader's file list comes from the log, not directory listing."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    # simulate a crashed writer: orphan parquet in the table root
+    spark.createDataFrame([(99,)], "id long").write.parquet(str(tmp_path / "orphan"))
+    import shutil, glob, os as _os
+    orphan = glob.glob(str(tmp_path / "orphan" / "*.parquet"))[0]
+    shutil.copy(orphan, _os.path.join(path, "part-orphan-deadbeef.snappy.parquet"))
+    assert [r.id for r in dl.read_delta(spark, path).collect()] == [1]
+
+
+def test_deltalog_schema_enforcement(spark, tmp_path):
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta(spark.createDataFrame([(2,)], "id long"), path, mode="append")
+
+
+def test_deltalog_concurrent_commit_loses(spark, tmp_path, monkeypatch):
+    """Two writers racing for the same version: O_EXCL create makes the
+    loser fail with FileExistsError (Delta's optimistic-concurrency
+    primitive). Simulated by pinning this writer's view of the log to a
+    stale version list while a rival lands the next commit."""
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    df = spark.createDataFrame([(1,)], "id long")
+    dl.write_delta(df, path)
+    monkeypatch.setattr(dl, "_list_versions", lambda p: [0])  # stale view
+    # rival lands version 1 after our writer read the log
+    _os.close(_os.open(dl._commit_file(path, 1), _os.O_WRONLY | _os.O_CREAT | _os.O_EXCL))
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        dl.write_delta(df, path, mode="append")
