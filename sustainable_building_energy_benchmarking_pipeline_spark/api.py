@@ -136,15 +136,17 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
                 filters[key] = v.replace("T", " ").replace("Z", "")
         return filters, None
 
-    @app.get("/alerts")
-    def alerts():
+    def _parse_alert_params(default_limit: int):
+        """Shared /alerts + /dashboard query-param contract: bad
+        timestamps and severities are 400, bad limits are 422 — the two
+        surfaces must not silently diverge on validation."""
         filters, err = _validate_window()
         if err:
-            return err
+            return None, None, err
         severity = request.args.get("severity")
         if severity is not None:
             if severity not in _SEVERITIES:
-                return (
+                return None, None, (
                     jsonify(
                         {"detail": "Invalid severity. Must be one of: low, medium, high"}
                     ),
@@ -155,14 +157,21 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
             if request.args.get(param) is not None:
                 filters[param] = request.args.get(param)
         try:
-            limit = int(request.args.get("limit", serving.DEFAULT_LIMIT))
+            limit = int(request.args.get("limit", default_limit))
         except ValueError:
-            return jsonify({"detail": "limit: integer required"}), 422
+            return None, None, (jsonify({"detail": "limit: integer required"}), 422)
         if not 1 <= limit <= serving.MAX_LIMIT:
-            return (
+            return None, None, (
                 jsonify({"detail": f"limit must be in [1, {serving.MAX_LIMIT}]"}),
                 422,
             )
+        return filters, limit, None
+
+    @app.get("/alerts")
+    def alerts():
+        filters, limit, err = _parse_alert_params(serving.DEFAULT_LIMIT)
+        if err:
+            return err
         rows = serving.format_alerts(
             serving.query_anomalies(anomalies, limit=limit, **filters)
         )
@@ -179,20 +188,12 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
         maps to the /alerts JSON a charting client consumes)."""
         import html as _html
 
-        filters, err = _validate_window()
+        filters, limit, err = _parse_alert_params(50)
         if err:
             return err
-        for param in ("zone_id", "severity", "rule_name"):
-            if request.args.get(param) is not None:
-                filters[param] = request.args.get(param)
-        try:
-            limit = int(request.args.get("limit", 50))
-        except ValueError:
-            return jsonify({"detail": "limit: integer required"}), 422
-        limit = max(1, min(limit, serving.MAX_LIMIT))
 
-        tiles = serving.stat_tiles(anomalies, **filters)
         summary = serving.anomaly_summary(anomalies, **filters)
+        tiles = serving.stat_tiles(anomalies, summary=summary)
         rows = serving.format_alerts(
             serving.query_anomalies(anomalies, limit=limit, **filters)
         )

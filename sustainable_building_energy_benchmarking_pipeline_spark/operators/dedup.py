@@ -173,11 +173,16 @@ def _chunked_bucket(xs_col: str, cap: int):
     the shared element keeps every window TRANSITIVELY connected — so
     connected-components clustering still merges the whole bucket into
     one cluster, and "has ≥1 duplicate partner" recall is preserved.
-    Only pair-granular recall is reduced (two specific docs ≥cap apart
-    in the bucket won't emit a direct pair from THIS bucket; they can
-    still pair via another band). Adversarial mega-buckets (constant
-    boilerplate corpus) are exactly the case where member identity
-    within the bucket is interchangeable, so the loss is benign.
+    Only pair-granular recall is reduced: two docs ≥cap apart in the
+    sorted bucket emit no direct pair from this bucket, and for
+    IDENTICAL documents every band produces the same bucket with the
+    same deterministic windows, so such a pair is dropped in every band
+    — above-cap duplicate clusters therefore lose pair-exactness (the
+    clustering/dedup outcome is unchanged; q33's exact-oracle claim is
+    scoped to corpora whose clusters fit the cap). Adversarial
+    mega-buckets (constant boilerplate corpus) are exactly the case
+    where member identity within the bucket is interchangeable, so the
+    loss is benign for every dedup decision the engine makes.
 
     Returns an array<array<...>> column of windows (a single window for
     buckets at or under the cap). Because consecutive windows share
@@ -185,6 +190,10 @@ def _chunked_bucket(xs_col: str, cap: int):
     bucket (a pair would need both members shared), so per-band pair
     multiplicity is unchanged — the ``min_band_collisions`` counting
     mode stays correct."""
+    if cap < 2:
+        # cap-1 is the stride divisor; cap<2 would NULL the sequence and
+        # explode() would silently drop every over-cap bucket's pairs
+        raise ValueError(f"bucket cap must be >= 2, got {cap}")
     n = F.size(xs_col)
     k_last = F.floor((n - F.lit(2)) / F.lit(cap - 1)).cast("int")
     return F.when(n <= cap, F.array(F.col(xs_col))).otherwise(

@@ -336,6 +336,49 @@ def ann_lsh_topk(
     )
 
 
+def _collect_train_sample(
+    corpus: DataFrame, vec_col: str, id_col: str, train_sample: int
+) -> np.ndarray:
+    """Bounded, DETERMINISTIC quantizer training sample: ordered by the
+    id column before the limit, because a bare limit() returns whichever
+    rows the scan produces first — partition-layout/AQE dependent, which
+    would make the 'seeded' quantizer irreproducible across sessions."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
+    if not rows:
+        raise ValueError("cannot train an IVF quantizer on an empty corpus")
+    return np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+
+def _sampled_lloyds(
+    sample: np.ndarray, nlist: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """numpy Lloyd's over a driver-side sample (the FAISS training
+    posture): seeded init without replacement, empty clusters keep their
+    previous centroid. Shared by ivf_topk(trainer='sample') and
+    ivf_topk_exact (which sphere-normalizes its sample first)."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[
+        rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    ]
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.vstack(
+            [
+                sample[assign == c].mean(axis=0)
+                if (assign == c).any()
+                else centroids[c]
+                for c in range(len(centroids))
+            ]
+        )
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -374,26 +417,8 @@ def ivf_topk(
 
     dim = len(query_vec)
     if trainer == "sample":
-        rows = corpus.select(vec_col).limit(train_sample).collect()
-        sample = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
-        rng = np.random.RandomState(seed)
-        centroids = sample[
-            rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
-        ]
-        for _ in range(max_iter):
-            d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            new = np.vstack(
-                [
-                    sample[assign == c].mean(axis=0)
-                    if (assign == c).any()
-                    else centroids[c]
-                    for c in range(len(centroids))
-                ]
-            )
-            if np.allclose(new, centroids):
-                break
-            centroids = new
+        sample = _collect_train_sample(corpus, vec_col, id_col, train_sample)
+        centroids = _sampled_lloyds(sample, nlist, seed, max_iter)
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -468,29 +493,11 @@ def ivf_topk_exact(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
 
-    sample = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(train_sample).collect()
-        ]
-    )
+    sample = _collect_train_sample(corpus, vec_col, id_col, train_sample)
     snorms = np.linalg.norm(sample, axis=1)
     snorms[snorms == 0] = 1.0
-    sample = sample / snorms[:, None]
-    rng = np.random.RandomState(seed)
-    centroids = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
-    for _ in range(max_iter):  # Lloyd's on the unit sphere
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        new = np.vstack(
-            [
-                sample[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
-                for c in range(len(centroids))
-            ]
-        )
-        if np.allclose(new, centroids):
-            break
-        centroids = new
+    sample = sample / snorms[:, None]  # Lloyd's on the unit sphere
+    centroids = _sampled_lloyds(sample, nlist, seed, max_iter)
     cnorms = np.linalg.norm(centroids, axis=1)
     cnorms[cnorms == 0] = 1.0
     centroids = centroids / cnorms[:, None]  # cells live on the unit sphere too

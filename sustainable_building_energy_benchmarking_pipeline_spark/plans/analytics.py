@@ -1119,7 +1119,10 @@ def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bimodal (background pairs < 0.14, near-dup pairs ≥ 0.8 — measured
     at sf0.01 and sf0.1), so the miss probability for any true pair is
     ≤ (1−0.64)¹⁶ ≈ 8e-8 and the emitted set provably equals the exact
-    set on any corpus this generator produces. Half the signature work
+    set on any corpus this generator produces (largest duplicate
+    cluster ≪ the 256 bucket cap — above-cap clusters would trade
+    pair-exactness for bounded emission, see _chunked_bucket).
+    Half the signature work
     of the generic 64/32 default (q50 uses the same trade, same A/B);
     a corpus with boundary pairs near J = 0.5 should keep 64/32, where
     boundary recall is 0.9999 vs 0.99. The verify stage recomputes

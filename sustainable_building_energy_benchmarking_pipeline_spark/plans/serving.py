@@ -100,7 +100,11 @@ def anomaly_summary(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
         base.unpersist()
 
 
-def stat_tiles(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
+def stat_tiles(
+    anomalies: DataFrame,
+    summary: dict[str, Any] | None = None,
+    **filters: Any,
+) -> dict[str, Any]:
     """Dashboard stat tiles (src/dashboard_app.py:270-294): total anomalies,
     high-severity count, top-1 rule by count, top-1 zone by count.
 
@@ -108,8 +112,12 @@ def stat_tiles(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
     single-scan design) instead of the reference's four cached queries; the
     top-1 picks are driver-side over the already-small per-dimension maps.
     Ties break by name ascending, matching grouped_top_n's determinism rule.
+    Callers that already hold the ``anomaly_summary`` dict pass it via
+    ``summary`` to skip the second Spark pass (the /dashboard endpoint
+    renders both and must not pay twice).
     """
-    summary = anomaly_summary(anomalies, **filters)
+    if summary is None:
+        summary = anomaly_summary(anomalies, **filters)
 
     def _top1(counts: dict[str, int]) -> dict[str, Any] | None:
         if not counts:

@@ -116,9 +116,14 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
         # Delta schema enforcement: an append/overwrite whose schema
         # drifts from the table's metaData is rejected, not silently
         # unioned (schema EVOLUTION is an explicit option in real Delta;
-        # out of this subset)
+        # out of this subset). Compare names+types only — nullability
+        # differs spuriously between construction paths (spark.range
+        # yields non-null, createDataFrame yields nullable) and a
+        # nullable/non-null flip is not a data-incompatibility here.
         _, table_schema = _replay(path, versions[-1])
-        if df.schema != table_schema:
+        if [(f.name, f.dataType) for f in df.schema.fields] != [
+            (f.name, f.dataType) for f in table_schema.fields
+        ]:
             raise ValueError(
                 f"schema mismatch vs Delta table at {path}: "
                 f"table={table_schema.simpleString()} "
@@ -189,12 +194,22 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
         }
     )
 
+    # durability THEN visibility: the payload is fully written and fsynced
+    # to a temp file first, and os.link publishes it as an atomic
+    # put-if-absent (EEXIST = a rival committed this version first). A
+    # writer killed mid-write leaves only an invisible temp file — a
+    # reader can never observe an empty/truncated commit, which creating
+    # the final file with O_EXCL and writing afterwards could not promise.
     payload = "".join(json.dumps(a) + "\n" for a in actions)
-    fd = os.open(_commit_file(path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    tmp = os.path.join(_log_dir(path), f".{version:020d}-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(payload.encode())
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        os.write(fd, payload.encode())
+        os.link(tmp, _commit_file(path, version))
     finally:
-        os.close(fd)
+        os.remove(tmp)
     return version
 
 

@@ -121,7 +121,9 @@ def test_dashboard_html(client):
     body = r.get_data(as_text=True)
     assert "Total Anomalies" in body and "Most Affected Zone" in body
     assert "temp_drift" in body or "clogged_filter" in body
-    # filter narrows the table; invalid timestamps keep /alerts semantics
+    # filter narrows the table; validation is IDENTICAL to /alerts
     rf = client.get("/dashboard?severity=high&limit=3")
     assert rf.status_code == 200
     assert client.get("/dashboard?start=not-a-time").status_code == 400
+    assert client.get("/dashboard?severity=bogus").status_code == 400
+    assert client.get("/dashboard?limit=999999").status_code == 422
