@@ -33,7 +33,7 @@ _TOKS_CASED = r"filter(split(trim(text), '\\s+'), t -> t <> '')"
 
 # 3-gram shingle set of a token array (mirrors operators/dedup shingles;
 # NB DuckDB's l[i:i+2] slice is INCLUSIVE of both ends = 3 elements)
-_SHINGLES2 = (
+_SHINGLES3 = (
     "CASE WHEN size(toks) >= 3 THEN "
     "array_distinct(transform(sequence(1, size(toks) - 2), "
     "i -> array_join(slice(toks, i, 3), ' '))) "
@@ -227,7 +227,7 @@ WITH d AS (
          {_TOKS} AS toks
   FROM documents
 ), s AS (
-  SELECT doc_id, lang, blk, {_SHINGLES2} AS sh FROM d
+  SELECT doc_id, lang, blk, {_SHINGLES3} AS sh FROM d
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -244,7 +244,7 @@ SPARK_SQL["q33_minhash_neardup"] = f"""
 WITH d AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), s AS (
-  SELECT doc_id, {_SHINGLES2} AS sh FROM d
+  SELECT doc_id, {_SHINGLES3} AS sh FROM d
 ), z AS (
   SELECT doc_id, size(sh) AS n, g
   FROM s LATERAL VIEW explode(sh) t AS g
@@ -386,7 +386,7 @@ SPARK_SQL["q50_dedup_clusters"] = f"""
 WITH d AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ), s AS (
-  SELECT doc_id, {_SHINGLES2} AS sh FROM d
+  SELECT doc_id, {_SHINGLES3} AS sh FROM d
 ), z AS (
   SELECT doc_id, size(sh) AS n, g
   FROM s LATERAL VIEW explode(sh) t AS g

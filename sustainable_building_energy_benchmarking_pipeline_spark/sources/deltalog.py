@@ -97,7 +97,12 @@ def _replay(path: str, version: int | None) -> tuple[dict[str, dict], T.StructTy
     return active, schema
 
 
-def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    extra_actions: list[dict[str, Any]] | None = None,
+) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
     Data files are fully written (into a staging dir, then moved to the
@@ -184,6 +189,7 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> int:
                 }
             )
     actions.extend(adds)
+    actions.extend(extra_actions or [])  # e.g. the txn idempotence action
     actions.append(
         {
             "commitInfo": {
@@ -225,6 +231,60 @@ def read_delta(
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in sorted(active)]
     return spark.read.schema(schema).parquet(*files)
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id`` (-1 if none) —
+    the Delta protocol's idempotent-writer bookkeeping: a streaming
+    sink records {txn: {appId, version=batchId}} with each commit and
+    skips batches at or below this watermark on retry."""
+    versions = _list_versions(path)
+    last = -1
+    for v in versions:
+        for action in _read_actions(path, v):
+            txn = action.get("txn")
+            if txn and txn.get("appId") == app_id:
+                last = max(last, int(txn["version"]))
+    return last
+
+
+def write_delta_txn(
+    df: DataFrame, path: str, app_id: str, txn_version: int, mode: str = "append"
+) -> int | None:
+    """Idempotent transactional write — the Delta streaming-sink
+    primitive: the commit carries a ``txn`` action binding (app_id,
+    txn_version), and a replayed batch (txn_version ≤ the table's last
+    recorded version for app_id) is a no-op. Structured Streaming's
+    foreachBatch may re-deliver a batch after a failure; this is
+    exactly-once at the table level without any sink-side state.
+
+    Returns the committed Delta version, or None when skipped. The txn
+    action rides IN the data commit (one atomic log entry), so a crash
+    can never record data without its idempotence marker or vice versa."""
+    if txn_version <= last_txn_version(path, app_id):
+        return None
+    return write_delta(
+        df,
+        path,
+        mode=mode,
+        extra_actions=[{"txn": {"appId": app_id, "version": int(txn_version)}}],
+    )
+
+
+def stream_to_delta(stream_df: DataFrame, path: str, app_id: str, **options: Any):
+    """Structured Streaming → Delta table: foreachBatch with the txn
+    idempotence above (each micro-batch commits once even if Spark
+    replays it). Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta_txn(batch_df, path, app_id, batch_id, mode="append")
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .options(**options)
+        .start()
+    )
 
 
 def delta_history(path: str) -> list[dict[str, Any]]:

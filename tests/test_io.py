@@ -385,3 +385,49 @@ def test_deltalog_concurrent_commit_loses(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(FileExistsError):
         dl.write_delta(df, path, mode="append")
+
+
+def test_deltalog_txn_idempotent_replay(spark, tmp_path):
+    """Delta's txn action: a replayed (appId, version) write is a no-op,
+    and the marker rides in the same atomic commit as the data."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtxn")
+    df = spark.createDataFrame([(1,)], "id long")
+    assert dl.write_delta_txn(df, path, "app", 0) == 0
+    assert dl.write_delta_txn(df, path, "app", 0) is None  # replay skipped
+    assert dl.write_delta_txn(df, path, "app", 1) == 1
+    assert dl.read_delta(spark, path).count() == 2
+    assert dl.last_txn_version(path, "app") == 1
+    # another app's txn sequence is independent
+    assert dl.write_delta_txn(df, path, "other", 0) == 2
+
+
+def test_deltalog_streaming_sink(spark, tmp_path):
+    """Structured Streaming micro-batches land as Delta commits through
+    the txn-idempotent foreachBatch sink."""
+    import time as _time
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dstream")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .selectExpr("value AS id")
+    )
+    q = dl.stream_to_delta(
+        stream, path, app_id="stream-app",
+        checkpointLocation=str(tmp_path / "ckpt"),
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not dl._list_versions(path):
+            _time.sleep(0.25)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    versions = dl._list_versions(path)
+    assert versions, "no Delta commit landed from the stream"
+    assert dl.last_txn_version(path, "stream-app") >= 0
+    ids = [r.id for r in dl.read_delta(spark, path).collect()]
+    assert len(ids) == len(set(ids)), "txn idempotence must prevent duplicates"
