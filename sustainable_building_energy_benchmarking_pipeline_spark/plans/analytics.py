@@ -731,20 +731,46 @@ ORDER BY day
 
 def q23_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day extraction + 2-key agg (F1 — the business-hours mode
-    logic, src/generate_hvac_data.py:38-46)."""
+    logic, src/generate_hvac_data.py:38-46).
+
+    The average is computed in INTEGER arithmetic end-to-end: double
+    SUM accumulates in partition order, which differs by an ulp between
+    engines, and ROUND(x, 4) amplifies that into a visible mismatch
+    whenever a group's mean lands on a rounding boundary (observed at
+    sf0.001: mean 54.77875 → 54.7787 vs 54.7788 — DuckDB rounds the
+    double's binary value, Spark HALF_UPs its shortest decimal repr).
+    ``value`` is exact cents (verified ≤4e-12 from value*100 across all
+    SFs, non-negative), so cents→bigint is lossless and
+    (200·Σcents + n) ÷ (2n) is the HALF_UP mean in 1e-4 units —
+    bit-identical on any engine."""
     ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         ev.groupBy(F.hour("ts").alias("hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("_s"))
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            (
+                F.expr("(200 * _s + n) DIV (2 * n)").cast("double") / 10000.0
+            ).alias("avg_value"),
+        )
         .orderBy("hour", "event_type")
     )
 
 
 Q23_SQL = """
-SELECT CAST(HOUR(ts) AS INTEGER) AS hour, event_type,
-       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
-FROM events
-GROUP BY 1, 2
+WITH g AS (
+  SELECT CAST(HOUR(ts) AS INTEGER) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour, event_type, n,
+       CAST((200 * s + n) // (2 * n) AS DOUBLE) / 10000.0 AS avg_value
+FROM g
 ORDER BY hour, event_type
 """
 

@@ -124,6 +124,20 @@ SELECT event_id, user_id,
 FROM events
 """
 
+SPARK_SQL["q23_hourly_profile"] = """
+WITH g AS (
+  SELECT CAST(HOUR(ts) AS INTEGER) AS hour, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour, event_type, n,
+       CAST((200 * s + n) DIV (2 * n) AS DOUBLE) / 10000.0 AS avg_value
+FROM g
+ORDER BY hour, event_type
+"""
+
 SPARK_SQL["q24_json_extract"] = """
 SELECT event_type,
        ROUND(AVG(CAST(get_json_object(props, '$.k') AS BIGINT)), 4) AS avg_k,

@@ -32,7 +32,7 @@ SPARK_PORTABLE = [
     "q13_semi_join", "q14_union_tag", "q15_topk_per_group",
     "q16_dedup_first", "q17_rolling_events", "q18_runs",
     "q20_percent_rank", "q21_sessionize", "q22_daily_counts",
-    "q23_hourly_profile", "q41_left_enrich", "q42_union_missing_columns",
+    "q41_left_enrich", "q42_union_missing_columns",
     "q43_session_windows", "q45_rollup_revenue", "q46_pivot_event_types",
     "q47_oscillation_window", "q48_custom_sort", "q55_latest_state_upsert",
     "q58_unpivot_melt", "q67_fuzzy_name_match", "q68_value_histogram",
