@@ -1,0 +1,81 @@
+"""Opt-in 10× stress tests (set SPARK_GRAFT_STRESS=1): replicate the
+sf0.1 tables to ~10× rows in a temp dir and drive the heavy operator
+families end-to-end. These are the "would it survive a scale-up"
+rehearsals behind the round-4 Arrow-transfer and bucket-cap work —
+too slow for the default suite (minutes), kept runnable on demand.
+
+Replica construction notes:
+- documents: per-replica suffix keeps each replica's internal near-dup
+  structure while making replicas near-dup OF EACH OTHER (3-gram sets
+  differ by ~2 shingles) — a duplicate-heavy corpus, the adversarial
+  posture for dedup_clusters' driver closure;
+- events: ids/users shifted into disjoint ranges — 10× independent
+  streams, the benign posture where window work shards cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.session import load_table
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_STRESS") != "1",
+    reason="10x stress suite is opt-in: SPARK_GRAFT_STRESS=1",
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def docs10x(spark, tmp_path_factory):
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path_factory.mktemp("stress") / "docs10x.parquet")
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica{i}")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(10)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    big.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_dedup_clusters_10x_duplicate_heavy(docs10x):
+    """~50k docs where every doc has ~10 near-identical replicas: the
+    pair graph is ~1000× the base corpus's. Must complete in bounded
+    time via the driver closure (pairs ≪ gate) and label every doc."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import dedup_clusters
+
+    t0 = time.perf_counter()
+    out = dedup_clusters(docs10x, threshold=0.5, num_hashes=32, bands=16)
+    n = out.count()
+    elapsed = time.perf_counter() - t0
+    assert n == docs10x.count()
+    assert elapsed < 120, f"10x dedup_clusters took {elapsed:.0f}s"
+    # replicas of one base doc must collapse into one cluster
+    reps = out.filter("is_rep").count()
+    assert reps < n / 5, f"only {n - reps} docs deduplicated of {n}"
+
+
+def test_minhash_pairs_10x_bounded(docs10x):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    t0 = time.perf_counter()
+    n_pairs = minhash_near_duplicates(
+        docs10x, threshold=0.5, num_hashes=32, bands=16, persist_shingles=False
+    ).count()
+    elapsed = time.perf_counter() - t0
+    assert n_pairs > 0
+    assert elapsed < 60, f"10x minhash took {elapsed:.0f}s"
