@@ -2047,11 +2047,14 @@ def q54_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query: the oracle asserts the exact values and that the sketch
     landed within tolerance (both engines see the same deterministic
     data, and Spark's sketches are deterministic for fixed input, so the
-    booleans are stable). HLL rsd 0.05, quantile accuracy 10⁴."""
+    booleans are stable). HLL rsd 0.01 so the 5% tolerance sits at ~5σ
+    of the sketch's error — rsd 0.05 made the flag a coin flip (it
+    actually came up False at sf0.1: estimate off by >5% is an
+    EXPECTED event at 1σ). Quantile accuracy 10⁴."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.agg(
         F.countDistinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id", 0.05).alias("_au"),
+        F.approx_count_distinct("user_id", 0.01).alias("_au"),
         F.expr("percentile(value, 0.5)").alias("_p50e"),
         F.expr("percentile_approx(value, 0.5, 10000)").alias("_p50a"),
         F.expr("percentile(value, 0.95)").alias("_p95e"),
