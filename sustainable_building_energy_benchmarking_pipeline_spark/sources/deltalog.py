@@ -68,9 +68,12 @@ def _read_actions(path: str, version: int) -> list[dict[str, Any]]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _replay(path: str, version: int | None) -> tuple[dict[str, dict], T.StructType]:
+def _replay(
+    path: str, version: int | None
+) -> tuple[dict[str, dict], T.StructType, list[str]]:
     """Replay the JSON log up to ``version`` (inclusive; default latest).
-    Returns (active add-actions by relative path, table schema)."""
+    Returns (active add-actions by relative path, table schema,
+    partition columns)."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
@@ -80,6 +83,7 @@ def _replay(path: str, version: int | None) -> tuple[dict[str, dict], T.StructTy
         raise ValueError(f"version {version} not in table history {versions}")
     active: dict[str, dict] = {}
     schema: T.StructType | None = None
+    partition_cols: list[str] = []
     for v in versions:
         if v > version:
             break
@@ -88,13 +92,53 @@ def _replay(path: str, version: int | None) -> tuple[dict[str, dict], T.StructTy
                 schema = T.StructType.fromJson(
                     json.loads(action["metaData"]["schemaString"])
                 )
+                partition_cols = list(action["metaData"].get("partitionColumns", []))
             elif "add" in action:
                 active[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
     if schema is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
-    return active, schema
+    return active, schema, partition_cols
+
+
+def _file_stats(file_path: str) -> str | None:
+    """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues)
+    from the parquet footer via pyarrow — zero data read. These power
+    log-level data skipping: a reader with a predicate drops files whose
+    [min, max] cannot satisfy it before Spark ever lists them."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(file_path).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:  # nested — out of the skipping subset
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+        return json.dumps(
+            {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+            default=str,
+        )
+    except Exception:
+        return None  # stats are an optimization, never a correctness gate
 
 
 def write_delta(
@@ -102,6 +146,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     extra_actions: list[dict[str, Any]] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -111,6 +156,12 @@ def write_delta(
     atomicity point, so readers can never observe a half-written commit
     and a concurrent writer of the same version loses with
     FileExistsError (retry = Delta's optimistic concurrency).
+
+    ``partition_by`` writes hive-layout partition directories whose
+    values are recorded as the add actions' ``partitionValues`` — the
+    log-level partition pruning real Delta readers use (see
+    ``read_delta(partition_filter=...)``); the column list is fixed at
+    table creation, as in Delta.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append or overwrite")
@@ -125,7 +176,7 @@ def write_delta(
         # differs spuriously between construction paths (spark.range
         # yields non-null, createDataFrame yields nullable) and a
         # nullable/non-null flip is not a data-incompatibility here.
-        _, table_schema = _replay(path, versions[-1])
+        _, table_schema, table_pcols = _replay(path, versions[-1])
         if [(f.name, f.dataType) for f in df.schema.fields] != [
             (f.name, f.dataType) for f in table_schema.fields
         ]:
@@ -134,30 +185,48 @@ def write_delta(
                 f"table={table_schema.simpleString()} "
                 f"df={df.schema.simpleString()}"
             )
+        if list(partition_by or []) != table_pcols:
+            raise ValueError(
+                f"partition columns fixed at table creation: "
+                f"table={table_pcols} write={list(partition_by or [])}"
+            )
 
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    df.write.mode("errorifexists").parquet(staging)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
     now_ms = int(time.time() * 1000)
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, name)
-        os.replace(src, os.path.join(path, name))  # part names are UUID-unique
-        adds.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, name)),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
+    for root, _dirs, files in os.walk(staging):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            # hive dirs like lang=en → the add action's partitionValues
+            pvals = dict(
+                part.split("=", 1)
+                for part in rel.split(os.sep)[:-1]
+                if "=" in part
+            )
+            dest = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root, name), dest)  # part names UUID-unique
+            add: dict[str, Any] = {
+                "path": rel,
+                "partitionValues": pvals,
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": True,
             }
-        )
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+            stats = _file_stats(dest)
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
+    import shutil
+
+    shutil.rmtree(staging)
 
     actions: list[dict[str, Any]] = []
     if version == 0:
@@ -170,14 +239,14 @@ def write_delta(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": now_ms,
                 }
             }
         )
     if mode == "overwrite" and version > 0:
-        prior_active, _ = _replay(path, versions[-1])
+        prior_active, _, _ = _replay(path, versions[-1])
         for rel in prior_active:
             actions.append(
                 {
@@ -219,18 +288,81 @@ def write_delta(
     return version
 
 
+_SKIP_OPS = {
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _may_satisfy(add: dict, where: tuple[str, str, Any]) -> bool:
+    """File-level data skipping on the add action's ``stats``: False only
+    when the file's [min, max] range PROVABLY cannot satisfy the
+    predicate. Missing/unparseable stats keep the file (skipping is an
+    optimization, never a correctness gate)."""
+    col, op, val = where
+    stats = add.get("stats")
+    if not stats or op not in _SKIP_OPS:
+        return True
+    try:
+        s = json.loads(stats)
+        lo, hi = s["minValues"][col], s["maxValues"][col]
+        return _SKIP_OPS[op](lo, hi, val)
+    except (KeyError, TypeError, ValueError):
+        return True
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, Any] | None = None,
+    where: tuple[str, str, Any] | None = None,
 ) -> DataFrame:
     """Snapshot read as of ``version`` (default latest). The file list
     comes from the log, never from directory listing — uncommitted
     part files (a crashed writer's leftovers) are invisible, exactly
-    Delta's isolation guarantee."""
-    active, schema = _replay(path, version)
+    Delta's isolation guarantee.
+
+    Two log-level pruning levers, applied before Spark sees a single
+    path (the 100 TB read shape — the scan plan only ever contains the
+    surviving files):
+    - ``partition_filter``: equality on partitionValues ({"lang": "en"})
+      — partition pruning;
+    - ``where``: one (col, op, value) predicate checked against each
+      file's footer-stats min/max — data skipping. Both conservative:
+      files without the needed metadata are kept. The same predicate
+      should still be applied to the returned DataFrame; pruning bounds
+      IO, it does not implement the filter.
+    """
+    active, schema, partition_cols = _replay(path, version)
+    if partition_filter:
+        unknown = set(partition_filter) - set(partition_cols)
+        if unknown:
+            raise ValueError(
+                f"not partition columns of this table: {sorted(unknown)}"
+            )
+        active = {
+            rel: a
+            for rel, a in active.items()
+            if all(
+                a.get("partitionValues", {}).get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        }
+    if where:
+        active = {rel: a for rel, a in active.items() if _may_satisfy(a, where)}
     if not active:
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in sorted(active)]
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if partition_cols:
+        # hive-layout partition columns materialize from the dir names;
+        # basePath anchors inference when an explicit file list is given
+        reader = reader.option("basePath", path)
+    return reader.parquet(*files)
 
 
 def last_txn_version(path: str, app_id: str) -> int:

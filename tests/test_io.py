@@ -431,3 +431,62 @@ def test_deltalog_streaming_sink(spark, tmp_path):
     assert dl.last_txn_version(path, "stream-app") >= 0
     ids = [r.id for r in dl.read_delta(spark, path).collect()]
     assert len(ids) == len(set(ids)), "txn idempotence must prevent duplicates"
+
+
+def test_deltalog_partitioned_pruning(spark, tmp_path):
+    """Partitioned Delta tables: hive-layout dirs, partitionValues in the
+    add actions, and log-level partition pruning that hands Spark ONLY
+    the surviving files."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dpart")
+    df = spark.createDataFrame(
+        [(1, "en", 10.0), (2, "en", 20.0), (3, "de", 30.0), (4, "fr", 40.0)],
+        "id long, lang string, v double",
+    )
+    dl.write_delta(df, path, partition_by=["lang"])
+    # full read reconstructs partition column values from dir names
+    back = dl.read_delta(spark, path)
+    assert {(r.id, r.lang) for r in back.collect()} == {
+        (1, "en"), (2, "en"), (3, "de"), (4, "fr")}
+    # pruned read: only en files reach Spark
+    en = dl.read_delta(spark, path, partition_filter={"lang": "en"})
+    assert {r.id for r in en.collect()} == {1, 2}
+    assert en.inputFiles() and all("lang=en" in f for f in en.inputFiles())
+    # unknown partition column is an error, not a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not partition columns"):
+        dl.read_delta(spark, path, partition_filter={"v": 10.0})
+    # partition columns are fixed at creation
+    with _pytest.raises(ValueError, match="partition columns fixed"):
+        dl.write_delta(df, path, mode="append")
+
+
+def test_deltalog_stats_data_skipping(spark, tmp_path):
+    """Footer-stats data skipping: add actions carry min/max per column
+    and a range predicate drops files that provably cannot match."""
+    import json as _json
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dskip")
+    # two commits → two disjoint id ranges in separate files
+    dl.write_delta(spark.range(0, 100).toDF("id").coalesce(1), path)
+    dl.write_delta(
+        spark.range(1000, 1100).toDF("id").coalesce(1), path, mode="append"
+    )
+    # stats recorded in the log
+    log1 = _os.path.join(path, "_delta_log", f"{1:020d}.json")
+    adds = [_json.loads(line)["add"] for line in open(log1)
+            if '"add"' in line]
+    st = _json.loads(adds[0]["stats"])
+    assert st["numRecords"] == 100
+    assert st["minValues"]["id"] == 1000 and st["maxValues"]["id"] == 1099
+    # a predicate that only the second file can satisfy reads ONE file
+    hi = dl.read_delta(spark, path, where=("id", ">=", 500))
+    assert len(hi.inputFiles()) == 1
+    assert hi.count() == 100
+    # conservative: an unknown column keeps every file
+    allf = dl.read_delta(spark, path, where=("nope", ">=", 1))
+    assert len(allf.inputFiles()) == 2
