@@ -269,12 +269,17 @@ def write_delta(
         }
     )
 
-    # durability THEN visibility: the payload is fully written and fsynced
-    # to a temp file first, and os.link publishes it as an atomic
-    # put-if-absent (EEXIST = a rival committed this version first). A
-    # writer killed mid-write leaves only an invisible temp file — a
-    # reader can never observe an empty/truncated commit, which creating
-    # the final file with O_EXCL and writing afterwards could not promise.
+    _commit(path, version, actions)
+    return version
+
+
+def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
+    """Durability THEN visibility: the payload is fully written and
+    fsynced to a temp file first, and os.link publishes it as an atomic
+    put-if-absent (EEXIST = a rival committed this version first). A
+    writer killed mid-write leaves only an invisible temp file — a
+    reader can never observe an empty/truncated commit, which creating
+    the final file with O_EXCL and writing afterwards could not promise."""
     payload = "".join(json.dumps(a) + "\n" for a in actions)
     tmp = os.path.join(_log_dir(path), f".{version:020d}-{uuid.uuid4().hex}.tmp")
     with open(tmp, "wb") as f:
@@ -285,7 +290,6 @@ def write_delta(
         os.link(tmp, _commit_file(path, version))
     finally:
         os.remove(tmp)
-    return version
 
 
 _SKIP_OPS = {
@@ -363,6 +367,87 @@ def read_delta(
         # basePath anchors inference when an explicit file list is given
         reader = reader.option("basePath", path)
     return reader.parquet(*files)
+
+
+def merge_delta(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> int:
+    """UPSERT (MERGE): rows in ``updates`` replace same-``key`` rows and
+    new keys append — Delta's ``MERGE WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT`` for whole-row updates.
+
+    Scale shape — file-targeted rewrite, the real Delta optimization:
+    the updates' [min, max] key range (one tiny driver aggregate) is
+    checked against each active file's footer-stats range, and ONLY
+    intersecting files are read, anti-joined and rewritten; everything
+    else is untouched log-wise and data-wise. A merge touching 1% of
+    the key space rewrites ~1% of the table instead of all of it.
+    Commit = remove(affected) + add(rewritten ∪ updates), atomic like
+    any other commit. Returns the committed version."""
+    versions = _list_versions(path)
+    if not versions:
+        return write_delta(updates, path, mode="append")
+    active, schema, partition_cols = _replay(path, versions[-1])
+    if partition_cols:
+        raise ValueError("merge_delta supports unpartitioned tables")
+
+    from pyspark.sql import functions as F
+
+    lo, hi = updates.agg(F.min(key), F.max(key)).first()
+    affected = {
+        rel: a
+        for rel, a in active.items()
+        if _may_satisfy(a, (key, ">=", lo)) and _may_satisfy(a, (key, "<=", hi))
+    }
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+        for rel in affected
+    ]
+    if affected:
+        files = [os.path.join(path, rel) for rel in sorted(affected)]
+        old = spark.read.schema(schema).parquet(*files)
+        kept = old.join(updates.select(key), on=key, how="left_anti")
+        new_data = kept.unionByName(updates)
+    else:
+        new_data = updates
+
+    # stage+move exactly like write_delta, then commit removes+adds in one
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    new_data.write.mode("errorifexists").parquet(staging)
+    for root, _dirs, files_ in os.walk(staging):
+        for name in sorted(files_):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(path, name)
+            os.replace(os.path.join(root, name), dest)
+            add: dict[str, Any] = {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            stats = _file_stats(dest)
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
+    import shutil
+
+    shutil.rmtree(staging)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"key": key},
+            }
+        }
+    )
+    version = versions[-1] + 1
+    _commit(path, version, actions)
+    return version
 
 
 def last_txn_version(path: str, app_id: str) -> int:

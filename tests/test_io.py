@@ -490,3 +490,39 @@ def test_deltalog_stats_data_skipping(spark, tmp_path):
     # conservative: an unknown column keeps every file
     allf = dl.read_delta(spark, path, where=("nope", ">=", 1))
     assert len(allf.inputFiles()) == 2
+
+
+def test_deltalog_merge_file_targeted(spark, tmp_path):
+    """MERGE rewrites only files whose footer-stats key range intersects
+    the updates: the low-range file survives untouched; upsert semantics
+    (matched keys replaced, new keys inserted) hold."""
+    import json as _json
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dmerge")
+    mk = lambda lo, hi, v: spark.range(lo, hi).selectExpr("id", f"{v}D AS v").coalesce(1)  # noqa: E731
+    dl.write_delta(mk(0, 100, 1.0), path)                       # v0: ids 0-99
+    dl.write_delta(mk(1000, 1100, 1.0), path, mode="append")    # v1: ids 1000-1099
+    low_file = _json.loads(
+        [line for line in open(_os.path.join(path, "_delta_log", f"{0:020d}.json"))
+         if '"add"' in line][0]
+    )["add"]["path"]
+
+    updates = spark.createDataFrame(
+        [(1050, 9.0), (2000, 9.0)], "id long, v double"
+    )
+    v = dl.merge_delta(spark, path, updates, key="id")
+    assert v == 2
+    out = {r.id: r.v for r in dl.read_delta(spark, path).collect()}
+    assert len(out) == 201                       # 100 + 100 + 1 new
+    assert out[1050] == 9.0 and out[2000] == 9.0  # updated + inserted
+    assert out[0] == 1.0 and out[1000] == 1.0     # untouched rows intact
+    # the low-range file must NOT have been rewritten
+    acts = [_json.loads(line) for line in
+            open(_os.path.join(path, "_delta_log", f"{2:020d}.json"))]
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert low_file not in removed
+    assert removed, "the intersecting high-range file must be rewritten"
+    assert any(a.get("commitInfo", {}).get("operation") == "MERGE" for a in acts)
