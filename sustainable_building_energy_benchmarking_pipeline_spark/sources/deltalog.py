@@ -504,6 +504,95 @@ def stream_to_delta(stream_df: DataFrame, path: str, app_id: str, **options: Any
     )
 
 
+def vacuum_delta(path: str, retain_hours: float = 168.0) -> list[str]:
+    """VACUUM: delete data files no longer referenced by the CURRENT
+    snapshot and older than the retention window — removed-by-overwrite
+    files, crashed-writer orphans, abandoned staging. Like Delta's,
+    this breaks time travel to versions whose files it deletes; the
+    default 7-day retention is Delta's. Returns deleted paths."""
+    active, _, _ = _replay(path, None)
+    keep = {os.path.normpath(rel) for rel in active}
+    cutoff = time.time() - retain_hours * 3600.0
+    deleted: list[str] = []
+    for root, dirs, files in os.walk(path, topdown=True):
+        dirs[:] = [d for d in dirs if d != _LOG_DIR]
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.normpath(os.path.relpath(full, path))
+            if rel in keep or not name.endswith(".parquet"):
+                continue
+            if os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+                deleted.append(rel)
+    # prune now-empty partition dirs (bottom-up)
+    for root, dirs, files in os.walk(path, topdown=False):
+        if root != path and not dirs and not files:
+            os.rmdir(root)
+    return sorted(deleted)
+
+
+def optimize_delta(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int | None:
+    """OPTIMIZE (bin-packing compaction): rewrite the current snapshot's
+    many small files into ``target_files`` larger ones. The commit's
+    adds/removes carry ``dataChange: false`` per the Delta spec — the
+    table's CONTENT is unchanged, so streaming readers skip the commit.
+    Returns the committed version, or None when there is nothing to do.
+    (Unpartitioned tables; partitioned compaction would bin-pack within
+    each partition.)"""
+    versions = _list_versions(path)
+    if not versions:
+        return None
+    active, schema, partition_cols = _replay(path, versions[-1])
+    if partition_cols:
+        raise ValueError("optimize_delta supports unpartitioned tables")
+    if len(active) <= target_files:
+        return None
+    files = [os.path.join(path, rel) for rel in sorted(active)]
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
+        for rel in active
+    ]
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    spark.read.schema(schema).parquet(*files).coalesce(target_files).write.mode(
+        "errorifexists"
+    ).parquet(staging)
+    for root, _dirs, files_ in os.walk(staging):
+        for name in sorted(files_):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(path, name)
+            os.replace(os.path.join(root, name), dest)
+            add: dict[str, Any] = {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": False,
+            }
+            stats = _file_stats(dest)
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
+    import shutil
+
+    shutil.rmtree(staging)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFiles": target_files},
+            }
+        }
+    )
+    version = versions[-1] + 1
+    _commit(path, version, actions)
+    return version
+
+
 def delta_history(path: str) -> list[dict[str, Any]]:
     """DESCRIBE HISTORY parity: one entry per version with timestamp,
     operation and mode. (JSON-log replay only; checkpointed histories —

@@ -526,3 +526,39 @@ def test_deltalog_merge_file_targeted(spark, tmp_path):
     assert low_file not in removed
     assert removed, "the intersecting high-range file must be rewritten"
     assert any(a.get("commitInfo", {}).get("operation") == "MERGE" for a in acts)
+
+
+def test_deltalog_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts the snapshot into fewer files with
+    dataChange=false; VACUUM then deletes the unreferenced originals
+    (retention 0 for the test) while the current snapshot stays intact."""
+    import json as _json
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dopt")
+    for i in range(4):  # four small files across four commits
+        dl.write_delta(
+            spark.range(i * 10, i * 10 + 10).toDF("id").coalesce(1),
+            path, mode="append",
+        )
+    assert len(dl.read_delta(spark, path).inputFiles()) == 4
+
+    v = dl.optimize_delta(spark, path, target_files=1)
+    assert v == 4
+    assert len(dl.read_delta(spark, path).inputFiles()) == 1
+    assert dl.read_delta(spark, path).count() == 40  # content unchanged
+    acts = [_json.loads(line) for line in
+            open(_os.path.join(path, "_delta_log", f"{4:020d}.json"))]
+    assert all(a["add"]["dataChange"] is False for a in acts if "add" in a)
+    # idempotent: already compact → no-op
+    assert dl.optimize_delta(spark, path, target_files=1) is None
+
+    # vacuum deletes the 4 unreferenced originals; snapshot still reads
+    deleted = dl.vacuum_delta(path, retain_hours=0.0)
+    assert len(deleted) == 4
+    assert dl.read_delta(spark, path).count() == 40
+    # time travel to pre-optimize versions is now broken — documented
+    with pytest.raises(Exception):
+        dl.read_delta(spark, path, version=3).count()
