@@ -444,7 +444,10 @@ def blocked_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    _slab: int = 1 << 17,
+) -> DataFrame:
     """64-bit SimHash per document: JVM-side token hashing (sha2-256 via
     transform — codegen, no Python string work; the leading 64 bits of
     the digest are the token hash), then a vectorized Pandas UDF for the
@@ -494,14 +497,31 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         nibbles = lut[ascii_mat]  # (total, 16)
         shifts = (np.uint64(4) * np.arange(15, -1, -1, dtype=np.uint64))[None, :]
         hashes = (nibbles << shifts).sum(axis=1, dtype=np.uint64)  # (total,)
-        pm = (
-            2 * ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-            - 1
-        )  # (total, 64) of ±1
         nz = lens > 0
-        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
-        np.cumsum(lens[nz][:-1], out=offsets[1:])
-        votes = np.add.reduceat(pm, offsets, axis=0)  # (nz_docs, 64)
+        n_nz = int(nz.sum())
+        # doc start offsets into the flat token axis (strictly increasing
+        # since nz docs have >=1 token); bounds[i] = first token of doc i
+        bounds = np.zeros(n_nz + 1, dtype=np.int64)
+        np.cumsum(lens[nz], out=bounds[1:])
+        # bit-expand in fixed-size token slabs: the whole-batch (total, 64)
+        # ±1 matrix is ~12 B × 64 per token — a 10k-row batch of ~1k-token
+        # docs would transiently allocate multiple GB in one worker. Each
+        # slab's per-doc partial sums (np.add.reduceat over slab-local doc
+        # starts) accumulate into the votes matrix, so peak extra memory is
+        # bounded by the slab (~100 MB) regardless of batch shape.
+        votes = np.zeros((n_nz, 64), dtype=np.int64)
+        lanes = np.arange(64, dtype=np.uint64)
+        slab = _slab  # parameterized so tests can force slab-boundary crossings
+        for s in range(0, int(total), slab):
+            e = min(int(total), s + slab)
+            pm = (
+                2 * ((hashes[s:e, None] >> lanes) & np.uint64(1)).astype(np.int32)
+                - 1
+            )  # (slab, 64) of ±1
+            first = int(np.searchsorted(bounds, s, side="right")) - 1
+            last = int(np.searchsorted(bounds, e, side="left")) - 1
+            local = np.maximum(bounds[first : last + 1], s) - s
+            votes[first : last + 1] += np.add.reduceat(pm, local, axis=0)
         powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
         sims = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(
             axis=1, dtype=np.uint64

@@ -127,9 +127,16 @@ def extract_image_features(
                 content = r["content"]
                 meta = r["meta"]
                 if not fake:
-                    # real decode path (raises when no codec is installed)
-                    pixels = _decode_image_real(content, meta).ravel()
-                    arr = pixels if pixels.size else np.zeros(1)
+                    if content is None or len(content) == 0:
+                        # failed-ingest rows carry NULL/empty content; PIL
+                        # would die with an opaque TypeError for the whole
+                        # stage — treat as a zero-pixel image instead,
+                        # mirroring the fake path's `content or b""` guard
+                        arr = np.zeros(1)
+                    else:
+                        # real decode path (raises when no codec is installed)
+                        pixels = _decode_image_real(content, meta).ravel()
+                        arr = pixels if pixels.size else np.zeros(1)
                 else:
                     # deterministic fake decode: pixels from payload digest
                     digest = hashlib.sha256(bytes(content or b"")).digest()

@@ -393,9 +393,13 @@ ORDER BY purchase_id
 
 # q50: DuckDB's WITH RECURSIVE closure → unrolled min-label propagation.
 # Spark 4 recursive CTEs require UNION ALL (the cyclic closure graph would
-# not terminate), so propagate min labels a fixed 4 rounds instead —
-# near-dup graphs are unions of near-cliques (diameter ≤ ~3); the parity
-# test fails loudly if the fixture ever needs more rounds.
+# not terminate), so propagate min labels a fixed 6 rounds instead —
+# near-dup graphs are unions of near-cliques (diameter ≤ ~3). A graph
+# needing MORE rounds (a long chain of pairwise near-dups) must fail
+# LOUDLY, not return intermediate labels as if converged: the `chk` CTE
+# compares rounds 5 and 6 and raises through assert_true when any label
+# is still moving, directing the user to the DataFrame path
+# (dedup_clusters iterates to true convergence).
 SPARK_SQL["q50_dedup_clusters"] = f"""
 WITH d AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -428,11 +432,24 @@ WITH d AS (
   SELECT e.u, MIN(l1.lbl) AS lbl FROM e JOIN l1 ON e.v = l1.u GROUP BY e.u
 ), l3 AS (
   SELECT e.u, MIN(l2.lbl) AS lbl FROM e JOIN l2 ON e.v = l2.u GROUP BY e.u
+), l4 AS (
+  SELECT e.u, MIN(l3.lbl) AS lbl FROM e JOIN l3 ON e.v = l3.u GROUP BY e.u
+), l5 AS (
+  SELECT e.u, MIN(l4.lbl) AS lbl FROM e JOIN l4 ON e.v = l4.u GROUP BY e.u
+), l6 AS (
+  SELECT e.u, MIN(l5.lbl) AS lbl FROM e JOIN l5 ON e.v = l5.u GROUP BY e.u
+), chk AS (
+  SELECT COALESCE(assert_true(
+           COUNT(*) = 0,
+           'q50 SQL surface: min-label propagation not converged within 6 rounds (near-dup graph diameter too large for the unrolled SQL form); use dedup_clusters, which iterates to convergence'
+         ), CAST(0 AS BIGINT)) AS zero
+  FROM l5 JOIN l6 ON l5.u = l6.u
+  WHERE l5.lbl <> l6.lbl
 )
 SELECT doc_id,
-       COALESCE(l3.lbl, doc_id) AS cluster_rep,
-       doc_id = COALESCE(l3.lbl, doc_id) AS is_rep
-FROM documents LEFT JOIN l3 ON documents.doc_id = l3.u
+       COALESCE(l6.lbl, doc_id) + (SELECT zero FROM chk) AS cluster_rep,
+       doc_id = COALESCE(l6.lbl, doc_id) + (SELECT zero FROM chk) AS is_rep
+FROM documents LEFT JOIN l6 ON documents.doc_id = l6.u
 """
 
 SPARK_SQL["q51_bm25_search"] = f"""

@@ -34,6 +34,7 @@ import os
 import time
 import uuid
 from typing import Any
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -63,9 +64,30 @@ def _list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+# Parsed-commit cache. Commit JSONs are immutable once published (the
+# put-if-absent ``_commit``), so parse results are cached keyed by
+# (abspath, mtime_ns, size) — a table recreated at the same path gets a
+# different key. Without this, every streaming micro-batch re-opens and
+# re-parses the WHOLE log twice (last_txn_version + write_delta's
+# schema-enforcement replay): O(V) file reads per batch, O(V²) over a
+# stream's lifetime. With it, replay after the first is dict lookups +
+# one stat per commit. Callers must treat returned actions as read-only.
+_ACTION_CACHE: dict[tuple[str, int, int], list[dict[str, Any]]] = {}
+_ACTION_CACHE_MAX = 8192
+
+
 def _read_actions(path: str, version: int) -> list[dict[str, Any]]:
-    with open(_commit_file(path, version)) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    f = _commit_file(path, version)
+    st = os.stat(f)
+    key = (os.path.abspath(f), st.st_mtime_ns, st.st_size)
+    hit = _ACTION_CACHE.get(key)
+    if hit is None:
+        with open(f) as fh:
+            hit = [json.loads(line) for line in fh if line.strip()]
+        if len(_ACTION_CACHE) >= _ACTION_CACHE_MAX:
+            _ACTION_CACHE.pop(next(iter(_ACTION_CACHE)))
+        _ACTION_CACHE[key] = hit
+    return hit
 
 
 def _replay(
@@ -113,6 +135,13 @@ def _file_stats(file_path: str) -> str | None:
         md = pq.ParquetFile(file_path).metadata
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
+        # a column's range is only trustworthy if EVERY row group
+        # contributed min/max — a stats-less row group (e.g. NaN-bearing
+        # doubles, undecodable binary) may hold values outside the range
+        # of the groups that did report, and a falsely-narrow range makes
+        # data skipping (and MERGE's affected-file targeting) drop files
+        # that DO contain matching rows
+        covered: dict[str, int] = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -129,10 +158,14 @@ def _file_stats(file_path: str) -> str | None:
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
                         continue
+                covered[name] = covered.get(name, 0) + 1
                 if name not in mins or mn < mins[name]:
                     mins[name] = mn
                 if name not in maxs or mx > maxs[name]:
                     maxs[name] = mx
+        full = {c for c, n in covered.items() if n == md.num_row_groups}
+        mins = {c: v for c, v in mins.items() if c in full}
+        maxs = {c: v for c, v in maxs.items() if c in full}
         return json.dumps(
             {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
             default=str,
@@ -204,12 +237,20 @@ def write_delta(
                 continue
             rel_dir = os.path.relpath(root, staging)
             rel = name if rel_dir == "." else os.path.join(rel_dir, name)
-            # hive dirs like lang=en → the add action's partitionValues
-            pvals = dict(
-                part.split("=", 1)
-                for part in rel.split(os.sep)[:-1]
-                if "=" in part
-            )
+            # hive dirs like lang=en → the add action's partitionValues.
+            # Spark %-escapes special chars in dir names (lang=pt:BR →
+            # lang=pt%3ABR) and writes nulls as __HIVE_DEFAULT_PARTITION__;
+            # the log must store the LOGICAL values (unescaped, null) as
+            # real Delta does, or partition_filter comparisons (and
+            # delta-rs/delta-spark interop) silently match nothing.
+            pvals = {
+                k: (None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw))
+                for k, raw in (
+                    part.split("=", 1)
+                    for part in rel.split(os.sep)[:-1]
+                    if "=" in part
+                )
+            }
             dest = os.path.join(path, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(os.path.join(root, name), dest)  # part names UUID-unique
@@ -348,11 +389,15 @@ def read_delta(
             raise ValueError(
                 f"not partition columns of this table: {sorted(unknown)}"
             )
+        # partitionValues hold LOGICAL values (unescaped strings, None
+        # for null) — compare against the caller's value stringified the
+        # same way the hive layout did, None matching null partitions
         active = {
             rel: a
             for rel, a in active.items()
             if all(
-                a.get("partitionValues", {}).get(k) == str(v)
+                a.get("partitionValues", {}).get(k)
+                == (None if v is None else str(v))
                 for k, v in partition_filter.items()
             )
         }
@@ -394,6 +439,12 @@ def merge_delta(
     from pyspark.sql import functions as F
 
     lo, hi = updates.agg(F.min(key), F.max(key)).first()
+    if lo is None:
+        # empty updates (or all-null keys): nothing can match or insert.
+        # Without this guard the None range makes _may_satisfy's
+        # TypeError handler mark EVERY file affected — a full-table
+        # rewrite plus a spurious version for a no-op merge.
+        return versions[-1]
     affected = {
         rel: a
         for rel, a in active.items()
@@ -504,12 +555,29 @@ def stream_to_delta(stream_df: DataFrame, path: str, app_id: str, **options: Any
     )
 
 
-def vacuum_delta(path: str, retain_hours: float = 168.0) -> list[str]:
+def vacuum_delta(
+    path: str, retain_hours: float = 168.0, force: bool = False
+) -> list[str]:
     """VACUUM: delete data files no longer referenced by the CURRENT
     snapshot and older than the retention window — removed-by-overwrite
     files, crashed-writer orphans, abandoned staging. Like Delta's,
     this breaks time travel to versions whose files it deletes; the
-    default 7-day retention is Delta's. Returns deleted paths."""
+    default 7-day retention is Delta's. Returns deleted paths.
+
+    The keep-set is the current snapshot only, so a retention shorter
+    than the longest in-flight write is UNSAFE: a concurrent writer's
+    part files are moved into the table root before its commit publishes,
+    and a zero-retention vacuum in that window deletes them — the commit
+    then references missing files. Mirroring Delta's
+    retentionDurationCheck, retentions under 1 h are refused unless
+    ``force=True`` (tests / single-writer maintenance windows only)."""
+    if retain_hours < 1.0 and not force:
+        raise ValueError(
+            f"retain_hours={retain_hours} is below the 1 h safety floor: "
+            "files of a not-yet-committed concurrent write would be "
+            "deleted, corrupting its commit. Pass force=True only when "
+            "no writer can be in flight."
+        )
     active, _, _ = _replay(path, None)
     keep = {os.path.normpath(rel) for rel in active}
     cutoff = time.time() - retain_hours * 3600.0

@@ -372,3 +372,26 @@ def test_ngram_decontaminate_flags_planted_overlap(spark):
     assert 1 in rows and rows[1].contaminated  # 4 shared 5-grams >= 3
     assert rows[1].n_shared == 4
     assert 2 not in rows
+
+
+def test_simhash_slab_boundary_invariant(spark):
+    """The bit-vote kernel accumulates per-doc votes across fixed-size
+    token slabs (bounded executor memory on long-document batches); the
+    signatures must be identical whatever the slab size, including slabs
+    far smaller than a document."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import simhash64
+
+    rows = [
+        (0, " ".join(f"tok{i % 37}" for i in range(200))),
+        (1, " ".join(f"w{i}" for i in range(150))),
+        (2, "short doc"),
+        (3, None),
+        (4, ""),
+        (5, " ".join(f"x{i % 11}" for i in range(64))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    big = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    # slab of 7 tokens: every document spans many slabs, and slab
+    # boundaries fall mid-document at arbitrary offsets
+    tiny = {r["id"]: r["simhash"] for r in simhash64(df, _slab=7).collect()}
+    assert big == tiny

@@ -555,10 +555,89 @@ def test_deltalog_optimize_and_vacuum(spark, tmp_path):
     # idempotent: already compact → no-op
     assert dl.optimize_delta(spark, path, target_files=1) is None
 
+    # sub-hour retention without force is refused (it could delete a
+    # concurrent in-flight writer's already-moved part files)
+    with pytest.raises(ValueError, match="safety floor"):
+        dl.vacuum_delta(path, retain_hours=0.0)
     # vacuum deletes the 4 unreferenced originals; snapshot still reads
-    deleted = dl.vacuum_delta(path, retain_hours=0.0)
+    deleted = dl.vacuum_delta(path, retain_hours=0.0, force=True)
     assert len(deleted) == 4
     assert dl.read_delta(spark, path).count() == 40
     # time travel to pre-optimize versions is now broken — documented
     with pytest.raises(Exception):
         dl.read_delta(spark, path, version=3).count()
+
+
+def test_deltalog_partition_values_unescaped(spark, tmp_path):
+    """Hive layout %-escapes special chars in dir names (lang=pt:BR →
+    lang=pt%3ABR) and writes nulls as __HIVE_DEFAULT_PARTITION__; the log
+    must record the LOGICAL values (unescaped / None) or
+    partition_filter comparisons silently match nothing."""
+    import json as _json
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "desc")
+    df = spark.createDataFrame(
+        [(1, "pt:BR"), (2, "en"), (3, None)], "id long, lang string"
+    )
+    dl.write_delta(df, path, partition_by=["lang"])
+    acts = [_json.loads(line) for line in
+            open(_os.path.join(path, "_delta_log", f"{0:020d}.json"))]
+    pvals = {a["add"]["partitionValues"]["lang"] for a in acts if "add" in a}
+    assert pvals == {"pt:BR", "en", None}
+
+    got = dl.read_delta(spark, path, partition_filter={"lang": "pt:BR"})
+    assert [r["id"] for r in got.collect()] == [1]
+    got_null = dl.read_delta(spark, path, partition_filter={"lang": None})
+    assert [r["id"] for r in got_null.collect()] == [3]
+
+
+def test_deltalog_stats_require_full_rowgroup_coverage(tmp_path):
+    """A column whose min/max is missing from SOME row group (NaN-bearing
+    doubles: parquet writers omit stats) must not be reported at all —
+    a falsely-narrow range would make data skipping (and MERGE's
+    affected-file targeting) silently drop files holding matching rows."""
+    import json as _json
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    f = str(tmp_path / "nanstats.parquet")
+    # row group 1: v in [0, 10]; row group 2: NaN (no stats) + 500..600
+    t = pa.table({"v": pa.array([0.0, 10.0, math.nan, 500.0, 600.0])})
+    pq.write_table(t, f, row_group_size=2)
+    md = pq.ParquetFile(f).metadata
+    assert md.num_row_groups >= 2  # precondition: multiple groups
+    covered = [
+        md.row_group(rg).column(0).statistics is not None
+        and md.row_group(rg).column(0).statistics.has_min_max
+        for rg in range(md.num_row_groups)
+    ]
+    if all(covered):
+        # this parquet writer reports stats even for NaN groups — the
+        # narrowing hazard can't occur here; assert the full range instead
+        s = _json.loads(dl._file_stats(f))
+        assert s["maxValues"]["v"] >= 500.0
+    else:
+        s = _json.loads(dl._file_stats(f))
+        assert "v" not in s["minValues"] and "v" not in s["maxValues"]
+        assert s["numRecords"] == 5
+
+
+def test_deltalog_merge_empty_updates_noop(spark, tmp_path):
+    """MERGE with zero update rows must not rewrite the table (the None
+    key range would otherwise mark every file affected)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dempty")
+    dl.write_delta(spark.range(10).toDF("id"), path)
+    before = sorted(dl.read_delta(spark, path).inputFiles())
+    empty = spark.range(0).toDF("id")
+    v = dl.merge_delta(spark, path, empty, key="id")
+    assert v == 0  # no new version committed
+    assert sorted(dl.read_delta(spark, path).inputFiles()) == before

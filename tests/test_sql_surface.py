@@ -75,3 +75,25 @@ def test_sql_frontend_matches_dataframe(spark, name):
     a = normalize_result(df_api.columns, [tuple(r) for r in df_api.collect()])
     b = normalize_result(sql_api.columns, [tuple(r) for r in sql_api.collect()])
     assert a == b, f"{name}: SQL front-end diverges from DataFrame plan"
+
+
+def test_q50_sql_raises_on_deep_chain(spark):
+    """The unrolled 6-round propagation must fail LOUDLY (assert_true
+    sentinel riding the output expressions — a detached check gets
+    optimizer-pruned) when the near-dup graph's diameter exceeds the
+    rounds, instead of returning intermediate labels as converged."""
+    words = [f"w{j}" for j in range(60)]
+    rows = [
+        (i, " ".join(words[i * 2 : i * 2 + 10]), "en", "s", 30)
+        for i in range(20)  # path graph: doc i ~ doc i+1 only, diameter 19
+    ]
+    chain = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    prior = spark.table("documents")
+    chain.createOrReplaceTempView("documents")
+    try:
+        with pytest.raises(Exception, match="not converged within 6 rounds"):
+            spark.sql(SPARK_SQL["q50_dedup_clusters"]).collect()
+    finally:
+        prior.createOrReplaceTempView("documents")
