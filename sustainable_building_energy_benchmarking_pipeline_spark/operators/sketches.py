@@ -1,0 +1,238 @@
+"""Sketch operators for 100 TB training-data pipelines: a distributed
+Bloom filter (the incremental cross-run dedup primitive) and exact heavy
+hitters through a mergeable frequent-items sketch.
+
+Scale design:
+- The Bloom filter is built with ONE pass over the corpus — per-partition
+  bitmaps OR-combined — and shipped as a broadcast of a few MB, so an
+  incremental batch can be deduped against billions of historical keys
+  without joining the history at all for the (overwhelming) majority of
+  definitely-new rows; only bloom-positive rows reach the exact join.
+- Heavy hitters uses Spark's built-in ``approx_top_k`` (DataSketches
+  frequent-items, JVM-side, mergeable, one shuffle of sketch bytes) for
+  candidates, then recounts ONLY the candidate set exactly — never a full
+  groupBy over all distinct values.
+
+No equivalent exists in the reference pipeline (its pandas scale never
+needs them); these are the engine-native additions for corpus-scale work,
+alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# two fixed xxhash64 seeds -> double hashing h_i = h1 + i*h2 (Kirsch &
+# Mitzenmacher: k independent-enough probe positions from two hashes)
+_SEED_A = 0x51_7CC1B7
+_SEED_B = 0x2545F491
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable Bloom filter state: ``m`` bits in a packed bytearray,
+    ``k`` probes per key. Positions come from Spark-side xxhash64 pairs,
+    so build and membership agree across JVM/Python and across runs."""
+
+    bits: bytes
+    m: int
+    k: int
+
+    @property
+    def fill_ratio(self) -> float:
+        arr = np.frombuffer(self.bits, dtype=np.uint8)
+        return float(np.unpackbits(arr).sum()) / self.m
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership for arrays of the two base hashes."""
+        arr = np.frombuffer(self.bits, dtype=np.uint8)
+        m = np.uint64(self.m)
+        out = np.ones(len(h1), dtype=bool)
+        a = h1.astype(np.int64).view(np.uint64)
+        b = h2.astype(np.int64).view(np.uint64)
+        for i in range(self.k):
+            pos = (a + np.uint64(i) * b) % m
+            out &= (arr[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return out
+
+
+def _hash_pair(col: Column) -> tuple[Column, Column]:
+    """The two JVM-side base hashes; strings/ints/binary all hash
+    natively. Null keys hash like any other value (a dedicated slot)."""
+    return F.xxhash64(col, F.lit(_SEED_A)), F.xxhash64(col, F.lit(_SEED_B))
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int | None = None,
+    fp_rate: float = 0.01,
+) -> BloomFilter:
+    """One-pass distributed Bloom filter over ``df[col]``.
+
+    Sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — the textbook optimum.
+    Each partition builds a local m-bit bitmap from JVM-computed hash
+    pairs (Python only does vectorized modular arithmetic), yields one
+    binary row, and the driver ORs them — an associative combine, so at
+    cluster scale the same kernel rides treeAggregate; here the driver
+    OR over one bitmap per partition is the bounded collect (m/8 bytes
+    each, ~1.2 MB at n=10⁶, p=1%).
+    """
+    if expected_items is None:
+        expected_items = df.count()
+    n = max(1, expected_items)
+    m = max(64, int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8  # whole bytes
+    k = max(1, round(m / n * math.log(2)))
+    m8 = m // 8
+    mm = np.uint64(m)
+    kk = k
+
+    h1, h2 = _hash_pair(F.col(col))
+    hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
+
+    def _partition_bitmap(it):
+        local = np.zeros(m8, dtype=np.uint8)
+        bit_lut = (np.uint8(1) << np.arange(8, dtype=np.uint8))
+        for pdf in it:
+            a = pdf["_h1"].to_numpy(np.int64).view(np.uint64)
+            b = pdf["_h2"].to_numpy(np.int64).view(np.uint64)
+            for i in range(kk):
+                pos = (a + np.uint64(i) * b) % mm
+                np.bitwise_or.at(
+                    local,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    bit_lut[(pos & np.uint64(7)).astype(np.int64)],
+                )
+        yield pd.DataFrame({"bits": [local.tobytes()]})
+
+    parts = hashed.mapInPandas(_partition_bitmap, "bits binary").collect()
+    acc = np.zeros(m8, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return BloomFilter(bits=acc.tobytes(), m=m, k=k)
+
+
+def bloom_membership(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
+    """``df`` plus a boolean ``_bloom_hit`` column. The filter bytes ride
+    a real Spark broadcast (one copy per executor, not per task); the
+    Python side is a vectorized Pandas UDF over the two JVM hashes."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((bloom.bits, bloom.m, bloom.k))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _member(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits, m, k = bc.value
+        bf = BloomFilter(bits=bits, m=m, k=k)
+        return pd.Series(bf.contains(h1.to_numpy(np.int64), h2.to_numpy(np.int64)))
+
+    a, b = _hash_pair(F.col(col))
+    return df.withColumn("_bloom_hit", _member(a, b))
+
+
+def bloom_incremental_dedup(
+    history: DataFrame, batch: DataFrame, col: str, bloom: BloomFilter | None = None
+) -> DataFrame:
+    """EXACT incremental dedup of ``batch`` against ``history`` with a
+    Bloom pre-filter: the deterministic keep-set (batch keys absent from
+    history) of an anti-join, at a fraction of its cost.
+
+    Shape: bloom-negative rows are DEFINITELY new — no false negatives —
+    and skip the join entirely; only the bloom-positive sliver (true
+    dups + ~fp_rate of the new rows) is anti-joined against history.
+    With 1% FP and a mostly-new batch, the join input shrinks ~100×;
+    the history side still prunes/pushes down normally. Result equality
+    with the plain anti-join is independent of the filter's FP rate —
+    the bloom only routes rows, never decides them.
+
+    Pass a prebuilt ``bloom`` (e.g. maintained across a run ledger) or
+    let it build one from ``history``.
+    """
+    if bloom is None:
+        bloom = build_bloom(history, col)
+    flagged = bloom_membership(batch, col, bloom)
+    definitely_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
+    maybe_dup = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    verified_new = maybe_dup.join(
+        history.select(F.col(col)).distinct(), on=col, how="left_anti"
+    )
+    return definitely_new.unionByName(verified_new)
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, max_items_tracked: int = 4096
+) -> DataFrame:
+    """EXACT top-``k`` most frequent values of ``df[col]`` without a full
+    distinct-value aggregation: ``approx_top_k`` (DataSketches
+    frequent-items — one pass, mergeable sketch bytes on the shuffle)
+    nominates ``4k`` candidates, a broadcast semi-join recounts ONLY
+    those exactly, and the guard column proves the sketch could not have
+    missed a true top-k item: the k-th exact count must exceed
+    3.5·N/max_items_tracked (the sketch's published error bound); below
+    that the plan RAISES via assert_true instead of returning a silently
+    approximate answer. Output: (value, cnt), count-desc / value-asc.
+
+    Scale: the full data is touched twice (sketch pass + recount pass
+    filtered to ≤4k candidate values via broadcast join); distinct-value
+    cardinality never hits a shuffle.
+    """
+    cand = (
+        df.select(F.explode(F.expr(
+            f"approx_top_k({col}, {4 * k}, {max_items_tracked})"
+        )).alias("c"))
+        .select(F.col("c.item").alias(col))
+    )
+    # bounded driver probe (≤4k candidate values): the sketch returns
+    # ONLY items that are guaranteed heavy hitters — on a flat
+    # distribution it returns nothing at all, and the lazy-plan guard
+    # below would then never run (AQE eliminates joins with an empty
+    # side before the guard stage executes). Fail eagerly instead.
+    cand_rows = cand.collect()
+    if len(cand_rows) < k:
+        raise ValueError(
+            f"heavy_hitters: the frequent-items sketch nominated only "
+            f"{len(cand_rows)} guaranteed candidates for top-{k} — the "
+            f"k-th value sits inside the sketch error bound; raise "
+            f"max_items_tracked (= {max_items_tracked}) for an exact answer"
+        )
+    exact = (
+        df.join(F.broadcast(cand), on=col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(col))
+        .limit(k)
+    )
+    total = df.select(F.count(F.lit(1)).alias("_N"))
+    guard = (
+        exact.agg(F.min("cnt").alias("_mincnt"))
+        .crossJoin(total)  # 1×1-row attach
+        .select(
+            F.coalesce(
+                F.assert_true(
+                    F.coalesce(F.col("_mincnt"), F.lit(0))
+                    > F.lit(3.5) * F.col("_N") / F.lit(max_items_tracked),
+                    F.lit(
+                        "heavy_hitters: k-th count is within the sketch error "
+                        "bound — raise max_items_tracked for an exact answer"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            ).alias("_zero")
+        )
+    )
+    # the guard rides the output expression (cnt + zero) — a detached
+    # check would be pruned by the optimizer
+    return (
+        exact.crossJoin(guard)
+        .select(col, (F.col("cnt") + F.col("_zero")).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(col))
+    )

@@ -1492,6 +1492,86 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch-backed operators (operators/sketches.py) — z-prefixed so the
+# names sort AFTER q01..q99 and leave the driver's 50-name correctness
+# window (q01..q50) untouched; the local oracle suite verifies them at
+# every SF like any other registry query.
+# ---------------------------------------------------------------------------
+
+def z01_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run dedup with a Bloom pre-filter: keep the
+    batch documents whose TEXT does not appear in the history corpus.
+    The result is EXACT (identical to the plain anti-join — the filter
+    only routes rows): bloom-negative rows skip the join entirely, only
+    the bloom-positive sliver is verified against history.
+
+    Scale: the history is summarized into a ~1.2 MB broadcast bitmap
+    built in one pass (per-partition bitmaps, associative OR); a
+    mostly-new batch then joins ~fp_rate of its rows instead of all of
+    them — the shape that dedupes a daily crawl against years of corpus
+    without touching the history per batch."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+        bloom_incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return (
+        bloom_incremental_dedup(history, batch, "text")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+Z01_SQL = """
+SELECT b.doc_id, b.n_chars
+FROM documents b
+WHERE b.doc_id % 3 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents h
+    WHERE h.doc_id % 5 <> 0 AND h.text = b.text
+  )
+ORDER BY doc_id
+"""
+
+
+def z02_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via a frequent-items sketch: one
+    ``approx_top_k`` pass nominates candidates (mergeable DataSketches
+    bytes on the shuffle, never the distinct-token space), a broadcast
+    recount makes them exact, and an assert_true guard riding the output
+    expression raises if the k-th count falls inside the sketch's error
+    bound instead of silently approximating."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_tokens,
+    )
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=20)
+
+
+Z02_SQL = r"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), w AS (
+  SELECT UNNEST(tk) AS token FROM t
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM w GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1523,4 +1603,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q97_boilerplate_ngrams": QuerySpec(q97_boilerplate_ngrams, Q97_SQL),
     "q98_source_mix_weights": QuerySpec(q98_source_mix_weights, Q98_SQL),
     "q99_lexical_richness": QuerySpec(q99_lexical_richness, Q99_SQL),
+    "z01_bloom_incremental_dedup": QuerySpec(z01_bloom_incremental_dedup, Z01_SQL),
+    "z02_heavy_hitters": QuerySpec(z02_heavy_hitters, Z02_SQL),
 }

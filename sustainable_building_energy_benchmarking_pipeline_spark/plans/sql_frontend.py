@@ -984,3 +984,18 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# z02: DuckDB list_filter/string_split_regex/UNNEST → Spark filter/split/
+# explode. The SQL surface expresses the exact SEMANTICS (full group-by
+# top-k); the sketch-candidate plan is the DataFrame path's optimization.
+SPARK_SQL["z02_heavy_hitters"] = f"""
+WITH t AS (
+  SELECT {_TOKS} AS tk FROM documents
+), w AS (
+  SELECT explode(tk) AS token FROM t
+)
+SELECT token, COUNT(*) AS cnt
+FROM w GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""

@@ -599,8 +599,54 @@ def vacuum_delta(
     return sorted(deleted)
 
 
+def _zorder_value(df: DataFrame, columns: list[str], bits: int = 4):
+    """Z-value column: interleave the bits of each column's quantile-bucket
+    rank. Bucketing uses sampled quantile boundaries (approxQuantile — the
+    same sampled-range mechanism repartitionByRange uses), so skew cannot
+    collapse the clustering; numeric columns keep range locality, string
+    columns are xxhash64'd first (equality skipping only — a documented
+    Z-ORDER property for high-cardinality strings in real lakehouses).
+    ``bits`` per column: 2^bits buckets — enough to separate
+    ``target_files`` files on every dimension."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    work = df
+    tmp_cols = []
+    for ci, c in enumerate(columns):
+        dt = dict(df.dtypes)[c]
+        key = f"_zk_{ci}"
+        tmp_cols.append(key)
+        if dt in ("string", "binary"):
+            work = work.withColumn(key, F.xxhash64(F.col(c)).cast("double"))
+        else:
+            work = work.withColumn(key, F.col(c).cast("double"))
+        bnds = work.approxQuantile(key, qs, 0.001)
+        # bucket = number of boundaries <= value (0..n_buckets-1);
+        # nulls sort into bucket 0
+        bucket = F.size(
+            F.filter(
+                F.lit(bnds).cast("array<double>"),
+                lambda b: b <= F.coalesce(F.col(key), F.lit(float("-inf"))),
+            )
+        ).cast("long")
+        for bit in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * len(columns) + ci,
+                )
+            )
+    return work.withColumn("_zval", z).drop(*tmp_cols)
+
+
 def optimize_delta(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE (bin-packing compaction): rewrite the current snapshot's
     many small files into ``target_files`` larger ones. The commit's
@@ -608,14 +654,23 @@ def optimize_delta(
     table's CONTENT is unchanged, so streaming readers skip the commit.
     Returns the committed version, or None when there is nothing to do.
     (Unpartitioned tables; partitioned compaction would bin-pack within
-    each partition.)"""
+    each partition.)
+
+    ``zorder_by`` additionally CLUSTERS the rewrite on the interleaved
+    quantile-rank bits of the given columns (OPTIMIZE ... ZORDER BY):
+    each output file then covers a narrow [min, max] range on EVERY
+    z-ordered column, so the footer-stats data skipping in ``read_delta``
+    prunes on any of them — a lexicographic sort only serves its leading
+    column. The z-value is range-partitioned then dropped; it never
+    reaches the data files. With zorder_by the rewrite proceeds even when
+    the file count is already at target (re-clustering is the point)."""
     versions = _list_versions(path)
     if not versions:
         return None
     active, schema, partition_cols = _replay(path, versions[-1])
     if partition_cols:
         raise ValueError("optimize_delta supports unpartitioned tables")
-    if len(active) <= target_files:
+    if len(active) <= target_files and not zorder_by:
         return None
     files = [os.path.join(path, rel) for rel in sorted(active)]
     now_ms = int(time.time() * 1000)
@@ -624,9 +679,20 @@ def optimize_delta(
         for rel in active
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    spark.read.schema(schema).parquet(*files).coalesce(target_files).write.mode(
-        "errorifexists"
-    ).parquet(staging)
+    snapshot = spark.read.schema(schema).parquet(*files)
+    if zorder_by:
+        missing = set(zorder_by) - set(snapshot.columns)
+        if missing:
+            raise ValueError(f"zorder_by columns not in table: {sorted(missing)}")
+        clustered = (
+            _zorder_value(snapshot, list(zorder_by))
+            .repartitionByRange(target_files, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+    else:
+        clustered = snapshot.coalesce(target_files)
+    clustered.write.mode("errorifexists").parquet(staging)
     for root, _dirs, files_ in os.walk(staging):
         for name in sorted(files_):
             if not name.endswith(".parquet"):
@@ -652,13 +718,109 @@ def optimize_delta(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
-                "operationParameters": {"targetFiles": target_files},
+                "operationParameters": {
+                    "targetFiles": target_files,
+                    "zOrderBy": list(zorder_by or []),
+                },
             }
         }
     )
     version = versions[-1] + 1
     _commit(path, version, actions)
     return version
+
+
+def delta_changes(
+    spark: SparkSession, path: str, since_version: int, to_version: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Change-feed-lite between snapshots: ``(added_rows, removed_rows)``
+    across versions in ``(since_version, to_version]``. File-granular —
+    rows come from add/remove actions' files, so an updated row appears
+    in BOTH frames (its old file removed, its new file added), exactly
+    the +/- delta an incremental aggregate consumer needs. Actions with
+    ``dataChange: false`` (OPTIMIZE rewrites) are skipped per the Delta
+    CDF contract: they move bytes, not content.
+
+    Scale shape: reading only the commits' file lists, never replaying
+    table content — the cost is proportional to the CHANGED data, which
+    is the entire point of incremental maintenance at 100 TB. Files
+    removed by the window must not have been vacuumed yet (same
+    constraint as real CDF reads past retention)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    if to_version is None:
+        to_version = versions[-1]
+    _, schema, _ = _replay(path, to_version)
+    added: list[str] = []
+    removed: list[str] = []
+    for v in versions:
+        if v <= since_version or v > to_version:
+            continue
+        for action in _read_actions(path, v):
+            if "add" in action and action["add"].get("dataChange", True):
+                added.append(action["add"]["path"])
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                removed.append(action["remove"]["path"])
+    # a file added then removed inside the window contributes nothing
+    both = set(added) & set(removed)
+    added = [r for r in added if r not in both]
+    removed = [r for r in removed if r not in both]
+
+    def _load(rels: list[str]) -> DataFrame:
+        if not rels:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, r) for r in sorted(rels)]
+        )
+
+    return _load(added), _load(removed)
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    path: str,
+    state: DataFrame | None,
+    keys: list[str],
+    sums: dict[str, str],
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain a SUM/COUNT group-by over a Delta table —
+    materialized-view maintenance without recomputing the base table:
+    ``new_state = state ⊕ agg(added) ⊖ agg(removed)`` using the change
+    feed above. ``sums`` maps output column → source column to SUM
+    (COUNT rides along as ``_n``); groups whose count reaches zero drop
+    out. ``state=None`` starts from scratch (since_version=-1).
+
+    Only the changed files are read and the combine shuffles the GROUP
+    key space of the CHANGES, so a 1%-churn refresh costs ~1% of the
+    full recompute — the incremental-view shape every warehouse ETL
+    needs at scale. SUM/COUNT (and AVG as their ratio) are the
+    self-maintainable aggregates; MIN/MAX need a full per-group rescan
+    on deletes and are deliberately out of scope."""
+    from pyspark.sql import functions as F
+
+    added, removed = delta_changes(spark, path, since_version, to_version)
+    signed = added.withColumn("_sign", F.lit(1)).unionByName(
+        removed.withColumn("_sign", F.lit(-1))
+    )
+    delta = signed.groupBy(*keys).agg(
+        *[F.sum(F.col(src) * F.col("_sign")).alias(out) for out, src in sums.items()],
+        F.sum("_sign").alias("_n"),
+    )
+    if state is None:
+        merged = delta
+    else:
+        merged = (
+            state.unionByName(delta)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(out).alias(out) for out in sums],
+                F.sum("_n").alias("_n"),
+            )
+        )
+    return merged.filter(F.col("_n") > 0)
 
 
 def delta_history(path: str) -> list[dict[str, Any]]:

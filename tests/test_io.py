@@ -641,3 +641,74 @@ def test_deltalog_merge_empty_updates_noop(spark, tmp_path):
     v = dl.merge_delta(spark, path, empty, key="id")
     assert v == 0  # no new version committed
     assert sorted(dl.read_delta(spark, path).inputFiles()) == before
+
+
+def test_deltalog_zorder_skips_on_every_dim(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): every output file covers a narrow
+    range on BOTH columns, so footer-stats skipping prunes files for a
+    predicate on either — a lexicographic sort only serves its leading
+    column. Content must be byte-identical and the commit dataChange=false."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dz")
+    df = spark.range(4096).selectExpr(
+        "id", "id % 64 AS x", "CAST(pmod(xxhash64(id), 64) AS BIGINT) AS y"
+    )
+    dl.write_delta(df, path)
+    before = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
+
+    v = dl.optimize_delta(spark, path, target_files=8, zorder_by=["x", "y"])
+    assert v == 1
+    assert len(dl.read_delta(spark, path).inputFiles()) == 8
+    after = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
+    assert after == before  # clustering, not content change
+
+    n_x = len(dl.read_delta(spark, path, where=("x", ">=", 56)).inputFiles())
+    n_y = len(dl.read_delta(spark, path, where=("y", ">=", 56)).inputFiles())
+    assert n_x < 8, "x predicate must prune z-ordered files"
+    assert n_y < 8, "y predicate must prune z-ordered files"
+
+
+def test_deltalog_changes_and_incremental_refresh(spark, tmp_path):
+    """CDF-lite + incremental aggregate maintenance: state folded over
+    the change feed must equal a full recompute of the final snapshot,
+    across append, MERGE (file rewrite) and OPTIMIZE (dataChange=false,
+    must be invisible to the feed)."""
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dcdf")
+    base = spark.range(100).selectExpr("id", "id % 7 AS k", "id * 10 AS v")
+    dl.write_delta(base, path)  # v0
+    state0 = refresh = dl.refresh_aggregate(
+        spark, path, None, keys=["k"], sums={"sv": "v"}, since_version=-1
+    ).persist()
+    state0.count()
+
+    dl.write_delta(
+        spark.range(100, 130).selectExpr("id", "id % 7 AS k", "id * 10 AS v"),
+        path, mode="append",
+    )  # v1
+    upd = spark.range(50, 60).selectExpr("id", "CAST(6 AS BIGINT) AS k", "id * 1000 AS v")
+    dl.merge_delta(spark, path, upd, key="id")  # v2: rewrites + moves rows to k=6
+    v_opt = dl.optimize_delta(spark, path, target_files=1)  # v3: no content change
+    assert v_opt == 3
+
+    # the OPTIMIZE commit alone yields an empty change feed
+    add3, rem3 = dl.delta_changes(spark, path, since_version=2, to_version=3)
+    assert add3.count() == 0 and rem3.count() == 0
+
+    state = dl.refresh_aggregate(
+        spark, path, state0, keys=["k"], sums={"sv": "v"},
+        since_version=0, to_version=3,
+    )
+    full = (
+        dl.read_delta(spark, path)
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("_n"))
+    )
+    a = sorted(tuple(r) for r in state.collect())
+    b = sorted(tuple(r) for r in full.collect())
+    assert a == b
+    state0.unpersist()

@@ -1,0 +1,81 @@
+"""Sketch operators (operators/sketches.py): Bloom-filter properties —
+zero false negatives by construction, FP rate near nominal, exactness of
+the pre-filtered incremental dedup regardless of FP rate — and the
+heavy-hitters exactness guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+    bloom_incremental_dedup,
+    bloom_membership,
+    build_bloom,
+    heavy_hitters,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key MUST test positive — the property the
+    definitely-new routing in bloom_incremental_dedup relies on."""
+    df = spark.range(20_000).selectExpr("CAST(id AS STRING) AS k")
+    bloom = build_bloom(df, "k", fp_rate=0.01)
+    misses = bloom_membership(df, "k", bloom).filter(~F.col("_bloom_hit")).count()
+    assert misses == 0
+
+
+def test_bloom_fp_rate_near_nominal(spark):
+    """Disjoint probe keys should false-positive at ~fp_rate; allow 3×
+    slack for hash variance (20k probes → tight concentration)."""
+    hist = spark.range(20_000).selectExpr("CAST(id AS STRING) AS k")
+    probe = spark.range(100_000, 120_000).selectExpr("CAST(id AS STRING) AS k")
+    bloom = build_bloom(hist, "k", fp_rate=0.01)
+    assert 0.3 < bloom.fill_ratio < 0.7  # optimally-sized filter is ~half full
+    fp = bloom_membership(probe, "k", bloom).filter(F.col("_bloom_hit")).count()
+    assert fp / 20_000 < 0.03
+
+
+def test_bloom_incremental_dedup_exact_even_with_bad_filter(spark):
+    """The bloom only ROUTES rows (negatives skip the join, positives get
+    verified) — so the result equals the plain anti-join even with an
+    absurd 50% FP rate."""
+    hist = spark.range(0, 5_000).selectExpr("id", "CAST(id % 977 AS STRING) AS k")
+    batch = spark.range(4_000, 9_000).selectExpr("id", "CAST(id % 1009 AS STRING) AS k")
+    bloom = build_bloom(hist, "k", fp_rate=0.5)
+    got = sorted(
+        r["id"] for r in bloom_incremental_dedup(hist, batch, "k", bloom).collect()
+    )
+    exact = sorted(
+        r["id"]
+        for r in batch.join(hist.select("k").distinct(), "k", "left_anti").collect()
+    )
+    assert got == exact and len(got) > 0
+
+
+def test_heavy_hitters_exact_on_skew(spark):
+    """Zipf-ish skew: sketch candidates + exact recount must equal the
+    full groupBy top-k, including the deterministic tiebreak."""
+    df = spark.range(50_000).selectExpr(
+        "CAST(CAST(pow(CAST(pmod(xxhash64(id), 1000) AS DOUBLE) / 1000.0, 3.0) * 50 AS INT) AS STRING) AS v"
+    )
+    got = [(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", k=10).collect()]
+    exact = [
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("v"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_heavy_hitters_guard_raises_on_flat_distribution(spark):
+    """A flat distribution with more distinct values than the sketch
+    tracks puts the k-th count inside the error bound — the guard must
+    RAISE (assert_true riding the output column), not silently return an
+    approximate top-k."""
+    df = spark.range(40_000).selectExpr("CAST(pmod(id, 4000) AS STRING) AS v")
+    with pytest.raises(Exception, match="sketch error"):
+        heavy_hitters(df, "v", k=10, max_items_tracked=64).collect()
