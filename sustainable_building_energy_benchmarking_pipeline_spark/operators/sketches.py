@@ -120,12 +120,28 @@ def build_bloom(
     return BloomFilter(bits=acc.tobytes(), m=m, k=k)
 
 
+# Broadcast-handle cache: one Spark broadcast per (filter, application),
+# keyed weakly on the BloomFilter so repeated membership calls in a
+# long-lived session (per-micro-batch incremental dedup) reuse ONE
+# broadcast instead of pinning a fresh megabyte-scale copy each call;
+# when the filter object is dropped, the entry (and its py4j handle)
+# becomes collectable.
+import weakref
+
+_BC_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def bloom_membership(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
     """``df`` plus a boolean ``_bloom_hit`` column. The filter bytes ride
-    a real Spark broadcast (one copy per executor, not per task); the
-    Python side is a vectorized Pandas UDF over the two JVM hashes."""
+    a real Spark broadcast (one copy per executor, not per task — and one
+    per filter per application, cached, not one per call); the Python
+    side is a vectorized Pandas UDF over the two JVM hashes."""
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((bloom.bits, bloom.m, bloom.k))
+    per_app = _BC_CACHE.setdefault(bloom, {})
+    bc = per_app.get(sc.applicationId)
+    if bc is None:
+        bc = sc.broadcast((bloom.bits, bloom.m, bloom.k))
+        per_app[sc.applicationId] = bc
 
     from pyspark.sql.functions import pandas_udf
 
@@ -178,42 +194,50 @@ def bloom_incremental_dedup(
 def heavy_hitters(
     df: DataFrame, col: str, k: int = 20, max_items_tracked: int = 4096
 ) -> DataFrame:
-    """EXACT top-``k`` most frequent values of ``df[col]`` without a full
-    distinct-value aggregation: ``approx_top_k`` (DataSketches
-    frequent-items — one pass, mergeable sketch bytes on the shuffle)
-    nominates ``4k`` candidates, a broadcast semi-join recounts ONLY
-    those exactly, and the guard column proves the sketch could not have
-    missed a true top-k item: the k-th exact count must exceed
-    3.5·N/max_items_tracked (the sketch's published error bound); below
-    that the plan RAISES via assert_true instead of returning a silently
-    approximate answer. Output: (value, cnt), count-desc / value-asc.
+    """EXACT top-``k`` most frequent values of ``df[col]`` (nulls
+    included, like a plain group-by) without a full distinct-value
+    aggregation — or a driver-side ValueError when exactness cannot be
+    PROVEN. ``approx_top_k`` (DataSketches frequent-items — one pass,
+    mergeable sketch bytes on the shuffle) is asked for its FULL tracked
+    set (``max_items_tracked`` items, not just k): the sketch guarantees
+    any value absent from that set has true count ≤ ε·N with
+    ε ≈ 3.5/max_items_tracked, so after exactly recounting the candidate
+    set, ``k-th exact count > ε·N`` PROVES no omitted value could belong
+    in the top-k — that is the exact-or-raise guard, checked on the
+    driver (an in-plan assert_true was tried and gets pruned by AQE's
+    empty-side join elimination). Output: (value, cnt), count-desc /
+    value-asc.
 
     Scale: exactly two passes over the data — (sketch + total count) in
-    one aggregate job, then a recount scan filtered to the ≤4k candidate
-    values (an IN-list literal that pushes into the scan); distinct-value
-    cardinality never hits a shuffle. The driver holds only the
-    candidate list and the final k rows — both bounded by construction —
-    which also makes the exactness guard immune to plan pruning (earlier
-    lazy-plan guard forms were eliminated by AQE's empty-side join
-    rewrite before they could raise).
-    """
+    one aggregate job, then a recount scan filtered to the candidate
+    values (≤ max_items_tracked literals, pushed into the scan);
+    distinct-value cardinality never hits a shuffle. The driver holds
+    only the candidate list and the final k rows, both bounded."""
     probe = df.agg(
-        F.expr(f"approx_top_k({col}, {4 * k}, {max_items_tracked})").alias("tk"),
+        F.expr(
+            f"approx_top_k({col}, {max_items_tracked}, {max_items_tracked})"
+        ).alias("tk"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     cand_items = [r["item"] for r in (probe["tk"] or [])]
     n_total = probe["n"]
-    # the sketch returns ONLY guaranteed heavy hitters — on a flat
-    # distribution that can be nothing at all
+    # the sketch returns only values it still tracks — on a flat
+    # distribution past capacity that can be (near) nothing
     if len(cand_items) < k:
         raise ValueError(
             f"heavy_hitters: the frequent-items sketch nominated only "
-            f"{len(cand_items)} guaranteed candidates for top-{k} — the "
-            f"k-th value sits inside the sketch error bound; raise "
+            f"{len(cand_items)} candidates for top-{k} — the k-th value "
+            f"sits inside the sketch error bound; raise "
             f"max_items_tracked (= {max_items_tracked}) for an exact answer"
         )
+    # NULL is a real group (approx_top_k tracks it as item=None) but
+    # isin() can never match null — recount it via an explicit isNull arm
+    non_null = [v for v in cand_items if v is not None]
+    cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(cand_items):
+        cond = cond | F.col(col).isNull()
     top = (
-        df.filter(F.col(col).isin(cand_items))
+        df.filter(cond)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc(col))

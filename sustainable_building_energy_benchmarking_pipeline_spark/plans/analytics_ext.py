@@ -1542,11 +1542,12 @@ ORDER BY doc_id
 
 def z02_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 corpus tokens via a frequent-items sketch: one
-    ``approx_top_k`` pass nominates candidates (mergeable DataSketches
-    bytes on the shuffle, never the distinct-token space), a broadcast
-    recount makes them exact, and an assert_true guard riding the output
-    expression raises if the k-th count falls inside the sketch's error
-    bound instead of silently approximating."""
+    ``approx_top_k`` pass nominates the sketch's full tracked set
+    (mergeable DataSketches bytes on the shuffle, never the
+    distinct-token space), a pushed-down recount makes them exact, and a
+    driver-side guard raises if the k-th count falls inside the sketch's
+    error bound instead of silently approximating (see
+    operators/sketches.heavy_hitters for why the guard is not in-plan)."""
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
         ws_tokens,
     )

@@ -612,7 +612,6 @@ def _zorder_value(df: DataFrame, columns: list[str], bits: int = 4):
 
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    z = F.lit(0).cast("long")
     work = df
     tmp_cols = []
     for ci, c in enumerate(columns):
@@ -623,7 +622,13 @@ def _zorder_value(df: DataFrame, columns: list[str], bits: int = 4):
             work = work.withColumn(key, F.xxhash64(F.col(c)).cast("double"))
         else:
             work = work.withColumn(key, F.col(c).cast("double"))
-        bnds = work.approxQuantile(key, qs, 0.001)
+    # ONE sampling pass for every column's boundaries (approxQuantile
+    # takes a column list) — per-column calls would each re-scan the
+    # snapshot just for bucketing
+    all_bnds = work.approxQuantile(tmp_cols, qs, 0.001)
+    z = F.lit(0).cast("long")
+    for ci, key in enumerate(tmp_cols):
+        bnds = all_bnds[ci]
         # bucket = number of boundaries <= value (0..n_buckets-1);
         # nulls sort into bucket 0
         bucket = F.size(
@@ -752,20 +757,25 @@ def delta_changes(
     if to_version is None:
         to_version = versions[-1]
     _, schema, _ = _replay(path, to_version)
-    added: list[str] = []
-    removed: list[str] = []
+    # NET add/remove count per path (not set intersection): Delta-legal
+    # logs can remove then RE-ADD the same path (RESTORE, stats-refresh
+    # commits), which set-cancellation would wrongly net to "no change",
+    # and an idempotent duplicate add must not double-read the file. A
+    # path's file content is immutable in Delta, so net > 0 ⇒ its rows
+    # were added once; net < 0 ⇒ removed once; net 0 ⇒ no content change.
+    from collections import Counter
+
+    net: Counter = Counter()
     for v in versions:
         if v <= since_version or v > to_version:
             continue
         for action in _read_actions(path, v):
             if "add" in action and action["add"].get("dataChange", True):
-                added.append(action["add"]["path"])
+                net[action["add"]["path"]] += 1
             elif "remove" in action and action["remove"].get("dataChange", True):
-                removed.append(action["remove"]["path"])
-    # a file added then removed inside the window contributes nothing
-    both = set(added) & set(removed)
-    added = [r for r in added if r not in both]
-    removed = [r for r in removed if r not in both]
+                net[action["remove"]["path"]] -= 1
+    added = [p for p, n in net.items() if n > 0]
+    removed = [p for p, n in net.items() if n < 0]
 
     def _load(rels: list[str]) -> DataFrame:
         if not rels:

@@ -712,3 +712,46 @@ def test_deltalog_changes_and_incremental_refresh(spark, tmp_path):
     b = sorted(tuple(r) for r in full.collect())
     assert a == b
     state0.unpersist()
+
+
+def test_deltalog_changes_readd_same_path(tmp_path, spark):
+    """Delta-legal logs may remove then RE-ADD the same path (RESTORE,
+    stats-refresh interop commits): the change feed must NET-count per
+    path, not set-cancel — a remove+re-add spanning the window is no
+    content change, but an add of a previously-removed path outside the
+    window is a real re-addition."""
+    import json as _json
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dreadd")
+    dl.write_delta(spark.range(5).toDF("id").coalesce(1), path)  # v0: adds P
+    active, _, _ = dl._replay(path, 0)
+    (p,) = active  # the single part file
+    now = 1_700_000_000_000
+    # v1: remove P (content gone)
+    dl._commit(path, 1, [
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}},
+        {"commitInfo": {"timestamp": now, "operation": "DELETE"}},
+    ])
+    # v2: re-add the SAME path (RESTORE-style)
+    dl._commit(path, 2, [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": now, "dataChange": True}},
+        {"commitInfo": {"timestamp": now, "operation": "RESTORE"}},
+    ])
+    # window (0, 2]: remove+re-add nets to zero — no content change
+    add_a, rem_a = dl.delta_changes(spark, path, since_version=0, to_version=2)
+    assert add_a.count() == 0 and rem_a.count() == 0
+    # window (1, 2]: only the re-add — rows come BACK (set-cancellation
+    # can't get this wrong single-sided, but net-counting must report it)
+    add_b, rem_b = dl.delta_changes(spark, path, since_version=1, to_version=2)
+    assert add_b.count() == 5 and rem_b.count() == 0
+    # duplicate idempotent add of an active path must not double-read
+    dl._commit(path, 3, [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": now, "dataChange": True}},
+        {"commitInfo": {"timestamp": now, "operation": "WRITE"}},
+    ])
+    add_c, rem_c = dl.delta_changes(spark, path, since_version=2, to_version=3)
+    assert add_c.count() == 5 and rem_c.count() == 0  # once, not twice

@@ -73,9 +73,29 @@ def test_heavy_hitters_exact_on_skew(spark):
 
 def test_heavy_hitters_guard_raises_on_flat_distribution(spark):
     """A flat distribution with more distinct values than the sketch
-    tracks puts the k-th count inside the error bound — the guard must
-    RAISE (assert_true riding the output column), not silently return an
-    approximate top-k."""
+    tracks puts the k-th count inside the error bound — the driver-side
+    guard must RAISE, not silently return an approximate top-k."""
     df = spark.range(40_000).selectExpr("CAST(pmod(id, 4000) AS STRING) AS v")
     with pytest.raises(Exception, match="sketch error"):
         heavy_hitters(df, "v", k=10, max_items_tracked=64).collect()
+
+
+def test_heavy_hitters_includes_null_group(spark):
+    """NULL is a real group: approx_top_k tracks it as item=None but
+    isin() can never match null — the recount needs an explicit isNull
+    arm or the most frequent value silently vanishes from an 'exact'
+    answer."""
+    df = spark.range(1_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN NULL ELSE CAST(pmod(id, 5) AS STRING) END AS v"
+    )
+    got = [(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", k=3).collect()]
+    exact = [
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("v"))
+        .limit(3)
+        .collect()
+    ]
+    assert got == exact
+    assert got[0][0] is None and got[0][1] == 500
