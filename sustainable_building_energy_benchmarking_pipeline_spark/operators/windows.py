@@ -321,3 +321,31 @@ def _global_rank0(
         .drop("_pid", "_lrn", "_off"),
         total,
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Reproducible global corpus shuffle — the training-order primitive:
+    every run (any partitioning, any cluster size) assigns each row the
+    SAME pseudo-random 0-based position, so a training job can resume or
+    be re-run bit-identically, and changing ``seed`` reshuffles.
+
+    The shuffle key is ``sha2(seed || ':' || id)`` — cryptographic, so
+    positions are uncorrelated with the id order, and cross-engine
+    reproducible (any SQL engine computes the identical key). The global
+    position comes from the shared two-pass distributed rank
+    (``_global_rank0``: range-partition on the key + local sort + offset
+    fix-up) — never a single-partition window, so the sort stays fully
+    parallel at any corpus size. Unique ids ⇒ unique keys ⇒ a total
+    order with no tie ambiguity."""
+    key = F.sha2(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")), 256
+    )
+    ranked, _total = _global_rank0(df.withColumn("_sk", key), ["_sk"])
+    if ranked is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    return ranked.withColumn(out_col, F.col("_rn0")).drop("_sk", "_rn0")

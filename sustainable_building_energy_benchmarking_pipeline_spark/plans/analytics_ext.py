@@ -1576,6 +1576,31 @@ LIMIT 20
 """
 
 
+def z03_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every document gets a stable
+    pseudo-random global position (sha2 key + two-pass distributed rank,
+    operators/windows.deterministic_shuffle) — identical across runs,
+    partitionings and engines, reshuffled by changing the seed. The
+    oracle recomputes the exact positions in DuckDB from the same
+    cryptographic key, proving cross-engine bit-reproducibility."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        deterministic_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return deterministic_shuffle(docs, "doc_id", seed=42).orderBy("doc_id")
+
+
+Z03_SQL = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY sha256(CONCAT('42:', CAST(doc_id AS VARCHAR)))
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1609,4 +1634,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "q99_lexical_richness": QuerySpec(q99_lexical_richness, Q99_SQL),
     "z01_bloom_incremental_dedup": QuerySpec(z01_bloom_incremental_dedup, Z01_SQL),
     "z02_heavy_hitters": QuerySpec(z02_heavy_hitters, Z02_SQL),
+    "z03_deterministic_shuffle": QuerySpec(z03_deterministic_shuffle, Z03_SQL),
 }

@@ -999,3 +999,16 @@ FROM w GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 20
 """
+
+# z03: DuckDB sha256 → sha2(..., 256). The SQL surface states the
+# semantics with a plain global-window ROW_NUMBER; the DataFrame path
+# computes the identical positions via the two-pass distributed rank
+# (no single-partition window) — same answer, scalable plan.
+SPARK_SQL["z03_deterministic_shuffle"] = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY sha2(CONCAT('42:', CAST(doc_id AS STRING)), 256)
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+ORDER BY doc_id
+"""

@@ -161,3 +161,26 @@ def test_distributed_ntile_matches_sql(spark):
 
     empty = cust.where(F.lit(False))
     assert distributed_ntile(empty, ["c_custkey"], 4, out_col="b").count() == 0
+
+
+def test_deterministic_shuffle_partition_invariant(spark):
+    """Training-order shuffle: positions are a permutation 0..n-1,
+    identical across partitionings (the reproducibility contract), and a
+    different seed produces a different order."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(500).toDF("id")
+    a = {r["id"]: r["shuffle_pos"] for r in deterministic_shuffle(df, "id").collect()}
+    b = {
+        r["id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df.repartition(13), "id").collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(500))  # exact permutation
+    c = {
+        r["id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df, "id", seed=7).collect()
+    }
+    assert c != a
