@@ -755,3 +755,94 @@ def test_deltalog_changes_readd_same_path(tmp_path, spark):
     ])
     add_c, rem_c = dl.delta_changes(spark, path, since_version=2, to_version=3)
     assert add_c.count() == 5 and rem_c.count() == 0  # once, not twice
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
+    """Model-based protocol check: a seeded random sequence of
+    append / overwrite / MERGE / OPTIMIZE(+ZORDER) / VACUUM must keep
+    the table content equal to a plain Python reference model after
+    EVERY operation, and the change feed folded from v0 must equal a
+    full recompute at the end — the whole-protocol invariant no single
+    hand-written scenario covers."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"dmodel{seed}")
+
+    def batch(lo_id: int, n: int):
+        rows = [(lo_id + i, rng.randrange(1000)) for i in range(n)]
+        return rows, spark.createDataFrame(rows, "id long, v long")
+
+    model: list[tuple[int, int]] = []
+    rows0, df0 = batch(0, rng.randrange(3, 10))
+    dl.write_delta(df0, path)
+    model.extend(rows0)
+    next_id = 1000
+    # incremental-aggregate state folded AFTER EVERY op — the real CDF
+    # consumption pattern, and the only correct one once VACUUM runs:
+    # a change-feed window must be consumed before retention deletes the
+    # files its remove actions reference (delta_changes documents this)
+    state_rows = [
+        tuple(r)
+        for r in dl.refresh_aggregate(
+            spark, path, None, keys=[], sums={"sv": "v"}, since_version=-1
+        ).collect()
+    ]
+    folded_version = dl._list_versions(path)[-1]
+
+    for step in range(14):
+        op = rng.choice(["append", "overwrite", "merge", "optimize", "vacuum"])
+        if op == "append":
+            rows, df = batch(next_id, rng.randrange(1, 8))
+            next_id += 1000
+            dl.write_delta(df, path, mode="append")
+            model.extend(rows)
+        elif op == "overwrite":
+            rows, df = batch(next_id, rng.randrange(1, 8))
+            next_id += 1000
+            dl.write_delta(df, path, mode="overwrite")
+            model = list(rows)
+        elif op == "merge":
+            # update a sample of existing keys + some new ones
+            existing = [r[0] for r in model]
+            upd_keys = rng.sample(existing, min(len(existing), rng.randrange(1, 4)))
+            upd_keys += [next_id]
+            next_id += 1000
+            rows = [(k, rng.randrange(1000)) for k in sorted(set(upd_keys))]
+            dl.merge_delta(
+                spark, path, spark.createDataFrame(rows, "id long, v long"), key="id"
+            )
+            upd = dict(rows)
+            model = [r for r in model if r[0] not in upd] + list(upd.items())
+        elif op == "optimize":
+            z = rng.choice([None, ["v"], ["id", "v"]])
+            dl.optimize_delta(spark, path, target_files=rng.randrange(1, 3), zorder_by=z)
+        else:
+            dl.vacuum_delta(path, retain_hours=0.0, force=True)
+        got = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
+        assert got == sorted(model), f"seed={seed} step={step} op={op}"
+
+        cur = dl._list_versions(path)[-1]
+        if cur > folded_version:
+            prev = (
+                spark.createDataFrame(state_rows, "sv long, _n long")
+                if state_rows
+                else None
+            )
+            state_rows = [
+                tuple(r)
+                for r in dl.refresh_aggregate(
+                    spark, path, prev, keys=[], sums={"sv": "v"},
+                    since_version=folded_version, to_version=cur,
+                ).collect()
+            ]
+            folded_version = cur
+        expect_sv = sum(v for _, v in model)
+        assert state_rows == [(expect_sv, len(model))], (
+            f"seed={seed} step={step} op={op}: incremental state diverged"
+        )
