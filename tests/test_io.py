@@ -26,7 +26,7 @@ def small_df(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_round_trip(spark, small_df, tmp_path, fmt):
     path = str(tmp_path / f"t.{fmt}")
     sio.write_table(small_df, path, fmt=fmt)
