@@ -79,11 +79,14 @@ def build_bloom(
 
     Sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2) — the textbook optimum.
     Each partition builds a local m-bit bitmap from JVM-computed hash
-    pairs (Python only does vectorized modular arithmetic), yields one
-    binary row, and the driver ORs them — an associative combine, so at
-    cluster scale the same kernel rides treeAggregate; here the driver
-    OR over one bitmap per partition is the bounded collect (m/8 bytes
-    each, ~1.2 MB at n=10⁶, p=1%).
+    pairs (Python only does vectorized modular arithmetic) and yields
+    one binary row; the bitmaps then TREE-combine — an executor-side
+    grouped OR reduces P partition bitmaps to ≤64 group bitmaps before
+    the driver ORs those — so driver transfer is ≤64·m/8 bytes no
+    matter how many input partitions exist (a flat per-partition collect
+    would ship P·m/8: gigabytes at 100 TB partition counts). OR is
+    associative; add combine levels if 64 groups ever overwhelm one
+    executor's task.
     """
     if expected_items is None:
         expected_items = df.count()
@@ -113,7 +116,23 @@ def build_bloom(
                 )
         yield pd.DataFrame({"bits": [local.tobytes()]})
 
-    parts = hashed.mapInPandas(_partition_bitmap, "bits binary").collect()
+    def _or_group(pdfs):
+        acc_ = np.zeros(m8, dtype=np.uint8)
+        for pdf in pdfs:
+            for b in pdf["bits"]:
+                acc_ |= np.frombuffer(b, dtype=np.uint8)
+        yield pd.DataFrame({"bits": [acc_.tobytes()]})
+
+    bitmaps = hashed.mapInPandas(_partition_bitmap, "bits binary")
+    # partition-count gate (plan metadata, no job): ≤64 partitions → the
+    # direct collect ships ≤64 bitmaps and the combine shuffle would only
+    # add a stage; beyond that, tree-combine first
+    if hashed.rdd.getNumPartitions() > 64:
+        bitmaps = (
+            bitmaps.repartition(64, F.spark_partition_id() % 64)
+            .mapInPandas(_or_group, "bits binary")
+        )
+    parts = bitmaps.collect()
     acc = np.zeros(m8, dtype=np.uint8)
     for row in parts:
         acc |= np.frombuffer(row["bits"], dtype=np.uint8)

@@ -99,3 +99,13 @@ def test_heavy_hitters_includes_null_group(spark):
     ]
     assert got == exact
     assert got[0][0] is None and got[0][1] == 500
+
+
+def test_bloom_tree_combine_many_partitions(spark):
+    """Past 64 input partitions the bitmap combine goes through the
+    executor-side tree OR (bounded driver transfer at cluster partition
+    counts); the filter must be identical to the direct-combine result."""
+    df = spark.range(5_000).selectExpr("CAST(id AS STRING) AS k")
+    direct = build_bloom(df.coalesce(4), "k", expected_items=5_000)
+    treed = build_bloom(df.repartition(130), "k", expected_items=5_000)
+    assert direct.bits == treed.bits and direct.m == treed.m and direct.k == treed.k
