@@ -29,6 +29,9 @@ HEAVY = [
     "q61_decontaminate",
     "q67_fuzzy_name_match",
     "q97_boilerplate_ngrams",
+    "z01_bloom_incremental_dedup",
+    "z02_heavy_hitters",
+    "z03_deterministic_shuffle",
 ]
 
 MAX_RATIO = 15.0
