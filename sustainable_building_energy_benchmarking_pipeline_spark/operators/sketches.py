@@ -198,6 +198,12 @@ def bloom_incremental_dedup(
     capacity plan — production incremental dedup knows its history size,
     so passing it skips the sizing count job (over-capacity only lowers
     the FP rate below nominal, never correctness).
+
+    Cost note: the two output branches (definitely-new, verified-new)
+    each evaluate the membership subtree, so the batch is scanned twice
+    — still the winning trade against anti-joining the FULL batch into
+    the history shuffle; a caller looping many consumers over the result
+    should persist it (or the flagged frame) once.
     """
     if bloom is None:
         bloom = build_bloom(history, col, expected_items=expected_items)
