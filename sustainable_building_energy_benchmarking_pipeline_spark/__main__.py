@@ -1,0 +1,144 @@
+"""CLI entry point — the reference's Makefile/main() surface as one
+``python -m sustainable_building_energy_benchmarking_pipeline_spark <cmd>`` tool (reference
+``src/pipeline_batch.py:248``, ``src/models.py:467``,
+``src/generate_hvac_data.py:228``, ``Makefile`` targets).
+
+Commands mirror the reference's stages; every one is a thin shell over
+the library plans, so the CLI adds no logic of its own:
+
+  generate   write synthetic HVAC sensor data        (make sample-data)
+  etl        raw → cleaned+features parquet          (run_etl_pipeline)
+  detect     features → anomalies parquet            (run_anomaly_detection)
+  medallion  buildings → bronze/silver/gold          (benchmarking notebook)
+  export     silver → nested benchmarking JSON       (export_building_benchmarking)
+  serve      HTTP API (/alerts, /benchmark, ...)     (make run-api)
+  query      run one registry query by name, print N rows
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sustainable_building_energy_benchmarking_pipeline_spark")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write synthetic HVAC data")
+    g.add_argument("--out", required=True)
+    g.add_argument("--days", type=int, default=7)
+    g.add_argument("--zones", type=int, default=10)
+    g.add_argument("--faults", action="store_true")
+
+    e = sub.add_parser("etl", help="raw sensor parquet → feature parquet")
+    e.add_argument("--in", dest="inp", required=True)
+    e.add_argument("--out", required=True)
+
+    d = sub.add_parser("detect", help="feature parquet → anomalies parquet")
+    d.add_argument("--in", dest="inp", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--ml", action="store_true", help="also run the IF detector")
+
+    m = sub.add_parser("medallion", help="buildings csv/parquet → medallion dirs")
+    m.add_argument("--in", dest="inp", required=True)
+    m.add_argument("--out", required=True)
+
+    x = sub.add_parser("export", help="silver parquet → benchmarking JSON")
+    x.add_argument("--in", dest="inp", required=True)
+    x.add_argument("--out", required=True)
+
+    s = sub.add_parser("serve", help="HTTP API over an anomalies parquet")
+    s.add_argument("--anomalies", required=True)
+    s.add_argument("--port", type=int, default=8000)
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"sbeb-cli-{args.cmd}",
+        **({"shuffle_partitions": args.cpus} if args.cpus else {}),
+    )
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import io as sio
+
+    if args.cmd == "generate":
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.generators import (
+            generate_hvac_data,
+        )
+
+        df = generate_hvac_data(
+            spark, days=args.days, n_zones=args.zones, with_faults=args.faults
+        )
+        sio.write_table(df, args.out)
+        print(f"wrote {df.count()} rows to {args.out}")
+    elif args.cmd == "etl":
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.hvac import run_feature_pipeline
+
+        feats = run_feature_pipeline(sio.read_table(spark, args.inp))
+        sio.write_table(feats, args.out)
+        print(f"wrote {feats.count()} feature rows to {args.out}")
+    elif args.cmd == "detect":
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.detection import run_rule_detection
+
+        feats = sio.read_table(spark, args.inp)
+        anoms = run_rule_detection(feats)
+        if args.ml:
+            from sustainable_building_energy_benchmarking_pipeline_spark.ml.isolation_forest import (
+                IsolationForestDetector,
+            )
+
+            ml = IsolationForestDetector().train(feats).detect(feats)
+            anoms = anoms.unionByName(ml, allowMissingColumns=True)
+        sio.write_table(anoms, args.out)
+        print(f"wrote {anoms.count()} anomalies to {args.out}")
+    elif args.cmd == "medallion":
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.benchmarking import run_medallion
+
+        layers = run_medallion(sio.read_table(spark, args.inp))
+        for name, df in layers.items():
+            sio.write_table(df, f"{args.out.rstrip('/')}/{name}.parquet")
+        print(f"wrote layers {sorted(layers)} under {args.out}")
+    elif args.cmd == "export":
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.export import (
+            assemble_export_document,
+            resolve_building_records,
+            to_json,
+        )
+
+        doc = assemble_export_document(
+            resolve_building_records(sio.read_table(spark, args.inp))
+        )
+        with open(args.out, "w") as f:
+            f.write(to_json(doc))
+        print(f"wrote {args.out} ({len(doc.get('buildings', []))} buildings)")
+    elif args.cmd == "serve":
+        from sustainable_building_energy_benchmarking_pipeline_spark.api import create_app
+
+        app = create_app(spark, sio.read_table(spark, args.anomalies))
+        app.run(port=args.port)  # blocks
+    elif args.cmd == "query":
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name}; one of {sorted(QUERIES)[:5]}...",
+                  file=sys.stderr)
+            return 2
+        df = QUERIES[args.name].fn(spark, args.sf_dir)
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

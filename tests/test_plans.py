@@ -184,3 +184,21 @@ def test_deterministic_shuffle_partition_invariant(spark):
         for r in deterministic_shuffle(df, "id", seed=7).collect()
     }
     assert c != a
+
+
+def test_cli_query_smoke():
+    """The python -m CLI (reference Makefile/main() parity) runs a
+    registry query end-to-end in its own process and prints JSON rows."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sustainable_building_energy_benchmarking_pipeline_spark",
+         "query", "q07_case_bands", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rows = [json.loads(line) for line in out.stdout.strip().splitlines() if line.startswith("{")]
+    assert 1 <= len(rows) <= 3 and all(isinstance(r, dict) for r in rows)
