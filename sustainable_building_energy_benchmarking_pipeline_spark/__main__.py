@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -31,7 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--out", required=True)
     g.add_argument("--days", type=int, default=7)
     g.add_argument("--zones", type=int, default=10)
-    g.add_argument("--faults", action="store_true")
+    g.add_argument(
+        "--no-faults", dest="faults", action="store_false",
+        help="omit fault episodes (the reference sample-data stage includes them)",
+    )
 
     e = sub.add_parser("etl", help="raw sensor parquet → feature parquet")
     e.add_argument("--in", dest="inp", required=True)
@@ -56,7 +60,10 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")
-    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     q.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
@@ -65,7 +72,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(
         app_name=f"sbeb-cli-{args.cmd}",
-        **({"shuffle_partitions": args.cpus} if args.cpus else {}),
+        **(
+            {"master": f"local[{args.cpus}]", "shuffle_partitions": args.cpus}
+            if args.cpus
+            else {}
+        ),
     )
 
     from sustainable_building_energy_benchmarking_pipeline_spark.sources import io as sio
@@ -79,13 +90,16 @@ def main(argv: list[str] | None = None) -> int:
             spark, days=args.days, n_zones=args.zones, with_faults=args.faults
         )
         sio.write_table(df, args.out)
-        print(f"wrote {df.count()} rows to {args.out}")
+        # count the WRITTEN parquet (metadata-cheap) — counting the lazy
+        # plan would re-execute the whole generate pipeline
+        print(f"wrote {sio.read_table(spark, args.out).count()} rows to {args.out}")
     elif args.cmd == "etl":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.hvac import run_feature_pipeline
 
         feats = run_feature_pipeline(sio.read_table(spark, args.inp))
         sio.write_table(feats, args.out)
-        print(f"wrote {feats.count()} feature rows to {args.out}")
+        n = sio.read_table(spark, args.out).count()
+        print(f"wrote {n} feature rows to {args.out}")
     elif args.cmd == "detect":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.detection import run_rule_detection
 
@@ -99,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
             ml = IsolationForestDetector().train(feats).detect(feats)
             anoms = anoms.unionByName(ml, allowMissingColumns=True)
         sio.write_table(anoms, args.out)
-        print(f"wrote {anoms.count()} anomalies to {args.out}")
+        n = sio.read_table(spark, args.out).count()
+        print(f"wrote {n} anomalies to {args.out}")
     elif args.cmd == "medallion":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.benchmarking import run_medallion
 
@@ -110,13 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.export import (
             assemble_export_document,
-            resolve_building_records,
             to_json,
         )
 
-        doc = assemble_export_document(
-            resolve_building_records(sio.read_table(spark, args.inp))
-        )
+        # assemble_export_document resolves records itself — passing a
+        # pre-resolved frame would run the normalization twice
+        doc = assemble_export_document(sio.read_table(spark, args.inp))
         with open(args.out, "w") as f:
             f.write(to_json(doc))
         print(f"wrote {args.out} ({len(doc.get('buildings', []))} buildings)")

@@ -74,6 +74,7 @@ def build_bloom(
     col: str,
     expected_items: int | None = None,
     fp_rate: float = 0.01,
+    tree_combine: bool | None = None,
 ) -> BloomFilter:
     """One-pass distributed Bloom filter over ``df[col]``.
 
@@ -124,10 +125,24 @@ def build_bloom(
         yield pd.DataFrame({"bits": [acc_.tobytes()]})
 
     bitmaps = hashed.mapInPandas(_partition_bitmap, "bits binary")
-    # partition-count gate (plan metadata, no job): ≤64 partitions → the
-    # direct collect ships ≤64 bitmaps and the combine shuffle would only
-    # add a stage; beyond that, tree-combine first
-    if hashed.rdd.getNumPartitions() > 64:
+    # partition-count gate: ≤64 partitions → the direct collect ships
+    # ≤64 bitmaps and the combine shuffle would only add a stage; beyond
+    # that, tree-combine first. The estimate uses the scan's file list +
+    # default parallelism — cheap plan metadata. (`.rdd.getNumPartitions`
+    # would be exact but under AQE it EXECUTES the upstream shuffle
+    # stages to finalize the plan, doubling the pipeline.) Erring low on
+    # an exchange-heavy input only costs a bigger direct collect; at
+    # genuine cluster scale the file count dominates and gates correctly.
+    if tree_combine is None:
+        try:
+            est_parts = len(hashed.inputFiles())
+        except Exception:
+            est_parts = 0
+        est_parts = max(
+            est_parts, df.sparkSession.sparkContext.defaultParallelism
+        )
+        tree_combine = est_parts > 64
+    if tree_combine:
         bitmaps = (
             bitmaps.repartition(64, F.spark_partition_id() % 64)
             .mapInPandas(_or_group, "bits binary")

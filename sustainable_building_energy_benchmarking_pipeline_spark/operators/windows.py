@@ -340,10 +340,18 @@ def deterministic_shuffle(
     position comes from the shared two-pass distributed rank
     (``_global_rank0``: range-partition on the key + local sort + offset
     fix-up) — never a single-partition window, so the sort stays fully
-    parallel at any corpus size. Unique ids ⇒ unique keys ⇒ a total
-    order with no tie ambiguity."""
+    parallel at any corpus size. The contract requires NON-NULL unique
+    ids: unique keys ⇒ a total order with no tie ambiguity. A null id is
+    coalesced to '' (one deterministic slot, identical across engines —
+    CONCAT null semantics differ between Spark and DuckDB otherwise);
+    multiple null ids would tie and are outside the contract."""
     key = F.sha2(
-        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")), 256
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        ),
+        256,
     )
     ranked, _total = _global_rank0(df.withColumn("_sk", key), ["_sk"])
     if ranked is None:

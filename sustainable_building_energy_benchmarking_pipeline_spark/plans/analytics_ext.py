@@ -1594,7 +1594,7 @@ def z03_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 Z03_SQL = """
 SELECT doc_id, n_chars,
        CAST(ROW_NUMBER() OVER (
-         ORDER BY sha256(CONCAT('42:', CAST(doc_id AS VARCHAR)))
+         ORDER BY sha256(CONCAT('42:', COALESCE(CAST(doc_id AS VARCHAR), '')))
        ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 ORDER BY doc_id

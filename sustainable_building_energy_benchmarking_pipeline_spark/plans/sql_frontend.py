@@ -1007,7 +1007,7 @@ LIMIT 20
 SPARK_SQL["z03_deterministic_shuffle"] = """
 SELECT doc_id, n_chars,
        CAST(ROW_NUMBER() OVER (
-         ORDER BY sha2(CONCAT('42:', CAST(doc_id AS STRING)), 256)
+         ORDER BY sha2(CONCAT('42:', COALESCE(CAST(doc_id AS STRING), '')), 256)
        ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 ORDER BY doc_id

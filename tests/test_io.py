@@ -767,8 +767,6 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
     hand-written scenario covers."""
     import random
 
-    from pyspark.sql import functions as F
-
     from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
 
     rng = random.Random(seed)

@@ -17,6 +17,7 @@ import os
 import pytest
 
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+from tests.conftest import TESTDATA_SF
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -195,7 +196,7 @@ def test_cli_query_smoke():
 
     out = subprocess.run(
         [sys.executable, "-m", "sustainable_building_energy_benchmarking_pipeline_spark",
-         "query", "q07_case_bands", "--sf-dir", "/root/testdata/sf0.001",
+         "query", "q07_case_bands", "--sf-dir", TESTDATA_SF,
          "--limit", "3"],
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )

@@ -106,6 +106,6 @@ def test_bloom_tree_combine_many_partitions(spark):
     executor-side tree OR (bounded driver transfer at cluster partition
     counts); the filter must be identical to the direct-combine result."""
     df = spark.range(5_000).selectExpr("CAST(id AS STRING) AS k")
-    direct = build_bloom(df.coalesce(4), "k", expected_items=5_000)
-    treed = build_bloom(df.repartition(130), "k", expected_items=5_000)
+    direct = build_bloom(df.coalesce(4), "k", expected_items=5_000, tree_combine=False)
+    treed = build_bloom(df.repartition(130), "k", expected_items=5_000, tree_combine=True)
     assert direct.bits == treed.bits and direct.m == treed.m and direct.k == treed.k
