@@ -109,3 +109,40 @@ def test_bloom_tree_combine_many_partitions(spark):
     direct = build_bloom(df.coalesce(4), "k", expected_items=5_000, tree_combine=False)
     treed = build_bloom(df.repartition(130), "k", expected_items=5_000, tree_combine=True)
     assert direct.bits == treed.bits and direct.m == treed.m and direct.k == treed.k
+
+
+def test_bloom_contains_math_properties():
+    """Pure-numpy property check of the filter kernel (no Spark): for
+    random (m, k) sizings and random hash pairs, setting the k probe
+    bits by hand makes contains() true, and membership is monotone in
+    the bit array (adding bits never un-members a key)."""
+    import numpy as np
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import BloomFilter
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        m = int(rng.randint(8, 4096)) * 8
+        k = int(rng.randint(1, 12))
+        n = int(rng.randint(1, 200))
+        h1 = rng.randint(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+        h2 = rng.randint(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        a = h1.view(np.uint64)
+        b = h2.view(np.uint64)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % np.uint64(m)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        bf = BloomFilter(bits=bits.tobytes(), m=m, k=k)
+        assert bf.contains(h1, h2).all()
+        # monotonicity: a saturated filter still contains everything
+        full = BloomFilter(bits=b"\xff" * (m // 8), m=m, k=k)
+        assert full.contains(h1, h2).all()
+        # empty filter contains nothing (unless k probes all hit... they
+        # can't: no bits are set)
+        empty = BloomFilter(bits=b"\x00" * (m // 8), m=m, k=k)
+        assert not empty.contains(h1, h2).any()
