@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("medallion", help="buildings csv/parquet → medallion dirs")
     m.add_argument("--in", dest="inp", required=True)
     m.add_argument("--out", required=True)
+    m.add_argument(
+        "--format",
+        choices=["delta", "parquet"],
+        default="delta",
+        help="layer table format: delta (transaction-logged, versioned — "
+        "the reference stores every medallion layer in Delta; default) "
+        "or plain parquet",
+    )
 
     x = sub.add_parser("export", help="silver parquet → benchmarking JSON")
     x.add_argument("--in", dest="inp", required=True)
@@ -119,8 +127,21 @@ def main(argv: list[str] | None = None) -> int:
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.benchmarking import run_medallion
 
         layers = run_medallion(sio.read_table(spark, args.inp))
-        for name, df in layers.items():
-            sio.write_table(df, f"{args.out.rstrip('/')}/{name}.parquet")
+        if args.format == "delta":
+            # the reference persists every medallion layer as a Delta
+            # table, overwritten per run (notebooks/
+            # benchmarking_medallion.py:98-104,270-277) — each re-run
+            # commits version N+1, keeping the previous run time-travelable
+            from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+            for name, df in layers.items():
+                v = dl.write_delta(
+                    df, f"{args.out.rstrip('/')}/{name}", mode="overwrite"
+                )
+                print(f"layer {name}: delta version {v}")
+        else:
+            for name, df in layers.items():
+                sio.write_table(df, f"{args.out.rstrip('/')}/{name}.parquet")
         print(f"wrote layers {sorted(layers)} under {args.out}")
     elif args.cmd == "export":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.export import (

@@ -369,8 +369,9 @@ def test_deltalog_schema_enforcement(spark, tmp_path):
 def test_deltalog_concurrent_commit_loses(spark, tmp_path, monkeypatch):
     """Two writers racing for the same version: O_EXCL create makes the
     loser fail with FileExistsError (Delta's optimistic-concurrency
-    primitive). Simulated by pinning this writer's view of the log to a
-    stale version list while a rival lands the next commit."""
+    primitive — exposed raw via max_retries=0). Simulated by pinning this
+    writer's view of the log to a stale version list while a rival lands
+    the next commit."""
     import os as _os
 
     from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
@@ -384,7 +385,145 @@ def test_deltalog_concurrent_commit_loses(spark, tmp_path, monkeypatch):
     import pytest as _pytest
 
     with _pytest.raises(FileExistsError):
-        dl.write_delta(df, path, mode="append")
+        dl.write_delta(df, path, mode="append", max_retries=0)
+
+
+def test_deltalog_concurrent_appenders_both_land(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency RETRY: two blind appenders interleave (the
+    rival publishes our target version between our log read and our
+    commit) — with the retry loop both land, at consecutive versions,
+    and no rows are lost. The race is made deterministic by having the
+    first _commit call publish a rival append first."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "drace")
+    dl.write_delta(spark.createDataFrame([(0,)], "id long"), path)
+
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(p, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            # rival append lands the contested version first
+            rival_staging = spark.createDataFrame([(100,)], "id long")
+            monkeypatch.setattr(dl, "_commit", real_commit)
+            dl.write_delta(rival_staging, path, mode="append")
+            monkeypatch.setattr(dl, "_commit", racing_commit)
+        return real_commit(p, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    v = dl.write_delta(spark.createDataFrame([(1,)], "id long"), path, mode="append")
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    assert v == 2  # retried past the rival's version 1
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [0, 1, 100]
+    assert [h["version"] for h in dl.delta_history(path)] == [0, 1, 2]
+
+
+def test_deltalog_merge_conflict_raises(spark, tmp_path, monkeypatch):
+    """A true conflict: a rival rewrites (removes) files this MERGE read
+    → DeltaConcurrentModification, never a silent lost update."""
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dconf")
+    dl.write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), path)
+
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(p, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(dl, "_commit", real_commit)
+            # rival rewrites the SAME files (overwrite removes them all)
+            dl.write_delta(
+                spark.createDataFrame([(9, "z")], "id long, v string"),
+                path,
+                mode="overwrite",
+            )
+            monkeypatch.setattr(dl, "_commit", racing_commit)
+        return real_commit(p, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    with _pytest.raises(dl.DeltaConcurrentModification):
+        dl.merge_delta(
+            spark,
+            path,
+            spark.createDataFrame([(1, "A")], "id long, v string"),
+            key="id",
+        )
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    # the rival's overwrite stands untouched
+    assert {(r.id, r.v) for r in dl.read_delta(spark, path).collect()} == {(9, "z")}
+
+
+def test_deltalog_checkpoint_bounds_replay(spark, tmp_path, monkeypatch):
+    """A long-history table reads from the newest checkpoint: only the
+    post-checkpoint JSON commits are parsed (O(interval), not O(V)), the
+    `_last_checkpoint` pointer exists, and content/time-travel/txn
+    watermarks are identical to a full replay."""
+    import json as _json
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dckpt")
+    for i in range(25):  # versions 0..24; auto-checkpoints at 10 and 20
+        dl.write_delta(spark.createDataFrame([(i,)], "id long"), path)
+    assert _os.path.exists(dl._checkpoint_file(path, 10))
+    assert _os.path.exists(dl._checkpoint_file(path, 20))
+    with open(dl._last_checkpoint_file(path)) as f:
+        assert _json.load(f)["version"] == 20
+
+    # count JSON commit parses during a cold replay of the latest snapshot
+    dl._ACTION_CACHE.clear()
+    real_read = dl._read_actions
+    calls: list[int] = []
+
+    def counting_read(p, v):
+        calls.append(v)
+        return real_read(p, v)
+
+    monkeypatch.setattr(dl, "_read_actions", counting_read)
+    got = sorted(r.id for r in dl.read_delta(spark, path).collect())
+    monkeypatch.setattr(dl, "_read_actions", real_read)
+    assert got == list(range(25))
+    assert set(calls) == {21, 22, 23, 24}, (
+        f"replay must start at checkpoint 20, parsed JSON for {sorted(set(calls))}"
+    )
+
+    # time travel below the newest checkpoint picks the older one / none
+    assert sorted(r.id for r in dl.read_delta(spark, path, version=15).collect()) == list(range(16))
+    assert sorted(r.id for r in dl.read_delta(spark, path, version=5).collect()) == list(range(6))
+
+
+def test_deltalog_checkpoint_txn_and_partitions(spark, tmp_path):
+    """Checkpoint rows carry txn watermarks and partitionValues (incl.
+    null partitions) faithfully — idempotent streaming sinks and
+    partition pruning survive a checkpoint boundary."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dckpt2")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "fr")], "id long, lang string"
+    )
+    dl.write_delta_txn(df, path, "appX", 7, mode="append")
+    dl.write_checkpoint(path)  # manual checkpoint at version 0
+    # cold cache: watermark must come from the checkpoint rows
+    dl._ACTION_CACHE.clear()
+    assert dl.last_txn_version(path, "appX") == 7
+    assert dl.last_txn_version(path, "other") == -1
+
+    path2 = str(tmp_path / "dckpt3")
+    dl.write_delta(df, path2, partition_by=["lang"])
+    dl.write_checkpoint(path2)
+    dl._ACTION_CACHE.clear()
+    got = {r.id for r in dl.read_delta(spark, path2, partition_filter={"lang": "en"}).collect()}
+    assert got == {1}
+    got_null = {r.id for r in dl.read_delta(spark, path2, partition_filter={"lang": None}).collect()}
+    assert got_null == {2}
 
 
 def test_deltalog_txn_idempotent_replay(spark, tmp_path):
@@ -641,6 +780,81 @@ def test_deltalog_merge_empty_updates_noop(spark, tmp_path):
     v = dl.merge_delta(spark, path, empty, key="id")
     assert v == 0  # no new version committed
     assert sorted(dl.read_delta(spark, path).inputFiles()) == before
+
+
+def test_deltalog_merge_all_null_keys_insert(spark, tmp_path):
+    """Delta MERGE semantics: a null key never matches, so null-keyed
+    update rows are WHEN NOT MATCHED inserts — whether or not non-null
+    keys ride in the same batch. (The old all-null early-return silently
+    dropped them, inconsistently with the mixed-batch path.)"""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dnullkey")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), path
+    )
+
+    # all-null batch: pure insert, no files rewritten
+    before = sorted(dl.read_delta(spark, path).inputFiles())
+    v = dl.merge_delta(
+        spark,
+        path,
+        spark.createDataFrame([(None, "n1"), (None, "n2")], "id long, v string"),
+        key="id",
+    )
+    assert v == 1
+    got = sorted(
+        ((r.id, r.v) for r in dl.read_delta(spark, path).collect()), key=str
+    )
+    assert sorted([(1, "a"), (2, "b"), (None, "n1"), (None, "n2")], key=str) == got
+    # the original files are untouched (insert-only commit)
+    assert set(before) <= set(dl.read_delta(spark, path).inputFiles())
+
+    # mixed batch behaves the same for its null rows
+    dl.merge_delta(
+        spark,
+        path,
+        spark.createDataFrame([(1, "A"), (None, "n3")], "id long, v string"),
+        key="id",
+    )
+    vals = sorted(r.v for r in dl.read_delta(spark, path).collect())
+    assert vals == ["A", "b", "n1", "n2", "n3"]
+
+
+def test_deltalog_zorder_all_null_column(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY on a degenerate (all-null) column must not
+    fail: the column yields a constant bucket and the other columns still
+    cluster. Content is preserved exactly."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dznull")
+    df = spark.range(256).selectExpr("id", "CAST(NULL AS DOUBLE) AS dead")
+    dl.write_delta(df, path)
+    before = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
+    v = dl.optimize_delta(spark, path, target_files=4, zorder_by=["dead", "id"])
+    assert v == 1
+    after = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
+    assert after == before
+
+
+def test_deltalog_action_cache_mutation_isolated(spark, tmp_path):
+    """_read_actions hands out copies: a caller annotating an action (or
+    its nested add dict) must not corrupt later replays for the process
+    lifetime."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dmut")
+    dl.write_delta(spark.range(3).toDF("id"), path)
+    first = dl._read_actions(path, 0)
+    for a in first:
+        if "add" in a:
+            a["add"]["path"] = "CORRUPTED"
+        a["_annotated"] = True
+    second = dl._read_actions(path, 0)
+    assert all("_annotated" not in a for a in second)
+    assert all(a["add"]["path"] != "CORRUPTED" for a in second if "add" in a)
+    # and the table still reads
+    assert dl.read_delta(spark, path).count() == 3
 
 
 def test_deltalog_zorder_skips_on_every_dim(spark, tmp_path):

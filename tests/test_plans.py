@@ -54,9 +54,9 @@ def test_q15_topk_is_bounded(spark):
 
 
 def test_global_topk_plans_take_ordered(spark):
-    plan = plan_of(QUERIES["q02_top_revenue_orders"].fn(spark, SF_DIR)) if "q02_top_revenue_orders" in QUERIES else None
-    if plan is None:
-        pytest.skip("no global top-k query registered")
+    # unconditional: q02 is a registered driver-window query — a registry
+    # regression must FAIL here, not skip
+    plan = plan_of(QUERIES["q02_top_revenue_orders"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
 
 
@@ -203,3 +203,46 @@ def test_cli_query_smoke():
     assert out.returncode == 0, out.stderr[-500:]
     rows = [json.loads(line) for line in out.stdout.strip().splitlines() if line.startswith("{")]
     assert 1 <= len(rows) <= 3 and all(isinstance(r, dict) for r in rows)
+
+
+def test_cli_medallion_writes_delta_layers(spark, tmp_path):
+    """The medallion command stores every layer as a Delta table (the
+    reference's notebook persists each layer in Delta —
+    notebooks/benchmarking_medallion.py:98-104,270-277): `_delta_log`
+    under each layer dir, and a re-run commits version N+1 with the
+    previous run still time-travelable."""
+    import os
+    import subprocess
+    import sys
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.generators import (
+        generate_buildings,
+    )
+
+    inp = str(tmp_path / "buildings.parquet")
+    generate_buildings(spark, n=40).write.parquet(inp)
+    out_dir = str(tmp_path / "medallion")
+
+    def run_once():
+        p = subprocess.run(
+            [sys.executable, "-m", "sustainable_building_energy_benchmarking_pipeline_spark",
+             "--cpus", "4", "medallion", "--in", inp, "--out", out_dir],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-800:]
+
+    run_once()
+    layers = ["silver", "portfolio_by_type", "performance_distribution", "top_efficient"]
+    for name in layers:
+        assert os.path.isdir(os.path.join(out_dir, name, "_delta_log")), name
+        assert dl.read_delta(spark, os.path.join(out_dir, name)).count() > 0, name
+
+    run_once()  # re-run: overwrite commit, version 1
+    gold = os.path.join(out_dir, "portfolio_by_type")
+    hist = dl.delta_history(gold)
+    assert [h["version"] for h in hist] == [0, 1]
+    v0 = dl.read_delta(spark, gold, version=0)
+    v1 = dl.read_delta(spark, gold, version=1)
+    # deterministic input → identical content across runs, via time travel
+    assert sorted(map(tuple, v0.collect())) == sorted(map(tuple, v1.collect()))
