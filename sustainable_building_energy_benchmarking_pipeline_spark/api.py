@@ -219,7 +219,7 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
 
         top_rule = tiles["top_rule"] or {"name": "N/A", "count": ""}
         top_zone = tiles["top_zone"] or {"name": "N/A", "count": ""}
-        cols = ["timestamp", "zone_id", "rule_name", "severity", "metric_value"]
+        cols = ["timestamp", "zone_id", "rule_name", "severity", "score"]
         alert_rows = "".join(
             "<tr>" + "".join(f"<td>{esc(r.get(c))}</td>" for c in cols) + "</tr>"
             for r in rows
@@ -248,6 +248,41 @@ th{{background:#f5f5f5}}</style></head><body>
 <table><tr>{"".join(f"<th>{c}</th>" for c in cols)}</tr>{alert_rows}</table>
 </body></html>"""
         return page, 200, {"Content-Type": "text/html; charset=utf-8"}
+
+    @app.get("/dashboard/series/daily")
+    def dashboard_series_daily():
+        """Daily anomaly-count series (the reference dashboard's 'Daily
+        Anomaly Trend' line, src/dashboard_app.py:406-416) as JSON a
+        charting client consumes; honors the same window/severity/zone
+        filters as /alerts."""
+        filters, _limit, err = _parse_alert_params(serving.DEFAULT_LIMIT)
+        if err:
+            return err
+        series = [
+            {"date": r["date"].isoformat(), "count": r["count"]}
+            for r in serving.daily_counts(anomalies, **filters).collect()
+        ]
+        return jsonify({"series": series, "total": sum(p["count"] for p in series)})
+
+    @app.get("/dashboard/series/zones")
+    def dashboard_series_zones():
+        """Per-zone severity-marker series (the reference dashboard's
+        time-series chart markers, src/dashboard_app.py:143-163), keyed
+        by severity like its color map. Requires zone_id; limit-bounded
+        like /alerts."""
+        filters, limit, err = _parse_alert_params(serving.DEFAULT_LIMIT)
+        if err:
+            return err
+        zone_id = filters.pop("zone_id", None)
+        if zone_id is None:
+            return jsonify({"detail": "zone_id: required"}), 422
+        rows = serving.format_alerts(
+            serving.zone_marker_series(anomalies, zone_id, limit=limit, **filters)
+        )
+        by_severity: dict[str, list[dict[str, Any]]] = {}
+        for r in rows:
+            by_severity.setdefault(r.pop("severity"), []).append(r)
+        return jsonify({"zone_id": zone_id, "series": by_severity})
 
     @app.get("/alerts/summary")
     def alerts_summary():

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import cached_property
 
 import numpy as np
 import pandas as pd
@@ -32,6 +33,9 @@ from pyspark.sql import functions as F
 # Mitzenmacher: k independent-enough probe positions from two hashes)
 _SEED_A = 0x51_7CC1B7
 _SEED_B = 0x2545F491
+# third seed routes keys to shards (independent of the probe hashes so
+# shard choice never correlates with bit positions)
+_SEED_SHARD = 0x9E37_79B9
 
 
 @dataclass(frozen=True)
@@ -43,6 +47,17 @@ class BloomFilter:
     bits: bytes
     m: int
     k: int
+
+    @cached_property
+    def digest(self) -> str:
+        """Stable content digest, computed once — the broadcast-cache key
+        (hashing the multi-MB bits on every cache lookup, as the default
+        dataclass __hash__ would, is exactly what this avoids)."""
+        import hashlib
+
+        return hashlib.sha256(
+            self.bits + f":{self.m}:{self.k}".encode()
+        ).hexdigest()
 
     @property
     def fill_ratio(self) -> float:
@@ -154,28 +169,194 @@ def build_bloom(
     return BloomFilter(bits=acc.tobytes(), m=m, k=k)
 
 
-# Broadcast-handle cache: one Spark broadcast per (filter, application),
-# keyed weakly on the BloomFilter so repeated membership calls in a
-# long-lived session (per-micro-batch incremental dedup) reuse ONE
-# broadcast instead of pinning a fresh megabyte-scale copy each call;
-# when the filter object is dropped, the entry (and its py4j handle)
-# becomes collectable.
-import weakref
+@dataclass(frozen=True)
+class ShardedBloomFilter:
+    """Key-space-sharded Bloom filter — the path past the single-filter
+    capacity ceiling (SCALE.md: ~2·10⁹ keys at 1% FP ≈ 2.4 GB of bits,
+    beyond comfortable broadcast/driver-transfer size). Keys route to a
+    shard by an independent hash (``_SEED_SHARD``), each shard is a
+    normal ``BloomFilter`` sized for n/S keys, and membership processes
+    a shard-partitioned scan where each task pulls ONLY the broadcasts
+    of the shards it actually serves — per-executor filter memory is
+    (shards served)·m/S, not m. 10¹⁰ keys at 1% FP with S=64 shards is
+    ~190 MB per shard: broadcastable, buildable in one pass."""
 
-_BC_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+    shards: tuple[BloomFilter, ...]
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+    @property
+    def m_total(self) -> int:
+        return sum(s.m for s in self.shards)
+
+    @cached_property
+    def digest(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(
+            "|".join(s.digest for s in self.shards).encode()
+        ).hexdigest()
 
 
-def bloom_membership(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
+def _shard_col(col: str, n_shards: int) -> Column:
+    return F.pmod(F.xxhash64(F.col(col), F.lit(_SEED_SHARD)), F.lit(n_shards))
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    col: str,
+    n_shards: int,
+    expected_items: int | None = None,
+    fp_rate: float = 0.01,
+) -> ShardedBloomFilter:
+    """One-pass sharded build. The only shuffle moves 24-byte
+    (shard, h1, h2) triples — never the keys — partitioned BY SHARD, so
+    each build task holds the bitmap(s) of the shard ids that hash into
+    its partition (a handful), not all S of them; the grouped OR then
+    yields exactly one (shard, bits) row per shard, and the driver
+    assembles S filters of m/S bits each. Uniform key hashing balances
+    shard fill, so every shard is sized identically for n/S keys —
+    over-filled shards only drift the FP rate, never correctness
+    (membership stays routing-only, see ``bloom_incremental_dedup``)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if expected_items is None:
+        expected_items = df.count()
+    per_shard = max(1, math.ceil(max(1, expected_items) / n_shards))
+    m = max(64, int(math.ceil(-per_shard * math.log(fp_rate) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / per_shard * math.log(2)))
+    m8 = m // 8
+    mm = np.uint64(m)
+    kk = k
+    n_sh = n_shards
+
+    h1, h2 = _hash_pair(F.col(col))
+    hashed = df.select(
+        _shard_col(col, n_shards).alias("_shard"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    ).repartition(n_shards, "_shard")
+
+    def _partition_bitmaps(it):
+        locals_: dict[int, np.ndarray] = {}
+        bit_lut = np.uint8(1) << np.arange(8, dtype=np.uint8)
+        for pdf in it:
+            a = pdf["_h1"].to_numpy(np.int64).view(np.uint64)
+            b = pdf["_h2"].to_numpy(np.int64).view(np.uint64)
+            sh = pdf["_shard"].to_numpy(np.int64)
+            for s in np.unique(sh):
+                sel = sh == s
+                local = locals_.setdefault(int(s), np.zeros(m8, dtype=np.uint8))
+                aa, bb = a[sel], b[sel]
+                for i in range(kk):
+                    pos = (aa + np.uint64(i) * bb) % mm
+                    np.bitwise_or.at(
+                        local,
+                        (pos >> np.uint64(3)).astype(np.int64),
+                        bit_lut[(pos & np.uint64(7)).astype(np.int64)],
+                    )
+        for s, local in locals_.items():
+            yield pd.DataFrame({"shard": [s], "bits": [local.tobytes()]})
+
+    def _or_shard(key, pdf):
+        acc_ = np.zeros(m8, dtype=np.uint8)
+        for b in pdf["bits"]:
+            acc_ |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"shard": [key[0]], "bits": [acc_.tobytes()]})
+
+    rows = (
+        hashed.mapInPandas(_partition_bitmaps, "shard long, bits binary")
+        .groupBy("shard")
+        .applyInPandas(_or_shard, "shard long, bits binary")
+        .collect()
+    )
+    by_shard = {int(r["shard"]): r["bits"] for r in rows}
+    empty = np.zeros(m8, dtype=np.uint8).tobytes()
+    return ShardedBloomFilter(
+        shards=tuple(
+            BloomFilter(bits=by_shard.get(s, empty), m=m, k=k)
+            for s in range(n_sh)
+        )
+    )
+
+
+def sharded_bloom_membership(
+    df: DataFrame, col: str, sharded: ShardedBloomFilter
+) -> DataFrame:
+    """``df`` plus ``_bloom_hit`` against a sharded filter. Each shard's
+    bits ride their OWN broadcast; rows are repartitioned by shard id
+    first, so a task touches only its shards' broadcasts and an executor
+    only ever pulls the shards it serves — the per-executor memory bound
+    that makes 10¹⁰-key filters feasible. The kernel groups each Arrow
+    batch by shard and probes vectorized per group."""
+    bcs = [_bloom_broadcast(df, s) for s in sharded.shards]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _member(shard: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        sh = shard.to_numpy(np.int64)
+        a = h1.to_numpy(np.int64)
+        b = h2.to_numpy(np.int64)
+        out = np.zeros(len(sh), dtype=bool)
+        for s in np.unique(sh):
+            bits, m, k = bcs[int(s)].value  # lazy pull: only shards seen
+            bf = BloomFilter(bits=bits, m=m, k=k)
+            sel = sh == s
+            out[sel] = bf.contains(a[sel], b[sel])
+        return pd.Series(out)
+
+    a, b = _hash_pair(F.col(col))
+    shard = _shard_col(col, sharded.n_shards)
+    return (
+        df.withColumn("_sbf_shard", shard)
+        .repartition(sharded.n_shards, "_sbf_shard")
+        .withColumn("_bloom_hit", _member(F.col("_sbf_shard"), a, b))
+        .drop("_sbf_shard")
+    )
+
+
+# Broadcast-handle cache: one Spark broadcast per (filter content,
+# application), so repeated membership calls in a long-lived session
+# (per-micro-batch incremental dedup) reuse ONE broadcast instead of
+# pinning a fresh megabyte-scale copy each call. Keys are the filter's
+# precomputed sha256 digest — an O(1) lookup, never re-hashing the
+# multi-MB bits — plus the applicationId; entries from stopped
+# SparkContexts are dropped on the next insert (their py4j handles are
+# dead weight once the app is gone), and the cache is size-capped.
+_BC_CACHE: dict[tuple[str, str], object] = {}
+_BC_CACHE_MAX = 64
+
+
+def _bloom_broadcast(df: DataFrame, bloom: BloomFilter):
+    sc = df.sparkSession.sparkContext
+    key = (bloom.digest, sc.applicationId)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        for stale in [k for k in _BC_CACHE if k[1] != sc.applicationId]:
+            _BC_CACHE.pop(stale, None)
+        if len(_BC_CACHE) >= _BC_CACHE_MAX:
+            _BC_CACHE.pop(next(iter(_BC_CACHE)))
+        bc = sc.broadcast((bloom.bits, bloom.m, bloom.k))
+        _BC_CACHE[key] = bc
+    return bc
+
+
+def bloom_membership(
+    df: DataFrame, col: str, bloom: "BloomFilter | ShardedBloomFilter"
+) -> DataFrame:
     """``df`` plus a boolean ``_bloom_hit`` column. The filter bytes ride
     a real Spark broadcast (one copy per executor, not per task — and one
     per filter per application, cached, not one per call); the Python
-    side is a vectorized Pandas UDF over the two JVM hashes."""
-    sc = df.sparkSession.sparkContext
-    per_app = _BC_CACHE.setdefault(bloom, {})
-    bc = per_app.get(sc.applicationId)
-    if bc is None:
-        bc = sc.broadcast((bloom.bits, bloom.m, bloom.k))
-        per_app[sc.applicationId] = bc
+    side is a vectorized Pandas UDF over the two JVM hashes. A
+    ``ShardedBloomFilter`` routes through the sharded path (per-shard
+    broadcasts, shard-partitioned scan)."""
+    if isinstance(bloom, ShardedBloomFilter):
+        return sharded_bloom_membership(df, col, bloom)
+    bc = _bloom_broadcast(df, bloom)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -193,8 +374,9 @@ def bloom_incremental_dedup(
     history: DataFrame,
     batch: DataFrame,
     col: str,
-    bloom: BloomFilter | None = None,
+    bloom: "BloomFilter | ShardedBloomFilter | None" = None,
     expected_items: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """EXACT incremental dedup of ``batch`` against ``history`` with a
     Bloom pre-filter: the deterministic keep-set (batch keys absent from
@@ -217,12 +399,23 @@ def bloom_incremental_dedup(
     Cost note: the two output branches (definitely-new, verified-new)
     each evaluate the membership subtree, so the batch is scanned twice
     — still the winning trade against anti-joining the FULL batch into
-    the history shuffle; a caller looping many consumers over the result
-    should persist it (or the flagged frame) once.
+    the history shuffle. ``persist=True`` caches the flagged frame so
+    the batch (and the membership UDF) evaluates ONCE across both
+    branches and across repeated actions — opt in when the batch is
+    expensive to recompute or the result has multiple consumers; the
+    cache lives until Spark evicts it or the caller clears it
+    (``spark.catalog.clearCache()`` / unpersisting the returned plan's
+    cached ancestor).
+
+    ``bloom`` may be a ``ShardedBloomFilter`` (see ``build_sharded_bloom``)
+    for histories past the single-filter capacity ceiling — the routing/
+    exactness contract is identical.
     """
     if bloom is None:
         bloom = build_bloom(history, col, expected_items=expected_items)
     flagged = bloom_membership(batch, col, bloom)
+    if persist:
+        flagged = flagged.persist()
     definitely_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe_dup = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
     verified_new = maybe_dup.join(
@@ -231,66 +424,107 @@ def bloom_incremental_dedup(
     return definitely_new.unionByName(verified_new)
 
 
-def heavy_hitters(
-    df: DataFrame, col: str, k: int = 20, max_items_tracked: int = 4096
-) -> DataFrame:
-    """EXACT top-``k`` most frequent values of ``df[col]`` (nulls
-    included, like a plain group-by) without a full distinct-value
-    aggregation — or a driver-side ValueError when exactness cannot be
-    PROVEN. ``approx_top_k`` (DataSketches frequent-items — one pass,
-    mergeable sketch bytes on the shuffle) is asked for its FULL tracked
-    set (``max_items_tracked`` items, not just k): the sketch guarantees
-    any value absent from that set has true count ≤ ε·N with
-    ε ≈ 3.5/max_items_tracked, so after exactly recounting the candidate
-    set, ``k-th exact count > ε·N`` PROVES no omitted value could belong
-    in the top-k — that is the exact-or-raise guard, checked on the
-    driver (an in-plan assert_true was tried and gets pruned by AQE's
-    empty-side join elimination). Output: (value, cnt), count-desc /
-    value-asc.
-
-    Scale: exactly two passes over the data — (sketch + total count) in
-    one aggregate job, then a recount scan filtered to the candidate
-    values (≤ max_items_tracked literals, pushed into the scan);
-    distinct-value cardinality never hits a shuffle. The driver holds
-    only the candidate list and the final k rows, both bounded."""
+def _heavy_hitters_attempt(
+    df: DataFrame, col: str, k: int, capacity: int
+) -> DataFrame | None:
+    """One sketch-candidates + exact-recount pass at the given sketch
+    ``capacity``. Returns the exact result frame, or None when exactness
+    cannot be proven at this capacity (caller escalates)."""
     probe = df.agg(
-        F.expr(
-            f"approx_top_k({col}, {max_items_tracked}, {max_items_tracked})"
-        ).alias("tk"),
+        F.expr(f"approx_top_k({col}, {capacity}, {capacity})").alias("tk"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     cand_items = [r["item"] for r in (probe["tk"] or [])]
     n_total = probe["n"]
-    # the sketch returns only values it still tracks — on a flat
-    # distribution past capacity that can be (near) nothing
-    if len(cand_items) < k:
-        raise ValueError(
-            f"heavy_hitters: the frequent-items sketch nominated only "
-            f"{len(cand_items)} candidates for top-{k} — the k-th value "
-            f"sits inside the sketch error bound; raise "
-            f"max_items_tracked (= {max_items_tracked}) for an exact answer"
-        )
+    spark = df.sparkSession
+    schema = f"{col} {dict(df.dtypes)[col]}, cnt bigint"
+
+    if n_total == 0:
+        return spark.createDataFrame([], schema)
+
     # NULL is a real group (approx_top_k tracks it as item=None) but
     # isin() can never match null — recount it via an explicit isNull arm
     non_null = [v for v in cand_items if v is not None]
     cond = F.col(col).isin(non_null) if non_null else F.lit(False)
     if len(non_null) < len(cand_items):
         cond = cond | F.col(col).isNull()
-    top = (
+    # full candidate recount (≤ capacity rows — driver-bounded): both the
+    # top-k AND the coverage sum come from this one collected list
+    rows = (
         df.filter(cond)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc(col))
-        .limit(k)
         .collect()
     )
-    min_cnt = min(r["cnt"] for r in top)
-    if min_cnt <= 3.5 * n_total / max_items_tracked:
-        raise ValueError(
-            "heavy_hitters: k-th count is within the sketch error bound — "
-            f"raise max_items_tracked (= {max_items_tracked}) for an exact answer"
-        )
-    spark = df.sparkSession
+    # Spark's ORDER BY cnt DESC, col ASC (nulls first) as a Python key
+    ordered = sorted(rows, key=lambda r: (-r["cnt"], r[col] is not None, r[col]))
+    covered = sum(r["cnt"] for r in rows) == n_total
+    if covered:
+        # the candidates account for EVERY row, so no value was ever
+        # evicted unseen: the recount is exact even when the column has
+        # fewer than k distinct values — return the full (shorter) top
+        top = ordered[:k]
+    else:
+        if len(ordered) < k:
+            return None  # sketch couldn't even nominate k candidates
+        top = ordered[:k]
+        # any value outside the tracked set has true count ≤ ε·N with
+        # ε ≈ 3.5/capacity; the k-th exact count must clear that bound
+        # to PROVE no omitted value belongs in the top-k
+        if top[-1]["cnt"] <= 3.5 * n_total / capacity:
+            return None
     return spark.createDataFrame(
-        [(r[col], r["cnt"]) for r in top], f"{col} {dict(df.dtypes)[col]}, cnt bigint"
+        [(r[col], r["cnt"]) for r in top], schema
     ).orderBy(F.desc("cnt"), F.asc(col))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    max_items_tracked: int = 4096,
+    max_capacity: int | None = None,
+) -> DataFrame:
+    """EXACT top-``k`` most frequent values of ``df[col]`` (nulls
+    included, like a plain group-by) without a full distinct-value
+    aggregation. ``approx_top_k`` (DataSketches frequent-items — one
+    pass, mergeable sketch bytes on the shuffle) is asked for its FULL
+    tracked set (the capacity, not just k); the candidate set is then
+    recounted exactly and the result returned only when exactness is
+    PROVEN, one of two ways:
+
+    - coverage: the candidates' exact counts sum to the total row count,
+      so nothing was ever evicted — exact even when the column has fewer
+      than k distinct values (the full, shorter top is returned);
+    - separation: the k-th exact count exceeds the sketch's ε·N error
+      bound (ε ≈ 3.5/capacity), so no omitted value can belong in the
+      top-k.
+
+    When neither holds, the engine AUTO-ESCALATES: capacity doubles and
+    the two-pass probe re-runs, up to ``max_capacity`` (default
+    4·max_items_tracked — at most two extra attempts), then raises — the
+    guard stays driver-side because in-plan assert_true gets pruned by
+    AQE's empty-side join elimination. Output: (value, cnt), count-desc /
+    value-asc.
+
+    Scale: two passes per attempt — (sketch + total count) in one
+    aggregate job, then a recount scan filtered to the candidate values
+    (≤ capacity literals, pushed into the scan); distinct-value
+    cardinality never hits a shuffle. The driver holds only the
+    candidate recount (≤ capacity rows) and the final k."""
+    if max_capacity is None:
+        max_capacity = max_items_tracked * 4
+    capacity = max_items_tracked
+    while True:
+        out = _heavy_hitters_attempt(df, col, k, capacity)
+        if out is not None:
+            return out
+        if capacity * 2 > max_capacity:
+            raise ValueError(
+                f"heavy_hitters: k-th count is within the sketch error "
+                f"bound even at capacity {capacity} (ceiling "
+                f"{max_capacity}) — the distribution is too flat for a "
+                f"provably-exact sketch top-{k}; raise max_capacity or "
+                f"use a full groupBy"
+            )
+        capacity *= 2

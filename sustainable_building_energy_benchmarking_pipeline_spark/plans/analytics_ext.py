@@ -1601,6 +1601,45 @@ ORDER BY doc_id
 """
 
 
+def z04_sharded_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z01's incremental dedup through a SHARDED Bloom filter — the
+    capacity path past the single-filter ceiling (~2·10⁹ keys at 1% FP,
+    SCALE.md §6). Keys route to 4 shards by an independent hash; each
+    shard is built in one shard-partitioned pass and broadcast on its
+    own, so executor filter memory is per-shard, not total. The result
+    is EXACT at any shard count and FP rate (the oracle is the plain
+    anti-join) — sharding is pure plumbing, which is the property this
+    query pins cross-engine."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+        bloom_incremental_dedup,
+        build_sharded_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 1)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    sharded = build_sharded_bloom(
+        history, "text", n_shards=4, expected_items=250_000
+    )
+    return (
+        bloom_incremental_dedup(history, batch, "text", bloom=sharded)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+Z04_SQL = """
+SELECT b.doc_id, b.n_chars
+FROM documents b
+WHERE b.doc_id % 2 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents h
+    WHERE h.doc_id % 4 <> 1 AND h.text = b.text
+  )
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1635,4 +1674,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z01_bloom_incremental_dedup": QuerySpec(z01_bloom_incremental_dedup, Z01_SQL),
     "z02_heavy_hitters": QuerySpec(z02_heavy_hitters, Z02_SQL),
     "z03_deterministic_shuffle": QuerySpec(z03_deterministic_shuffle, Z03_SQL),
+    "z04_sharded_bloom_dedup": QuerySpec(z04_sharded_bloom_dedup, Z04_SQL),
 }

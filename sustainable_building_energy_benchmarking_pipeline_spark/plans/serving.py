@@ -133,6 +133,41 @@ def stat_tiles(
     }
 
 
+def daily_counts(anomalies: DataFrame, **filters: Any) -> DataFrame:
+    """Daily anomaly trend series (src/dashboard_app.py:406-416: the
+    plotly line chart's groupby(date).size()): one date-grained
+    aggregate over the filtered table, date-ascending. Output is
+    bounded by the calendar (one row per day), so the API can collect
+    it safely at any table size; the timestamp filters partition-prune
+    before the shuffle."""
+    return (
+        _apply_filters(anomalies, **filters)
+        .groupBy(F.to_date("timestamp").alias("date"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("date")
+    )
+
+
+def zone_marker_series(
+    anomalies: DataFrame, zone_id: str, limit: int = DEFAULT_LIMIT, **filters: Any
+) -> DataFrame:
+    """Per-zone anomaly marker series (src/dashboard_app.py:143-163: the
+    time-series chart's severity-colored markers). The reference merges
+    anomalies with the features frame to recover the metric value at
+    each marker timestamp; the engine's anomaly table already carries
+    the rule's ``metric`` name and ``score``, so the marker projection
+    needs no join — a client overlaying raw feature values joins its
+    features series on timestamp exactly as the reference does. Newest
+    first, limit-bounded like /alerts."""
+    limit = max(1, min(int(limit), MAX_LIMIT))
+    return (
+        _apply_filters(anomalies, zone_id=zone_id, **filters)
+        .select("timestamp", "severity", "rule_name", "metric", "score")
+        .orderBy(F.desc("timestamp"), F.asc("rule_name"))
+        .limit(limit)
+    )
+
+
 def format_alerts(df: DataFrame) -> list[dict[str, Any]]:
     """Row formatting for the API boundary (src/api.py:183-190):
     ISO-8601 timestamps, plain dicts."""

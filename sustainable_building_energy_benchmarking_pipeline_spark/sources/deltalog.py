@@ -408,6 +408,17 @@ def _replay(
             active.pop(action["remove"]["path"], None)
 
     cp = _latest_checkpoint_version(path, at_or_below=version)
+    if cp is None and versions[0] > 0:
+        # the log was cleaned below its oldest checkpoint: without a
+        # checkpoint ≤ target, replaying only the surviving JSON would
+        # silently DROP the truncated history's adds — the one failure
+        # mode worse than an error
+        raise ValueError(
+            f"version {version} predates the cleaned log at {path} "
+            f"(oldest JSON commit {versions[0]}, no checkpoint at or "
+            f"below {version}) — history before the retention window "
+            "is gone, as after Delta log cleanup"
+        )
     if cp is not None:
         for action in _read_checkpoint_actions(path, cp):
             fold(action)
@@ -982,6 +993,48 @@ def vacuum_delta(
     return sorted(deleted)
 
 
+def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
+    """Delta log retention: delete JSON commits (and superseded
+    checkpoint parquets) STRICTLY BELOW the newest checkpoint, keeping
+    at least ``retain_versions`` trailing commits — the metadata
+    counterpart of VACUUM. A 10⁵-commit streaming table's _delta_log
+    stays O(retain_versions + 1 checkpoint) instead of growing forever.
+
+    Safety invariants (test-asserted):
+    - never deletes at or above the newest checkpoint version — every
+      surviving read has a checkpoint base, so snapshots/time travel
+      inside the retention window are byte-identical;
+    - reads BELOW the cleaned boundary raise a descriptive error
+      (see ``_replay``'s truncation guard) rather than returning a
+      silently incomplete snapshot;
+    - a log with no checkpoint is never cleaned (nothing to replay
+      from). Like Delta, history/CDF windows older than retention are
+      gone — consume change feeds before cleaning. Returns deleted
+      file names."""
+    cp = _latest_checkpoint_version(path)
+    if cp is None:
+        return []
+    versions = _list_versions(path)
+    boundary = min(cp, (versions[-1] - retain_versions + 1) if versions else cp)
+    deleted: list[str] = []
+    for v in versions:
+        if v < boundary:
+            os.remove(_commit_file(path, v))
+            deleted.append(os.path.basename(_commit_file(path, v)))
+    d = _log_dir(path)
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".checkpoint.parquet"):
+            continue
+        try:
+            v = int(name.split(".", 1)[0])
+        except ValueError:
+            continue
+        if v < boundary and v != cp:
+            os.remove(os.path.join(d, name))
+            deleted.append(name)
+    return deleted
+
+
 def _zorder_value(df: DataFrame, columns: list[str], bits: int = 4):
     """Z-value column: interleave the bits of each column's quantile-bucket
     rank. Bucketing uses sampled quantile boundaries (approxQuantile — the
@@ -1148,6 +1201,14 @@ def delta_changes(
         raise FileNotFoundError(f"no Delta log at {path}")
     if to_version is None:
         to_version = versions[-1]
+    if since_version + 1 < versions[0] and since_version != to_version:
+        # the window reaches below log retention (cleanup_log deleted
+        # those commits) — partial change feeds must error, not
+        # silently under-report, same contract as real CDF past retention
+        raise ValueError(
+            f"change window ({since_version}, {to_version}] predates the "
+            f"retained log (oldest commit {versions[0]}) at {path}"
+        )
     _, schema, _ = _replay(path, to_version)
     # NET add/remove count per path (not set intersection): Delta-legal
     # logs can remove then RE-ADD the same path (RESTORE, stats-refresh

@@ -127,3 +127,46 @@ def test_dashboard_html(client):
     assert client.get("/dashboard?start=not-a-time").status_code == 400
     assert client.get("/dashboard?severity=bogus").status_code == 400
     assert client.get("/dashboard?limit=999999").status_code == 422
+
+
+def test_dashboard_series_daily(client):
+    """Daily-trend JSON series (reference dashboard_app.py:406-416):
+    one point per date, counts matching a direct recompute, filter-aware."""
+    r = client.get("/dashboard/series/daily")
+    assert r.status_code == 200
+    body = r.get_json()
+    # fixture: 60 rows at 5-min spacing from 2024-01-01 → one date
+    assert body["series"] == [{"date": "2024-01-01", "count": 60}]
+    assert body["total"] == 60
+
+    r = client.get("/dashboard/series/daily?severity=high")
+    body = r.get_json()
+    assert body["total"] == 20  # every third row is high
+    assert [p["count"] for p in body["series"]] == [20]
+
+    # shared validation contract with /alerts
+    assert client.get("/dashboard/series/daily?start=not-a-ts").status_code == 400
+
+
+def test_dashboard_series_zones(client):
+    """Per-zone marker series keyed by severity (reference
+    dashboard_app.py:143-163): each marker carries timestamp + rule +
+    metric + score; zone_id is required."""
+    r = client.get("/dashboard/series/zones?zone_id=Z1")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["zone_id"] == "Z1"
+    # Z1 rows are i % 4 == 0 → i in 0,4,8,... severities cycle over i%3
+    total = sum(len(v) for v in body["series"].values())
+    assert total == 15
+    for sev, pts in body["series"].items():
+        assert sev in ("low", "medium", "high")
+        for p in pts:
+            assert set(p) == {"timestamp", "rule_name", "metric", "score"}
+            assert p["rule_name"] == "temp_drift"  # Z1 rows are even i
+
+    assert client.get("/dashboard/series/zones").status_code == 422
+    assert (
+        client.get("/dashboard/series/zones?zone_id=Z1&severity=bogus").status_code
+        == 400
+    )

@@ -499,6 +499,50 @@ def test_deltalog_checkpoint_bounds_replay(spark, tmp_path, monkeypatch):
     assert sorted(r.id for r in dl.read_delta(spark, path, version=5).collect()) == list(range(6))
 
 
+def test_deltalog_log_cleanup_retention(spark, tmp_path):
+    """cleanup_log deletes JSON commits below the newest checkpoint
+    (minus the retention window): snapshots inside the window stay
+    byte-identical, reads below the boundary raise (never a silently
+    incomplete snapshot), change windows past retention raise, and new
+    writes keep committing at the right version."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dclean")
+    for i in range(25):  # 0..24, checkpoints at 10 and 20
+        dl.write_delta(spark.createDataFrame([(i,)], "id long"), path)
+    before = sorted(r.id for r in dl.read_delta(spark, path).collect())
+
+    deleted = dl.cleanup_log(path, retain_versions=3)
+    assert f"{10:020d}.checkpoint.parquet" in deleted
+    assert f"{0:020d}.json" in deleted and f"{19:020d}.json" in deleted
+    assert dl._list_versions(path) == list(range(20, 25))
+    # current snapshot identical; time travel inside retention works
+    dl._ACTION_CACHE.clear()
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == before
+    assert dl.read_delta(spark, path, version=21).count() == 22
+    # below the boundary: descriptive error, not partial data
+    with _pytest.raises(ValueError):
+        dl.read_delta(spark, path, version=5)
+    # change feed past retention errors; inside retention still works
+    with _pytest.raises(ValueError, match="predates"):
+        dl.delta_changes(spark, path, since_version=5)
+    added, removed = dl.delta_changes(spark, path, since_version=21)
+    assert added.count() == 3 and removed.count() == 0
+    # writes continue at the next version
+    v = dl.write_delta(spark.createDataFrame([(99,)], "id long"), path)
+    assert v == 25
+    assert dl.read_delta(spark, path).count() == 26
+    # a checkpoint-less log refuses to clean
+    path2 = str(tmp_path / "dclean2")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path2)
+    assert dl.cleanup_log(path2) == []
+    assert _os.path.exists(dl._commit_file(path2, 0))
+
+
 def test_deltalog_checkpoint_txn_and_partitions(spark, tmp_path):
     """Checkpoint rows carry txn watermarks and partitionValues (incl.
     null partitions) faithfully — idempotent streaming sinks and

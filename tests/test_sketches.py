@@ -146,3 +146,157 @@ def test_bloom_contains_math_properties():
         # can't: no bits are set)
         empty = BloomFilter(bits=b"\x00" * (m // 8), m=m, k=k)
         assert not empty.contains(h1, h2).any()
+
+
+def test_heavy_hitters_auto_escalates_bounded(spark, monkeypatch):
+    """Capacity 64 on 100 distinct values: the first attempt cannot prove
+    exactness, the doubled attempt (128 ≥ distinct) covers every row and
+    is provably exact — converging in ONE escalation, ≤2 total attempts
+    (bounded extra scans), with the correct exact answer."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators import sketches as sk
+
+    df = spark.range(40_000).selectExpr("CAST(pmod(id, 100) AS STRING) AS v")
+    attempts = []
+    real = sk._heavy_hitters_attempt
+
+    def counting(d, c, k, cap):
+        attempts.append(cap)
+        return real(d, c, k, cap)
+
+    monkeypatch.setattr(sk, "_heavy_hitters_attempt", counting)
+    got = [(r["v"], r["cnt"]) for r in sk.heavy_hitters(df, "v", k=10, max_items_tracked=64).collect()]
+    assert len(attempts) <= 2, attempts
+    exact = [
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("v"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_heavy_hitters_fewer_distinct_than_k(spark):
+    """Fewer distinct values than k: the sketch is under capacity, the
+    candidates cover every row, and the full (shorter) exact result comes
+    back — no spurious 'raise max_items_tracked' error."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(1_000).selectExpr("CAST(pmod(id, 5) AS STRING) AS v")
+    got = [(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", k=10).collect()]
+    assert got == [("0", 200), ("1", 200), ("2", 200), ("3", 200), ("4", 200)]
+
+
+def test_heavy_hitters_empty_frame(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(0).selectExpr("CAST(id AS STRING) AS v")
+    assert heavy_hitters(df, "v", k=5).collect() == []
+
+
+def test_sharded_bloom_keepset_invariant(spark):
+    """Sharding is invisible to correctness: incremental dedup through a
+    1-shard, 4-shard and 7-shard filter produces EXACTLY the plain
+    anti-join keep-set (bloom routes, the join decides), and no shard
+    ever false-negatives a history key."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+        bloom_incremental_dedup,
+        bloom_membership,
+        build_sharded_bloom,
+    )
+
+    hist = spark.range(4_000).selectExpr("CAST(id AS STRING) AS k")
+    batch = spark.range(3_000, 6_000).selectExpr("CAST(id AS STRING) AS k")
+    expect = {r["k"] for r in batch.join(hist, "k", "left_anti").collect()}
+    for n_shards in (1, 4, 7):
+        sb = build_sharded_bloom(hist, "k", n_shards=n_shards, fp_rate=0.01)
+        assert sb.n_shards == n_shards
+        got = {
+            r["k"]
+            for r in bloom_incremental_dedup(hist, batch, "k", bloom=sb).collect()
+        }
+        assert got == expect, f"n_shards={n_shards}"
+        # zero false negatives shard-wise
+        misses = (
+            bloom_membership(hist, "k", sb).filter(~F.col("_bloom_hit")).count()
+        )
+        assert misses == 0, f"n_shards={n_shards}"
+
+
+def test_sharded_bloom_fp_rate_and_shard_sizing(spark):
+    """Each shard is sized for n/S keys, so the whole-filter FP rate
+    stays near nominal, and per-shard bit arrays are ~1/S of the
+    unsharded size (the per-broadcast bound that motivates sharding)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+        bloom_membership,
+        build_bloom,
+        build_sharded_bloom,
+    )
+
+    hist = spark.range(20_000).selectExpr("CAST(id AS STRING) AS k")
+    sb = build_sharded_bloom(hist, "k", n_shards=8, fp_rate=0.01)
+    single = build_bloom(hist, "k", expected_items=20_000, fp_rate=0.01)
+    assert max(len(s.bits) for s in sb.shards) < len(single.bits) / 4
+    probe = spark.range(1_000_000, 1_050_000).selectExpr("CAST(id AS STRING) AS k")
+    fp = bloom_membership(probe, "k", sb).filter(F.col("_bloom_hit")).count()
+    assert fp / 50_000 < 0.03  # ~nominal 1%, generous margin
+
+
+def test_bloom_dedup_persist_scans_batch_once(spark):
+    """persist=True: after the first action materializes the cache, a
+    SECOND action re-reads the cached flagged frame — zero extra batch
+    scans; without persist every action re-scans the batch twice (the
+    two membership branches)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+        bloom_incremental_dedup,
+    )
+
+    hist = spark.range(500).selectExpr("CAST(id AS STRING) AS k")
+
+    def make_counted_batch():
+        acc = spark.sparkContext.accumulator(0)
+
+        def tag(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        b = (
+            spark.range(400, 900)
+            .selectExpr("CAST(id AS STRING) AS k")
+            .mapInPandas(tag, "k string")
+        )
+        return b, acc
+
+    batch, acc = make_counted_batch()
+    out = bloom_incremental_dedup(hist, batch, "k", persist=True)
+    out.count()
+    first = acc.value
+    out.count()
+    assert acc.value == first, "persisted flagged frame must not re-scan the batch"
+
+    batch2, acc2 = make_counted_batch()
+    out2 = bloom_incremental_dedup(hist, batch2, "k", persist=False)
+    out2.count()
+    base = acc2.value
+    out2.count()
+    assert acc2.value == 2 * base  # every action re-evaluates both branches
+
+
+def test_bloom_broadcast_cached_per_digest(spark):
+    """Repeated membership calls with equal-content filters reuse ONE
+    broadcast (keyed by precomputed digest — no per-call rehash of the
+    bits), and stale-application entries are evicted on insert."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators import sketches as sk
+
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    bloom = sk.build_bloom(df, "k", expected_items=100)
+    clone = sk.BloomFilter(bits=bloom.bits, m=bloom.m, k=bloom.k)
+    bc1 = sk._bloom_broadcast(df, bloom)
+    bc2 = sk._bloom_broadcast(df, clone)
+    assert bc1 is bc2
+    app = spark.sparkContext.applicationId
+    sk._BC_CACHE[("deadbeef", "stopped-app-123")] = object()
+    sk._bloom_broadcast(df, sk.build_bloom(df.limit(50), "k", expected_items=50))
+    assert all(k[1] == app for k in sk._BC_CACHE)

@@ -40,7 +40,7 @@ SPARK_PORTABLE = [
     "q75_numeric_correlation", "q79_cube_orders", "q82_intersect_except",
     "q85_zscore_normalize", "q87_wow_growth", "q92_agg_topk",
     "q93_dense_rank_ties", "q94_grouped_agg_udaf", "q95_value_range_frame",
-    "z01_bloom_incremental_dedup",
+    "z01_bloom_incremental_dedup", "z04_sharded_bloom_dedup",
 ]
 
 EXCLUDED = {"q89_ivf_approx_topk"}  # approximate by design; recall-gated
