@@ -19,6 +19,14 @@ Supported subset (documented, test-asserted):
   instead of O(V) at long table histories;
 - append / overwrite writes, snapshot-isolated reads, time travel by
   version, history listing;
+- schema evolution (``write_delta(merge_schema=True)`` — Delta's
+  mergeSchema: new columns append via a fresh metaData action, old
+  files read back with typed nulls), file-targeted ``delete_delta``
+  (DELETE WHERE), log-only ``restore_delta`` (RESTORE VERSION AS OF),
+  TBLPROPERTIES (``set_table_properties``), CHECK constraints
+  (``add_constraint`` / ``drop_constraint`` stored as
+  ``delta.constraints.*`` with the protocol gate raised to writer v3,
+  enforced on every write/MERGE) and ``delta.appendOnly``;
 - optimistic concurrency: commit N+1 is created with O_CREAT|O_EXCL;
   a losing writer RETRIES at the next version after a disjointness
   check (its read/remove set vs the rival's removes), raising
@@ -282,8 +290,14 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
     txns = _collect_txns(path, version)
     meta = _latest_metadata(path, version)
 
+    proto = _latest_protocol(path, version)
     rows: list[dict[str, Any]] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+            }
+        },
         {
             "metaData": {
                 "id": meta.get("id"),
@@ -353,6 +367,26 @@ def _latest_metadata(path: str, version: int) -> dict[str, Any]:
     if meta is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
     return meta
+
+
+def _latest_protocol(path: str, version: int) -> dict[str, Any]:
+    """The newest protocol action at-or-below ``version`` — checkpoints
+    must re-emit the UPGRADED protocol (e.g. minWriterVersion 3 after a
+    CHECK constraint lands), not the table-creation default, or a
+    post-checkpoint reader would believe the feature gate never rose."""
+    proto: dict[str, Any] = {"minReaderVersion": 1, "minWriterVersion": 2}
+    cp = _latest_checkpoint_version(path, at_or_below=version)
+    if cp is not None:
+        for action in _read_checkpoint_actions(path, cp):
+            if "protocol" in action:
+                proto = action["protocol"]
+    for v in _list_versions(path):
+        if (cp is not None and v <= cp) or v > version:
+            continue
+        for action in _read_actions(path, v):
+            if "protocol" in action:
+                proto = action["protocol"]
+    return proto
 
 
 def _collect_txns(path: str, version: int) -> dict[str, int]:
@@ -482,6 +516,79 @@ def _file_stats(file_path: str) -> str | None:
         return None  # stats are an optimization, never a correctness gate
 
 
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _evolve_schema(
+    df: DataFrame, table_schema: T.StructType
+) -> tuple[DataFrame, T.StructType]:
+    """Delta ``mergeSchema`` semantics: the merged schema is the table's
+    columns (in table order) followed by the batch's NEW columns (in
+    batch order); a column present in both must keep its exact type —
+    mergeSchema adds columns, it never rewrites existing ones. The batch
+    is aligned to the merged schema, table columns it lacks filled with
+    typed nulls."""
+    from pyspark.sql import functions as F
+
+    by_name = {f.name: f for f in df.schema.fields}
+    tbl_names = {f.name for f in table_schema.fields}
+    for f in table_schema.fields:
+        g = by_name.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"mergeSchema cannot change the type of column {f.name}: "
+                f"table {f.dataType.simpleString()} vs "
+                f"batch {g.dataType.simpleString()}"
+            )
+    merged = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in table_schema.fields]
+        + [
+            T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in tbl_names
+        ]
+    )
+    aligned = df.select(
+        *[
+            F.col(f.name)
+            if f.name in by_name
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged.fields
+        ]
+    )
+    return aligned, merged
+
+
+def _violated_constraint(
+    spark: SparkSession,
+    staging: str,
+    schema: T.StructType,
+    config: dict[str, str],
+) -> tuple[str, str] | None:
+    """First CHECK constraint the staged data violates, or None. SQL
+    CHECK semantics: a row violates only when the expression evaluates
+    to FALSE — NULL passes (``coalesce(expr, true)``). Runs against the
+    already-staged parquet, so the batch plan is evaluated exactly once
+    (by the write) and each check is a pushdown-friendly local scan."""
+    from pyspark.sql import functions as F
+
+    constraints = sorted(
+        (k[len(_CONSTRAINT_PREFIX):], v)
+        for k, v in config.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    )
+    if not constraints:
+        return None
+    staged = spark.read.schema(schema).option("basePath", staging).parquet(staging)
+    for name, expr in constraints:
+        bad = staged.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(1).count()
+        if bad:
+            return name, expr
+    return None
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -489,6 +596,7 @@ def write_delta(
     extra_actions: list[dict[str, Any]] | None = None,
     partition_by: list[str] | None = None,
     max_retries: int = 5,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -518,23 +626,44 @@ def write_delta(
     os.makedirs(_log_dir(path), exist_ok=True)
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
+    config: dict[str, str] = {}
+    evolved_meta: dict[str, Any] | None = None
     if version > 0:
         # Delta schema enforcement: an append/overwrite whose schema
         # drifts from the table's metaData is rejected, not silently
-        # unioned (schema EVOLUTION is an explicit option in real Delta;
-        # out of this subset). Compare names+types only — nullability
-        # differs spuriously between construction paths (spark.range
-        # yields non-null, createDataFrame yields nullable) and a
-        # nullable/non-null flip is not a data-incompatibility here.
+        # unioned — unless the caller opts into evolution with
+        # ``merge_schema`` (Delta's mergeSchema): new columns append to
+        # the table schema via a fresh metaData action in THIS commit,
+        # table columns the batch lacks fill with typed nulls, and a
+        # type change on an existing column still raises. Compare
+        # names+types only — nullability differs spuriously between
+        # construction paths (spark.range yields non-null,
+        # createDataFrame yields nullable) and a nullable/non-null flip
+        # is not a data-incompatibility here.
         _, table_schema, table_pcols = _replay(path, versions[-1])
+        meta = _latest_metadata(path, versions[-1])
+        config = dict(meta.get("configuration", {}))
+        if mode == "overwrite" and config.get("delta.appendOnly") == "true":
+            raise ValueError(
+                f"Delta table at {path} is delta.appendOnly=true: "
+                "overwrite (which removes files) is blocked"
+            )
         if [(f.name, f.dataType) for f in df.schema.fields] != [
             (f.name, f.dataType) for f in table_schema.fields
         ]:
-            raise ValueError(
-                f"schema mismatch vs Delta table at {path}: "
-                f"table={table_schema.simpleString()} "
-                f"df={df.schema.simpleString()}"
-            )
+            if not merge_schema:
+                raise ValueError(
+                    f"schema mismatch vs Delta table at {path}: "
+                    f"table={table_schema.simpleString()} "
+                    f"df={df.schema.simpleString()} "
+                    "(pass merge_schema=True to evolve)"
+                )
+            df, merged_schema = _evolve_schema(df, table_schema)
+            if [(f.name, f.dataType) for f in merged_schema.fields] != [
+                (f.name, f.dataType) for f in table_schema.fields
+            ]:
+                evolved_meta = dict(meta)
+                evolved_meta["schemaString"] = merged_schema.json()
         if list(partition_by or []) != table_pcols:
             raise ValueError(
                 f"partition columns fixed at table creation: "
@@ -546,6 +675,15 @@ def write_delta(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
+    viol = _violated_constraint(df.sparkSession, staging, df.schema, config)
+    if viol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"CHECK constraint {viol[0]} ({viol[1]}) violated by write "
+            f"to Delta table at {path}"
+        )
     adds = []
     now_ms = int(time.time() * 1000)
     for root, _dirs, files in os.walk(staging):
@@ -568,9 +706,13 @@ def write_delta(
                     if "=" in part
                 )
             }
+            src = os.path.join(root, name)
+            stats = _file_stats(src)
+            if stats and json.loads(stats).get("numRecords") == 0:
+                continue  # empty shuffle partition — nothing to commit
             dest = os.path.join(path, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.replace(os.path.join(root, name), dest)  # part names UUID-unique
+            os.replace(src, dest)  # part names UUID-unique
             add: dict[str, Any] = {
                 "path": rel,
                 "partitionValues": pvals,
@@ -578,7 +720,6 @@ def write_delta(
                 "modificationTime": now_ms,
                 "dataChange": True,
             }
-            stats = _file_stats(dest)
             if stats:
                 add["stats"] = stats
             adds.append({"add": add})
@@ -603,6 +744,8 @@ def write_delta(
                 }
             }
         )
+    if evolved_meta is not None:
+        actions.append({"metaData": evolved_meta})
     if mode == "overwrite" and version > 0:
         prior_active, _, _ = _replay(path, versions[-1])
         for rel in prior_active:
@@ -729,10 +872,14 @@ def _may_satisfy(add: dict, where: tuple[str, str, Any]) -> bool:
     optimization, never a correctness gate)."""
     col, op, val = where
     stats = add.get("stats")
-    if not stats or op not in _SKIP_OPS:
+    if not stats:
         return True
     try:
         s = json.loads(stats)
+        if s.get("numRecords") == 0:
+            return False  # an empty file cannot satisfy ANY row predicate
+        if op not in _SKIP_OPS:
+            return True
         lo, hi = s["minValues"][col], s["maxValues"][col]
         return _SKIP_OPS[op](lo, hi, val)
     except (KeyError, TypeError, ValueError):
@@ -843,6 +990,16 @@ def merge_delta(
             and _may_satisfy(a, (key, "<=", hi))
         }
 
+    config = dict(
+        _latest_metadata(path, versions[-1]).get("configuration", {})
+    )
+    if affected and config.get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"Delta table at {path} is delta.appendOnly=true: MERGE "
+            "would rewrite files holding matched keys; only pure-insert "
+            "merges (no key overlap) are allowed"
+        )
+
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
@@ -859,12 +1016,25 @@ def merge_delta(
     # stage+move exactly like write_delta, then commit removes+adds in one
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     new_data.write.mode("errorifexists").parquet(staging)
+    viol = _violated_constraint(spark, staging, schema, config)
+    if viol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
+            f"into Delta table at {path}"
+        )
     for root, _dirs, files_ in os.walk(staging):
         for name in sorted(files_):
             if not name.endswith(".parquet"):
                 continue
+            src = os.path.join(root, name)
+            stats = _file_stats(src)
+            if stats and json.loads(stats).get("numRecords") == 0:
+                continue  # empty shuffle partition — nothing to commit
             dest = os.path.join(path, name)
-            os.replace(os.path.join(root, name), dest)
+            os.replace(src, dest)
             add: dict[str, Any] = {
                 "path": name,
                 "partitionValues": {},
@@ -872,7 +1042,6 @@ def merge_delta(
                 "modificationTime": now_ms,
                 "dataChange": True,
             }
-            stats = _file_stats(dest)
             if stats:
                 add["stats"] = stats
             actions.append({"add": add})
@@ -894,6 +1063,298 @@ def merge_delta(
     # merges over other key ranges) retry cleanly
     return _commit_with_retry(
         path, versions[-1] + 1, actions, depends_on=set(affected)
+    )
+
+
+def table_configuration(path: str, version: int | None = None) -> dict[str, str]:
+    """The table's configuration map (TBLPROPERTIES) at ``version``
+    (default latest) — where Delta keeps CHECK constraints
+    (``delta.constraints.<name>``) and behavior gates
+    (``delta.appendOnly``)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    return dict(
+        _latest_metadata(path, versions[-1] if version is None else version).get(
+            "configuration", {}
+        )
+    )
+
+
+def set_table_properties(
+    path: str, props: dict[str, str | None], operation: str = "SET TBLPROPERTIES"
+) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData-only
+    update merging ``props`` into the configuration (a None value
+    UNSETs the key). Concurrent property commits serialize through the
+    optimistic retry (no removes → never a file conflict; last metaData
+    wins, as in Delta's WriteSerializable). Returns the version."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    meta = _latest_metadata(path, versions[-1])
+    config = dict(meta.get("configuration", {}))
+    for k, v in props.items():
+        if v is None:
+            config.pop(k, None)
+        else:
+            config[k] = str(v)
+    meta["configuration"] = config
+    actions: list[dict[str, Any]] = [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": {
+                    "properties": {k: v for k, v in props.items() if v is not None}
+                },
+            }
+        },
+    ]
+    return _commit_with_retry(path, versions[-1] + 1, actions)
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — stored as the
+    ``delta.constraints.<name>`` table property exactly where real Delta
+    keeps it, enforced by every subsequent write/MERGE in this module.
+    Existing data is validated first (one pushdown-friendly scan; SQL
+    CHECK semantics — NULL passes, only FALSE violates), and the commit
+    raises the protocol gate to minWriterVersion 3, the feature's
+    writer-version requirement in the spec, so a non-constraint-aware
+    writer refuses the table rather than silently violating it."""
+    from pyspark.sql import functions as F
+
+    key = _CONSTRAINT_PREFIX + name
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    meta = _latest_metadata(path, versions[-1])
+    config = dict(meta.get("configuration", {}))
+    if key in config:
+        raise ValueError(f"constraint {name} already exists: {config[key]}")
+    bad = (
+        read_delta(spark, path)
+        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot ADD CONSTRAINT {name} ({expr}): existing rows violate it"
+        )
+    config[key] = expr
+    meta["configuration"] = config
+    proto = _latest_protocol(path, versions[-1])
+    actions: list[dict[str, Any]] = [
+        {
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": max(int(proto.get("minWriterVersion", 2)), 3),
+            }
+        },
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+    ]
+    return _commit_with_retry(path, versions[-1] + 1, actions)
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — UNSET the property; later writes
+    stop enforcing it."""
+    return set_table_properties(
+        path, {_CONSTRAINT_PREFIX + name: None}, operation="DROP CONSTRAINT"
+    )
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: tuple[str, str, Any] | None = None,
+) -> int:
+    """DELETE FROM table WHERE ``condition`` (a Spark SQL boolean
+    expression; NULL keeps the row, SQL WHERE semantics).
+
+    Scale shape — the two-phase file-targeted rewrite real Delta runs:
+    phase 1 scans candidate files WITH ``input_file_name()`` and keeps
+    only files that actually contain a matching row (the predicate is
+    pushed into the parquet scan; the collect is ≤ one row per file);
+    phase 2 reads ONLY those files and rewrites them without the
+    matching rows. A delete touching 1% of files rewrites 1% of the
+    table. ``prune`` — an optional (col, op, value) the condition
+    implies — drops files by footer stats before phase 1 ever scans
+    them, same lever as ``read_delta(where=...)``. No matching rows →
+    no-op, no spurious version. Returns the committed version."""
+    from pyspark.sql import functions as F
+    from urllib.parse import urlparse
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    active, schema, partition_cols = _replay(path, versions[-1])
+    if partition_cols:
+        raise ValueError("delete_delta supports unpartitioned tables")
+    config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
+    if config.get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"Delta table at {path} is delta.appendOnly=true: DELETE is blocked"
+        )
+    pred = F.coalesce(F.expr(condition), F.lit(False))
+    cand = {
+        rel: a
+        for rel, a in active.items()
+        if prune is None or _may_satisfy(a, prune)
+    }
+    if not cand:
+        return versions[-1]
+    root = os.path.abspath(path)
+    cand_files = [os.path.join(path, rel) for rel in sorted(cand)]
+    hit_rows = (
+        spark.read.schema(schema)
+        .parquet(*cand_files)
+        .filter(pred)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()  # bounded: ≤ one row per candidate file
+    )
+    hit_files = {
+        os.path.relpath(unquote(urlparse(r["_f"]).path), root) for r in hit_rows
+    }
+    if not hit_files:
+        return versions[-1]
+
+    keep = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(path, rel) for rel in sorted(hit_files)])
+        .filter(~pred)
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+        for rel in sorted(hit_files)
+    ]
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    keep.write.mode("errorifexists").parquet(staging)
+    for dirpath, _dirs, files_ in os.walk(staging):
+        for fname in sorted(files_):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            stats = _file_stats(src)
+            if stats and json.loads(stats).get("numRecords") == 0:
+                continue  # a fully-deleted file needs no replacement
+            dest = os.path.join(path, fname)
+            os.replace(src, dest)
+            add: dict[str, Any] = {
+                "path": fname,
+                "partitionValues": {},
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if stats:
+                add["stats"] = stats
+            actions.append({"add": add})
+    import shutil
+
+    shutil.rmtree(staging)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": condition},
+            }
+        }
+    )
+    return _commit_with_retry(
+        path, versions[-1] + 1, actions, depends_on=set(hit_files)
+    )
+
+
+def restore_delta(path: str, to_version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF ``to_version`` — a new commit that
+    re-activates the old snapshot's files and removes the ones added
+    since, so the restore is itself versioned history (time travel to
+    the pre-restore state still works; nothing is rewritten, only log
+    actions move). Files the old snapshot needs must still exist —
+    VACUUM may have reclaimed them, in which case this raises instead of
+    committing a snapshot that cannot be read (real Delta's behavior).
+    Returns the committed version (unchanged if already identical)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    current = versions[-1]
+    old_active, _old_schema, old_pcols = _replay(path, to_version)
+    cur_active, _cur_schema, cur_pcols = _replay(path, current)
+    config = dict(_latest_metadata(path, current).get("configuration", {}))
+    if config.get("delta.appendOnly") == "true" and (
+        cur_active.keys() - old_active.keys()
+    ):
+        raise ValueError(
+            f"Delta table at {path} is delta.appendOnly=true: RESTORE "
+            "would remove files added since the target version"
+        )
+    missing = sorted(
+        rel
+        for rel in old_active.keys() - cur_active.keys()
+        if not os.path.exists(os.path.join(path, rel))
+    )
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE {path} to version {to_version}: data files "
+            f"missing (vacuumed?): {missing[:5]}"
+        )
+    old_meta = _latest_metadata(path, to_version)
+    cur_meta = _latest_metadata(path, current)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    if (
+        old_meta["schemaString"] != cur_meta["schemaString"]
+        or old_pcols != cur_pcols
+    ):
+        restored_meta = dict(old_meta)
+        # table properties are NOT restored (matching real Delta:
+        # RESTORE moves data, configuration survives)
+        restored_meta["configuration"] = config
+        actions.append({"metaData": restored_meta})
+    for rel in sorted(cur_active.keys() - old_active.keys()):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(old_active.keys() - cur_active.keys()):
+        add = dict(old_active[rel])
+        add["dataChange"] = True
+        actions.append({"add": add})
+    if not actions:
+        return current  # snapshots identical — nothing to restore
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": to_version},
+            }
+        }
+    )
+    return _commit_with_retry(
+        path, current + 1, actions, depends_on=set(old_active) & set(cur_active)
     )
 
 

@@ -1102,3 +1102,205 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
         assert state_rows == [(expect_sv, len(model))], (
             f"seed={seed} step={step} op={op}: incremental state diverged"
         )
+
+
+def test_deltalog_schema_evolution_merge_schema(spark, tmp_path):
+    """write_delta(merge_schema=True) = Delta's mergeSchema: new columns
+    append to the table schema via a fresh metaData action, old files
+    read back with typed nulls, batch-missing table columns fill with
+    nulls, and a type change on an existing column still raises."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+    wider = spark.createDataFrame([(2, "b", 3.5)], "id long, v string, score double")
+    # default posture unchanged: drift raises
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta(wider, path)
+    assert dl.write_delta(wider, path, merge_schema=True) == 1
+    snap = dl.read_delta(spark, path)
+    assert [f.name for f in snap.schema.fields] == ["id", "v", "score"]
+    got = {(r.id, r.v, r.score) for r in snap.collect()}
+    assert got == {(1, "a", None), (2, "b", 3.5)}
+    # narrower batch: the evolved table keeps score, null-filled
+    dl.write_delta(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        path,
+        merge_schema=True,
+    )
+    got = {(r.id, r.v, r.score) for r in dl.read_delta(spark, path).collect()}
+    assert got == {(1, "a", None), (2, "b", 3.5), (3, "c", None)}
+    # time travel below the evolution sees the ORIGINAL two-column schema
+    v0 = dl.read_delta(spark, path, version=0)
+    assert [f.name for f in v0.schema.fields] == ["id", "v"]
+    # type change is never silent
+    with pytest.raises(ValueError, match="cannot change the type"):
+        dl.write_delta(
+            spark.createDataFrame([("x", "y")], "id string, v string"),
+            path,
+            merge_schema=True,
+        )
+
+
+def test_deltalog_delete_where_file_targeted(spark, tmp_path):
+    """DELETE WHERE rewrites ONLY files containing matching rows: the
+    untouched file's add action (and its physical bytes) survive the
+    commit; a no-match delete is a no-op with no spurious version."""
+    import glob as _glob
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    lo = spark.createDataFrame([(i, "lo") for i in range(10)], "id long, tag string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 110)], "id long, tag string")
+    dl.write_delta(lo.coalesce(1), path)
+    dl.write_delta(hi.coalesce(1), path)
+    active0, _, _ = dl._replay(path, None)
+    lo_files = {r for r in active0 if json.loads(active0[r]["stats"])["maxValues"]["id"] < 100}
+    assert len(active0) == 2 and len(lo_files) == 1
+    before_bytes = {
+        rel: os.path.getmtime(os.path.join(path, rel)) for rel in active0
+    }
+    v = dl.delete_delta(spark, path, "id >= 100 AND id < 105", prune=("id", ">=", 100))
+    assert v == 2
+    got = sorted(r.id for r in dl.read_delta(spark, path).collect())
+    assert got == list(range(10)) + list(range(105, 110))
+    active1, _, _ = dl._replay(path, None)
+    # the lo file is untouched: same add path, same mtime
+    assert lo_files < set(active1)
+    for rel in lo_files:
+        assert os.path.getmtime(os.path.join(path, rel)) == before_bytes[rel]
+    # no matching rows -> no-op, same version
+    assert dl.delete_delta(spark, path, "id > 99999") == 2
+    assert dl._list_versions(path)[-1] == 2
+    # NULL predicate rows are kept (SQL WHERE semantics)
+    dl.write_delta(
+        spark.createDataFrame([(None, "n")], "id long, tag string"), path
+    )
+    dl.delete_delta(spark, path, "id < 5")
+    got = {r.tag for r in dl.read_delta(spark, path).collect() if r.id is None}
+    assert got == {"n"}
+
+
+def test_deltalog_restore_version(spark, tmp_path):
+    """RESTORE VERSION AS OF: a log-only commit re-activating the old
+    snapshot; pre-restore state stays time-travelable; restoring past
+    vacuumed files raises instead of committing an unreadable snapshot."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)          # v0
+    dl.write_delta(spark.createDataFrame([(2,)], "id long"), path)          # v1
+    dl.write_delta(spark.createDataFrame([(9,)], "id long"), path, mode="overwrite")  # v2
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [9]
+    v = dl.restore_delta(path, 1)
+    assert v == 3
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [1, 2]
+    # the pre-restore snapshot is still history
+    assert sorted(r.id for r in dl.read_delta(spark, path, version=2).collect()) == [9]
+    # restore-to-identical is a no-op
+    assert dl.restore_delta(path, 3) == 3
+    hist = dl.delta_history(path)
+    assert hist[3]["operation"] == "RESTORE"
+    # vacuum away v2's file (inactive since the restore), then restore to it
+    dl.vacuum_delta(path, retain_hours=0.0, force=True)
+    with pytest.raises(ValueError, match="missing"):
+        dl.restore_delta(path, 2)
+
+
+def test_deltalog_check_constraints(spark, tmp_path):
+    """CHECK constraints: stored as delta.constraints.* TBLPROPERTIES,
+    protocol gate raised to writer v3 (and preserved through
+    checkpoints), enforced on write and MERGE with SQL semantics (NULL
+    passes), droppable."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(
+        spark.createDataFrame([(1, 10.0), (2, None)], "id long, score double"),
+        path,
+    )
+    # violated by existing data -> refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        dl.add_constraint(spark, path, "pos_id", "id > 1")
+    v = dl.add_constraint(spark, path, "pos_score", "score >= 0")
+    assert dl.table_configuration(path)["delta.constraints.pos_score"] == "score >= 0"
+    assert dl._latest_protocol(path, v)["minWriterVersion"] == 3
+    # checkpoint must preserve the raised gate
+    dl.write_checkpoint(path)
+    cp_proto = [
+        a["protocol"]
+        for a in dl._read_checkpoint_actions(path, v)
+        if "protocol" in a
+    ]
+    assert cp_proto and cp_proto[0]["minWriterVersion"] == 3
+    # violating write refused, no new version, no stray staging
+    nv_before = dl._list_versions(path)[-1]
+    with pytest.raises(ValueError, match="CHECK constraint pos_score"):
+        dl.write_delta(
+            spark.createDataFrame([(3, -1.0)], "id long, score double"), path
+        )
+    assert dl._list_versions(path)[-1] == nv_before
+    assert not [d for d in os.listdir(path) if d.startswith("_staging")]
+    # NULL passes; clean write lands
+    dl.write_delta(
+        spark.createDataFrame([(3, None)], "id long, score double"), path
+    )
+    # MERGE enforcement too
+    with pytest.raises(ValueError, match="CHECK constraint pos_score"):
+        dl.merge_delta(
+            spark,
+            path,
+            spark.createDataFrame([(1, -5.0)], "id long, score double"),
+            "id",
+        )
+    dl.drop_constraint(path, "pos_score")
+    dl.write_delta(
+        spark.createDataFrame([(4, -1.0)], "id long, score double"), path
+    )
+    assert sorted(
+        r.id for r in dl.read_delta(spark, path).collect()
+    ) == [1, 2, 3, 4]
+
+
+def test_deltalog_append_only(spark, tmp_path):
+    """delta.appendOnly=true blocks every file-removing operation
+    (overwrite, matched MERGE, DELETE, file-removing RESTORE) while pure
+    appends and insert-only merges keep working."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+    dl.set_table_properties(path, {"delta.appendOnly": "true"})
+    dl.write_delta(spark.createDataFrame([(2, "b")], "id long, v string"), path)
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.write_delta(
+            spark.createDataFrame([(9, "z")], "id long, v string"),
+            path,
+            mode="overwrite",
+        )
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.delete_delta(spark, path, "id = 1")
+    # matched merge removes files -> blocked; disjoint-key merge is a
+    # pure insert -> allowed
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.merge_delta(
+            spark,
+            path,
+            spark.createDataFrame([(1, "A")], "id long, v string"),
+            "id",
+        )
+    dl.merge_delta(
+        spark,
+        path,
+        spark.createDataFrame([(100, "c")], "id long, v string"),
+        "id",
+    )
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.restore_delta(path, 0)
+    # lift the gate -> operations work again
+    dl.set_table_properties(path, {"delta.appendOnly": None})
+    dl.delete_delta(spark, path, "id = 1")
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [2, 100]
