@@ -13,6 +13,9 @@ the library plans, so the CLI adds no logic of its own:
   export     silver → nested benchmarking JSON       (export_building_benchmarking)
   serve      HTTP API (/alerts, /benchmark, ...)     (make run-api)
   query      run one registry query by name, print N rows
+  delta      Delta table maintenance: history, optimize [--zorder],
+             vacuum, delete --where, restore --version, checkpoint,
+             add/drop-constraint, set/unset-property
 """
 
 from __future__ import annotations
@@ -65,6 +68,31 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("serve", help="HTTP API over an anomalies parquet")
     s.add_argument("--anomalies", required=True)
     s.add_argument("--port", type=int, default=8000)
+
+    t = sub.add_parser(
+        "delta",
+        help="Delta table maintenance (history/optimize/vacuum/delete/"
+        "restore/checkpoint/constraints/properties)",
+    )
+    t.add_argument(
+        "op",
+        choices=[
+            "history", "optimize", "vacuum", "delete", "restore",
+            "checkpoint", "add-constraint", "drop-constraint",
+            "set-property", "unset-property",
+        ],
+    )
+    t.add_argument("path", help="Delta table directory")
+    t.add_argument("--zorder", default=None, help="comma-separated columns for OPTIMIZE ZORDER BY")
+    t.add_argument("--target-files", type=int, default=1)
+    t.add_argument("--where", default=None, help="DELETE predicate (Spark SQL)")
+    t.add_argument("--version", type=int, default=None, help="RESTORE target version")
+    t.add_argument("--retain-hours", type=float, default=168.0)
+    t.add_argument("--force", action="store_true", help="allow vacuum retention < safety floor")
+    t.add_argument("--name", default=None, help="constraint name")
+    t.add_argument("--expr", default=None, help="constraint CHECK expression")
+    t.add_argument("--key", default=None, help="table property key")
+    t.add_argument("--value", default=None, help="table property value")
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")
@@ -160,6 +188,57 @@ def main(argv: list[str] | None = None) -> int:
 
         app = create_app(spark, sio.read_table(spark, args.anomalies))
         app.run(port=args.port)  # blocks
+    elif args.cmd == "delta":
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+        def _need(attr: str, flag: str):
+            v = getattr(args, attr)
+            if v is None:
+                p.error(f"delta {args.op} requires {flag}")
+            return v
+
+        if args.op == "history":
+            for h in dl.delta_history(args.path):
+                print(json.dumps(h, default=str))
+        elif args.op == "optimize":
+            zcols = args.zorder.split(",") if args.zorder else None
+            v = dl.optimize_delta(
+                spark, args.path, target_files=args.target_files, zorder_by=zcols
+            )
+            print(f"optimized to version {v}" if v is not None else "nothing to optimize")
+        elif args.op == "vacuum":
+            deleted = dl.vacuum_delta(
+                args.path, retain_hours=args.retain_hours, force=args.force
+            )
+            print(f"vacuumed {len(deleted)} files")
+        elif args.op == "delete":
+            v = dl.delete_delta(spark, args.path, _need("where", "--where"))
+            print(f"delete committed version {v}")
+        elif args.op == "restore":
+            v = dl.restore_delta(args.path, _need("version", "--version"))
+            print(f"restored; committed version {v}")
+        elif args.op == "checkpoint":
+            v = dl.write_checkpoint(args.path)
+            print(f"checkpointed version {v}")
+        elif args.op == "add-constraint":
+            v = dl.add_constraint(
+                spark, args.path, _need("name", "--name"), _need("expr", "--expr")
+            )
+            print(f"constraint added at version {v}")
+        elif args.op == "drop-constraint":
+            v = dl.drop_constraint(args.path, _need("name", "--name"))
+            print(f"constraint dropped at version {v}")
+        elif args.op == "set-property":
+            v = dl.set_table_properties(
+                args.path, {_need("key", "--key"): _need("value", "--value")}
+            )
+            print(f"property set at version {v}")
+        elif args.op == "unset-property":
+            v = dl.set_table_properties(
+                args.path, {_need("key", "--key"): None},
+                operation="UNSET TBLPROPERTIES",
+            )
+            print(f"property unset at version {v}")
     elif args.cmd == "query":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
 

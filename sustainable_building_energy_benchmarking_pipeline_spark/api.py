@@ -57,6 +57,124 @@ def _records(d: dict[str, int], key: str) -> list[dict[str, Any]]:
     ]
 
 
+# --- server-rendered SVG charts (the reference dashboard's plotly daily
+# trend + per-zone severity markers, src/dashboard_app.py:147-152,374-416,
+# re-expressed dependency-free). Colors reference CSS custom properties
+# set on .viz-root so light/dark swap in one place; severity identity is
+# NEVER color-alone: each severity has a distinct marker shape, a text
+# legend, a per-mark <title>, and the alerts table below is the table
+# view. Data volume is bounded by the serving-layer limits, so string
+# assembly here is O(points), never O(table).
+
+_W, _H, _PAD_L, _PAD_B, _PAD_T = 640, 180, 42, 24, 10
+
+
+def _xy(i: int, n: int, v: float, vmax: float) -> tuple[float, float]:
+    x = _PAD_L + (_W - _PAD_L - 8) * (i / max(n - 1, 1))
+    y = _PAD_T + (_H - _PAD_T - _PAD_B) * (1 - v / max(vmax, 1))
+    return round(x, 1), round(y, 1)
+
+
+def _svg_daily_trend(series: list[dict[str, Any]], esc) -> str:
+    """Single-series line (change-over-time): 2px line in the series-1
+    slot, recessive grid, native <title> tooltips on >=8px hover
+    targets. One series — the heading names it, no legend box."""
+    if not series:
+        return "<p class='muted'>no data in window</p>"
+    vmax = max(p["count"] for p in series)
+    n = len(series)
+    pts = [_xy(i, n, p["count"], vmax) for i, p in enumerate(series)]
+    grid = "".join(
+        f'<line x1="{_PAD_L}" y1="{_PAD_T + (_H - _PAD_T - _PAD_B) * f:.1f}" '
+        f'x2="{_W - 8}" y2="{_PAD_T + (_H - _PAD_T - _PAD_B) * f:.1f}" '
+        'class="grid"/>'
+        for f in (0.0, 0.5, 1.0)
+    )
+    ylab = (
+        f'<text x="{_PAD_L - 6}" y="{_PAD_T + 4}" class="axis" '
+        f'text-anchor="end">{vmax}</text>'
+        f'<text x="{_PAD_L - 6}" y="{_H - _PAD_B + 4}" class="axis" '
+        'text-anchor="end">0</text>'
+    )
+    xlab = (
+        f'<text x="{pts[0][0]}" y="{_H - 6}" class="axis">'
+        f'{esc(series[0]["date"])}</text>'
+        f'<text x="{pts[-1][0]}" y="{_H - 6}" class="axis" '
+        f'text-anchor="end">{esc(series[-1]["date"])}</text>'
+    )
+    path = "M" + " L".join(f"{x},{y}" for x, y in pts)
+    dots = "".join(
+        f'<circle cx="{x}" cy="{y}" r="4" class="pt">'
+        f'<title>{esc(p["date"])}: {p["count"]}</title></circle>'
+        for (x, y), p in zip(pts, series)
+    )
+    return (
+        f'<svg viewBox="0 0 {_W} {_H}" role="img" '
+        f'aria-label="daily anomaly counts">{grid}{ylab}{xlab}'
+        f'<path d="{path}" class="line"/>{dots}</svg>'
+    )
+
+
+_SEV_MARK = {  # shape is the color-independent identity channel
+    "low": ("circle", "sev-low"),
+    "medium": ("diamond", "sev-med"),
+    "high": ("triangle", "sev-high"),
+}
+
+
+def _sev_shape(x: float, y: float, sev: str, title: str) -> str:
+    shape, cls = _SEV_MARK.get(sev, ("circle", "sev-low"))
+    t = f"<title>{title}</title>"
+    if shape == "diamond":
+        return (
+            f'<path d="M{x},{y - 5} L{x + 5},{y} L{x},{y + 5} L{x - 5},{y} Z" '
+            f'class="{cls}">{t}</path>'
+        )
+    if shape == "triangle":
+        return (
+            f'<path d="M{x},{y - 5} L{x + 5},{y + 4} L{x - 5},{y + 4} Z" '
+            f'class="{cls}">{t}</path>'
+        )
+    return f'<circle cx="{x}" cy="{y}" r="4.5" class="{cls}">{t}</circle>'
+
+
+def _svg_zone_markers(rows: list[dict[str, Any]], esc) -> str:
+    """Per-zone severity markers over time (status encoding): score on
+    y, time order on x, one mark per anomaly. Severity identity =
+    shape + legend text + <title>, not color alone (the light-surface
+    'warning' step is below 3:1 — the relief the palette doc requires)."""
+    if not rows:
+        return "<p class='muted'>no anomalies for this zone in window</p>"
+    rows = sorted(rows, key=lambda r: str(r.get("timestamp")))
+    scores = [abs(float(r.get("score") or 0.0)) for r in rows]
+    vmax = max(scores) or 1.0
+    n = len(rows)
+    marks = "".join(
+        _sev_shape(
+            *_xy(i, n, s, vmax),
+            str(r.get("severity")),
+            f'{esc(r.get("timestamp"))} · {esc(r.get("rule_name"))} · '
+            f'{esc(r.get("severity"))} · score {esc(r.get("score"))}',
+        )
+        for i, (r, s) in enumerate(zip(rows, scores))
+    )
+    legend = "".join(
+        f'<g transform="translate({_PAD_L + 130 * i},0)">'
+        + _sev_shape(6, 8, sev, sev)
+        + f'<text x="16" y="12" class="axis">{sev} ({shape})</text></g>'
+        for i, (sev, (shape, _)) in enumerate(_SEV_MARK.items())
+    )
+    return (
+        f'<svg viewBox="0 0 {_W} {_H + 22}" role="img" '
+        f'aria-label="zone anomaly markers">'
+        f'<g transform="translate(0,{_H})">{legend}</g>'
+        f'<text x="{_PAD_L - 6}" y="{_PAD_T + 4}" class="axis" '
+        f'text-anchor="end">{vmax:.2f}</text>'
+        f'<text x="{_PAD_L - 6}" y="{_H - _PAD_B + 4}" class="axis" '
+        f'text-anchor="end">0</text>{marks}</svg>'
+    )
+
+
 def create_app(spark: SparkSession, anomalies: DataFrame):
     """Build the Flask app over a session and an anomalies DataFrame."""
     try:
@@ -197,6 +315,17 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
         rows = serving.format_alerts(
             serving.query_anomalies(anomalies, limit=limit, **filters)
         )
+        daily = [
+            {"date": r["date"].isoformat(), "count": r["count"]}
+            for r in serving.daily_counts(anomalies, **filters).collect()
+        ]
+        zone_rows: list[dict[str, Any]] | None = None
+        if "zone_id" in filters:
+            mfilters = dict(filters)
+            zone = mfilters.pop("zone_id")
+            zone_rows = serving.format_alerts(
+                serving.zone_marker_series(anomalies, zone, limit=limit, **mfilters)
+            )
 
         def esc(v: Any) -> str:
             return _html.escape(str(v if v is not None else ""))
@@ -232,7 +361,24 @@ body{{font-family:system-ui,sans-serif;margin:2rem;color:#222}}
 .tile .v{{font-size:1.6rem;font-weight:600}}.tile .l{{color:#666}}
 table{{border-collapse:collapse;margin:.5rem 0 1.5rem}}
 td,th{{border:1px solid #ddd;padding:.3rem .6rem;text-align:left}}
-th{{background:#f5f5f5}}</style></head><body>
+th{{background:#f5f5f5}}
+.viz-root{{color-scheme:light;--surface-1:#fcfcfb;--text-secondary:#52514e;
+  --grid:#e4e3e0;--series-1:#2a78d6;--sev-low:#0ca30c;--sev-med:#fab219;
+  --sev-high:#d03b3b;background:var(--surface-1);border:1px solid #ddd;
+  border-radius:8px;padding:.6rem;max-width:44rem}}
+@media (prefers-color-scheme: dark){{
+  :root:where(:not([data-theme="light"])) .viz-root{{color-scheme:dark;
+    --surface-1:#1a1a19;--text-secondary:#c3c2b7;--grid:#3a3936;
+    --series-1:#3987e5}}}}
+.viz-root svg{{display:block;width:100%;height:auto}}
+.viz-root .grid{{stroke:var(--grid);stroke-width:1}}
+.viz-root .axis{{fill:var(--text-secondary);font-size:11px}}
+.viz-root .line{{fill:none;stroke:var(--series-1);stroke-width:2}}
+.viz-root .pt{{fill:var(--series-1)}}
+.viz-root .sev-low{{fill:var(--sev-low)}}
+.viz-root .sev-med{{fill:var(--sev-med)}}
+.viz-root .sev-high{{fill:var(--sev-high)}}
+.muted{{color:#666}}</style></head><body>
 <h1>Anomaly Detection Dashboard</h1>
 <p>Filters: {esc(filters or 'none')} &middot; limit {limit}</p>
 <div class="tiles">
@@ -241,6 +387,11 @@ th{{background:#f5f5f5}}</style></head><body>
 {tile("Top Rule", f"{top_rule['name']} ({top_rule['count']})")}
 {tile("Most Affected Zone", f"{top_zone['name']} ({top_zone['count']})")}
 </div>
+<h3>Daily anomaly trend</h3>
+<div class="viz-root">{_svg_daily_trend(daily, esc)}</div>
+{(f'<h3>Zone {esc(filters["zone_id"])} anomaly markers</h3>'
+  f'<div class="viz-root">{_svg_zone_markers(zone_rows, esc)}</div>')
+ if zone_rows is not None else ""}
 {dim_table("By severity", summary["by_severity"])}
 {dim_table("By rule", summary["by_rule"])}
 {dim_table("By zone", summary["by_zone"])}

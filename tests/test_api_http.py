@@ -170,3 +170,26 @@ def test_dashboard_series_zones(client):
         client.get("/dashboard/series/zones?zone_id=Z1&severity=bogus").status_code
         == 400
     )
+
+
+def test_dashboard_svg_charts(client):
+    """The dashboard embeds server-rendered SVG charts (the reference's
+    plotly daily trend + per-zone severity markers,
+    src/dashboard_app.py:147-152,374-416): a single-series daily line
+    always; the marker chart only when a zone filter is given, with
+    severity identity carried by shape + legend text (never color
+    alone)."""
+    body = client.get("/dashboard").get_data(as_text=True)
+    assert 'aria-label="daily anomaly counts"' in body
+    assert 'class="line"' in body and "<title>2024-01-01: " in body
+    assert 'aria-label="zone anomaly markers"' not in body  # no zone filter
+
+    zb = client.get("/dashboard?zone_id=Z1").get_data(as_text=True)
+    assert 'aria-label="zone anomaly markers"' in zb
+    # all three severities present with distinct shape classes
+    for cls in ("sev-low", "sev-med", "sev-high"):
+        assert f'class="{cls}"' in zb
+    # shape legend names the severities in text
+    assert "medium (diamond)" in zb and "high (triangle)" in zb
+    # every marker has a text tooltip naming its severity
+    assert zb.count("<title>") > 10

@@ -246,3 +246,38 @@ def test_cli_medallion_writes_delta_layers(spark, tmp_path):
     v1 = dl.read_delta(spark, gold, version=1)
     # deterministic input → identical content across runs, via time travel
     assert sorted(map(tuple, v0.collect())) == sorted(map(tuple, v1.collect()))
+
+
+def test_cli_delta_maintenance(spark, tmp_path):
+    """The delta subcommand drives the protocol layer's maintenance
+    surface end-to-end in its own processes: set-property, history,
+    delete --where, restore --version, checkpoint."""
+    import subprocess
+    import sys
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dtab")
+    dl.write_delta(
+        spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"),
+        path,
+    )
+
+    def run(*argv):
+        p = subprocess.run(
+            [sys.executable, "-m", "sustainable_building_energy_benchmarking_pipeline_spark",
+             "--cpus", "4", "delta", *argv],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-800:]
+        return p.stdout
+
+    assert "version 1" in run("set-property", path, "--key", "delta.appendOnly", "--value", "false")
+    assert "version 2" in run("delete", path, "--where", "id >= 8")
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == list(range(8))
+    assert "version 3" in run("restore", path, "--version", "1")
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == list(range(10))
+    out = run("history", path)
+    ops = [__import__("json").loads(l).get("operation") for l in out.strip().splitlines()]
+    assert "DELETE" in ops and "RESTORE" in ops
+    assert "checkpointed" in run("checkpoint", path)
