@@ -1018,11 +1018,14 @@ def test_deltalog_changes_readd_same_path(tmp_path, spark):
 @pytest.mark.parametrize("seed", [11, 29, 47])
 def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
     """Model-based protocol check: a seeded random sequence of
-    append / overwrite / MERGE / OPTIMIZE(+ZORDER) / VACUUM must keep
-    the table content equal to a plain Python reference model after
-    EVERY operation, and the change feed folded from v0 must equal a
-    full recompute at the end — the whole-protocol invariant no single
-    hand-written scenario covers."""
+    append / overwrite / MERGE / OPTIMIZE(+ZORDER) / VACUUM / DELETE /
+    RESTORE / constraint-roundtrip must keep the table content equal to
+    a plain Python reference model after EVERY operation, and the
+    change feed folded from v0 must equal a full recompute at the end —
+    the whole-protocol invariant no single hand-written scenario
+    covers. RESTORE targets a random retained version (the model keeps
+    per-version snapshots); restoring past vacuumed files must raise
+    cleanly and leave the table untouched."""
     import random
 
     from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
@@ -1038,6 +1041,7 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
     rows0, df0 = batch(0, rng.randrange(3, 10))
     dl.write_delta(df0, path)
     model.extend(rows0)
+    history: dict[int, list[tuple[int, int]]] = {0: list(model)}
     next_id = 1000
     # incremental-aggregate state folded AFTER EVERY op — the real CDF
     # consumption pattern, and the only correct one once VACUUM runs:
@@ -1051,8 +1055,11 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
     ]
     folded_version = dl._list_versions(path)[-1]
 
-    for step in range(14):
-        op = rng.choice(["append", "overwrite", "merge", "optimize", "vacuum"])
+    for step in range(16):
+        op = rng.choice(
+            ["append", "overwrite", "merge", "optimize", "vacuum",
+             "delete", "restore", "constraint"]
+        )
         if op == "append":
             rows, df = batch(next_id, rng.randrange(1, 8))
             next_id += 1000
@@ -1078,10 +1085,37 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
         elif op == "optimize":
             z = rng.choice([None, ["v"], ["id", "v"]])
             dl.optimize_delta(spark, path, target_files=rng.randrange(1, 3), zorder_by=z)
+        elif op == "delete":
+            t = rng.randrange(1, 1000)
+            dl.delete_delta(spark, path, f"v < {t}")
+            model = [r for r in model if not (r[1] < t)]
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            before = dl._list_versions(path)[-1]
+            try:
+                dl.restore_delta(path, target)
+                model = list(history[target])
+            except ValueError as exc:
+                # the target's files were vacuumed: the raise is the
+                # correct behavior, and the table must be untouched
+                assert "missing" in str(exc), exc
+                assert dl._list_versions(path)[-1] == before
+        elif op == "constraint":
+            # always-true CHECK on current data; a violating write must
+            # raise and leave content untouched; then drop re-enables
+            dl.add_constraint(spark, path, f"c{step}", "v >= 0 AND v < 1000")
+            with pytest.raises(ValueError, match="CHECK constraint"):
+                dl.write_delta(
+                    spark.createDataFrame([(next_id, -1)], "id long, v long"),
+                    path,
+                )
+            next_id += 1000
+            dl.drop_constraint(path, f"c{step}")
         else:
             dl.vacuum_delta(path, retain_hours=0.0, force=True)
         got = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
         assert got == sorted(model), f"seed={seed} step={step} op={op}"
+        history[dl._list_versions(path)[-1]] = list(model)
 
         cur = dl._list_versions(path)[-1]
         if cur > folded_version:
@@ -1099,7 +1133,12 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
             ]
             folded_version = cur
         expect_sv = sum(v for _, v in model)
-        assert state_rows == [(expect_sv, len(model))], (
+        # refresh_aggregate's documented contract: groups whose count
+        # reaches zero DROP OUT — with keys=[] the single global group
+        # is just another group, so a table emptied by DELETE yields an
+        # empty state, not a (0, 0) row
+        expect = [(expect_sv, len(model))] if model else []
+        assert state_rows == expect, (
             f"seed={seed} step={step} op={op}: incremental state diverged"
         )
 
