@@ -662,3 +662,112 @@ def pairwise_topk_per_label(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """For every vector, the top-k most-similar neighbors with a
+    DIFFERENT label — hard-negative mining, the candidate generator of
+    contrastive training (the complement of ``pairwise_topk_per_label``,
+    which searches WITHIN a label). Reference anchor: the engine's
+    similarity family (q35-q37) — this is its cross-label member.
+
+    Shape: the same distributed block-GEMM as the per-label kNN, but
+    chunks pair GLOBALLY (every (i ≤ j) chunk pair is one task) and the
+    kernel masks same-label sims to -inf before the block-local top-k.
+    Block-local top-k remains a superset filter (the global top-k among
+    different-label rows is the top-k of per-block different-label
+    top-ks), merged by one window. Per-task memory is bounded by
+    (N/n_chunks)² sims.
+
+    Exact by construction — this is the oracle-able form, quadratic in
+    N like q35; at 10¹⁰-row scale mine hard negatives through the IVF
+    path (q49/q89: probe the query's nearest centroids, drop same-label
+    candidates) and reserve this operator for the ≤10⁷-row re-rank tier.
+
+    Ties break (cosine DESC, neighbor_id ASC) in both kernel and merge
+    window, so results are deterministic."""
+    from pyspark.sql import Window
+
+    if n_chunks is None:
+        n_chunks = max(
+            2, int(corpus.sparkSession.sparkContext.defaultParallelism ** 0.5)
+        )
+
+    fields = {f.name: f.dataType for f in corpus.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("id", fields[id_col], True),
+            T.StructField("label", fields[label_col], True),
+            T.StructField("neighbor_id", fields[id_col], True),
+            T.StructField("neighbor_label", fields[label_col], True),
+            T.StructField("cosine_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def topk_frame(sims: np.ndarray, ids_a, lbl_a, ids_b, lbl_b) -> pd.DataFrame:
+        kk = min(k, sims.shape[1])
+        rows = {"id": [], "label": [], "neighbor_id": [], "neighbor_label": [],
+                "cosine_sim": []}
+        for i in range(sims.shape[0]):
+            order = np.lexsort((ids_b, -sims[i]))[:kk]
+            keep = order[np.isfinite(sims[i][order])]
+            rows["id"].extend([ids_a[i]] * len(keep))
+            rows["label"].extend([lbl_a[i]] * len(keep))
+            rows["neighbor_id"].extend(ids_b[keep])
+            rows["neighbor_label"].extend(lbl_b[keep])
+            rows["cosine_sim"].extend(sims[i][keep])
+        return pd.DataFrame(rows)
+
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = pdf["_id"].to_numpy()
+        lbls = pdf["_lbl"].to_numpy()
+        if gi == gj:
+            sims = mat @ mat.T
+            np.fill_diagonal(sims, -np.inf)
+            sims[lbls[:, None] == lbls[None, :]] = -np.inf
+            return topk_frame(sims, ids, lbls, ids, lbls)
+        a_mask = (pdf["_c"] == gi).to_numpy()
+        A, B = mat[a_mask], mat[~a_mask]
+        ids_a, ids_b = ids[a_mask], ids[~a_mask]
+        lbl_a, lbl_b = lbls[a_mask], lbls[~a_mask]
+        sims = A @ B.T
+        sims[lbl_a[:, None] == lbl_b[None, :]] = -np.inf
+        return pd.concat(
+            [
+                topk_frame(sims, ids_a, lbl_a, ids_b, lbl_b),
+                topk_frame(sims.T, ids_b, lbl_b, ids_a, lbl_a),
+            ],
+            ignore_index=True,
+        )
+
+    rep = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lbl"),
+            F.col(vec_col).alias("_v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int").alias("_c"),
+        )
+        .withColumn("_p", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+        .withColumn("_gi", F.least("_c", "_p"))
+        .withColumn("_gj", F.greatest("_c", "_p"))
+        .drop("_p")
+    )
+    cands = rep.groupBy("_gi", "_gj").applyInPandas(block_pair, out_schema)
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1640,6 +1640,133 @@ ORDER BY doc_id
 """
 
 
+def z05_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling, MATERIALIZED: q98 computes the
+    mixing weights; this query actually draws the deterministic sample a
+    pretraining run would consume. Strata = language (non-uniform in the
+    corpus), α = 0.5 (weight ∝ √n upweights small languages), target =
+    20% of the corpus redistributed by weight, membership = hash-rank
+    within each stratum (q53's trick: sha256 rank stands in for a seeded
+    RNG so the sample is identical across engines/partitionings/reruns).
+
+    Determinism engineering, the part worth pinning cross-engine:
+    per-stratum targets are INTEGERS (floor of an IEEE-deterministic
+    expression), so no per-doc float-boundary flakiness; and the √n
+    normalizer is folded over a SORTED array (F.aggregate over
+    sort_array(collect_list)) rather than F.sum, because float addition
+    is non-associative and Spark's partial-agg combine order varies
+    run-to-run — a last-ulp wobble that floor() could amplify into a
+    ±1-row sample. Two tiny shuffles (stratum agg + stratum window);
+    the broadcast target attach is O(#strata)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.sqrt(F.col("n_docs").cast("double"))
+    norm = per.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("lang"), sq.alias("s")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("_norm"),
+        F.sum("n_docs").alias("_total"),
+    )
+    targets = per.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(0.2) * F.col("_total") * sq / F.col("_norm")),
+        ).cast("int").alias("target"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("_rk") <= F.col("target"))
+        .groupBy("lang", "n_docs", "target")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+Z05_SQL = """
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), norm AS (
+  SELECT list_sum(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)) AS _norm,
+         SUM(n_docs) AS _total
+  FROM per
+), targets AS (
+  SELECT lang, n_docs,
+         CAST(GREATEST(1, FLOOR(0.2 * _total * sqrt(CAST(n_docs AS DOUBLE)) / _norm)) AS INT) AS target
+  FROM per, norm
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT t.lang AS lang, t.n_docs AS n_docs, t.target AS target,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+FROM ranked r JOIN targets t USING (lang)
+WHERE r.rk <= t.target
+GROUP BY t.lang, t.n_docs, t.target
+ORDER BY lang
+"""
+
+
+def z06_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for every embedding, the single most-similar
+    vector with a DIFFERENT label — the candidate generator of
+    contrastive training, complementing q37's within-label kNN. Exact
+    block-GEMM form (the oracle-able tier); at 10¹⁰ rows the IVF path
+    (q49/q89) generates candidates and this exact kernel re-ranks the
+    short list."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        hard_negative_topk(emb, k=1)
+        .select(
+            "id",
+            "label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+        .orderBy("id")
+    )
+
+
+Z06_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+           / (SQRT(SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)))
+              * SQRT(SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.label <> b.label
+  CROSS JOIN RANGE(1, 65) t(i)
+  GROUP BY a.vec_id, a.label, b.vec_id, b.label
+), r AS (
+  SELECT id, label, neighbor_id, neighbor_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM p
+)
+SELECT id, label, neighbor_id, neighbor_label, ROUND(cos, 4) AS cosine_sim
+FROM r WHERE rn <= 1
+ORDER BY id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1675,4 +1802,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z02_heavy_hitters": QuerySpec(z02_heavy_hitters, Z02_SQL),
     "z03_deterministic_shuffle": QuerySpec(z03_deterministic_shuffle, Z03_SQL),
     "z04_sharded_bloom_dedup": QuerySpec(z04_sharded_bloom_dedup, Z04_SQL),
+    "z05_temperature_sample": QuerySpec(z05_temperature_sample, Z05_SQL),
+    "z06_hard_negatives": QuerySpec(z06_hard_negatives, Z06_SQL),
 }

@@ -1012,3 +1012,60 @@ SELECT doc_id, n_chars,
 FROM documents
 ORDER BY doc_id
 """
+
+# z05: DuckDB list_sum(list(... ORDER BY lang)) → Spark
+# aggregate(sort_array(collect_list(named_struct(...)))) — both fold the
+# √n normalizer in lang order so the float sum is bit-identical (float
+# addition is non-associative; an unordered SUM can wobble a last ulp
+# that FLOOR amplifies into a ±1-row sample); sha256 → sha2(..., 256).
+SPARK_SQL["z05_temperature_sample"] = """
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), norm AS (
+  SELECT aggregate(
+           sort_array(collect_list(named_struct(
+             'lang', lang, 's', sqrt(CAST(n_docs AS DOUBLE))))),
+           CAST(0 AS DOUBLE), (acc, x) -> acc + x.s) AS _norm,
+         SUM(n_docs) AS _total
+  FROM per
+), targets AS (
+  SELECT lang, n_docs,
+         CAST(GREATEST(1, FLOOR(0.2D * _total * sqrt(CAST(n_docs AS DOUBLE)) / _norm)) AS INT) AS target
+  FROM per CROSS JOIN norm
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY sha2(CAST(doc_id AS STRING), 256), doc_id) AS rk
+  FROM documents
+)
+SELECT t.lang AS lang, t.n_docs AS n_docs, t.target AS target,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+FROM ranked r JOIN targets t USING (lang)
+WHERE r.rk <= t.target
+GROUP BY t.lang, t.n_docs, t.target
+ORDER BY lang
+"""
+
+# z06: DuckDB's RANGE-join element indexing → the zip_with dot product.
+# The SQL surface states the semantics as the cross-label pair join; the
+# DataFrame path computes the identical answer via the chunked block
+# GEMM (bounded per-task memory) — same answer, scalable plan.
+SPARK_SQL["z06_hard_negatives"] = f"""
+WITH p AS (
+  SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label,
+         {_DOT.format(a="a.embedding", b="b.embedding")}
+           / (SQRT({_DOT.format(a="a.embedding", b="a.embedding")})
+              * SQRT({_DOT.format(a="b.embedding", b="b.embedding")})) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.label <> b.label
+), r AS (
+  SELECT id, label, neighbor_id, neighbor_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM p
+)
+SELECT id, label, neighbor_id, neighbor_label, ROUND(cos, 4) AS cosine_sim
+FROM r WHERE rn <= 1
+ORDER BY id
+"""

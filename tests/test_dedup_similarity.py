@@ -395,3 +395,54 @@ def test_simhash_slab_boundary_invariant(spark):
     # boundaries fall mid-document at arbitrary offsets
     tiny = {r["id"]: r["simhash"] for r in simhash64(df, _slab=7).collect()}
     assert big == tiny
+
+
+def test_hard_negative_topk_exact_and_chunk_invariant(embeddings):
+    """hard_negative_topk == numpy brute force restricted to
+    different-label pairs, for every vector; chunking is pure plumbing
+    (same result at any n_chunks); no same-label neighbor ever leaks."""
+    import numpy as np
+
+    rows = embeddings.limit(120).collect()
+    sub = embeddings.sparkSession.createDataFrame(rows, embeddings.schema)
+    got = {
+        r["id"]: (r["neighbor_id"], round(r["cosine_sim"], 6))
+        for r in similarity.hard_negative_topk(sub, k=1, n_chunks=3).collect()
+    }
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    ids = [r["vec_id"] for r in rows]
+    sims = mat @ mat.T
+    for i, vid in enumerate(ids):
+        mask = np.array([labels[j] == labels[vid] for j in ids])
+        s = sims[i].copy()
+        s[mask] = -np.inf
+        order = np.lexsort((ids, -s))
+        best = order[0]
+        exp = (ids[best], round(float(s[best]), 6))
+        assert got[vid] == exp, f"vec {vid}: {got[vid]} != {exp}"
+        assert labels[got[vid][0]] != labels[vid]
+    alt = {
+        r["id"]: (r["neighbor_id"], round(r["cosine_sim"], 6))
+        for r in similarity.hard_negative_topk(sub, k=1, n_chunks=7).collect()
+    }
+    assert alt == got
+
+
+def test_temperature_sample_partition_invariant(spark, oracle_sf_dir):
+    """z05's sample membership is a pure function of the data — identical
+    under arbitrary repartitioning (the property F.rand-based sampling
+    lacks), and small languages are upweighted vs proportional."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+
+    fn = QUERIES["z05_temperature_sample"].fn
+    a = sorted(map(tuple, fn(spark, oracle_sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, oracle_sf_dir).repartition(13).collect()))
+    assert a == b and len(a) >= 2
+    # temperature α=0.5 upweights small strata: the smallest language's
+    # sample rate strictly exceeds the largest's
+    rows = {r[0]: r for r in ((t[0], t[1], t[3]) for t in a)}  # lang -> (lang, n_docs, n_sampled)
+    by_size = sorted(rows.values(), key=lambda t: t[1])
+    small, large = by_size[0], by_size[-1]
+    assert small[2] / small[1] > large[2] / large[1]

@@ -60,6 +60,7 @@ _SINGLE_ROW_CROSSJOIN_OK = {
     "q68_value_histogram",    # broadcast 1-row global min/max
     "q77_tfidf_terms",        # broadcast 1-row document count
     "q98_source_mix_weights", # broadcast 1-row mix normalizer
+    "z05_temperature_sample", # broadcast 1-row √n normalizer + O(#strata) targets
 }
 
 
