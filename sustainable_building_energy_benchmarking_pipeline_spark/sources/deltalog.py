@@ -519,18 +519,16 @@ def _file_stats(file_path: str) -> str | None:
 _CONSTRAINT_PREFIX = "delta.constraints."
 
 
-def _evolve_schema(
-    df: DataFrame, table_schema: T.StructType
-) -> tuple[DataFrame, T.StructType]:
-    """Delta ``mergeSchema`` semantics: the merged schema is the table's
-    columns (in table order) followed by the batch's NEW columns (in
-    batch order); a column present in both must keep its exact type —
-    mergeSchema adds columns, it never rewrites existing ones. The batch
-    is aligned to the merged schema, table columns it lacks filled with
-    typed nulls."""
-    from pyspark.sql import functions as F
-
-    by_name = {f.name: f for f in df.schema.fields}
+def _merge_schemas(
+    batch_schema: T.StructType, table_schema: T.StructType
+) -> T.StructType:
+    """The pure schema-computation half of Delta ``mergeSchema``: table
+    columns (in
+    table order) followed by the batch's NEW columns (in batch order); a
+    column present in both must keep its exact type — mergeSchema adds
+    columns, it never rewrites existing ones (raises on a type change).
+    Property-tested driver-side (tests/test_properties.py)."""
+    by_name = {f.name: f for f in batch_schema.fields}
     tbl_names = {f.name for f in table_schema.fields}
     for f in table_schema.fields:
         g = by_name.get(f.name)
@@ -540,14 +538,25 @@ def _evolve_schema(
                 f"table {f.dataType.simpleString()} vs "
                 f"batch {g.dataType.simpleString()}"
             )
-    merged = T.StructType(
+    return T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in table_schema.fields]
         + [
             T.StructField(f.name, f.dataType, True)
-            for f in df.schema.fields
+            for f in batch_schema.fields
             if f.name not in tbl_names
         ]
     )
+
+
+def _evolve_schema(
+    df: DataFrame, table_schema: T.StructType
+) -> tuple[DataFrame, T.StructType]:
+    """Delta ``mergeSchema``: compute the merged schema, then align the
+    batch to it — table columns the batch lacks fill with typed nulls."""
+    from pyspark.sql import functions as F
+
+    merged = _merge_schemas(df.schema, table_schema)
+    by_name = {f.name for f in df.schema.fields}
     aligned = df.select(
         *[
             F.col(f.name)

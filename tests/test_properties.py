@@ -93,3 +93,54 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_prop(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Delta mergeSchema: the pure schema-merge is order/type-lawful
+# ---------------------------------------------------------------------------
+
+_types = st.sampled_from(["long", "double", "string", "boolean"])
+_names = st.text(alphabet="abcdef", min_size=1, max_size=3)
+_schemas = st.dictionaries(_names, _types, min_size=1, max_size=6)
+
+
+def _to_struct(d):
+    from pyspark.sql import types as T
+
+    m = {"long": T.LongType(), "double": T.DoubleType(),
+         "string": T.StringType(), "boolean": T.BooleanType()}
+    return T.StructType([T.StructField(k, m[v], True) for k, v in d.items()])
+
+
+@given(table=_schemas, batch=_schemas)
+@settings(max_examples=300, deadline=None)
+def test_merge_schemas_laws(table, batch):
+    """For ANY table/batch schema pair: a common-column type conflict
+    raises; otherwise the merged schema is exactly table-order fields
+    followed by batch-only fields in batch order, types preserved —
+    idempotent (merging the merged schema with the table changes
+    nothing) and monotone (never drops a column)."""
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _merge_schemas,
+    )
+
+    ts, bs = _to_struct(table), _to_struct(batch)
+    conflict = any(k in batch and batch[k] != v for k, v in table.items())
+    if conflict:
+        with _pytest.raises(ValueError, match="cannot change the type"):
+            _merge_schemas(bs, ts)
+        return
+    merged = _merge_schemas(bs, ts)
+    names = [f.name for f in merged.fields]
+    assert names == list(table) + [k for k in batch if k not in table]
+    types = {f.name: f.dataType for f in merged.fields}
+    for k in table:
+        assert types[k] == _to_struct({k: table[k]}).fields[0].dataType
+    for k in batch:
+        assert types[k] == _to_struct({k: batch[k]}).fields[0].dataType
+    # idempotent: the merged schema re-merged against the same table is itself
+    assert _merge_schemas(merged, ts) == merged
+    # batch aligned against merged-as-table adds nothing
+    assert _merge_schemas(bs, merged) == merged
