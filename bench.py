@@ -99,6 +99,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # committed per-query artifact: the driver's tail capture truncates
+    # the full stdout line to ~58 queries, losing q01-q43 from
+    # round-over-round comparison — write the complete map to a file the
+    # next round's verdict can diff (round-5 directive #8). Round number
+    # comes from $SPARK_GRAFT_ROUND when the driver sets it; "cur"
+    # otherwise (still diffable, just unnumbered).
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "cur")
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_r{rnd}.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout lines below still carry the data
     print(
         json.dumps(
             {

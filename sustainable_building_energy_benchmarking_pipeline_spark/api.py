@@ -254,6 +254,32 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
                 filters[key] = v.replace("T", " ").replace("Z", "")
         return filters, None
 
+    def _bounded_daily(filters: dict[str, Any]):
+        """Collect the daily-counts series under MAX_DAILY_POINTS: the
+        collect is LIMIT-bounded plan-side (never an unbounded list),
+        and an over-span window is the caller's error (422), not a
+        silent truncation."""
+        rows = (
+            serving.daily_counts(anomalies, **filters)
+            .limit(serving.MAX_DAILY_POINTS + 1)
+            .collect()
+        )
+        if len(rows) > serving.MAX_DAILY_POINTS:
+            return None, (
+                jsonify(
+                    {
+                        "detail": "date window spans more than "
+                        f"{serving.MAX_DAILY_POINTS} daily points; narrow "
+                        "start/end"
+                    }
+                ),
+                422,
+            )
+        return (
+            [{"date": r["date"].isoformat(), "count": r["count"]} for r in rows],
+            None,
+        )
+
     def _parse_alert_params(default_limit: int):
         """Shared /alerts + /dashboard query-param contract: bad
         timestamps and severities are 400, bad limits are 422 — the two
@@ -315,10 +341,9 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
         rows = serving.format_alerts(
             serving.query_anomalies(anomalies, limit=limit, **filters)
         )
-        daily = [
-            {"date": r["date"].isoformat(), "count": r["count"]}
-            for r in serving.daily_counts(anomalies, **filters).collect()
-        ]
+        daily, err = _bounded_daily(filters)
+        if err:
+            return err
         zone_rows: list[dict[str, Any]] | None = None
         if "zone_id" in filters:
             mfilters = dict(filters)
@@ -409,10 +434,9 @@ th{{background:#f5f5f5}}
         filters, _limit, err = _parse_alert_params(serving.DEFAULT_LIMIT)
         if err:
             return err
-        series = [
-            {"date": r["date"].isoformat(), "count": r["count"]}
-            for r in serving.daily_counts(anomalies, **filters).collect()
-        ]
+        series, err = _bounded_daily(filters)
+        if err:
+            return err
         return jsonify({"series": series, "total": sum(p["count"] for p in series)})
 
     @app.get("/dashboard/series/zones")

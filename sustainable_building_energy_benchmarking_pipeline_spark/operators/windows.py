@@ -323,6 +323,161 @@ def _global_rank0(
     )
 
 
+def stratified_rank(
+    df: DataFrame,
+    stratum_col: str,
+    order_by: Sequence[str | Column],
+    out_col: str = "stratum_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY ...)`` with NO
+    per-stratum window — the skew-safe form for LOW-CARDINALITY strata.
+
+    A window partition cannot be split across tasks, so
+    ``Window.partitionBy("lang")`` ranks the dominant language (≈half a
+    web crawl) in ONE task no matter how many executors exist. This
+    generalizes ``_global_rank0``'s two-pass rank to per-stratum offsets:
+
+    1. range-partition + local sort on ``(stratum, *order_by)`` — each
+       stratum occupies a contiguous RUN of partitions (big strata span
+       many tasks, which is the whole point), and within a partition its
+       rows are contiguous and sorted;
+    2. local position from ``monotonically_increasing_id`` bit-split
+       (position within the task's partition, across strata);
+    3. a tiny per-(partition, stratum) stats job — ≤ n_partitions +
+       n_strata rows total, because range partitioning makes each
+       (pid, stratum) run contiguous — collects count + min local
+       position;
+    4. rank = cumulative stratum offset over preceding partitions
+       + (local position − the stratum's min local position in this
+       partition), attached back via a broadcast of the tiny stats.
+
+    ``order_by`` must uniquely order rows WITHIN a stratum (append a
+    tiebreaker) so rank == row_number deterministically. Returns ``df``
+    + ``out_col`` (LONG, 1-based like ROW_NUMBER). The ranged frame is
+    persisted before the stats job for the same exchange-determinism
+    reason as ``distributed_percent_rank``. Null strata are ranked as
+    their own group (null-safe attach join)."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    keys = [F.col(stratum_col), *ocols]
+    ranged = df.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
+    with_id = (
+        ranged.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33))
+        .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .drop("_mid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = with_id.groupBy("_pid", stratum_col).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_lrn").alias("_minl")
+    ).collect()
+    if not stats:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    per_stratum: dict = {}
+    for r in stats:
+        per_stratum.setdefault(r[stratum_col], []).append(
+            (r["_pid"], r["_cnt"], r["_minl"])
+        )
+    rows = []
+    for s, lst in per_stratum.items():
+        acc = 0
+        for pid, cnt, minl in sorted(lst):
+            rows.append((pid, s, acc, minl))
+            acc += cnt
+    stype = dict(df.dtypes)[stratum_col]
+    off = spark.createDataFrame(
+        rows, schema=f"_opid LONG, _ostr {stype}, _base LONG, _ominl LONG"
+    )
+    joined = with_id.join(
+        F.broadcast(off),
+        (F.col("_pid") == F.col("_opid"))
+        & F.col(stratum_col).eqNullSafe(F.col("_ostr")),
+    )
+    return (
+        joined.withColumn(
+            out_col, F.col("_base") + F.col("_lrn") - F.col("_ominl") + F.lit(1)
+        )
+        .drop("_pid", "_lrn", "_opid", "_ostr", "_base", "_ominl")
+    )
+
+
+def stratified_cumsum(
+    df: DataFrame,
+    stratum_col: str,
+    order_by: Sequence[str | Column],
+    value_col: str,
+    out_col: str = "stratum_cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (PARTITION BY stratum ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` with NO per-stratum window — running-total
+    sibling of ``stratified_rank`` for LOW-CARDINALITY strata (per-lang
+    shard packing, per-enum cumulative distributions).
+
+    Shape: range-partition on ``(stratum, *order_by)`` (strata span
+    contiguous partition runs), take the partition id from
+    ``monotonically_increasing_id``'s high bits, then the LOCAL running
+    sum through a window over ``(_pid, stratum)`` — every such group is
+    bounded by one range partition, so the window is skew-free by
+    construction (this costs one extra balanced hash exchange; the
+    alternative is one task per stratum). A tiny per-(pid, stratum)
+    totals job (≤ n_partitions + n_strata rows) computes each stratum's
+    prefix offset over preceding partitions; cumsum = offset + local
+    running sum. ``order_by`` must uniquely order rows within a stratum.
+    Returns ``df`` + ``out_col`` (same type as SUM over ``value_col``)."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    keys = [F.col(stratum_col), *ocols]
+    with_id = (
+        df.repartitionByRange(n_parts, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = with_id.groupBy("_pid", stratum_col).agg(
+        F.sum(value_col).alias("_tot")
+    ).collect()
+    if not stats:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    per_stratum: dict = {}
+    for r in stats:
+        per_stratum.setdefault(r[stratum_col], []).append((r["_pid"], r["_tot"]))
+    rows = []
+    for s, lst in per_stratum.items():
+        acc = 0
+        for pid, tot in sorted(lst):
+            rows.append((pid, s, acc))
+            acc += tot if tot is not None else 0
+    stype = dict(df.dtypes)[stratum_col]
+    sum_type = dict(
+        df.select(F.sum(value_col).alias("_t")).dtypes
+    )["_t"]
+    off = spark.createDataFrame(
+        rows, schema=f"_opid INT, _ostr {stype}, _base {sum_type}"
+    )
+    local_w = (
+        Window.partitionBy("_pid", stratum_col)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_id.withColumn("_lcs", F.sum(value_col).over(local_w))
+    joined = local.join(
+        F.broadcast(off),
+        (F.col("_pid") == F.col("_opid"))
+        & F.col(stratum_col).eqNullSafe(F.col("_ostr")),
+    )
+    return (
+        joined.withColumn(out_col, F.col("_base") + F.col("_lcs"))
+        .drop("_pid", "_opid", "_ostr", "_base", "_lcs")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

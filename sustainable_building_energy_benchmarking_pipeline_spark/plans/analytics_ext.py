@@ -1158,18 +1158,34 @@ def q93_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     member (row_number < rank < dense_rank) the top-k family needs for
     'best N scores including every holder'.
 
-    Scale: one window shuffle on event_type (5 groups — skew-prone on a
-    bigger key set; the two-pass global form of q20 generalizes)."""
+    Scale (round-6 de-skew): dense_rank ≤ 2 needs only the top TWO
+    distinct bands per type, so no window at all — two map-side-
+    combinable max aggregates (top band, then max band strictly below
+    it) broadcast back onto the fact. A ``Window.partitionBy
+    ("event_type")`` over the full fact would rank each enum value in
+    ONE task at scale. Null bands (none in this data) would drop here
+    but rank last (>2) in the window form anyway — same output."""
     ev = _t(spark, sf_dir, "events")
     band = F.round(F.col("value"), 0)
-    w = Window.partitionBy("event_type").orderBy(F.desc_nulls_last(band))
+    banded = ev.select("event_type", "event_id", band.alias("band"))
+    m1 = banded.groupBy("event_type").agg(F.max("band").alias("_b1"))
+    m2 = (
+        banded.join(F.broadcast(m1), "event_type")
+        .filter(F.col("band") < F.col("_b1"))
+        .groupBy("event_type")
+        .agg(F.max("band").alias("_b2"))
+    )
+    tops = m1.join(m2, "event_type", "left")
     return (
-        ev.select(
-            "event_type", "event_id", band.alias("band"),
-            F.dense_rank().over(w).alias("dr"),
+        banded.join(F.broadcast(tops), "event_type")
+        .withColumn(
+            "band_rank",
+            F.when(F.col("band") == F.col("_b1"), 1)
+            .when(F.col("band") == F.col("_b2"), 2)
+            .cast("int"),
         )
-        .where(F.col("dr") <= 2)
-        .select("event_type", F.col("dr").alias("band_rank"), "band", "event_id")
+        .where(F.col("band_rank").isNotNull())
+        .select("event_type", "band_rank", "band", "event_id")
         .orderBy("event_type", "band_rank", "event_id")
     )
 
@@ -1233,23 +1249,50 @@ def q95_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three differ exactly when duplicates/gaps appear, which is why
     each needs its own query.
 
-    Scale: one window shuffle on o_orderstatus (3 groups — same skew
-    caveat and two-pass remedy as every global-ish window here)."""
+    Scale (round-6 de-skew): a bounded VALUE frame only ever needs rows
+    within ±100, so the enum partition key is pre-split by a coarse
+    price megabin (width 2000) — the frame-overlap split from
+    operators/windows.py's header: rows within 100 of a megabin
+    boundary are DUPLICATED into the neighbor bin as ghost frame
+    members (≤10% inflation at this width), the window runs over
+    (status, megabin) — cardinality scales with the price range, no
+    single-enum task — and ghost rows are dropped from the output.
+    Exact: every row's ±100 peers are present in its megabin partition
+    by construction."""
+    SPAN, MEGA = 100, 2000
     o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    mb = F.floor(F.col("o_totalprice") / MEGA).cast("long")
+    real = base.withColumn("_mb", mb).withColumn("_ghost", F.lit(False))
+    ghost_left = (
+        base.filter(F.col("o_totalprice") - mb * MEGA < SPAN)
+        .withColumn("_mb", mb - 1)
+        .withColumn("_ghost", F.lit(True))
+    )
+    ghost_right = (
+        base.filter((mb + 1) * MEGA - F.col("o_totalprice") <= SPAN)
+        .withColumn("_mb", mb + 1)
+        .withColumn("_ghost", F.lit(True))
+    )
     w = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy("o_orderstatus", "_mb")
         .orderBy("o_totalprice")
-        .rangeBetween(-100, 100)
+        .rangeBetween(-SPAN, SPAN)
     )
     return (
-        o.select(
+        real.unionByName(ghost_left)
+        .unionByName(ghost_right)
+        .select(
             "o_orderkey",
             "o_orderstatus",
+            "_ghost",
             F.count(F.lit(1)).over(w).alias("n_band"),
             F.round(
                 F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6
             ).alias("band_share"),
         )
+        .filter(~F.col("_ghost"))
+        .drop("_ghost")
         .orderBy("o_orderkey")
     )
 
@@ -1273,13 +1316,24 @@ def q96_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine because sketches/optimizer stats use disc and metrics use
     cont).
 
-    Shape: cume_dist window per type, then min-over-threshold per p —
-    a conditional min aggregate, no second window. One shuffle on
-    event_type."""
+    Shape (round-6 de-skew): cume_dist(v) per type == cumulative count
+    of DISTINCT values ≤ v over the total — so aggregate to per-(type,
+    value) counts first (map-side combinable), run the two-pass
+    ``stratified_cumsum`` over the distinct frame, and take the
+    min-over-threshold per p. Zero windows: the old ``Window.partitionBy
+    ("event_type").orderBy(value)`` cume_dist put each enum value's
+    ENTIRE fact partition in one task; the distinct frame both shrinks
+    the data and de-skews the scan."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        stratified_cumsum,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
-    cd = ev.select(
-        "event_type", "value", F.cume_dist().over(w).alias("_cd")
+    d = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("_c"))
+    cum = stratified_cumsum(d, "event_type", ["value"], "_c", out_col="_cum")
+    tot = d.groupBy("event_type").agg(F.sum("_c").alias("_n"))
+    cd = cum.join(F.broadcast(tot), "event_type").withColumn(
+        "_cd", F.col("_cum") / F.col("_n")
     )
     agg = [
         F.min(F.when(F.col("_cd") >= p, F.col("value"))).alias(f"p{int(p*100):02d}")
@@ -1510,7 +1564,11 @@ def z01_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     built in one pass (per-partition bitmaps, associative OR); a
     mostly-new batch then joins ~fp_rate of its rows instead of all of
     them — the shape that dedupes a daily crawl against years of corpus
-    without touching the history per batch."""
+    without touching the history per batch. ``persist=True`` (round-6)
+    caches the flagged batch so its scan + membership UDF run ONCE
+    across the two output branches — at 100 TB the opt-out form costs a
+    full extra batch pass (scan-count-asserted in
+    tests/test_sketches.py::test_bloom_dedup_persist_single_scan)."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
         bloom_incremental_dedup,
     )
@@ -1522,7 +1580,9 @@ def z01_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tracks its history size in the run ledger) — skips the sizing
     # count job; over-capacity only lowers the FP rate below nominal
     return (
-        bloom_incremental_dedup(history, batch, "text", expected_items=250_000)
+        bloom_incremental_dedup(
+            history, batch, "text", expected_items=250_000, persist=True
+        )
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
@@ -1622,7 +1682,7 @@ def z04_sharded_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         history, "text", n_shards=4, expected_items=250_000
     )
     return (
-        bloom_incremental_dedup(history, batch, "text", bloom=sharded)
+        bloom_incremental_dedup(history, batch, "text", bloom=sharded, persist=True)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
@@ -1656,8 +1716,18 @@ def z05_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_array(collect_list)) rather than F.sum, because float addition
     is non-associative and Spark's partial-agg combine order varies
     run-to-run — a last-ulp wobble that floor() could amplify into a
-    ±1-row sample. Two tiny shuffles (stratum agg + stratum window);
-    the broadcast target attach is O(#strata)."""
+    ±1-row sample.
+
+    Skew engineering (round-6 de-skew): the per-stratum rank is
+    ``operators.windows.stratified_rank`` — the two-pass distributed
+    row number generalized to per-stratum offsets — NOT a
+    ``Window.partitionBy("lang")``, which would rank the dominant
+    language (≈half a 100 TB crawl) in ONE task. Big strata now span
+    as many tasks as the range partitioner assigns them; the only
+    driver state is the ≤(n_partitions + n_strata)-row offset table.
+    Result is bit-identical to the window form (same total order per
+    stratum, unique doc_id tiebreak) — pinned by
+    tests/test_sampling_deskew.py."""
     docs = _t(spark, sf_dir, "documents")
     per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     sq = F.sqrt(F.col("n_docs").cast("double"))
@@ -1677,10 +1747,14 @@ def z05_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(0.2) * F.col("_total") * sq / F.col("_norm")),
         ).cast("int").alias("target"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
-    )
-    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import stratified_rank
+
+    ranked = stratified_rank(
+        docs.withColumn("_hk", F.sha2(F.col("doc_id").cast("string"), 256)),
+        "lang",
+        ["_hk", "doc_id"],
+        out_col="_rk",
+    ).drop("_hk")
     return (
         ranked.join(F.broadcast(targets), "lang")
         .filter(F.col("_rk") <= F.col("target"))
@@ -1750,8 +1824,8 @@ WITH p AS (
   SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
          b.label AS neighbor_label,
          SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
-           / (SQRT(SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)))
-              * SQRT(SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))) AS cos
+           / (COALESCE(NULLIF(SQRT(SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE))), 0), 1)
+              * COALESCE(NULLIF(SQRT(SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))), 0), 1)) AS cos
   FROM embeddings a
   JOIN embeddings b ON a.label <> b.label
   CROSS JOIN RANGE(1, 65) t(i)

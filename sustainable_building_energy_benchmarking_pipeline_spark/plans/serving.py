@@ -25,6 +25,11 @@ from sustainable_building_energy_benchmarking_pipeline_spark.operators.aggregate
 
 MAX_LIMIT = 5000  # src/api.py:127-132
 DEFAULT_LIMIT = 500
+# ceiling on the daily-trend series the dashboard endpoints collect:
+# one row per calendar day, so ~3 years of span — beyond that the
+# request must narrow start/end (422), keeping the driver-side list
+# bounded by contract rather than by the data (round-5 directive #6)
+MAX_DAILY_POINTS = 1000
 
 
 def _apply_filters(

@@ -313,8 +313,8 @@ SPARK_SQL["q37_knn_per_label"] = f"""
 WITH p AS (
   SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
          {_DOT.format(a="a.embedding", b="b.embedding")}
-           / (SQRT({_DOT.format(a="a.embedding", b="a.embedding")})
-              * SQRT({_DOT.format(a="b.embedding", b="b.embedding")})) AS cos
+           / (COALESCE(NULLIF(SQRT({_DOT.format(a="a.embedding", b="a.embedding")}), 0D), 1D)
+              * COALESCE(NULLIF(SQRT({_DOT.format(a="b.embedding", b="b.embedding")}), 0D), 1D)) AS cos
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
 ), r AS (
@@ -1051,13 +1051,17 @@ ORDER BY lang
 # The SQL surface states the semantics as the cross-label pair join; the
 # DataFrame path computes the identical answer via the chunked block
 # GEMM (bounded per-task memory) — same answer, scalable plan.
+# Zero-norm embeddings: every engine substitutes norm→1
+# (COALESCE(NULLIF(norm, 0), 1) here, `norms[norms == 0] = 1` in the
+# GEMM kernel) so a zero vector scores cosine 0 and stays rankable
+# instead of yielding NULL/NaN in one path only.
 SPARK_SQL["z06_hard_negatives"] = f"""
 WITH p AS (
   SELECT a.vec_id AS id, a.label AS label, b.vec_id AS neighbor_id,
          b.label AS neighbor_label,
          {_DOT.format(a="a.embedding", b="b.embedding")}
-           / (SQRT({_DOT.format(a="a.embedding", b="a.embedding")})
-              * SQRT({_DOT.format(a="b.embedding", b="b.embedding")})) AS cos
+           / (COALESCE(NULLIF(SQRT({_DOT.format(a="a.embedding", b="a.embedding")}), 0D), 1D)
+              * COALESCE(NULLIF(SQRT({_DOT.format(a="b.embedding", b="b.embedding")}), 0D), 1D)) AS cos
   FROM embeddings a
   JOIN embeddings b ON a.label <> b.label
 ), r AS (

@@ -779,7 +779,16 @@ def write_delta(
         }
     )
 
-    return _commit_with_retry(path, version, actions, max_retries=max_retries)
+    return _commit_with_retry(
+        path,
+        version,
+        actions,
+        max_retries=max_retries,
+        # version>0 means this write enforced the snapshot's schema,
+        # CHECK constraints, and appendOnly gate — a rival metaData/
+        # protocol commit invalidates that derivation
+        read_metadata=version > 0,
+    )
 
 
 class DeltaConcurrentModification(Exception):
@@ -823,20 +832,38 @@ def _commit_with_retry(
     actions: list[dict[str, Any]],
     depends_on: frozenset[str] | set[str] = frozenset(),
     max_retries: int = 5,
+    read_metadata: bool = False,
+    full_table: bool = False,
 ) -> int:
     """Optimistic-concurrency loop around ``_commit`` — the part of
     Delta's writer protocol the raw O_EXCL primitive leaves to the
     caller. On losing a version race, examine every rival commit that
-    landed since: if a rival removed any file this transaction READ
-    (``depends_on``) or any file this transaction also removes, the
-    snapshot it was derived from is stale — raise
-    ``DeltaConcurrentModification`` (the caller must re-derive). If the
-    rivals are disjoint (e.g. blind appends racing each other), re-commit
-    the same actions at the next free version — both writers land.
-    Returns the committed version."""
+    landed since:
+
+    - if a rival removed any file this transaction READ (``depends_on``)
+      or any file this transaction also removes, the snapshot it was
+      derived from is stale — raise ``DeltaConcurrentModification``
+      (the caller must re-derive);
+    - if a rival committed a metaData/protocol action AND this
+      transaction either carries its own metaData/protocol action or
+      derived its behavior from the snapshot's metadata
+      (``read_metadata=True``: schema enforcement/evolution, CHECK
+      constraints, appendOnly), retrying verbatim would silently drop
+      the rival's schema/config change (e.g. two racing schema-evolving
+      writers: the loser's stale metaData erases the winner's new
+      column) or skip a concurrently-added constraint — raise, matching
+      real Delta's MetadataChangedException/ProtocolChangedException;
+    - ``full_table=True`` (RESTORE): the action list IS a function of
+      the latest version, so ANY rival commit — even a blind append —
+      invalidates it; raise without scanning.
+
+    If the rivals are disjoint blind appends, re-commit the same actions
+    at the next free version — both writers land. Returns the committed
+    version."""
     our_removes = {
         a["remove"]["path"] for a in actions if "remove" in a
     }
+    own_meta = any("metaData" in a or "protocol" in a for a in actions)
     read_set = set(depends_on) | our_removes
     for attempt in range(max_retries + 1):
         try:
@@ -846,7 +873,14 @@ def _commit_with_retry(
             if attempt == max_retries:
                 raise  # retries exhausted (or disabled): the raw primitive
             latest = _list_versions(path)[-1]
+            if full_table:
+                raise DeltaConcurrentModification(
+                    f"full-table transaction at version {version} lost the "
+                    f"race to version {latest}: its action list was derived "
+                    "from the pre-race snapshot — re-derive and retry"
+                ) from None
             rival_removed: set[str] = set()
+            rival_meta = False
             for v in range(version, latest + 1):
                 try:
                     rival_actions = _read_actions(path, v)
@@ -855,6 +889,15 @@ def _commit_with_retry(
                 for a in rival_actions:
                     if "remove" in a:
                         rival_removed.add(a["remove"]["path"])
+                    if "metaData" in a or "protocol" in a:
+                        rival_meta = True
+            if rival_meta and (own_meta or read_metadata):
+                raise DeltaConcurrentModification(
+                    f"concurrent metaData/protocol commit(s) up to version "
+                    f"{latest} invalidate this transaction's snapshot-derived "
+                    "metadata (schema/constraints/configuration) — re-read "
+                    "the table and re-derive"
+                ) from None
             conflict = read_set & rival_removed
             if conflict:
                 raise DeltaConcurrentModification(
@@ -1071,7 +1114,11 @@ def merge_delta(
     # snapshot → DeltaConcurrentModification; disjoint rivals (appends,
     # merges over other key ranges) retry cleanly
     return _commit_with_retry(
-        path, versions[-1] + 1, actions, depends_on=set(affected)
+        path,
+        versions[-1] + 1,
+        actions,
+        depends_on=set(affected),
+        read_metadata=True,  # merge derived schema + constraints from its snapshot
     )
 
 
@@ -1095,33 +1142,63 @@ def set_table_properties(
 ) -> int:
     """ALTER TABLE SET/UNSET TBLPROPERTIES: commit a metaData-only
     update merging ``props`` into the configuration (a None value
-    UNSETs the key). Concurrent property commits serialize through the
-    optimistic retry (no removes → never a file conflict; last metaData
-    wins, as in Delta's WriteSerializable). Returns the version."""
-    versions = _list_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no Delta log at {path}")
-    meta = _latest_metadata(path, versions[-1])
-    config = dict(meta.get("configuration", {}))
-    for k, v in props.items():
-        if v is None:
-            config.pop(k, None)
-        else:
-            config[k] = str(v)
-    meta["configuration"] = config
-    actions: list[dict[str, Any]] = [
-        {"metaData": meta},
-        {
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": operation,
-                "operationParameters": {
-                    "properties": {k: v for k, v in props.items() if v is not None}
-                },
-            }
-        },
+    UNSETs the key). A lost version race RE-DERIVES the merge from the
+    rival's latest configuration instead of re-committing the stale
+    metaData verbatim (which would silently erase the rival's change —
+    the round-5 advice finding); both racers' property sets survive.
+    Returns the version.
+
+    ``delta.constraints.*`` keys are rejected: they would bypass
+    ``add_constraint``'s existing-data validation and its
+    minWriterVersion-3 protocol upgrade, installing a constraint that
+    existing rows may already violate. Unsetting (None) stays allowed —
+    that IS ``drop_constraint``'s path."""
+    bad_keys = [
+        k
+        for k, v in props.items()
+        if k.startswith(_CONSTRAINT_PREFIX) and v is not None
     ]
-    return _commit_with_retry(path, versions[-1] + 1, actions)
+    if bad_keys:
+        raise ValueError(
+            f"cannot SET {bad_keys} via table properties: CHECK "
+            "constraints must go through add_constraint (validates "
+            "existing data and raises the writer-protocol gate); use "
+            "drop_constraint to remove one"
+        )
+    for _attempt in range(6):
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        meta = _latest_metadata(path, versions[-1])
+        config = dict(meta.get("configuration", {}))
+        for k, v in props.items():
+            if v is None:
+                config.pop(k, None)
+            else:
+                config[k] = str(v)
+        meta["configuration"] = config
+        actions: list[dict[str, Any]] = [
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": operation,
+                    "operationParameters": {
+                        "properties": {
+                            k: v for k, v in props.items() if v is not None
+                        }
+                    },
+                }
+            },
+        ]
+        try:
+            # max_retries=0: any race falls through to re-derivation
+            return _commit_with_retry(path, versions[-1] + 1, actions, max_retries=0)
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentModification(
+        f"set_table_properties on {path}: lost {6} consecutive version races"
+    )
 
 
 def add_constraint(
@@ -1138,43 +1215,55 @@ def add_constraint(
     from pyspark.sql import functions as F
 
     key = _CONSTRAINT_PREFIX + name
-    versions = _list_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no Delta log at {path}")
-    meta = _latest_metadata(path, versions[-1])
-    config = dict(meta.get("configuration", {}))
-    if key in config:
-        raise ValueError(f"constraint {name} already exists: {config[key]}")
-    bad = (
-        read_delta(spark, path)
-        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            f"cannot ADD CONSTRAINT {name} ({expr}): existing rows violate it"
+    for _attempt in range(3):
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        meta = _latest_metadata(path, versions[-1])
+        config = dict(meta.get("configuration", {}))
+        if key in config:
+            raise ValueError(f"constraint {name} already exists: {config[key]}")
+        # validate against THIS snapshot; a lost race loops back and
+        # re-validates against the rival's rows too (retrying the stale
+        # commit verbatim would skip data a racing writer just added)
+        bad = (
+            read_delta(spark, path, version=versions[-1])
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
         )
-    config[key] = expr
-    meta["configuration"] = config
-    proto = _latest_protocol(path, versions[-1])
-    actions: list[dict[str, Any]] = [
-        {
-            "protocol": {
-                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
-                "minWriterVersion": max(int(proto.get("minWriterVersion", 2)), 3),
-            }
-        },
-        {"metaData": meta},
-        {
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": "ADD CONSTRAINT",
-                "operationParameters": {"name": name, "expr": expr},
-            }
-        },
-    ]
-    return _commit_with_retry(path, versions[-1] + 1, actions)
+        if bad:
+            raise ValueError(
+                f"cannot ADD CONSTRAINT {name} ({expr}): existing rows violate it"
+            )
+        config[key] = expr
+        meta["configuration"] = config
+        proto = _latest_protocol(path, versions[-1])
+        actions: list[dict[str, Any]] = [
+            {
+                "protocol": {
+                    "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                    "minWriterVersion": max(
+                        int(proto.get("minWriterVersion", 2)), 3
+                    ),
+                }
+            },
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            },
+        ]
+        try:
+            return _commit_with_retry(path, versions[-1] + 1, actions, max_retries=0)
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentModification(
+        f"add_constraint {name} on {path}: lost 3 consecutive version races"
+    )
 
 
 def drop_constraint(path: str, name: str) -> int:
@@ -1287,7 +1376,11 @@ def delete_delta(
         }
     )
     return _commit_with_retry(
-        path, versions[-1] + 1, actions, depends_on=set(hit_files)
+        path,
+        versions[-1] + 1,
+        actions,
+        depends_on=set(hit_files),
+        read_metadata=True,  # delete enforced appendOnly/constraints from its snapshot
     )
 
 
@@ -1363,7 +1456,15 @@ def restore_delta(path: str, to_version: int) -> int:
         }
     )
     return _commit_with_retry(
-        path, current + 1, actions, depends_on=set(old_active) & set(cur_active)
+        path,
+        current + 1,
+        actions,
+        depends_on=set(old_active) & set(cur_active),
+        # RESTORE's remove/add list is a function of the LATEST version:
+        # a rival blind append landing first would otherwise survive the
+        # restore (post-RESTORE state = target + rival's files) — any
+        # race raises instead (round-5 advice finding)
+        full_table=True,
     )
 
 

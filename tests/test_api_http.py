@@ -193,3 +193,45 @@ def test_dashboard_svg_charts(client):
     assert "medium (diamond)" in zb and "high (triangle)" in zb
     # every marker has a text tooltip naming its severity
     assert zb.count("<title>") > 10
+
+
+def test_daily_series_over_window_422(spark):
+    """Round-5 directive #6: a date window spanning more daily points
+    than MAX_DAILY_POINTS must 422, never feed an unbounded collect —
+    the plan-side LIMIT caps the scan at MAX_DAILY_POINTS+1 rows."""
+    import pandas as pd
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans import serving
+
+    t0 = dt.datetime(2020, 1, 1)
+    wide = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "timestamp": t0 + dt.timedelta(days=i),
+                    "zone_id": "Z1",
+                    "ahu_id": "AHU1",
+                    "metric": "temp_zone_c",
+                    "score": 1.0,
+                    "rule_name": "temp_drift",
+                    "severity": "low",
+                    "fault_type_label": "none",
+                }
+                for i in range(serving.MAX_DAILY_POINTS + 5)
+            ]
+        )
+    ).cache()
+    app = create_app(spark, wide)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.get("/dashboard/series/daily")
+    assert r.status_code == 422
+    assert "narrow" in r.get_json()["detail"]
+    # /dashboard shares the same guard
+    r2 = c.get("/dashboard")
+    assert r2.status_code == 422
+    # narrowing the window restores 200
+    r3 = c.get("/dashboard/series/daily?start=2020-01-01T00:00:00&end=2020-03-01T00:00:00")
+    assert r3.status_code == 200
+    assert r3.get_json()["total"] > 0
+    wide.unpersist()

@@ -446,3 +446,46 @@ def test_temperature_sample_partition_invariant(spark, oracle_sf_dir):
     by_size = sorted(rows.values(), key=lambda t: t[1])
     small, large = by_size[0], by_size[-1]
     assert small[2] / small[1] > large[2] / large[1]
+
+
+def test_hard_negative_zero_vector_cross_engine_parity(spark):
+    """Round-5 advice: a zero embedding must score cosine 0 (norm→1
+    substitution) in BOTH the GEMM kernel and the DuckDB oracle SQL —
+    before the NULLIF/COALESCE guard the SQL divided by a zero norm and
+    produced NULL/NaN, a latent Spark-vs-oracle mismatch."""
+    import duckdb
+    import pandas as pd
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators import similarity
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans import analytics  # noqa: F401 (resolves the analytics↔ext cycle)
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics_ext import Z06_SQL
+
+    vecs = [
+        (1, "a", [0.0] * 64),                      # the zero vector
+        (2, "b", [1.0] + [0.0] * 63),
+        (3, "a", [0.0, 1.0] + [0.0] * 62),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
+    )
+    got = sorted(
+        (r["id"], r["label"], r["neighbor_id"], r["neighbor_label"],
+         round(r["cosine_sim"], 4))
+        for r in similarity.hard_negative_topk(emb, k=1, n_chunks=2)
+        .select("id", "label", "neighbor_id", "neighbor_label", "cosine_sim")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [v[0] for v in vecs],
+             "label": [v[1] for v in vecs],
+             "embedding": [v[2] for v in vecs]}
+        ),
+    )
+    want = sorted(map(tuple, con.execute(Z06_SQL).fetchall()))
+    assert got == want
+    # the zero vector is present, rankable, and scores exactly 0
+    zero_rows = [t for t in got if t[0] == 1]
+    assert zero_rows and zero_rows[0][4] == 0.0

@@ -1343,3 +1343,157 @@ def test_deltalog_append_only(spark, tmp_path):
     dl.set_table_properties(path, {"delta.appendOnly": None})
     dl.delete_delta(spark, path, "id = 1")
     assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [2, 100]
+
+
+def test_deltalog_schema_evolution_race_raises(spark, tmp_path, monkeypatch):
+    """Round-5 advice #1: two concurrent schema-evolving writers — the
+    loser's retried metaData was built from the pre-race schema, so a
+    verbatim retry would silently DROP the winner's new column. The
+    loser must raise DeltaConcurrentModification instead."""
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "devorace")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(p, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(dl, "_commit", real_commit)
+            dl.write_delta(
+                spark.createDataFrame([(2, "x")], "id long, c_rival string"),
+                path,
+                mode="append",
+                merge_schema=True,
+            )
+            monkeypatch.setattr(dl, "_commit", racing_commit)
+        return real_commit(p, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    with _pytest.raises(dl.DeltaConcurrentModification, match="metaData"):
+        dl.write_delta(
+            spark.createDataFrame([(3, 7.5)], "id long, c_ours double"),
+            path,
+            mode="append",
+            merge_schema=True,
+        )
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    # the rival's evolved schema stands — c_rival survived
+    cols = set(dl.read_delta(spark, path).columns)
+    assert cols == {"id", "c_rival"}
+
+
+def test_deltalog_append_racing_constraint_add_raises(spark, tmp_path, monkeypatch):
+    """A write races an ADD CONSTRAINT: the write enforced constraints
+    from its (pre-constraint) snapshot, so a verbatim retry would land
+    unvalidated rows behind the new CHECK — it must raise instead."""
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dconsrace")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(p, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(dl, "_commit", real_commit)
+            dl.add_constraint(spark, path, "pos", "id > 0")
+            monkeypatch.setattr(dl, "_commit", racing_commit)
+        return real_commit(p, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    with _pytest.raises(dl.DeltaConcurrentModification, match="metaData|protocol"):
+        dl.write_delta(
+            spark.createDataFrame([(-5,)], "id long"), path, mode="append"
+        )
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    # the violating row never landed; the constraint stands
+    assert [r.id for r in dl.read_delta(spark, path).collect()] == [1]
+    assert dl.table_configuration(path)["delta.constraints.pos"] == "id > 0"
+
+
+def test_set_table_properties_race_rederives(spark, tmp_path, monkeypatch):
+    """Racing property writers both survive: the loser re-derives its
+    merge from the rival's landed configuration instead of re-committing
+    stale metaData that would erase the rival's key."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dproprace")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(p, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(dl, "_commit", real_commit)
+            dl.set_table_properties(path, {"team.rival": "1"})
+            monkeypatch.setattr(dl, "_commit", racing_commit)
+        return real_commit(p, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    dl.set_table_properties(path, {"team.ours": "2"})
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    config = dl.table_configuration(path)
+    assert config["team.rival"] == "1" and config["team.ours"] == "2"
+
+
+def test_set_table_properties_rejects_constraint_keys(spark, tmp_path):
+    """Round-5 advice #3: installing delta.constraints.* via raw
+    properties bypasses add_constraint's existing-data validation and
+    protocol upgrade — rejected; unsetting (drop_constraint's path)
+    still works."""
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "dpropcons")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    with _pytest.raises(ValueError, match="add_constraint"):
+        dl.set_table_properties(path, {"delta.constraints.pos": "id > 0"})
+    dl.add_constraint(spark, path, "pos", "id > 0")
+    dl.drop_constraint(path, "pos")  # None-valued unset stays allowed
+    assert "delta.constraints.pos" not in dl.table_configuration(path)
+
+
+def test_deltalog_restore_race_raises(spark, tmp_path, monkeypatch):
+    """Round-5 advice #2: RESTORE's action list is derived from the
+    latest version, so a rival blind append racing it would survive the
+    restore (post-RESTORE state ≠ target version). Any race must raise;
+    the rival's append stands."""
+    import pytest as _pytest
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "drestrace")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    dl.write_delta(spark.createDataFrame([(2,)], "id long"), path, mode="append")
+
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def racing_commit(p, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(dl, "_commit", real_commit)
+            dl.write_delta(spark.createDataFrame([(99,)], "id long"), path, mode="append")
+            monkeypatch.setattr(dl, "_commit", racing_commit)
+        return real_commit(p, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racing_commit)
+    with _pytest.raises(dl.DeltaConcurrentModification, match="full-table"):
+        dl.restore_delta(path, to_version=0)
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [1, 2, 99]
+    # a re-derived restore (no race) now works and removes the rival's rows
+    dl.restore_delta(path, to_version=0)
+    assert [r.id for r in dl.read_delta(spark, path).collect()] == [1]

@@ -52,6 +52,124 @@ def test_no_single_partition_window(spark, name):
     )
 
 
+# --- skewed-stratum window gate (round 6) -------------------------------
+#
+# The q53/z05 lesson: a Window whose ENTIRE partition key is a fixed-
+# cardinality enum (lang, event_type, o_orderstatus, ...) is the
+# single-partition anti-pattern reappearing via skew — a window
+# partition cannot be split across tasks, so the dominant enum value
+# (≈half a 100 TB crawl for `lang='en'`) ranks in ONE task no matter
+# how many executors exist. Composite keys that include a scaling
+# column (_pid, _mb, user_id, zone...) are fine; windows over TINY
+# aggregates are fine but must be annotated below.
+
+# enum-typed columns in the test tables (and their direct derivations)
+# whose cardinality does NOT grow with data volume
+_ENUM_COLS = {
+    "lang",
+    "event_type",
+    "prev_type",
+    "curr_type",
+    "o_orderstatus",
+    "o_orderpriority",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "c_mktsegment",
+    "r_name",
+    "n_name",
+    "label",
+    "source",
+}
+
+# Queries whose enum-partitioned window is over a PROVABLY tiny input
+# (a prior aggregate bounded by enum-cardinality²), with justification:
+_TINY_INPUT_ENUM_WINDOW_OK = {
+    "q83_event_transitions",  # normalizer over the ≤25-row prev→curr aggregate
+    "q87_wow_growth",         # lag over the ~#types×#weeks weekly aggregate
+}
+
+_WINDOW_LINE = re.compile(r"\bWindow \[.*\], \[([^\[\]]*)\], \[[^\[\]]*\]")
+_GROUP_LIMIT_PARTIAL = re.compile(r"\bWindowGroupLimit \[([^\[\]]*)\],.*Partial")
+_ATTR = re.compile(r"(\w+)#\d+")
+
+
+def _enum_only_windows(plan: str) -> list[str]:
+    """Partition specs of Window operators whose partition columns are
+    ALL fixed-cardinality enums (empty list = plan is skew-clean).
+
+    A Window fed by a PARTIAL ``WindowGroupLimit`` (Spark's rank-limit
+    pushdown for ``row_number() <= k`` filters) is exempt: each map task
+    forwards only its local top-k per group, so the reduce-side window
+    input is bounded by k × map-partitions regardless of skew."""
+    pushed = {
+        frozenset(_ATTR.findall(m.group(1)))
+        for m in _GROUP_LIMIT_PARTIAL.finditer(plan)
+    }
+    hits = []
+    for line in plan.splitlines():
+        m = _WINDOW_LINE.search(line)
+        if not m:
+            continue
+        cols = _ATTR.findall(m.group(1))
+        if (
+            cols
+            and all(c in _ENUM_COLS for c in cols)
+            and frozenset(cols) not in pushed
+        ):
+            hits.append(", ".join(cols))
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_skewed_enum_window(spark, name):
+    if name in _TINY_INPUT_ENUM_WINDOW_OK:
+        pytest.skip("annotated tiny-aggregate enum window")
+    df = QUERIES[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = _enum_only_windows(plan)
+    assert not hits, (
+        f"{name} plans a Window partitioned ONLY by fixed-cardinality "
+        f"enum column(s) {hits} — the dominant value funnels through one "
+        "task at scale. Use operators.windows.stratified_rank/"
+        "stratified_cumsum, an aggregation-based top-k (q92/q93 shape), "
+        "or a frame-overlap partition split (q95 shape); if the window "
+        "input is a provably tiny aggregate, annotate it in "
+        "_TINY_INPUT_ENUM_WINDOW_OK with justification."
+    )
+
+
+def test_skew_gate_catches_full_table_enum_rank(spark):
+    """Seeded regression: z05's ORIGINAL window form — a full-table
+    per-lang row_number whose limit is data-dependent (so rank-limit
+    pushdown CANNOT bound it) — must be flagged by the detector."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    bad = docs.withColumn("_rk", F.row_number().over(w))
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert _enum_only_windows(plan), (
+        "detector failed to flag a full-table enum-partitioned window"
+    )
+
+
+def test_skew_gate_exempts_rank_limit_pushdown(spark):
+    """A constant ``row_number() <= k`` filter plans a Partial
+    WindowGroupLimit — bounded reduce input, must NOT be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ok = docs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 3)
+    plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert not _enum_only_windows(plan)
+
+
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
 # each crossJoins a SINGLE-ROW broadcast global-stats frame (corpus size,
 # global min/max) — a 1×N nested loop is a constant attach, not a join.

@@ -273,6 +273,10 @@ def test_bloom_dedup_persist_scans_batch_once(spark):
     out = bloom_incremental_dedup(hist, batch, "k", persist=True)
     out.count()
     first = acc.value
+    assert first == 500, (
+        "persist=True must evaluate the batch ONCE within the first "
+        f"action (both union branches read the cache): {first} rows scanned"
+    )
     out.count()
     assert acc.value == first, "persisted flagged frame must not re-scan the batch"
 
