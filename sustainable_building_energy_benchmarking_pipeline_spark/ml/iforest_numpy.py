@@ -135,3 +135,43 @@ class NumpyIsolationForest:
     def predict(self, X: np.ndarray) -> np.ndarray:
         s = self._anomaly_score(X)
         return np.where(s > self.threshold_, -1, 1)
+
+
+class EnsembleIsolationForest:
+    """Merge of independently-trained ``NumpyIsolationForest`` sub-forests
+    (one per Spark partition — see ``IsolationForestDetector.
+    train_distributed``) into a single scorer.
+
+    Merge rule: anomaly score = 2^(−mean of the per-forest NORMALIZED
+    path lengths E[h(x)]/c(ψ_i), tree-count weighted). When every
+    sub-forest shares the same subsample size ψ this is EXACTLY the
+    score of the union forest (the paper's E[h] is the mean over all
+    trees, and c(ψ) factors out); with unequal ψ (a small trailing
+    partition) each forest normalizes by its own c(ψ_i) first, which is
+    the principled way to average path lengths measured against
+    different baseline depths. ``threshold_`` (the predict cut) is set
+    by the caller from a distributed quantile of training scores —
+    mirroring the single-forest offset mechanics."""
+
+    def __init__(self, forests: list[NumpyIsolationForest]):
+        if not forests:
+            raise ValueError("ensemble needs at least one sub-forest")
+        self.forests = list(forests)
+        self._w = np.array([f.n_estimators for f in self.forests], dtype=np.float64)
+        self.threshold_: float | None = None
+
+    def _anomaly_score(self, X: np.ndarray) -> np.ndarray:
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for f, w in zip(self.forests, self._w):
+            acc += w * (f._path_lengths(X) / _c(f._psi))
+        return np.power(2.0, -acc / self._w.sum())
+
+    def score_samples(self, X: np.ndarray) -> np.ndarray:
+        """−s(x), sklearn sign convention (matches NumpyIsolationForest)."""
+        return -self._anomaly_score(X)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        if self.threshold_ is None:
+            raise ValueError("threshold_ not set — train_distributed sets it")
+        s = self._anomaly_score(X)
+        return np.where(s > self.threshold_, -1, 1)

@@ -86,6 +86,125 @@ class IsolationForestDetector:
         ).fit(self.scaler.transform(X))
         return self
 
+    def train_distributed(
+        self,
+        features: DataFrame,
+        normal_only: bool = True,
+        num_partitions: int | None = None,
+    ) -> "IsolationForestDetector":
+        """Fit WITHOUT the ≤``max_train_rows`` driver sample: one
+        sub-forest per partition over ALL normal rows (mapInPandas),
+        merged by normalized-path averaging (see
+        ``EnsembleIsolationForest``) — the reference trains on the full
+        normal set (src/models.py:250-295) and at 100 TB the sample cap
+        changes model fidelity; this path removes it.
+
+        Scale shape (nothing unbounded on the driver):
+        - scaler stats: ONE Spark aggregate (mean + stddev_pop per
+          feature, matching np.std ddof=0) — no row collect;
+        - training: each partition fits ψ=256-subsample trees on its
+          local rows inside mapInPandas and emits one pickled sub-forest
+          (a few flat int/float arrays, ~100 KB) — the driver collects
+          P sub-forests, never rows;
+        - predict threshold: a second distributed pass scores the
+          training rows with the broadcast ensemble and takes the exact
+          (1−contamination) percentile — the single-forest
+          ``np.quantile`` offset, computed in the cluster.
+
+        ``train()`` remains the small-data fast path (one collect, one
+        fit, no extra passes). Per-partition seeds are
+        ``random_state + partition_id``, so the model is deterministic
+        for a fixed partitioning."""
+        import pickle as _pickle
+
+        import numpy as np
+
+        from sustainable_building_energy_benchmarking_pipeline_spark.ml.iforest_numpy import (
+            EnsembleIsolationForest,
+            NumpyIsolationForest,
+            NumpyStandardScaler,
+        )
+
+        train_df = features
+        if normal_only and "fault_type" in features.columns:
+            train_df = features.filter(F.col("fault_type") == "none")
+        sel = train_df.select(*self.feature_cols)
+
+        stats = sel.agg(
+            *[F.avg(c).alias(f"m_{c}") for c in self.feature_cols],
+            *[F.stddev_pop(c).alias(f"s_{c}") for c in self.feature_cols],
+        ).first()
+        scaler = NumpyStandardScaler()
+        scaler.mean_ = np.array(
+            [stats[f"m_{c}"] or 0.0 for c in self.feature_cols], dtype=np.float64
+        )
+        std = np.array(
+            [stats[f"s_{c}"] or 0.0 for c in self.feature_cols], dtype=np.float64
+        )
+        scaler.scale_ = np.where(std == 0, 1.0, std)
+
+        spark = features.sparkSession
+        n_parts = num_partitions or spark.sparkContext.defaultParallelism
+        trees_per_part = max(1, -(-self.n_estimators // n_parts))
+        contamination = self.contamination
+        seed0 = self.random_state
+        cols = list(self.feature_cols)
+        sc_mean, sc_scale = scaler.mean_, scaler.scale_
+
+        def fit_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            parts = [pdf for pdf in batches if not pdf.empty]
+            if not parts:
+                return
+            X = (pd.concat(parts)[cols].values - sc_mean) / sc_scale
+            pid = TaskContext.get().partitionId()
+            forest = NumpyIsolationForest(
+                contamination=contamination,
+                random_state=seed0 + pid,
+                n_estimators=trees_per_part,
+                max_samples=256,
+            ).fit(X)
+            yield pd.DataFrame(
+                {"pid": [pid], "payload": [_pickle.dumps(forest)]}
+            )
+
+        repartitioned = sel.repartition(n_parts)
+        rows = sorted(
+            repartitioned.mapInPandas(
+                fit_partition, "pid int, payload binary"
+            ).collect(),
+            key=lambda r: r["pid"],
+        )
+        if not rows:
+            raise ValueError("no training rows for distributed IF training")
+        model = EnsembleIsolationForest(
+            [_pickle.loads(bytes(r["payload"])) for r in rows]
+        )
+
+        payload = _pickle.dumps({"model": model, "scaler": scaler})
+        bc = spark.sparkContext.broadcast(payload)
+
+        def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state = _pickle.loads(bc.value)
+            m, s = state["model"], state["scaler"]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {"_s": m._anomaly_score(s.transform(pdf[cols].values))}
+                )
+
+        q = 1.0 - self.contamination
+        model.threshold_ = float(
+            sel.mapInPandas(score_batches, "_s double")
+            .agg(F.expr(f"percentile(_s, {q})"))
+            .first()[0]
+        )
+        self.model = model
+        self.scaler = scaler
+        return self
+
     def detect(self, features: DataFrame) -> DataFrame:
         """Distributed scoring via mapInPandas (src/models.py:297-358):
         predict==−1 → anomaly; score=|score_samples| rounded 4dp; severity

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Any
@@ -125,10 +126,60 @@ def _read_actions(path: str, version: int) -> list[dict[str, Any]]:
 # older checkpoint).
 
 CHECKPOINT_INTERVAL = 10  # commits between auto-checkpoints (Delta default)
+# actions per checkpoint parquet before splitting into the spec's
+# multi-part form (%020d.checkpoint.%010d.%010d.parquet) — bounds both
+# writer and reader memory per file; 50k actions ≈ tens of MB of
+# add-structs, the same order real Delta targets per part
+CHECKPOINT_MAX_ACTIONS_PER_PART = 50_000
 
 
 def _checkpoint_file(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+
+
+def _checkpoint_part_file(path: str, version: int, part: int, parts: int) -> str:
+    """Spec multi-part checkpoint name:
+    ``%020d.checkpoint.%010d.%010d.parquet`` (version, 1-based part,
+    total parts)."""
+    return os.path.join(
+        _log_dir(path), f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet"
+    )
+
+
+# both checkpoint forms: single-file and multi-part
+_CP_NAME_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+
+
+def _checkpoint_parts(path: str, version: int) -> list[str] | None:
+    """The complete on-disk file list of ``version``'s checkpoint —
+    ``[single-file]`` or all N multi-part files in part order — or None
+    when no complete checkpoint exists at that version (a PARTIAL
+    multi-part set, e.g. a writer killed mid-checkpoint, is treated as
+    absent: replay falls back to the previous checkpoint / full log)."""
+    single = _checkpoint_file(path, version)
+    if os.path.exists(single):
+        return [single]
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return None
+    prefix = f"{version:020d}.checkpoint."
+    parts_total: int | None = None
+    found: dict[int, str] = {}
+    for name in os.listdir(d):
+        if not name.startswith(prefix):
+            continue
+        m = _CP_NAME_RE.match(name)
+        if not m or m.group(2) is None:
+            continue
+        part, total = int(m.group(2)), int(m.group(3))
+        parts_total = total if parts_total is None else parts_total
+        if total == parts_total:
+            found[part] = os.path.join(d, name)
+    if parts_total is None or len(found) != parts_total:
+        return None
+    return [found[i] for i in range(1, parts_total + 1)]
 
 
 def _last_checkpoint_file(path: str) -> str:
@@ -143,28 +194,28 @@ def _latest_checkpoint_version(path: str, at_or_below: int | None = None) -> int
     try:
         with open(_last_checkpoint_file(path)) as f:
             v = int(json.load(f)["version"])
-        if (at_or_below is None or v <= at_or_below) and os.path.exists(
-            _checkpoint_file(path, v)
-        ):
+        if (at_or_below is None or v <= at_or_below) and _checkpoint_parts(
+            path, v
+        ) is not None:
             return v
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
         pass
     d = _log_dir(path)
     if not os.path.isdir(d):
         return None
-    best: int | None = None
+    candidates: set[int] = set()
     for name in os.listdir(d):
-        if not name.endswith(".checkpoint.parquet"):
+        m = _CP_NAME_RE.match(name)
+        if not m:
             continue
-        try:
-            v = int(name.split(".", 1)[0])
-        except ValueError:
-            continue
+        v = int(m.group(1))
         if at_or_below is not None and v > at_or_below:
             continue
-        if best is None or v > best:
-            best = v
-    return best
+        candidates.add(v)
+    for v in sorted(candidates, reverse=True):
+        if _checkpoint_parts(path, v) is not None:
+            return v
+    return None
 
 
 def _checkpoint_schema():
@@ -239,16 +290,25 @@ def _as_tuples(d: dict | None) -> list | None:
 
 
 def _read_checkpoint_actions(path: str, version: int) -> list[dict[str, Any]]:
-    """Checkpoint parquet → the same action-dict shape `_read_actions`
-    yields for JSON commits, via the same immutable-file cache."""
+    """Checkpoint parquet(s) → the same action-dict shape `_read_actions`
+    yields for JSON commits, via the same immutable-file cache. Handles
+    both single-file and multi-part checkpoints (action order across
+    parts is immaterial to replay: parts partition the action set)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    f = _checkpoint_file(path, version)
-    st = os.stat(f)
-    key = (os.path.abspath(f), st.st_mtime_ns, st.st_size)
+    files = _checkpoint_parts(path, version)
+    if files is None:
+        raise FileNotFoundError(
+            f"no complete checkpoint at version {version} of {path}"
+        )
+    key = tuple(
+        (os.path.abspath(f), os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in files
+    )
     hit = _ACTION_CACHE.get(key)
     if hit is None:
-        tbl = pq.read_table(f)
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
         hit = []
         for row in tbl.to_pylist():
             for kind in ("protocol", "metaData", "txn", "add", "remove"):
@@ -336,12 +396,33 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         )
     table = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
     # same durability-then-visibility dance as commits: the pointer must
-    # never name a checkpoint that is not fully on disk
-    cp = _checkpoint_file(path, version)
-    tmp = cp + f".{uuid.uuid4().hex}.tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, cp)
-    ptr = json.dumps({"version": version, "size": table.num_rows})
+    # never name a checkpoint that is not fully on disk. Above
+    # CHECKPOINT_MAX_ACTIONS_PER_PART actions the checkpoint splits into
+    # the spec's multi-part form (version.part.parts), keeping every
+    # parquet write (and later read) memory-bounded — the single-file
+    # form capped metadata scale at ~10⁶ add actions (round-5 finding).
+    # Parts become visible before the pointer flips; a reader racing the
+    # writer sees either the complete previous checkpoint or (once all
+    # parts exist) the new one — _checkpoint_parts treats a partial part
+    # set as absent.
+    n = table.num_rows
+    if n > CHECKPOINT_MAX_ACTIONS_PER_PART:
+        parts = -(-n // CHECKPOINT_MAX_ACTIONS_PER_PART)
+        for i in range(parts):
+            chunk = table.slice(
+                i * CHECKPOINT_MAX_ACTIONS_PER_PART, CHECKPOINT_MAX_ACTIONS_PER_PART
+            )
+            dest = _checkpoint_part_file(path, version, i + 1, parts)
+            tmp = dest + f".{uuid.uuid4().hex}.tmp"
+            pq.write_table(chunk, tmp)
+            os.replace(tmp, dest)
+        ptr = json.dumps({"version": version, "size": n, "parts": parts})
+    else:
+        cp = _checkpoint_file(path, version)
+        tmp = cp + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, cp)
+        ptr = json.dumps({"version": version, "size": n})
     ptr_tmp = _last_checkpoint_file(path) + f".{uuid.uuid4().hex}.tmp"
     with open(ptr_tmp, "w") as f:
         f.write(ptr)
@@ -467,16 +548,19 @@ def _replay(
 
 
 def _file_stats(file_path: str) -> str | None:
-    """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues)
-    from the parquet footer via pyarrow — zero data read. These power
-    log-level data skipping: a reader with a predicate drops files whose
-    [min, max] cannot satisfy it before Spark ever lists them."""
+    """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues /
+    nullCount — the delta-spark field set) from the parquet footer via
+    pyarrow — zero data read. These power log-level data skipping: a
+    reader with a predicate drops files whose [min, max] cannot satisfy
+    it before Spark ever lists them."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(file_path).metadata
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        null_covered: dict[str, int] = {}
         # a column's range is only trustworthy if EVERY row group
         # contributed min/max — a stats-less row group (e.g. NaN-bearing
         # doubles, undecodable binary) may hold values outside the range
@@ -489,10 +573,13 @@ def _file_stats(file_path: str) -> str | None:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
                 name = col.path_in_schema
                 if "." in name:  # nested — out of the skipping subset
+                    continue
+                if st is not None and st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                    null_covered[name] = null_covered.get(name, 0) + 1
+                if st is None or not st.has_min_max:
                     continue
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
@@ -508,8 +595,18 @@ def _file_stats(file_path: str) -> str | None:
         full = {c for c, n in covered.items() if n == md.num_row_groups}
         mins = {c: v for c, v in mins.items() if c in full}
         maxs = {c: v for c, v in maxs.items() if c in full}
+        nulls = {
+            c: v
+            for c, v in nulls.items()
+            if null_covered.get(c) == md.num_row_groups
+        }
         return json.dumps(
-            {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+            {
+                "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            },
             default=str,
         )
     except Exception:
@@ -988,8 +1085,13 @@ def read_delta(
     reader = spark.read.schema(schema)
     if partition_cols:
         # hive-layout partition columns materialize from the dir names;
-        # basePath anchors inference when an explicit file list is given
+        # basePath anchors inference when an explicit file list is given.
+        # Spark appends inferred partition columns AFTER the data columns
+        # — reorder to the metaData schemaString's column order, which is
+        # what a Delta reader must present (externally-written tables
+        # commonly declare partition columns first)
         reader = reader.option("basePath", path)
+        return reader.parquet(*files).select(*schema.fieldNames())
     return reader.parquet(*files)
 
 
@@ -1594,12 +1696,10 @@ def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
             deleted.append(os.path.basename(_commit_file(path, v)))
     d = _log_dir(path)
     for name in sorted(os.listdir(d)):
-        if not name.endswith(".checkpoint.parquet"):
+        m = _CP_NAME_RE.match(name)  # single-file AND multi-part forms
+        if not m:
             continue
-        try:
-            v = int(name.split(".", 1)[0])
-        except ValueError:
-            continue
+        v = int(m.group(1))
         if v < boundary and v != cp:
             os.remove(os.path.join(d, name))
             deleted.append(name)

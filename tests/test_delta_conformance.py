@@ -1,0 +1,184 @@
+"""External-Delta conformance (round-5 directive #3).
+
+Two directions:
+
+1. READ a committed golden `_delta_log` laid out byte-level like a real
+   delta-spark 3.x writer's output (hand-derived from the public Delta
+   transaction-log protocol; regenerate with
+   scripts/make_golden_delta.py — no external Delta implementation
+   exists in this sandbox to produce one live). Our reader must
+   reconstruct snapshots, time travel, hive partition values, and the
+   txn watermark from those exact bytes — including action fields our
+   own writer never emits (commitInfo.engineInfo/isolationLevel/
+   operationMetrics, remove.extendedFileMetadata, txn.lastUpdated),
+   which it must tolerate, not trip over.
+
+2. CHECK our writer's emitted actions field-by-field against the spec's
+   requirements (required fields, types, relative paths, stringified
+   partitionValues, %020d commit names, checkpoint carries the
+   reconciled state) so a spec-conformant external reader would accept
+   a table we wrote.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data", "golden_delta")
+
+
+def test_golden_read_latest_snapshot(spark):
+    df = dl.read_delta(spark, GOLDEN)
+    rows = sorted((r["part"], r["id"], r["v"]) for r in df.collect())
+    # v1 removed the part=b file and added (4, 4.5) in part=a
+    assert rows == [("a", 1, 1.5), ("a", 2, 2.5), ("a", 4, 4.5)]
+    assert [f.name for f in df.schema.fields] == ["part", "id", "v"]
+
+
+def test_golden_time_travel_and_partition_filter(spark):
+    v0 = dl.read_delta(spark, GOLDEN, version=0)
+    assert sorted((r["part"], r["id"]) for r in v0.collect()) == [
+        ("a", 1), ("a", 2), ("b", 3),
+    ]
+    only_a = dl.read_delta(spark, GOLDEN, partition_filter={"part": "a"})
+    assert sorted(r["id"] for r in only_a.collect()) == [1, 2, 4]
+
+
+def test_golden_txn_and_history(spark):
+    assert dl.last_txn_version(GOLDEN, "golden-app") == 7
+    assert dl.last_txn_version(GOLDEN, "other-app") == -1
+    ops = [h["operation"] for h in dl.delta_history(GOLDEN)]
+    assert ops == ["WRITE", "MERGE"]
+
+
+def test_golden_checkpoint_roundtrip(spark, tmp_path):
+    """Checkpointing a table whose log an external writer authored must
+    reconcile the same snapshot (copy the fixture — checkpoints write)."""
+    import shutil
+
+    work = str(tmp_path / "golden_copy")
+    shutil.copytree(GOLDEN, work)
+    v = dl.write_checkpoint(work, 1)
+    assert v == 1
+    assert os.path.exists(dl._last_checkpoint_file(work))
+    rows = sorted((r["part"], r["id"]) for r in dl.read_delta(spark, work).collect())
+    assert rows == [("a", 1), ("a", 2), ("a", 4)]
+
+
+def test_golden_data_skipping_stats(spark):
+    """The golden adds carry delta-spark-shaped stats JSON; our
+    file-level skipping must consume them (id > 3 prunes to one file)."""
+    df = dl.read_delta(spark, GOLDEN, where=("id", ">", 3))
+    files = {os.path.basename(f) for f in df.inputFiles()}
+    assert len(files) == 1 and any("part-00002" in f for f in files)
+
+
+# ---- direction 2: our writer against the spec checklist ----------------
+
+def _actions(path: str, version: int) -> list[dict]:
+    with open(os.path.join(path, "_delta_log", f"{version:020d}.json")) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_written_table_spec_checklist(spark, tmp_path):
+    """Field-by-field protocol conformance of a table our writer
+    produced: commit naming, protocol/metaData requirements, add/remove
+    shape, txn shape — everything a spec-conformant reader keys on."""
+    path = str(tmp_path / "spec")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    dl.write_delta(df, path)
+    dl.write_delta(
+        spark.createDataFrame([(3, "z")], "id long, s string"),
+        path,
+        mode="append",
+        extra_actions=[{"txn": {"appId": "spec-app", "version": 1}}],
+    )
+
+    log_dir = os.path.join(path, "_delta_log")
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    assert names == ["00000000000000000000.json", "00000000000000000001.json"]
+
+    v0 = _actions(path, 0)
+    protos = [a["protocol"] for a in v0 if "protocol" in a]
+    metas = [a["metaData"] for a in v0 if "metaData" in a]
+    assert len(protos) == 1 and len(metas) == 1
+    p = protos[0]
+    assert isinstance(p["minReaderVersion"], int) and p["minReaderVersion"] >= 1
+    assert isinstance(p["minWriterVersion"], int) and p["minWriterVersion"] >= 2
+    m = metas[0]
+    assert isinstance(m["id"], str) and m["id"]
+    assert m["format"] == {"provider": "parquet", "options": {}}
+    schema = json.loads(m["schemaString"])  # valid Spark StructType JSON
+    assert schema["type"] == "struct"
+    assert [f["name"] for f in schema["fields"]] == ["id", "s"]
+    assert all(
+        set(f) >= {"name", "type", "nullable", "metadata"} for f in schema["fields"]
+    )
+    assert m["partitionColumns"] == []
+    assert isinstance(m["configuration"], dict)
+
+    for version in (0, 1):
+        for a in _actions(path, version):
+            if "add" not in a:
+                continue
+            add = a["add"]
+            assert set(add) >= {
+                "path", "partitionValues", "size", "modificationTime", "dataChange",
+            }
+            assert not add["path"].startswith("/"), "paths must be table-relative"
+            assert os.path.exists(os.path.join(path, add["path"]))
+            assert isinstance(add["size"], int) and add["size"] > 0
+            assert add["dataChange"] is True
+            assert all(
+                isinstance(k, str) and (v is None or isinstance(v, str))
+                for k, v in add["partitionValues"].items()
+            )
+            stats = json.loads(add["stats"])
+            assert set(stats) >= {"numRecords", "minValues", "maxValues", "nullCount"}
+
+    v1 = _actions(path, 1)
+    txns = [a["txn"] for a in v1 if "txn" in a]
+    assert txns == [{"appId": "spec-app", "version": 1}]
+
+    # overwrite emits spec-shaped remove actions
+    dl.write_delta(df, path, mode="overwrite")
+    removes = [a["remove"] for a in _actions(path, 2) if "remove" in a]
+    assert removes and all(
+        set(r) >= {"path", "deletionTimestamp", "dataChange"} and r["dataChange"] is True
+        for r in removes
+    )
+
+
+def test_written_partition_values_are_logical(spark, tmp_path):
+    """Hive-escaped dir names must round-trip to LOGICAL partitionValues
+    in the log (spec: partitionValues holds the values, not the escaped
+    dir fragments) — the delta-rs/delta-spark interop detail."""
+    path = str(tmp_path / "specpart")
+    df = spark.createDataFrame([("pt:BR", 1), (None, 2)], "lang string, id long")
+    dl.write_delta(df, path, partition_by=["lang"])
+    pvals = sorted(
+        (a["add"]["partitionValues"]["lang"] or "<null>")
+        for a in _actions(path, 0)
+        if "add" in a
+    )
+    assert pvals == ["<null>", "pt:BR"]
+
+
+def test_golden_checkpoint_schema_columns(spark, tmp_path):
+    """Our checkpoint parquet carries the spec's per-action struct
+    columns so an external reader can replay from it."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    work = str(tmp_path / "golden_cp")
+    shutil.copytree(GOLDEN, work)
+    dl.write_checkpoint(work, 1)
+    cp = dl._checkpoint_file(work, 1)
+    cols = set(pq.read_schema(cp).names)
+    assert {"txn", "add", "remove", "metaData", "protocol"} <= cols

@@ -1497,3 +1497,94 @@ def test_deltalog_restore_race_raises(spark, tmp_path, monkeypatch):
     # a re-derived restore (no race) now works and removes the rival's rows
     dl.restore_delta(path, to_version=0)
     assert [r.id for r in dl.read_delta(spark, path).collect()] == [1]
+
+
+def test_multipart_checkpoint_100k_actions(spark, tmp_path):
+    """Round-5 directive #4: a ~10⁵-add table checkpoints into the
+    spec's multi-part form (%020d.checkpoint.%010d.%010d.parquet),
+    `_last_checkpoint` carries `parts`, every part stays under the
+    per-part action cap, and replay reconstructs the full active set
+    from the parts."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "bigcp")
+    dl.write_delta(spark.createDataFrame([(0,)], "id long"), path)
+    n_fake = 110_000
+    stats = '{"numRecords":1,"minValues":{"id":1},"maxValues":{"id":1},"nullCount":{"id":0}}'
+    synth = [
+        {
+            "add": {
+                "path": f"part-{i:07d}-synthetic.parquet",
+                "partitionValues": {},
+                "size": 128,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": stats,
+            }
+        }
+        for i in range(n_fake)
+    ]
+    synth.append({"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}})
+    dl._commit(path, 1, synth)
+
+    assert dl.write_checkpoint(path, 1) == 1
+    with open(dl._last_checkpoint_file(path)) as f:
+        ptr = _json.load(f)
+    assert ptr["version"] == 1 and ptr.get("parts", 1) >= 3
+    files = dl._checkpoint_parts(path, 1)
+    assert files is not None and len(files) == ptr["parts"]
+    assert all(
+        _pq.ParquetFile(f).metadata.num_rows <= dl.CHECKPOINT_MAX_ACTIONS_PER_PART
+        for f in files
+    )
+    active, schema, _ = dl._replay(path, 1)
+    assert len(active) == n_fake + 1  # synthetic adds + the real v0 file
+    assert [f.name for f in schema.fields] == ["id"]
+
+
+def test_multipart_checkpoint_partial_set_is_absent(spark, tmp_path, monkeypatch):
+    """A writer killed between parts must never surface a half
+    checkpoint: with one part missing, the checkpoint is treated as
+    absent and replay falls back to the JSON log."""
+    import os as _os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_MAX_ACTIONS_PER_PART", 2)
+    path = str(tmp_path / "partialcp")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    for i in range(2, 6):
+        dl.write_delta(spark.createDataFrame([(i,)], "id long"), path, mode="append")
+    dl.write_checkpoint(path, 4)
+    files = dl._checkpoint_parts(path, 4)
+    assert files is not None and len(files) >= 2
+    _os.remove(files[0])
+    assert dl._checkpoint_parts(path, 4) is None
+    assert dl._latest_checkpoint_version(path) is None
+    # replay still correct from the JSON log alone
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_multipart_checkpoint_cleanup_and_bounded_replay(spark, tmp_path, monkeypatch):
+    """Multi-part checkpoints participate in log retention: commits and
+    superseded checkpoints below the newest one are deleted, its own
+    parts survive, and post-cleanup reads replay from the parts."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_MAX_ACTIONS_PER_PART", 2)
+    path = str(tmp_path / "cleancp")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    for i in range(2, 8):
+        dl.write_delta(spark.createDataFrame([(i,)], "id long"), path, mode="append")
+    dl.write_checkpoint(path, 3)
+    dl.write_checkpoint(path, 6)
+    deleted = dl.cleanup_log(path, retain_versions=1)
+    # v3's multi-part files and the old JSON commits are gone
+    assert any(".checkpoint.0000000001." in n and n.startswith("00000000000000000003") for n in deleted)
+    assert dl._checkpoint_parts(path, 3) is None
+    assert dl._checkpoint_parts(path, 6) is not None
+    assert sorted(r.id for r in dl.read_delta(spark, path).collect()) == list(range(1, 8))
