@@ -9,10 +9,14 @@ code, fully whole-stage-codegen'd.
 
 Scale note: a window over ``partitionBy(k).orderBy(ts)`` shuffles once on
 ``k`` and sorts within partitions. At 100 TB the only concern is key skew
-(one giant partition); AQE does not split window skew, so for skewed keys
-pre-split by adding a coarse time-bucket to the partition key where the
-window frame allows it (rolling frames ≤ N rows only need N rows of
-overlap — see ``rolling_features`` docstring).
+(one giant partition); AQE does not split window skew. Remedies by case:
+constant ``row_number() <= k`` filters get rank-limit pushdown for free
+(Partial WindowGroupLimit bounds reduce input at k·maps per group);
+unbounded ranks/cumsums over LOW-CARDINALITY strata use
+``stratified_rank`` / ``stratified_cumsum`` (two-pass, single lazy
+plan); bounded frames pre-split by adding a coarse bucket to the
+partition key with frame-width overlap (rolling frames ≤ N rows only
+need N rows of overlap — see q95's megabin ghost-row split).
 """
 
 from __future__ import annotations
@@ -354,12 +358,20 @@ def stratified_rank(
 
     ``order_by`` must uniquely order rows WITHIN a stratum (append a
     tiebreaker) so rank == row_number deterministically. Returns ``df``
-    + ``out_col`` (LONG, 1-based like ROW_NUMBER). The ranged frame is
-    persisted before the stats job for the same exchange-determinism
-    reason as ``distributed_percent_rank``. Null strata are ranked as
-    their own group (null-safe attach join)."""
-    from pyspark import StorageLevel
+    + ``out_col`` (LONG, 1-based like ROW_NUMBER). Null strata are
+    ranked as their own group (null-safe joins).
 
+    ONE lazy plan, no persist, no driver collect: the stats subtree and
+    the data subtree share the same range exchange (Spark's
+    ReuseExchange/AQE stage reuse evaluates it once per action), the
+    per-stratum prefix offsets come from a self-join of the tiny stats
+    frame (≤ n_partitions + n_strata rows — range partitioning keeps
+    each (partition, stratum) run contiguous), and the final rank is a
+    broadcast attach. Unlike ``distributed_percent_rank``'s
+    materialize-then-count shape, nothing here depends on WHICH
+    boundaries the range sampler drew: the rank is a pure function of
+    the total (stratum, order) order, so separate actions agree even if
+    their exchanges sample different boundaries."""
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -370,30 +382,27 @@ def stratified_rank(
         .withColumn("_pid", F.shiftrightunsigned(F.col("_mid"), 33))
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
         .drop("_mid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = with_id.groupBy("_pid", stratum_col).agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_lrn").alias("_minl")
-    ).collect()
-    if not stats:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    per_stratum: dict = {}
-    for r in stats:
-        per_stratum.setdefault(r[stratum_col], []).append(
-            (r["_pid"], r["_cnt"], r["_minl"])
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    base = (
+        a.join(
+            b,
+            F.col(f"a.{stratum_col}").eqNullSafe(F.col(f"b.{stratum_col}"))
+            & (F.col("b._pid") < F.col("a._pid")),
+            "left",
         )
-    rows = []
-    for s, lst in per_stratum.items():
-        acc = 0
-        for pid, cnt, minl in sorted(lst):
-            rows.append((pid, s, acc, minl))
-            acc += cnt
-    stype = dict(df.dtypes)[stratum_col]
-    off = spark.createDataFrame(
-        rows, schema=f"_opid LONG, _ostr {stype}, _base LONG, _ominl LONG"
+        .groupBy(
+            F.col("a._pid").alias("_opid"),
+            F.col(f"a.{stratum_col}").alias("_ostr"),
+            F.col("a._minl").alias("_ominl"),
+        )
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_base"))
     )
     joined = with_id.join(
-        F.broadcast(off),
+        F.broadcast(base),
         (F.col("_pid") == F.col("_opid"))
         & F.col(stratum_col).eqNullSafe(F.col("_ostr")),
     )
@@ -420,46 +429,41 @@ def stratified_cumsum(
 
     Shape: range-partition on ``(stratum, *order_by)`` (strata span
     contiguous partition runs), take the partition id from
-    ``monotonically_increasing_id``'s high bits, then the LOCAL running
-    sum through a window over ``(_pid, stratum)`` — every such group is
-    bounded by one range partition, so the window is skew-free by
-    construction (this costs one extra balanced hash exchange; the
-    alternative is one task per stratum). A tiny per-(pid, stratum)
-    totals job (≤ n_partitions + n_strata rows) computes each stratum's
-    prefix offset over preceding partitions; cumsum = offset + local
-    running sum. ``order_by`` must uniquely order rows within a stratum.
-    Returns ``df`` + ``out_col`` (same type as SUM over ``value_col``)."""
-    from pyspark import StorageLevel
-
+    ``spark_partition_id``, then the LOCAL running sum through a window
+    over ``(_pid, stratum)`` — every such group is bounded by one range
+    partition, so the window is skew-free by construction (this costs
+    one extra balanced hash exchange; the alternative is one task per
+    stratum). Per-stratum prefix offsets over preceding partitions come
+    from a self-join of the tiny per-(pid, stratum) totals frame
+    (≤ n_partitions + n_strata rows), all in ONE lazy plan — the stats
+    subtree shares the range exchange via ReuseExchange, and like
+    ``stratified_rank`` the result is a pure function of the total
+    order, independent of sampled boundaries. ``order_by`` must
+    uniquely order rows within a stratum. Returns ``df`` + ``out_col``
+    (same type as SUM over ``value_col``)."""
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     keys = [F.col(stratum_col), *ocols]
-    with_id = (
-        df.repartitionByRange(n_parts, *keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    with_id = df.repartitionByRange(n_parts, *keys).withColumn(
+        "_pid", F.spark_partition_id()
     )
     stats = with_id.groupBy("_pid", stratum_col).agg(
         F.sum(value_col).alias("_tot")
-    ).collect()
-    if not stats:
-        return df.withColumn(out_col, F.lit(None).cast("double"))
-    per_stratum: dict = {}
-    for r in stats:
-        per_stratum.setdefault(r[stratum_col], []).append((r["_pid"], r["_tot"]))
-    rows = []
-    for s, lst in per_stratum.items():
-        acc = 0
-        for pid, tot in sorted(lst):
-            rows.append((pid, s, acc))
-            acc += tot if tot is not None else 0
-    stype = dict(df.dtypes)[stratum_col]
-    sum_type = dict(
-        df.select(F.sum(value_col).alias("_t")).dtypes
-    )["_t"]
-    off = spark.createDataFrame(
-        rows, schema=f"_opid INT, _ostr {stype}, _base {sum_type}"
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    base = (
+        a.join(
+            b,
+            F.col(f"a.{stratum_col}").eqNullSafe(F.col(f"b.{stratum_col}"))
+            & (F.col("b._pid") < F.col("a._pid")),
+            "left",
+        )
+        .groupBy(
+            F.col("a._pid").alias("_opid"),
+            F.col(f"a.{stratum_col}").alias("_ostr"),
+        )
+        .agg(F.sum("b._tot").alias("_base"))
     )
     local_w = (
         Window.partitionBy("_pid", stratum_col)
@@ -468,12 +472,14 @@ def stratified_cumsum(
     )
     local = with_id.withColumn("_lcs", F.sum(value_col).over(local_w))
     joined = local.join(
-        F.broadcast(off),
+        F.broadcast(base),
         (F.col("_pid") == F.col("_opid"))
         & F.col(stratum_col).eqNullSafe(F.col("_ostr")),
     )
     return (
-        joined.withColumn(out_col, F.col("_base") + F.col("_lcs"))
+        joined.withColumn(
+            out_col, F.coalesce(F.col("_base"), F.lit(0)) + F.col("_lcs")
+        )
         .drop("_pid", "_opid", "_ostr", "_base", "_lcs")
     )
 

