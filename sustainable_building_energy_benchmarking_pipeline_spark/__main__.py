@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--in", dest="inp", required=True)
     d.add_argument("--out", required=True)
     d.add_argument("--ml", action="store_true", help="also run the IF detector")
+    d.add_argument(
+        "--distributed-train",
+        action="store_true",
+        help="train the IF on ALL normal rows (one sub-forest per "
+        "partition, merged) instead of the bounded driver sample — "
+        "the no-row-cap path for large feature tables",
+    )
 
     m = sub.add_parser("medallion", help="buildings csv/parquet → medallion dirs")
     m.add_argument("--in", dest="inp", required=True)
@@ -146,7 +153,13 @@ def main(argv: list[str] | None = None) -> int:
                 IsolationForestDetector,
             )
 
-            ml = IsolationForestDetector().train(feats).detect(feats)
+            det = IsolationForestDetector()
+            det = (
+                det.train_distributed(feats)
+                if args.distributed_train
+                else det.train(feats)
+            )
+            ml = det.detect(feats)
             anoms = anoms.unionByName(ml, allowMissingColumns=True)
         sio.write_table(anoms, args.out)
         n = sio.read_table(spark, args.out).count()

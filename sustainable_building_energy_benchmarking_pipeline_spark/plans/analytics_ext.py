@@ -1843,6 +1843,105 @@ ORDER BY id
 """
 
 
+def z07_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filtering (the Gopher-rules family:
+    published pretraining pipelines drop documents whose content is
+    dominated by repeated fragments). Two signals per document, both
+    token-level because this corpus is single-line text: the duplicate-
+    token fraction (1 − distinct/total) and the top-bigram share (most
+    frequent adjacent pair / all pairs); a document flags when either
+    crosses its threshold (0.55 / 0.045 — sited at this corpus's
+    medians so the boolean genuinely discriminates; a web pipeline
+    would use the published cuts).
+
+    Scale: tokens and the distinct fraction are pure array expressions
+    (zero UDFs, one scan); bigram frequencies explode to a
+    (doc_id, bigram) aggregate — keyed by document, so it distributes
+    and partial-aggregates with no skeweable low-cardinality key
+    anywhere. Pair mass = tokens per doc, i.e. O(corpus tokens) total,
+    the same budget as any tokenizing pass."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("_t")
+    ).select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_t")).cast("double")
+            / F.size("_t").cast("double")
+        ).alias("_dup"),
+        "_t",
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+            )
+        ).alias("_bg"),
+    )
+    shares = (
+        pairs.groupBy("doc_id", "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+                "_share"
+            )
+        )
+    )
+    return (
+        base.join(shares, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_dup", 6).alias("dup_token_frac"),
+            F.round(F.coalesce("_share", F.lit(0.0)), 6).alias("top_bigram_share"),
+            (
+                (F.col("_dup") > 0.55)
+                | (F.coalesce("_share", F.lit(0.0)) > 0.045)
+            ).alias("rep_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Z07_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
+         1.0 - CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS dup,
+         t
+  FROM toks
+), pairs AS (
+  -- scalar list range (end-exclusive) + lambda over row-context t:
+  -- DuckDB's table-function RANGE cannot lateral-reference t
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, LEN(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM base
+), shares AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS share
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM pairs GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(b.dup, 6) AS dup_token_frac,
+       ROUND(COALESCE(s.share, 0.0), 6) AS top_bigram_share,
+       (b.dup > 0.55 OR COALESCE(s.share, 0.0) > 0.045) AS rep_flagged
+FROM base b LEFT JOIN shares s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1880,4 +1979,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z04_sharded_bloom_dedup": QuerySpec(z04_sharded_bloom_dedup, Z04_SQL),
     "z05_temperature_sample": QuerySpec(z05_temperature_sample, Z05_SQL),
     "z06_hard_negatives": QuerySpec(z06_hard_negatives, Z06_SQL),
+    "z07_repetition_filter": QuerySpec(z07_repetition_filter, Z07_SQL),
 }

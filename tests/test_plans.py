@@ -281,3 +281,30 @@ def test_cli_delta_maintenance(spark, tmp_path):
     ops = [__import__("json").loads(l).get("operation") for l in out.strip().splitlines()]
     assert "DELETE" in ops and "RESTORE" in ops
     assert "checkpointed" in run("checkpoint", path)
+
+
+def test_cli_detect_distributed_train(spark, tmp_path):
+    """`detect --ml --distributed-train` drives the full generate → etl →
+    detect chain through real subprocesses with the no-row-cap ensemble
+    training path, and the output contains both rule and IF anomalies."""
+    import subprocess
+    import sys
+
+    raw = str(tmp_path / "raw.parquet")
+    feats = str(tmp_path / "feats.parquet")
+    out = str(tmp_path / "anoms.parquet")
+
+    def run(*argv):
+        p = subprocess.run(
+            [sys.executable, "-m", "sustainable_building_energy_benchmarking_pipeline_spark",
+             "--cpus", "4", *argv],
+            capture_output=True, text=True, timeout=480, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-800:]
+
+    run("generate", "--out", raw, "--days", "1", "--zones", "2")
+    run("etl", "--in", raw, "--out", feats)
+    run("detect", "--in", feats, "--out", out, "--ml", "--distributed-train")
+    anoms = spark.read.parquet(out)
+    rules = {r["rule_name"] for r in anoms.select("rule_name").distinct().collect()}
+    assert "isolation_forest" in rules and len(rules) > 1
