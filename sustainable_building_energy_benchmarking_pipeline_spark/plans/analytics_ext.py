@@ -1260,21 +1260,36 @@ def q95_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (status, megabin) — cardinality scales with the price range, no
     single-enum task — and ghost rows are dropped from the output.
     Exact: every row's ±100 peers are present in its megabin partition
-    by construction."""
+    by construction. The fan-out is ONE scan (array-of-candidates →
+    filter → explode), not a 3-branch union that would read the fact
+    three times."""
     SPAN, MEGA = 100, 2000
     o = _t(spark, sf_dir, "orders")
     base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
     mb = F.floor(F.col("o_totalprice") / MEGA).cast("long")
-    real = base.withColumn("_mb", mb).withColumn("_ghost", F.lit(False))
-    ghost_left = (
-        base.filter(F.col("o_totalprice") - mb * MEGA < SPAN)
-        .withColumn("_mb", mb - 1)
-        .withColumn("_ghost", F.lit(True))
+    price = F.col("o_totalprice")
+    cand = F.array(
+        F.struct(mb.alias("_mb"), F.lit(0).alias("_g")),
+        F.struct((mb - 1).alias("_mb"), F.lit(1).alias("_g")),
+        F.struct((mb + 1).alias("_mb"), F.lit(2).alias("_g")),
     )
-    ghost_right = (
-        base.filter((mb + 1) * MEGA - F.col("o_totalprice") <= SPAN)
-        .withColumn("_mb", mb + 1)
-        .withColumn("_ghost", F.lit(True))
+    keep = F.filter(
+        cand,
+        lambda s: (s["_g"] == 0)
+        | ((s["_g"] == 1) & (price - mb * MEGA < SPAN))
+        | ((s["_g"] == 2) & ((mb + 1) * MEGA - price <= SPAN)),
+    )
+    fanned = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.explode(keep).alias("_e"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("_e._mb").alias("_mb"),
+        (F.col("_e._g") != 0).alias("_ghost"),
     )
     w = (
         Window.partitionBy("o_orderstatus", "_mb")
@@ -1282,8 +1297,7 @@ def q95_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-SPAN, SPAN)
     )
     return (
-        real.unionByName(ghost_left)
-        .unionByName(ghost_right)
+        fanned
         .select(
             "o_orderkey",
             "o_orderstatus",
