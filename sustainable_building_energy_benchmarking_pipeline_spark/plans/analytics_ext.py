@@ -1956,6 +1956,144 @@ ORDER BY doc_id
 """
 
 
+def z08_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the anti-dominance step of corpus
+    curation (no single domain/source may contribute more than C docs):
+    keep each source's 15 lowest sha256(doc_id) ranks (deterministic
+    stand-in for a seeded draw, as in q53) and report kept/dropped
+    counts plus an id checksum of the kept set.
+
+    Scale: the keep-set uses the constant-k window that plans a Partial
+    WindowGroupLimit (bounded at k·maps per source — q53's analysis);
+    totals are one map-side-combinable count. Two scans of the corpus,
+    nothing skew-bound."""
+    docs = _t(spark, sf_dir, "documents")
+    cap = 15
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    kept = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_checksum"),
+        )
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+            "kept_id_checksum",
+        )
+        .orderBy("source")
+    )
+
+
+Z08_SQL = """
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+), kept AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+  FROM r WHERE rk <= 15 GROUP BY source
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.source, t.n_docs, k.n_kept,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+       k.kept_id_checksum
+FROM totals t JOIN kept k USING (source)
+ORDER BY source
+"""
+
+
+def z09_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass in ONE query — the composition a
+    training-data pipeline actually runs, end to end: (1) exact dedup
+    on normalized text (keep the min doc_id of each duplicate group),
+    (2) drop high-repetition documents (z07's duplicate-token fraction
+    > 0.55), (3) cap every source at 15 survivors by sha256 rank, then
+    report the surviving corpus per language (docs, tokens, checksum).
+    Pins that the stages COMPOSE: dedup's keep-set feeds the filter
+    feeds the cap, one lazy plan, each stage its scale-safe shape
+    (digest-only dedup shuffle; array-expression repetition; rank-limit
+    pushdown cap)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        ws_token_count,
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    keep_w = Window.partitionBy("_fp")
+    deduped = (
+        docs.withColumn("_fp", fp)
+        .withColumn("_keep", F.min("doc_id").over(keep_w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+    toks = ws_tokens(F.col("text"))
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    clean = deduped.filter(dup_frac <= 0.55)
+    cap_w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
+    )
+    capped = clean.withColumn("_rk", F.row_number().over(cap_w)).filter(
+        F.col("_rk") <= 15
+    )
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ws_token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+Z09_SQL = """
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *,
+           MIN(doc_id) OVER (PARTITION BY sha256(LOWER(TRIM(text)))) AS _keep
+    FROM documents
+  ) WHERE doc_id = _keep
+), clean AS (
+  SELECT *,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS t
+  FROM dedup
+  WHERE 1.0 - CAST(LEN(list_distinct(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''))) AS DOUBLE)
+        / LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) <= 0.55
+), capped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM clean
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(t)) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM capped
+WHERE rk <= 15
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -1994,4 +2132,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z05_temperature_sample": QuerySpec(z05_temperature_sample, Z05_SQL),
     "z06_hard_negatives": QuerySpec(z06_hard_negatives, Z06_SQL),
     "z07_repetition_filter": QuerySpec(z07_repetition_filter, Z07_SQL),
+    "z08_source_cap": QuerySpec(z08_source_cap, Z08_SQL),
+    "z09_curation_pipeline": QuerySpec(z09_curation_pipeline, Z09_SQL),
 }
