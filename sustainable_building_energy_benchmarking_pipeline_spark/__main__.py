@@ -10,6 +10,7 @@ the library plans, so the CLI adds no logic of its own:
   etl        raw → cleaned+features parquet          (run_etl_pipeline)
   detect     features → anomalies parquet            (run_anomaly_detection)
   medallion  buildings → bronze/silver/gold          (benchmarking notebook)
+  curate     documents → deduped/filtered/capped corpus (plans.curation)
   export     silver → nested benchmarking JSON       (export_building_benchmarking)
   serve      HTTP API (/alerts, /benchmark, ...)     (make run-api)
   query      run one registry query by name, print N rows
@@ -67,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
         "the reference stores every medallion layer in Delta; default) "
         "or plain parquet",
     )
+
+    c = sub.add_parser(
+        "curate",
+        help="documents parquet → curated corpus parquet (exact dedup, "
+        "repetition filter, per-source caps)",
+    )
+    c.add_argument("--in", dest="inp", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--dup-frac-max", type=float, default=0.55)
+    c.add_argument("--source-cap", type=int, default=15)
 
     x = sub.add_parser("export", help="silver parquet → benchmarking JSON")
     x.add_argument("--in", dest="inp", required=True)
@@ -164,6 +175,18 @@ def main(argv: list[str] | None = None) -> int:
         sio.write_table(anoms, args.out)
         n = sio.read_table(spark, args.out).count()
         print(f"wrote {n} anomalies to {args.out}")
+    elif args.cmd == "curate":
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.curation import curate_documents
+
+        kept = curate_documents(
+            sio.read_table(spark, args.inp),
+            dup_frac_max=args.dup_frac_max,
+            source_cap=args.source_cap,
+        )
+        sio.write_table(kept, args.out)
+        n_in = sio.read_table(spark, args.inp).count()
+        n_out = sio.read_table(spark, args.out).count()
+        print(f"curated {n_in} -> {n_out} documents at {args.out}")
     elif args.cmd == "medallion":
         from sustainable_building_energy_benchmarking_pipeline_spark.plans.benchmarking import run_medallion
 

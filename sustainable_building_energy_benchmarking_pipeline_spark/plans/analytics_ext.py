@@ -2028,32 +2028,18 @@ def z09_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pins that the stages COMPOSE: dedup's keep-set feeds the filter
     feeds the cap, one lazy plan, each stage its scale-safe shape
     (digest-only dedup shuffle; array-expression repetition; rank-limit
-    pushdown cap)."""
+    pushdown cap). The chain itself is ``plans.curation.
+    curate_documents`` — this query is its oracle-checked report (and
+    the CLI ``curate`` subcommand its batch surface)."""
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
         ws_token_count,
-        ws_tokens,
+    )
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.curation import (
+        curate_documents,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    fp = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    keep_w = Window.partitionBy("_fp")
-    deduped = (
-        docs.withColumn("_fp", fp)
-        .withColumn("_keep", F.min("doc_id").over(keep_w))
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .drop("_fp", "_keep")
-    )
-    toks = ws_tokens(F.col("text"))
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast(
-        "double"
-    ) / F.size(toks).cast("double")
-    clean = deduped.filter(dup_frac <= 0.55)
-    cap_w = Window.partitionBy("source").orderBy(
-        F.sha2(F.col("doc_id").cast("string"), 256), F.asc("doc_id")
-    )
-    capped = clean.withColumn("_rk", F.row_number().over(cap_w)).filter(
-        F.col("_rk") <= 15
-    )
+    capped = curate_documents(docs, dup_frac_max=0.55, source_cap=15)
     return (
         capped.groupBy("lang")
         .agg(

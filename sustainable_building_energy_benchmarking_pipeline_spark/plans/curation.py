@@ -1,0 +1,59 @@
+"""Corpus curation as a reusable plan: the dedup → quality-filter →
+source-cap chain a training-data pipeline runs before sampling/packing
+(z07/z08/z09 are the registry's oracle-checked views of these stages;
+the CLI ``curate`` subcommand is the batch surface).
+
+Every stage keeps its scale-safe shape:
+- exact dedup shuffles only the 32-byte text fingerprint (min-doc_id
+  keep per duplicate group);
+- the repetition filter is pure array expressions (zero UDFs);
+- the per-source cap is a constant ``row_number() <= cap`` window,
+  which Spark plans with a Partial WindowGroupLimit — reduce input is
+  bounded at cap × map-partitions per source regardless of skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import ws_tokens
+
+
+def curate_documents(
+    docs: DataFrame,
+    dup_frac_max: float = 0.55,
+    source_cap: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The surviving corpus after exact dedup, repetition filtering and
+    per-source caps — original columns only, one lazy plan.
+
+    Keep rules (deterministic, engine-portable):
+    - duplicate groups (sha256 of lower/trimmed text) keep MIN(id);
+    - documents with duplicate-token fraction > ``dup_frac_max`` drop;
+    - each source keeps its ``source_cap`` lowest sha256(id) ranks.
+    """
+    fp = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    keep_w = Window.partitionBy("_fp")
+    deduped = (
+        docs.withColumn("_fp", fp)
+        .withColumn("_keep", F.min(id_col).over(keep_w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+    toks = ws_tokens(F.col(text_col))
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    clean = deduped.filter(dup_frac <= dup_frac_max)
+    cap_w = Window.partitionBy(source_col).orderBy(
+        F.sha2(F.col(id_col).cast("string"), 256), F.asc(id_col)
+    )
+    return (
+        clean.withColumn("_rk", F.row_number().over(cap_w))
+        .filter(F.col("_rk") <= source_cap)
+        .drop("_rk")
+    )

@@ -308,3 +308,29 @@ def test_cli_detect_distributed_train(spark, tmp_path):
     anoms = spark.read.parquet(out)
     rules = {r["rule_name"] for r in anoms.select("rule_name").distinct().collect()}
     assert "isolation_forest" in rules and len(rules) > 1
+
+
+def test_cli_curate_subprocess(spark, tmp_path):
+    """`curate` CLI: documents parquet in, curated corpus out — dedup,
+    repetition filter, per-source cap applied; schema preserved."""
+    import subprocess
+    import sys
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated.parquet")
+    p = subprocess.run(
+        [sys.executable, "-m", "sustainable_building_energy_benchmarking_pipeline_spark",
+         "--cpus", "4", "curate", "--in", src, "--out", out,
+         "--source-cap", "10"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-800:]
+    kept = spark.read.parquet(out)
+    docs = spark.read.parquet(src)
+    assert kept.columns == docs.columns
+    n = kept.count()
+    assert 0 < n < docs.count()
+    from pyspark.sql import functions as F
+
+    caps = kept.groupBy("source").count().agg(F.max("count")).first()[0]
+    assert caps <= 10

@@ -144,3 +144,70 @@ def test_merge_schemas_laws(table, batch):
     assert _merge_schemas(merged, ts) == merged
     # batch aligned against merged-as-table adds nothing
     assert _merge_schemas(bs, merged) == merged
+
+
+# --- stratified rank/cumsum vs the window forms (round 6) ---------------
+#
+# Hypothesis draws the DATA (stratum skew, duplicates in the order key's
+# non-tiebreak part, negative values, stratum counts), a per-example
+# SparkSession would be absurd — so the strategy draws row lists and one
+# shared session executes. Ranks must equal ROW_NUMBER and running sums
+# must equal the ROWS UNBOUNDED PRECEDING window bit-for-bit.
+
+_strata = st.sampled_from(["big", "mid", "s1", "s2", None])
+_rows_strategy = st.lists(
+    st.tuples(
+        _strata,
+        st.integers(min_value=-50, max_value=50),   # order key (dups ok)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=_rows_strategy, n_parts=st.integers(min_value=1, max_value=7))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stratified_rank_and_cumsum_match_windows(spark, rows, n_parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        stratified_cumsum,
+        stratified_rank,
+    )
+
+    data = [(s, k, v, i) for i, (s, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "stratum STRING, k INT, v INT, id INT"
+    ).repartition(3)
+
+    got_rank = {
+        r["id"]: r["rk"]
+        for r in stratified_rank(
+            df, "stratum", ["k", "id"], out_col="rk", num_partitions=n_parts
+        ).collect()
+    }
+    w = Window.partitionBy("stratum").orderBy("k", "id")
+    want_rank = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got_rank == want_rank
+
+    got_cs = {
+        r["id"]: r["cs"]
+        for r in stratified_cumsum(
+            df, "stratum", ["k", "id"], "v", out_col="cs", num_partitions=n_parts
+        ).collect()
+    }
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_cs = {
+        r["id"]: r["cs"]
+        for r in df.withColumn("cs", F.sum("v").over(wf)).collect()
+    }
+    assert got_cs == want_cs
