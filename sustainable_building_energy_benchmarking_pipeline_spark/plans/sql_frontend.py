@@ -1073,3 +1073,83 @@ SELECT id, label, neighbor_id, neighbor_label, ROUND(cos, 4) AS cosine_sim
 FROM r WHERE rn <= 1
 ORDER BY id
 """
+
+# z07: DuckDB list fns → Spark array fns; the scalar-range bigram build
+# becomes transform-with-index over the token slice (element_at is
+# 1-based like DuckDB's t[i]).
+_Z_TOKS = r"filter(split(trim(text), '\\s+'), x -> x <> '')"
+SPARK_SQL["z07_repetition_filter"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_Z_TOKS} AS t FROM documents
+), base AS (
+  SELECT doc_id, CAST(size(t) AS BIGINT) AS n_tokens,
+         1.0D - CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS dup,
+         t
+  FROM toks
+), pairs AS (
+  SELECT doc_id,
+         explode(transform(slice(t, 1, size(t) - 1),
+                           (x, i) -> concat(x, ' ', element_at(t, i + 2)))) AS bg
+  FROM base
+), shares AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS share
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM pairs GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(b.dup, 6) AS dup_token_frac,
+       ROUND(COALESCE(s.share, 0.0D), 6) AS top_bigram_share,
+       (b.dup > 0.55D OR COALESCE(s.share, 0.0D) > 0.045D) AS rep_flagged
+FROM base b LEFT JOIN shares s USING (doc_id)
+ORDER BY doc_id
+"""
+
+# z08: sha256 → sha2(..., 256); otherwise a 1:1 translation.
+SPARK_SQL["z08_source_cap"] = """
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY sha2(CAST(doc_id AS STRING), 256), doc_id) AS rk
+  FROM documents
+), kept AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+  FROM r WHERE rk <= 15 GROUP BY source
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.source, t.n_docs, k.n_kept,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+       k.kept_id_checksum
+FROM totals t JOIN kept k USING (source)
+ORDER BY source
+"""
+
+# z09: the composed curation pass — window-form dedup (min doc_id per
+# text fingerprint), repetition filter, per-source cap, per-lang report.
+SPARK_SQL["z09_curation_pipeline"] = f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *,
+           MIN(doc_id) OVER (PARTITION BY sha2(LOWER(TRIM(text)), 256)) AS _keep
+    FROM documents
+  ) WHERE doc_id = _keep
+), clean AS (
+  SELECT *, {_Z_TOKS} AS t
+  FROM dedup
+  WHERE 1.0D - CAST(size(array_distinct({_Z_TOKS})) AS DOUBLE)
+        / size({_Z_TOKS}) <= 0.55D
+), capped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY sha2(CAST(doc_id AS STRING), 256), doc_id) AS rk
+  FROM clean
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(size(t)) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM capped
+WHERE rk <= 15
+GROUP BY lang
+ORDER BY lang
+"""
