@@ -1,0 +1,155 @@
+"""Streaming incremental corpus curation: the continuous-ingestion form
+of ``plans.curation`` — each micro-batch of raw documents is
+repetition-filtered, deduped within the batch, deduped against EVERY
+document ever ingested, and appended to a Delta table exactly once.
+
+Composition of the engine's scale pieces (this module adds no new
+kernel, only the wiring a 100 TB ingestion loop needs):
+- quality filter: pure array expressions (``plans.curation`` rules);
+- in-batch dedup: min-id keep per text fingerprint (digest shuffle);
+- cross-run dedup: ``bloom_incremental_dedup`` against the corpus —
+  a driver-held Bloom LEDGER routes the overwhelmingly-new rows past
+  the join entirely; only bloom-positive slivers anti-join the corpus
+  table, so per-batch cost does not grow with corpus size;
+- sink: ``write_delta_txn`` — the Delta txn action makes replayed
+  micro-batches idempotent (Spark's foreachBatch replays on recovery).
+
+Ledger lifecycle: the filter is (m, k)-fixed from the capacity plan so
+per-batch filters OR-fold into it (``bloom_union``, set semantics —
+replays fold harmlessly). A fresh process re-bootstraps the ledger from
+the Delta table itself (one pass), so the table stays the single source
+of truth; the in-memory ledger is only ever an over-approximation
+re-checked by the exact anti-join. Per-source caps are deliberately NOT
+part of the streaming path — a global top-k per source is not an
+append-monotone property; run ``plans.curation`` (or z08) as a batch
+compaction instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+    BloomFilter,
+    bloom_params,
+    bloom_union,
+    build_bloom,
+)
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+_FP_COL = "_fp"
+
+
+class CurationIngestSink:
+    """``foreachBatch`` callable maintaining the Bloom ledger + Delta
+    corpus. One instance per streaming query; safe to restart (ledger
+    re-bootstraps from the table)."""
+
+    def __init__(
+        self,
+        path: str,
+        app_id: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        dup_frac_max: float = 0.55,
+        expected_items: int = 1_000_000,
+        fp_rate: float = 0.01,
+    ):
+        self.path = path
+        self.app_id = app_id
+        self.text_col = text_col
+        self.id_col = id_col
+        self.dup_frac_max = dup_frac_max
+        self._m, self._k = bloom_params(expected_items, fp_rate)
+        self.bloom: BloomFilter | None = None  # bootstraps lazily
+
+    # -- helpers ---------------------------------------------------------
+    def _fingerprint(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _FP_COL, F.sha2(F.lower(F.trim(F.col(self.text_col))), 256)
+        )
+
+    def _corpus(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return dl.read_delta(spark, self.path)
+        except FileNotFoundError:
+            return None
+
+    def _ensure_bootstrap(self, spark: SparkSession) -> None:
+        if self.bloom is not None:
+            return
+        corpus = self._corpus(spark)
+        if corpus is None:
+            self.bloom = BloomFilter(
+                bits=bytes(self._m // 8), m=self._m, k=self._k
+            )
+        else:
+            self.bloom = build_bloom(
+                self._fingerprint(corpus), _FP_COL, params=(self._m, self._k)
+            )
+
+    # -- the sink --------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import ws_tokens
+        from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
+            bloom_incremental_dedup,
+        )
+
+        spark = batch_df.sparkSession
+        self._ensure_bootstrap(spark)
+
+        toks = ws_tokens(F.col(self.text_col))
+        dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast(
+            "double"
+        ) / F.size(toks).cast("double")
+        clean = self._fingerprint(batch_df.filter(dup_frac <= self.dup_frac_max))
+        keep_w = Window.partitionBy(_FP_COL)
+        in_batch = (
+            clean.withColumn("_keep", F.min(self.id_col).over(keep_w))
+            .filter(F.col(self.id_col) == F.col("_keep"))
+            .drop("_keep")
+        )
+
+        corpus = self._corpus(spark)
+        if corpus is None:
+            new = in_batch
+        else:
+            new = bloom_incremental_dedup(
+                self._fingerprint(corpus).select(_FP_COL),
+                in_batch,
+                _FP_COL,
+                bloom=self.bloom,
+                persist=True,
+            )
+        # write FIRST (txn makes replays no-ops), then fold the batch's
+        # fingerprints into the ledger — folding after a skipped replay
+        # is harmless (set semantics), and a fresh process re-bootstraps
+        # from the table, so the ledger can never under-approximate the
+        # DURABLE corpus across restarts
+        dl.write_delta_txn(
+            new.drop(_FP_COL), self.path, self.app_id, batch_id, mode="append"
+        )
+        batch_bloom = build_bloom(
+            self._fingerprint(new), _FP_COL, params=(self._m, self._k)
+        )
+        self.bloom = bloom_union(self.bloom, batch_bloom)
+
+
+def curated_ingest_stream(
+    stream_df: DataFrame,
+    path: str,
+    app_id: str,
+    checkpoint_dir: str,
+    **sink_kwargs,
+):
+    """Attach the curation sink to a streaming DataFrame of raw
+    documents; returns the started StreamingQuery. The Delta table at
+    ``path`` accumulates the curated corpus exactly once per document."""
+    sink = CurationIngestSink(path, app_id, **sink_kwargs)
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
