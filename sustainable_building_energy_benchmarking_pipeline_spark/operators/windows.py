@@ -327,6 +327,16 @@ def _global_rank0(
     )
 
 
+def _check_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """The stratified helpers add scratch columns; a caller column with
+    one of those names would silently corrupt the offsets — refuse."""
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved scratch names: {sorted(clash)}"
+        )
+
+
 def stratified_rank(
     df: DataFrame,
     stratum_col: str,
@@ -372,6 +382,7 @@ def stratified_rank(
     boundaries the range sampler drew: the rank is a pure function of
     the total (stratum, order) order, so separate actions agree even if
     their exchanges sample different boundaries."""
+    _check_reserved(df, ("_mid", "_pid", "_lrn", "_opid", "_ostr", "_base", "_ominl"))
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -441,6 +452,7 @@ def stratified_cumsum(
     order, independent of sampled boundaries. ``order_by`` must
     uniquely order rows within a stratum. Returns ``df`` + ``out_col``
     (same type as SUM over ``value_col``)."""
+    _check_reserved(df, ("_pid", "_opid", "_ostr", "_base", "_lcs"))
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
