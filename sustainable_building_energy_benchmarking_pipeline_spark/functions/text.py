@@ -9,6 +9,7 @@ n_chars) but take plain columns so they compose with any corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -228,3 +229,58 @@ def redact_pii(text: Column) -> Column:
     for name in _PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name.upper()}]")
     return out
+
+
+def add_winnowing_fingerprints(
+    df, tokens_col: str, out_col: str = "fps", k: int = 4, w: int = 5
+):
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the
+    MOSS local-fingerprinting algorithm): hash every k-token gram, slide
+    a w-hash window, keep each window's MINIMUM hash, dedupe. Guarantee:
+    two documents sharing any run of ≥ k+w−1 tokens share a fingerprint
+    — the rolling-hash fingerprint family, robust to local edits where
+    whole-document sha256 (q26/q31) is all-or-nothing.
+
+    Engine-portable by construction (the q34 trick): the "hash" is the
+    first 12 hex chars of sha256(gram) compared as STRINGS — fixed-width
+    lowercase hex is lexicographically ordered exactly like the number
+    it encodes, and every engine computes the identical digest, so
+    fingerprints (and the DuckDB oracle) agree bit-for-bit.
+
+    One Arrow-vectorized Pandas UDF per row-batch (the repo's dense-
+    kernel exception, same rationale as ``similarity.normalized``): the
+    expression form (nested ``transform``/``slice``/``array_min``) is
+    interpreted per element AND gets re-inlined per reference when a
+    ``Generate`` (explode) sits above it — CollapseProject + column
+    pruning through the Generate duplicated the gram transform 11× in
+    the optimized plan, measured 24 s for 500 docs vs <1 s here. The
+    UDF is partition-preserving (no shuffle), per-row work
+    O(tokens·k + windows·w), and immune to plan-rewrite duplication.
+    Output fingerprints are sorted for determinism."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _winnow(tok_series: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_series:
+            toks = list(toks) if toks is not None else []
+            n = len(toks)
+            if n < k:
+                out.append([])
+                continue
+            hs = [
+                hashlib.sha256(
+                    " ".join(toks[i : i + k]).encode("utf-8")
+                ).hexdigest()[:12]
+                for i in range(n - k + 1)
+            ]
+            if len(hs) >= w:
+                fps = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+            else:
+                fps = {min(hs)}
+            out.append(sorted(fps))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _winnow(F.col(tokens_col)))

@@ -2080,6 +2080,125 @@ ORDER BY lang
 """
 
 
+def z10_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): hash
+    every 4-token gram, keep each 5-hash window's minimum, and report
+    document pairs whose fingerprint overlap (shared / smaller set)
+    reaches 0.5 — the local-similarity detector that catches partial
+    plagiarism/near-dup content whole-document sha256 (q26) misses and
+    MinHash (q33) only sees globally. Guarantee: any shared run of
+    ≥ k+w−1 = 8 tokens produces a shared fingerprint.
+
+    Scale: fingerprints come from one Arrow-vectorized batch kernel
+    (see ``add_winnowing_fingerprints``); the pair stage is an
+    inverted-index posting self-join on the fingerprint value (the q32
+    shape; winnowed postings are ~1/w the gram count). The retained
+    posting list is persisted (MEMORY_AND_DISK) because three consumers
+    read it — both self-join sides and the per-doc size aggregate —
+    otherwise the corpus scan + fingerprint kernel re-runs per consumer
+    (a 3× extra pass at 100 TB).
+    Pair mass is bounded by COMMON-FINGERPRINT SUPPRESSION: fingerprints
+    occurring in more than 50 documents are boilerplate/stop-grams (no
+    discriminative signal — MOSS practice drops them too) and are
+    removed before pairing, in BOTH engines, so the worst bucket is
+    50² — without it a Zipf-hot gram makes the join quadratic in the
+    documents sharing it. Overlap denominators count only retained
+    (discriminative) fingerprints, consistently on both sides."""
+    from pyspark import StorageLevel
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        add_winnowing_fingerprints,
+        ws_tokens,
+    )
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # gated: parallelizes single-file corpora ahead of the hash kernel
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    max_df = 50
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
+    fps = add_winnowing_fingerprints(toks, "_t", out_col="fps", k=4, w=5).select(
+        "doc_id", "fps"
+    )
+    posts_all = fps.select("doc_id", F.explode("fps").alias("fp"))
+    rare = (
+        posts_all.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    posts = posts_all.join(rare, "fp").persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nf"))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_nf", "_na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_nf", "_nb")
+    ratio = F.col("n_shared").cast("double") / F.least("_na", "_nb").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(ratio >= 0.5)
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(ratio, 6).alias("overlap")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Z10_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN LEN(t) >= 4 THEN
+           list_transform(range(1, LEN(t) - 2),
+                          i -> substr(sha256(array_to_string(t[i:i+3], ' ')), 1, 12))
+         ELSE [] END AS h
+  FROM toks
+), w AS (
+  SELECT doc_id,
+         CASE WHEN LEN(h) >= 5 THEN
+           list_distinct(list_transform(range(1, LEN(h) - 3),
+                                        j -> list_aggregate(h[j:j+4], 'min')))
+         WHEN LEN(h) > 0 THEN [list_aggregate(h, 'min')]
+         ELSE [] END AS fps
+  FROM g
+), p_all AS (
+  SELECT doc_id, UNNEST(fps) AS fp FROM w
+), p AS (
+  -- common-fingerprint suppression (df > 50 = boilerplate/stop-grams)
+  SELECT doc_id, fp FROM p_all
+  WHERE fp IN (SELECT fp FROM p_all GROUP BY fp HAVING COUNT(*) <= 50)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nf FROM p GROUP BY doc_id
+)
+SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+       ROUND(CAST(pr.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf), 6) AS overlap
+FROM pairs pr
+JOIN sizes sa ON sa.doc_id = pr.doc_a
+JOIN sizes sb ON sb.doc_id = pr.doc_b
+WHERE CAST(pr.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2120,4 +2239,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z07_repetition_filter": QuerySpec(z07_repetition_filter, Z07_SQL),
     "z08_source_cap": QuerySpec(z08_source_cap, Z08_SQL),
     "z09_curation_pipeline": QuerySpec(z09_curation_pipeline, Z09_SQL),
+    "z10_winnowing_pairs": QuerySpec(z10_winnowing_pairs, Z10_SQL),
 }

@@ -1153,3 +1153,49 @@ WHERE rk <= 15
 GROUP BY lang
 ORDER BY lang
 """
+
+# z10: winnowing fingerprints in expression form (transform/sequence/
+# slice/array_min over sha2-prefix gram hashes). The DataFrame path uses
+# an Arrow kernel because the expression form gets re-inlined per
+# reference under a Generate (see functions/text.py); at the SQL-surface
+# scale (sf0.001 parity run) the expression form is fine and proves the
+# semantics are expressible in pure Spark SQL.
+SPARK_SQL["z10_winnowing_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_CASED} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN size(t) >= 4 THEN
+           transform(sequence(1, size(t) - 3),
+                     i -> substring(sha2(array_join(slice(t, i, 4), ' '), 256), 1, 12))
+         ELSE CAST(array() AS array<string>) END AS h
+  FROM toks
+), w AS (
+  SELECT doc_id,
+         CASE WHEN size(h) >= 5 THEN
+           array_distinct(transform(sequence(1, size(h) - 4),
+                                    j -> array_min(slice(h, j, 5))))
+         WHEN size(h) > 0 THEN array(array_min(h))
+         ELSE CAST(array() AS array<string>) END AS fps
+  FROM g
+), p_all AS (
+  SELECT doc_id, fp FROM w LATERAL VIEW explode(fps) AS fp
+), p AS (
+  -- common-fingerprint suppression (df > 50 = boilerplate/stop-grams)
+  SELECT doc_id, fp FROM p_all
+  WHERE fp IN (SELECT fp FROM p_all GROUP BY fp HAVING COUNT(*) <= 50)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nf FROM p GROUP BY doc_id
+)
+SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+       ROUND(CAST(pr.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf), 6) AS overlap
+FROM pairs pr
+JOIN sizes sa ON sa.doc_id = pr.doc_a
+JOIN sizes sb ON sb.doc_id = pr.doc_b
+WHERE CAST(pr.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) >= 0.5
+ORDER BY doc_a, doc_b
+"""
