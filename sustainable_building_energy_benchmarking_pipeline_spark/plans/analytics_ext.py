@@ -2199,6 +2199,205 @@ ORDER BY doc_a, doc_b
 """
 
 
+def z11_lm_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus quality tiers: score every document by its
+    mean negative log-likelihood under a unigram LM trained on the
+    corpus itself (p(tok) = corpus_count/total), then split the score
+    distribution into head / middle / tail terciles — the standard
+    LM-filtering step where "head" (lowest perplexity ≡ most typical
+    text) is kept for training and "tail" is dropped or down-weighted.
+    Docs with zero tokens carry no signal and are excluded.
+
+    Shape: the q77 two-aggregate join — (doc, tok) term counts (map-side
+    combinable), token→corpus-count LM derived from the SAME
+    intermediate, join back on tok (df-compressed frames, not the raw
+    exploded corpus; AQE skew split handles stopword-hot keys), then one
+    per-doc aggregate. nll = ln(T) − Σ m·ln(c) / Σ m with T joined as a
+    broadcast 1-row frame. Tercile thresholds reuse the q96 skew-free
+    percentile-disc pattern: distinct ROUNDED scores → count →
+    ``stratified_cumsum`` (range-partitioned two-pass, no global
+    window) → smallest score whose cume_dist reaches 1/3 and 2/3 — and
+    classification compares 6-dp ROUNDED scores against those exact
+    thresholds, so both engines bucket identical decimals (the z05
+    float-fold lesson applied to thresholding).
+
+    Scale: every stage is a shuffled aggregate or a broadcast; the LM
+    frame is vocabulary-sized and only ever joined (never collected), so
+    a 10⁹-term web vocabulary stays distributed. The per-doc score frame
+    (one row per doc — tiny next to the corpus) is persisted because
+    THREE consumers read it (distinct-score counts, the doc-count
+    normalizer, and the final classification) — unpersisted, each
+    consumer re-runs the corpus explode + LM join (the z10 posting-list
+    rationale)."""
+    from pyspark import StorageLevel
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        stratified_cumsum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    lm = pairs.groupBy("tok").agg(F.sum("m").alias("c"))
+    tot = lm.agg(F.sum("c").alias("t"))
+    scored = (
+        pairs.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("m") * F.log(F.col("c"))).alias("_slc"),
+            F.sum("m").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("t")) - F.col("_slc") / F.col("n_tokens"), 6
+            ).alias("nll"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    d = scored.groupBy("nll").agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = stratified_cumsum(
+        d.withColumn("_s", F.lit(0)), "_s", ["nll"], "_cnt", out_col="_cum"
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).alias("_n"))
+    cd = cum.crossJoin(F.broadcast(n_docs)).withColumn(
+        "_cd", F.col("_cum").cast("double") / F.col("_n")
+    )
+    th = cd.agg(
+        F.min(F.when(F.col("_cd") >= F.lit(1.0) / 3.0, F.col("nll"))).alias("_t1"),
+        F.min(F.when(F.col("_cd") >= F.lit(2.0) / 3.0, F.col("nll"))).alias("_t2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll",
+            F.when(F.col("nll") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("nll") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("tier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Z11_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT doc_id, tok, COUNT(*) AS m FROM toks GROUP BY doc_id, tok
+), lm AS (
+  SELECT tok, CAST(SUM(m) AS BIGINT) AS c FROM pairs GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM lm
+), scored AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.m) AS BIGINT) AS n_tokens,
+         ROUND(LN((SELECT t FROM tot)) - SUM(p.m * LN(l.c)) / SUM(p.m), 6) AS nll
+  FROM pairs p JOIN lm l USING (tok)
+  GROUP BY p.doc_id
+), d AS (
+  SELECT nll, COUNT(*) AS cnt FROM scored GROUP BY nll
+), c AS (
+  SELECT nll,
+         CAST(SUM(cnt) OVER (ORDER BY nll) AS DOUBLE)
+           / (SELECT COUNT(*) FROM scored) AS cd
+  FROM d
+), th AS (
+  SELECT MIN(CASE WHEN cd >= CAST(1 AS DOUBLE) / 3 THEN nll END) AS t1,
+         MIN(CASE WHEN cd >= CAST(2 AS DOUBLE) / 3 THEN nll END) AS t2
+  FROM c
+)
+SELECT s.doc_id, s.n_tokens, s.nll,
+       CASE WHEN s.nll <= th.t1 THEN 'head'
+            WHEN s.nll <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM scored s CROSS JOIN th
+ORDER BY s.doc_id
+"""
+
+
+def z12_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus) in
+    nats for every source — the corpus-mixing QA metric that flags a
+    source whose vocabulary usage diverges from the blend (a crawl gone
+    bad, a template-heavy dump) before it skews training. Every source
+    token is by construction in the corpus, so no zero-probability terms
+    arise and KL is finite and ≥ 0 (Gibbs' inequality; = 0 iff the
+    source matches the corpus distribution exactly — e.g. a single-
+    source corpus).
+
+    Shape: one (source, tok) count aggregate (map-side combinable)
+    feeds all three distributions — per-source totals (broadcast),
+    corpus per-token counts (join on tok), corpus grand total
+    (broadcast 1-row) — then a per-source SUM of
+    (m/n_s)·ln((m/n_s)/(c/n)). Division-of-divisions keeps every
+    intermediate an IEEE double both engines derive from the same
+    integers (no bigint product that could overflow at corpus scale).
+
+    Scale: frames entering the tok join are df-compressed (vocab-sized,
+    not corpus-sized); the final aggregate is per-source (tiny). No
+    windows, no collects."""
+    docs = _t(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    lm = st.groupBy("tok").agg(F.sum("m").alias("c"))
+    ns = st.groupBy("source").agg(F.sum("m").alias("n_s"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    ps = F.col("m").cast("double") / F.col("n_s")
+    pc = F.col("c").cast("double") / F.col("n")
+    return (
+        st.join(lm, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("m").alias("n_tokens"),
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl_nats"),
+        )
+        .select("source", "n_tokens", "kl_nats")
+        .orderBy("source")
+    )
+
+
+Z12_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS m FROM toks GROUP BY source, tok
+), lm AS (
+  SELECT tok, CAST(SUM(m) AS BIGINT) AS c FROM st GROUP BY tok
+), ns AS (
+  SELECT source, CAST(SUM(m) AS BIGINT) AS n_s FROM st GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM lm
+)
+SELECT s.source,
+       CAST(SUM(s.m) AS BIGINT) AS n_tokens,
+       ROUND(SUM((CAST(s.m AS DOUBLE) / ns.n_s)
+                 * LN((CAST(s.m AS DOUBLE) / ns.n_s)
+                      / (CAST(l.c AS DOUBLE) / (SELECT n FROM tot)))), 6) AS kl_nats
+FROM st s
+JOIN lm l USING (tok)
+JOIN ns USING (source)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2240,4 +2439,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z08_source_cap": QuerySpec(z08_source_cap, Z08_SQL),
     "z09_curation_pipeline": QuerySpec(z09_curation_pipeline, Z09_SQL),
     "z10_winnowing_pairs": QuerySpec(z10_winnowing_pairs, Z10_SQL),
+    "z11_lm_perplexity_tiers": QuerySpec(z11_lm_perplexity_tiers, Z11_SQL),
+    "z12_source_kl_drift": QuerySpec(z12_source_kl_drift, Z12_SQL),
 }

@@ -1199,3 +1199,70 @@ JOIN sizes sb ON sb.doc_id = pr.doc_b
 WHERE CAST(pr.n_shared AS DOUBLE) / LEAST(sa.nf, sb.nf) >= 0.5
 ORDER BY doc_a, doc_b
 """
+
+# z11: the SQL-surface form uses a plain unpartitioned SUM() OVER for
+# the tercile cume_dist — fine at the sf0.001 parity scale; the
+# DataFrame path is the scale path (stratified_cumsum, no global
+# window — see plans/analytics_ext.z11_lm_perplexity_tiers).
+SPARK_SQL["z11_lm_perplexity_tiers"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), pairs AS (
+  SELECT doc_id, tok, COUNT(*) AS m
+  FROM toks LATERAL VIEW explode(t) AS tok
+  GROUP BY doc_id, tok
+), lm AS (
+  SELECT tok, SUM(m) AS c FROM pairs GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM lm
+), scored AS (
+  SELECT p.doc_id,
+         SUM(p.m) AS n_tokens,
+         ROUND(LN((SELECT t FROM tot)) - SUM(p.m * LN(l.c)) / SUM(p.m), 6) AS nll
+  FROM pairs p JOIN lm l USING (tok)
+  GROUP BY p.doc_id
+), d AS (
+  SELECT nll, COUNT(*) AS cnt FROM scored GROUP BY nll
+), c AS (
+  SELECT nll,
+         CAST(SUM(cnt) OVER (ORDER BY nll) AS DOUBLE)
+           / (SELECT COUNT(*) FROM scored) AS cd
+  FROM d
+), th AS (
+  SELECT MIN(CASE WHEN cd >= CAST(1 AS DOUBLE) / 3 THEN nll END) AS t1,
+         MIN(CASE WHEN cd >= CAST(2 AS DOUBLE) / 3 THEN nll END) AS t2
+  FROM c
+)
+SELECT s.doc_id, s.n_tokens, s.nll,
+       CASE WHEN s.nll <= th.t1 THEN 'head'
+            WHEN s.nll <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM scored s CROSS JOIN th
+ORDER BY s.doc_id
+"""
+
+SPARK_SQL["z12_source_kl_drift"] = f"""
+WITH toks AS (
+  SELECT source, {_TOKS} AS t FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS m
+  FROM toks LATERAL VIEW explode(t) AS tok
+  GROUP BY source, tok
+), lm AS (
+  SELECT tok, SUM(m) AS c FROM st GROUP BY tok
+), ns AS (
+  SELECT source, SUM(m) AS n_s FROM st GROUP BY source
+), tot AS (
+  SELECT SUM(c) AS n FROM lm
+)
+SELECT s.source,
+       SUM(s.m) AS n_tokens,
+       ROUND(SUM((CAST(s.m AS DOUBLE) / ns.n_s)
+                 * LN((CAST(s.m AS DOUBLE) / ns.n_s)
+                      / (CAST(l.c AS DOUBLE) / (SELECT n FROM tot)))), 6) AS kl_nats
+FROM st s
+JOIN lm l USING (tok)
+JOIN ns USING (source)
+GROUP BY s.source
+ORDER BY s.source
+"""

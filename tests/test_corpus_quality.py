@@ -1,0 +1,108 @@
+"""Behavioral invariants for the corpus-quality scoring queries
+(z11 LM-perplexity tiers, z12 per-source KL drift) beyond the DuckDB
+oracle equality the registry suite already enforces."""
+
+from __future__ import annotations
+
+import math
+
+# via the merged registry: importing analytics_ext directly would hit
+# the analytics ↔ analytics_ext import cycle before it resolves
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+
+z11_lm_perplexity_tiers = QUERIES["z11_lm_perplexity_tiers"].fn
+z12_source_kl_drift = QUERIES["z12_source_kl_drift"].fn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_z11_tier_invariants(spark):
+    """Terciles are ordered (every head score ≤ every middle score ≤
+    every tail score), all three are populated, every tokenized doc
+    appears exactly once, and nll ≥ 0 (a unigram count never exceeds
+    the corpus total)."""
+    out = z11_lm_perplexity_tiers(spark, SF_DIR).collect()
+    assert len(out) == len({r.doc_id for r in out})
+    by_tier = {}
+    for r in out:
+        assert r.nll >= 0.0, r
+        by_tier.setdefault(r.tier, []).append(r.nll)
+    assert set(by_tier) == {"head", "middle", "tail"}
+    assert max(by_tier["head"]) <= min(by_tier["middle"])
+    assert max(by_tier["middle"]) <= min(by_tier["tail"])
+    n = len(out)
+    # cume_dist >= 1/3 at the threshold ⇒ head holds at least a third
+    # (ties can only grow it); same for head+middle at two thirds.
+    assert len(by_tier["head"]) >= n / 3 - 1
+    assert len(by_tier["head"]) + len(by_tier["middle"]) >= 2 * n / 3 - 1
+
+
+def test_z11_zero_token_docs_excluded(spark, tmp_path):
+    """A whitespace-only document carries no LM signal and must be
+    absent from the scored output, not scored as NULL."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta alpha gamma", "en", "s0", 22),
+            (2, "   ", "en", "s0", 3),
+            (3, "alpha beta beta delta", "en", "s0", 21),
+        ],
+    )
+    ids = {r.doc_id for r in z11_lm_perplexity_tiers(spark, sf).collect()}
+    assert ids == {1, 3}
+
+
+def test_z12_kl_nonnegative_real_corpus(spark):
+    """Gibbs' inequality: KL(P_source ‖ P_corpus) ≥ 0 for every source,
+    and token counts reconcile with the corpus total."""
+    rows = z12_source_kl_drift(spark, SF_DIR).collect()
+    assert rows, "expected at least one source"
+    for r in rows:
+        assert r.kl_nats >= 0.0, r
+        assert r.n_tokens > 0
+
+
+def test_z12_single_source_kl_zero(spark, tmp_path):
+    """With one source, P_source ≡ P_corpus, so KL is exactly 0 (every
+    log term is ln(1))."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c a", "en", "only", 7),
+            (2, "b c d", "en", "only", 5),
+        ],
+    )
+    rows = z12_source_kl_drift(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].source == "only"
+    assert rows[0].kl_nats == 0.0
+
+
+def test_z12_disjoint_vocab_closed_form(spark, tmp_path):
+    """A source whose vocabulary never overlaps the other sources' has
+    KL = ln(N / n_s) exactly: each of its tokens is corpus-exclusive,
+    so p_c = p_s · n_s/N and every log term collapses to ln(N/n_s).
+    With fully disjoint sources the SMALLER source drifts further."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "x x y z", "en", "weird", 7),
+            (2, "a b c a b c a b", "en", "normal", 15),
+        ],
+    )
+    rows = {r.source: r for r in z12_source_kl_drift(spark, sf).collect()}
+    n = 12
+    assert abs(rows["weird"].kl_nats - math.log(n / 4)) <= 1e-6
+    assert abs(rows["normal"].kl_nats - math.log(n / 8)) <= 1e-6
+    assert rows["weird"].kl_nats > rows["normal"].kl_nats

@@ -179,6 +179,8 @@ _SINGLE_ROW_CROSSJOIN_OK = {
     "q77_tfidf_terms",        # broadcast 1-row document count
     "q98_source_mix_weights", # broadcast 1-row mix normalizer
     "z05_temperature_sample", # broadcast 1-row √n normalizer + O(#strata) targets
+    "z11_lm_perplexity_tiers", # broadcast 1-row corpus total / doc count / terciles
+    "z12_source_kl_drift",    # broadcast 1-row corpus token total
 }
 
 
