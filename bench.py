@@ -94,6 +94,11 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, float("inf")), elapsed)
             assert n >= 0
+            # queries that persist an intermediate (z01/z04/z10/z11)
+            # build a fresh lineage per pass — drop the orphaned cache
+            # entries so later queries aren't measured under their
+            # memory pressure
+            spark.catalog.clearCache()
         if sum(timings.values()) > 120.0:
             break
 
