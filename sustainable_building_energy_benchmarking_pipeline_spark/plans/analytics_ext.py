@@ -2398,6 +2398,231 @@ ORDER BY s.source
 """
 
 
+def z13_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how much its hashed-bigram distribution looks
+    like a target corpus (here lang='en' docs) versus the raw blend.
+    log w(d) = Σ_b n_{d,b}·ln(p̂_b/q̂_b) over B=256 sha256-hashed bigram
+    buckets, with add-one smoothing on both distributions.
+
+    Determinism: the per-bucket log-ratio is quantized ONCE to integer
+    micro-nats (a 256-row table), so every per-doc weight is an exact
+    BIGINT dot product — no float summation order to wobble, unlike a
+    naive per-doc Σ of doubles (the z05 lesson). The ln argument is a
+    division-of-divisions of exact integers, so both engines feed ln
+    the identical IEEE double.
+
+    Scale: one corpus scan feeds target and raw counts (the same
+    (doc, lang, bucket) partial aggregate — map-side combinable,
+    ≤256 rows per doc). The score table is 256 rows (broadcast); the
+    per-doc weight is a doc_id-keyed integer aggregate — high-
+    cardinality key, no window, no skew. At 100 TB: the only wide
+    exchanges are the two hash aggregations; bytes shuffled are
+    O(docs·256·24B) not O(corpus text)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", _tokens(F.col("text")).alias("t"))
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', t[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    db = (
+        bg.select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.sha2(F.col("g"), 256), 1, 2), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    rb = db.groupBy("bucket").agg(F.sum("m").alias("rc"))
+    tb = (
+        db.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("m").alias("tc"))
+    )
+    tot = db.agg(
+        F.sum("m").alias("rn"),
+        F.sum(F.when(F.col("lang") == "en", F.col("m")).otherwise(F.lit(0))).alias(
+            "tn"
+        ),
+    )
+    score = (
+        rb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            # 1.0D/256.0D: bare decimal literals type as DECIMAL in Spark
+            # SQL and the DECIMAL division truncates scale — the ln input
+            # must be the exact IEEE double both engines derive.
+            F.expr(
+                "CAST(ROUND(1000000 * LN("
+                " ((COALESCE(tc, 0) + 1.0D) / (tn + 256.0D))"
+                " / ((rc + 1.0D) / (rn + 256.0D)))) AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    w = (
+        db.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("score")).alias("w"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("w", F.lit(0)).cast("bigint").alias("dsir_micronats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Z13_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(range(1, LEN(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+), db AS (
+  SELECT doc_id, lang, bucket, COUNT(*) AS m
+  FROM (
+    SELECT doc_id, lang,
+           (strpos('0123456789abcdef', substr(sha256(g), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(sha256(g), 2, 1)) - 1) AS bucket
+    FROM bg
+  )
+  GROUP BY doc_id, lang, bucket
+), rb AS (
+  SELECT bucket, CAST(SUM(m) AS BIGINT) AS rc FROM db GROUP BY bucket
+), tb AS (
+  SELECT bucket, CAST(SUM(m) AS BIGINT) AS tc FROM db WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS rn,
+         CAST(SUM(CASE WHEN lang = 'en' THEN m ELSE 0 END) AS BIGINT) AS tn
+  FROM db
+), score AS (
+  SELECT rb.bucket,
+         CAST(ROUND(1000000 * LN(((COALESCE(tb.tc, 0) + 1.0) / (tot.tn + 256.0))
+                                 / ((rb.rc + 1.0) / (tot.rn + 256.0)))) AS BIGINT) AS score
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), w AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m * score) AS BIGINT) AS dsir_micronats
+  FROM db JOIN score USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(w.n_bigrams, 0) AS n_bigrams,
+       COALESCE(w.dsir_micronats, 0) AS dsir_micronats
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def z14_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty: for each document, how many of
+    its distinct word trigrams appear in NO earlier document (by doc_id
+    order) — the dedup-aware "new token contribution" accounting from
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): a corpus's effective size is the sum of novel grams, and
+    near-zero novelty flags late-arriving boilerplate/template docs.
+
+    novelty_bp = HALF_UP(10000 · novel/total) in exact integer
+    arithmetic ((20000·novel + total) DIV (2·total)) — no cross-engine
+    double rounding (the q23 lesson). NULL when the doc has <3 tokens.
+
+    Scale: distinct (doc, gram) pairs shuffle on the gram key — high
+    cardinality, map-side partial distinct, no skew; first-owner is a
+    min() aggregate, NOT a window, so the dominant gram costs one
+    combiner cell, not a single-task rank. Both per-doc aggregates are
+    doc_id-keyed. At 100 TB this is the same shape as exact dedup
+    (q26) one level down: gram-keyed hash agg, integer outputs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    tri = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+                    " (x, i) -> concat(x, ' ', t[i + 1], ' ', t[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    per_doc = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    first = tri.groupBy("g").agg(F.min("doc_id").alias("doc_id"))
+    novel = first.groupBy("doc_id").agg(F.count(F.lit(1)).alias("novel_grams"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("novel_grams", F.lit(0)).cast("bigint").alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr(
+                "IF(n_grams > 0,"
+                " CAST((20000 * novel_grams + n_grams) DIV (2 * n_grams) AS INT),"
+                " CAST(NULL AS INT))"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Z14_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, LEN(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tri GROUP BY doc_id
+), first AS (
+  SELECT g, MIN(doc_id) AS doc_id FROM tri GROUP BY g
+), novel AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS novel_grams FROM first GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(n.novel_grams, 0) AS novel_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST((20000 * COALESCE(n.novel_grams, 0) + p.n_grams)
+                      // (2 * p.n_grams) AS INTEGER)
+            ELSE NULL END AS novelty_bp
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN novel n USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2441,4 +2666,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z10_winnowing_pairs": QuerySpec(z10_winnowing_pairs, Z10_SQL),
     "z11_lm_perplexity_tiers": QuerySpec(z11_lm_perplexity_tiers, Z11_SQL),
     "z12_source_kl_drift": QuerySpec(z12_source_kl_drift, Z12_SQL),
+    "z13_dsir_importance": QuerySpec(z13_dsir_importance, Z13_SQL),
+    "z14_ngram_novelty": QuerySpec(z14_ngram_novelty, Z14_SQL),
 }

@@ -1266,3 +1266,67 @@ JOIN ns USING (source)
 GROUP BY s.source
 ORDER BY s.source
 """
+
+SPARK_SQL["z13_dsir_importance"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang, g
+  FROM toks
+  LATERAL VIEW explode(transform(slice(t, 1, greatest(size(t) - 1, 0)),
+                                 (x, i) -> concat(x, ' ', t[i + 1]))) AS g
+), db AS (
+  SELECT doc_id, lang,
+         CAST(conv(substr(sha2(g, 256), 1, 2), 16, 10) AS INT) AS bucket,
+         COUNT(*) AS m
+  FROM bg GROUP BY doc_id, lang, bucket
+), rb AS (
+  SELECT bucket, SUM(m) AS rc FROM db GROUP BY bucket
+), tb AS (
+  SELECT bucket, SUM(m) AS tc FROM db WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT SUM(m) AS rn, SUM(IF(lang = 'en', m, 0L)) AS tn FROM db
+), score AS (
+  SELECT rb.bucket,
+         CAST(ROUND(1000000 * LN(((COALESCE(tb.tc, 0L) + 1.0D) / (tot.tn + 256.0D))
+                                 / ((rb.rc + 1.0D) / (tot.rn + 256.0D)))) AS BIGINT) AS score
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), w AS (
+  SELECT doc_id, SUM(m) AS n_bigrams, SUM(m * score) AS dsir_micronats
+  FROM db JOIN score USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(w.n_bigrams, 0L) AS n_bigrams,
+       COALESCE(w.dsir_micronats, 0L) AS dsir_micronats
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+SPARK_SQL["z14_ngram_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, g
+  FROM toks
+  LATERAL VIEW explode(transform(slice(t, 1, greatest(size(t) - 2, 0)),
+                                 (x, i) -> concat(x, ' ', t[i + 1], ' ', t[i + 2]))) AS g
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tri GROUP BY doc_id
+), first AS (
+  SELECT g, MIN(doc_id) AS doc_id FROM tri GROUP BY g
+), novel AS (
+  SELECT doc_id, COUNT(*) AS novel_grams FROM first GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0L) AS n_grams,
+       COALESCE(n.novel_grams, 0L) AS novel_grams,
+       IF(COALESCE(p.n_grams, 0L) > 0,
+          CAST((20000 * COALESCE(n.novel_grams, 0L) + p.n_grams)
+               DIV (2 * p.n_grams) AS INT),
+          CAST(NULL AS INT)) AS novelty_bp
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN novel n USING (doc_id)
+ORDER BY d.doc_id
+"""

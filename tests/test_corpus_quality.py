@@ -106,3 +106,83 @@ def test_z12_disjoint_vocab_closed_form(spark, tmp_path):
     assert abs(rows["weird"].kl_nats - math.log(n / 4)) <= 1e-6
     assert abs(rows["normal"].kl_nats - math.log(n / 8)) <= 1e-6
     assert rows["weird"].kl_nats > rows["normal"].kl_nats
+
+
+z13_dsir_importance = QUERIES["z13_dsir_importance"].fn
+z14_ngram_novelty = QUERIES["z14_ngram_novelty"].fn
+
+
+def test_z13_target_docs_score_higher(spark):
+    """DSIR sanity: the target class (lang='en') must out-score the
+    non-target mean — the importance weight estimates ln(p_target/q_raw)
+    so a doc drawn FROM the target distribution averages a positive
+    per-gram score (non-negative KL between target and raw)."""
+    out = z13_dsir_importance(spark, SF_DIR).collect()
+    en = [r.dsir_micronats / max(r.n_bigrams, 1) for r in out if r.lang == "en"]
+    other = [r.dsir_micronats / max(r.n_bigrams, 1) for r in out if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_z13_every_doc_present_exactly_once(spark):
+    out = z13_dsir_importance(spark, SF_DIR).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(ids) == docs.count()
+
+
+def test_z13_uniform_corpus_scores_zero(spark, tmp_path):
+    """When target == raw (all docs lang='en'), every bucket ratio is
+    exactly 1 → ln = 0 → every weight is exactly 0 micro-nats."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma", "en", "s0", 16),
+            (2, "beta gamma delta", "en", "s0", 16),
+            (3, "gamma delta alpha", "en", "s1", 17),
+        ],
+    )
+    out = z13_dsir_importance(spark, sf).collect()
+    assert all(r.dsir_micronats == 0 for r in out)
+
+
+def test_z14_novel_counts_partition_corpus_grams(spark):
+    """Conservation: Σ novel_grams over all docs == # distinct trigrams
+    in the corpus (every gram has exactly one first owner), and
+    novel ≤ total per doc with novelty_bp in [0, 10000]."""
+    out = z14_ngram_novelty(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    grams = set()
+    for d in docs:
+        t = [w for w in d.text.strip().lower().split() if w]
+        grams.update(
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        )
+    assert sum(r.novel_grams for r in out) == len(grams)
+    for r in out:
+        assert r.novel_grams <= r.n_grams
+        if r.n_grams > 0:
+            assert 0 <= r.novelty_bp <= 10000
+        else:
+            assert r.novelty_bp is None and r.novel_grams == 0
+
+
+def test_z14_duplicate_doc_has_zero_novelty(spark, tmp_path):
+    """An exact duplicate appearing later contributes nothing new; the
+    first copy owns all its grams (novelty_bp 10000 when its grams are
+    corpus-unique)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e", "en", "s0", 9),
+            (2, "a b c d e", "en", "s0", 9),
+            (3, "x y z w", "en", "s1", 7),
+        ],
+    )
+    out = {r.doc_id: r for r in z14_ngram_novelty(spark, sf).collect()}
+    assert out[1].novelty_bp == 10000
+    assert out[2].novel_grams == 0 and out[2].novelty_bp == 0
+    assert out[3].novelty_bp == 10000

@@ -181,6 +181,7 @@ _SINGLE_ROW_CROSSJOIN_OK = {
     "z05_temperature_sample", # broadcast 1-row √n normalizer + O(#strata) targets
     "z11_lm_perplexity_tiers", # broadcast 1-row corpus total / doc count / terciles
     "z12_source_kl_drift",    # broadcast 1-row corpus token total
+    "z13_dsir_importance",    # broadcast 1-row target/raw totals onto 256 buckets
 }
 
 
