@@ -159,6 +159,10 @@ def main(argv: list[str] | None = None) -> int:
 
         feats = sio.read_table(spark, args.inp)
         anoms = run_rule_detection(feats)
+        if args.distributed_train and not args.ml:
+            # --distributed-train only configures the IF trainer; without
+            # this it was silently ignored and the user got rule-only output
+            args.ml = True
         if args.ml:
             from sustainable_building_energy_benchmarking_pipeline_spark.ml.isolation_forest import (
                 IsolationForestDetector,

@@ -405,6 +405,7 @@ def bloom_incremental_dedup(
     bloom: "BloomFilter | ShardedBloomFilter | None" = None,
     expected_items: int | None = None,
     persist: bool = False,
+    cache_out: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """EXACT incremental dedup of ``batch`` against ``history`` with a
     Bloom pre-filter: the deterministic keep-set (batch keys absent from
@@ -431,9 +432,11 @@ def bloom_incremental_dedup(
     the batch (and the membership UDF) evaluates ONCE across both
     branches and across repeated actions — opt in when the batch is
     expensive to recompute or the result has multiple consumers; the
-    cache lives until Spark evicts it or the caller clears it
-    (``spark.catalog.clearCache()`` / unpersisting the returned plan's
-    cached ancestor).
+    cache lives until Spark evicts it or the caller clears it —
+    pass ``cache_out=[]`` to receive the cached ancestor and unpersist
+    it deterministically, as the streaming curation sink does per
+    micro-batch (``spark.catalog.clearCache()`` / unpersisting the
+    returned plan's cached ancestor).
 
     ``bloom`` may be a ``ShardedBloomFilter`` (see ``build_sharded_bloom``)
     for histories past the single-filter capacity ceiling — the routing/
@@ -444,6 +447,11 @@ def bloom_incremental_dedup(
     flagged = bloom_membership(batch, col, bloom)
     if persist:
         flagged = flagged.persist()
+        if cache_out is not None:
+            # hand the cached ancestor to the caller so a long-lived
+            # consumer (e.g. the streaming curation sink) can unpersist
+            # it per batch instead of leaking one entry per invocation
+            cache_out.append(flagged)
     definitely_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe_dup = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
     verified_new = maybe_dup.join(

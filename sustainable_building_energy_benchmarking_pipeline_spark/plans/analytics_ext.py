@@ -1164,8 +1164,13 @@ def q93_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band domain, ~10³ rounded values, not by row count), sorted and
     sliced, broadcast back onto the fact. A ``Window.partitionBy
     ("event_type")`` over the full fact would rank each enum value in
-    ONE task at scale. Null bands (none in this data) would drop here
-    but rank last (>2) in the window form anyway — same output."""
+    ONE task at scale. NULL bands (none in this data, but the rewrite
+    must not change semantics): both engines' ``ORDER BY band DESC``
+    defaults to NULLS LAST, so the null group dense-ranks at
+    n_distinct_nonnull + 1 — emitted only when an event_type has ≤ 1
+    distinct non-null band. collect_set drops nulls, so that rank is
+    reconstructed explicitly from the set size (a bare equality test
+    would silently drop the null rows the window form keeps)."""
     ev = _t(spark, sf_dir, "events")
     band = F.round(F.col("value"), 0)
     banded = ev.select("event_type", "event_id", band.alias("band"))
@@ -1174,8 +1179,12 @@ def q93_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("band"), False).alias("_bs"))
         .select(
             "event_type",
-            F.col("_bs")[0].alias("_b1"),
-            F.col("_bs")[1].alias("_b2"),
+            # get(): _bs[i] out of bounds is a runtime error under ANSI
+            # mode (an event_type with < 2 distinct non-null bands),
+            # get() yields NULL like the pre-ANSI subscript did
+            F.get("_bs", 0).alias("_b1"),
+            F.get("_bs", 1).alias("_b2"),
+            F.size("_bs").alias("_nb"),
         )
     )
     return (
@@ -1184,6 +1193,7 @@ def q93_dense_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_rank",
             F.when(F.col("band") == F.col("_b1"), 1)
             .when(F.col("band") == F.col("_b2"), 2)
+            .when(F.col("band").isNull() & (F.col("_nb") <= 1), F.col("_nb") + 1)
             .cast("int"),
         )
         .where(F.col("band_rank").isNotNull())
@@ -1884,18 +1894,26 @@ def z07_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.size("_t").cast("bigint").alias("n_tokens"),
-        (
+        # zero-token guard: an empty doc has no repetition (dup 0.0,
+        # unflagged) — and under ANSI mode the unguarded division is a
+        # runtime DIVIDE_BY_ZERO, not a NULL
+        F.when(
+            F.size("_t") > 0,
             F.lit(1.0)
             - F.size(F.array_distinct("_t")).cast("double")
-            / F.size("_t").cast("double")
-        ).alias("_dup"),
+            / F.size("_t").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_dup"),
         "_t",
     )
     pairs = base.select(
         "doc_id",
         F.explode(
+            # greatest(..., 0): slice length -1 on a zero-token doc is a
+            # runtime error, not an empty list
             F.expr(
-                "transform(slice(_t, 1, size(_t) - 1),"
+                "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
                 " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
             )
         ).alias("_bg"),
@@ -1933,7 +1951,9 @@ WITH toks AS (
   FROM documents
 ), base AS (
   SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens,
-         1.0 - CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS dup,
+         CASE WHEN LEN(t) > 0
+              THEN 1.0 - CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t)
+              ELSE 0.0 END AS dup,
          t
   FROM toks
 ), pairs AS (
@@ -2062,8 +2082,10 @@ WITH dedup AS (
   SELECT *,
          list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS t
   FROM dedup
-  WHERE 1.0 - CAST(LEN(list_distinct(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''))) AS DOUBLE)
-        / LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) <= 0.55
+  WHERE CASE WHEN LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) > 0
+             THEN 1.0 - CAST(LEN(list_distinct(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''))) AS DOUBLE)
+                  / LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''))
+             ELSE 0.0 END <= 0.55
 ), capped AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY source
                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk
@@ -2145,9 +2167,15 @@ def z10_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_nf", "_na")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_nf", "_nb")
     ratio = F.col("n_shared").cast("double") / F.least("_na", "_nb").cast("double")
+    # NO broadcast hint on sizes: it is one row per retained document —
+    # O(n_docs), not a dim table — so a forced broadcast is exactly the
+    # driver-OOM/8 GB-limit trap at corpus scale. Unhinted, Catalyst
+    # broadcasts while the stats fit the threshold (it does at sf0.1)
+    # and falls back to a doc-id-keyed shuffle hash join — high-
+    # cardinality key, no skew — when they don't.
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(ratio >= 0.5)
         .select(
             "doc_a", "doc_b", "n_shared", F.round(ratio, 6).alias("overlap")

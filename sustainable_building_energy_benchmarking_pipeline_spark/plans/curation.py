@@ -14,10 +14,45 @@ Every stage keeps its scale-safe shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import ws_tokens
+
+
+def text_fingerprint(text_col: str = "text") -> Column:
+    """Normalization + digest shared by every curation surface (batch
+    plan, streaming sink, z09 oracle): sha256 of lower/trimmed text."""
+    return F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+
+
+def repetition_frac(text_col: str = "text") -> Column:
+    """Duplicate-token fraction (z07's gate), zero-token-guarded: an
+    empty/whitespace doc has no repetition (0.0 — kept by the filter),
+    and under ANSI mode the unguarded division is a runtime
+    DIVIDE_BY_ZERO, not a NULL."""
+    toks = ws_tokens(F.col(text_col))
+    return F.when(
+        F.size(toks) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dedup_min_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "_fp",
+) -> DataFrame:
+    """Keep MIN(id) per fingerprint group (``fp_col`` must already be
+    attached). The shuffle carries only the 32-byte digest key."""
+    keep_w = Window.partitionBy(fp_col)
+    return (
+        df.withColumn("_keep", F.min(id_col).over(keep_w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
 
 
 def curate_documents(
@@ -36,19 +71,10 @@ def curate_documents(
     - documents with duplicate-token fraction > ``dup_frac_max`` drop;
     - each source keeps its ``source_cap`` lowest sha256(id) ranks.
     """
-    fp = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-    keep_w = Window.partitionBy("_fp")
-    deduped = (
-        docs.withColumn("_fp", fp)
-        .withColumn("_keep", F.min(id_col).over(keep_w))
-        .filter(F.col(id_col) == F.col("_keep"))
-        .drop("_fp", "_keep")
-    )
-    toks = ws_tokens(F.col(text_col))
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast(
-        "double"
-    ) / F.size(toks).cast("double")
-    clean = deduped.filter(dup_frac <= dup_frac_max)
+    deduped = dedup_min_id(
+        docs.withColumn("_fp", text_fingerprint(text_col)), id_col=id_col
+    ).drop("_fp")
+    clean = deduped.filter(repetition_frac(text_col) <= dup_frac_max)
     cap_w = Window.partitionBy(source_col).orderBy(
         F.sha2(F.col(id_col).cast("string"), 256), F.asc(id_col)
     )

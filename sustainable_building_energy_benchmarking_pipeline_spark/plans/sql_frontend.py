@@ -1083,12 +1083,14 @@ WITH toks AS (
   SELECT doc_id, {_Z_TOKS} AS t FROM documents
 ), base AS (
   SELECT doc_id, CAST(size(t) AS BIGINT) AS n_tokens,
-         1.0D - CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS dup,
+         IF(size(t) > 0,
+            1.0D - CAST(size(array_distinct(t)) AS DOUBLE) / size(t),
+            0.0D) AS dup,
          t
   FROM toks
 ), pairs AS (
   SELECT doc_id,
-         explode(transform(slice(t, 1, size(t) - 1),
+         explode(transform(slice(t, 1, greatest(size(t) - 1, 0)),
                            (x, i) -> concat(x, ' ', element_at(t, i + 2)))) AS bg
   FROM base
 ), shares AS (
@@ -1137,8 +1139,10 @@ WITH dedup AS (
 ), clean AS (
   SELECT *, {_Z_TOKS} AS t
   FROM dedup
-  WHERE 1.0D - CAST(size(array_distinct({_Z_TOKS})) AS DOUBLE)
-        / size({_Z_TOKS}) <= 0.55D
+  WHERE IF(size({_Z_TOKS}) > 0,
+           1.0D - CAST(size(array_distinct({_Z_TOKS})) AS DOUBLE)
+           / size({_Z_TOKS}),
+           0.0D) <= 0.55D
 ), capped AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY source
                                ORDER BY sha2(CAST(doc_id AS STRING), 256), doc_id) AS rk

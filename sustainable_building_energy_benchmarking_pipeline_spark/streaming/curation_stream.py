@@ -27,7 +27,7 @@ compaction instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
@@ -66,9 +66,11 @@ class CurationIngestSink:
 
     # -- helpers ---------------------------------------------------------
     def _fingerprint(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            _FP_COL, F.sha2(F.lower(F.trim(F.col(self.text_col))), 256)
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.curation import (
+            text_fingerprint,
         )
+
+        return df.withColumn(_FP_COL, text_fingerprint(self.text_col))
 
     def _corpus(self, spark: SparkSession) -> DataFrame | None:
         try:
@@ -91,27 +93,28 @@ class CurationIngestSink:
 
     # -- the sink --------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import ws_tokens
+        # quality filter + min-id dedup are the SAME helpers the batch
+        # plan (plans.curation.curate_documents) composes — one
+        # definition, so a threshold/normalization change cannot
+        # silently diverge the streaming path from z09/the CLI
         from sustainable_building_energy_benchmarking_pipeline_spark.operators.sketches import (
             bloom_incremental_dedup,
+        )
+        from sustainable_building_energy_benchmarking_pipeline_spark.plans.curation import (
+            dedup_min_id,
+            repetition_frac,
         )
 
         spark = batch_df.sparkSession
         self._ensure_bootstrap(spark)
 
-        toks = ws_tokens(F.col(self.text_col))
-        dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast(
-            "double"
-        ) / F.size(toks).cast("double")
-        clean = self._fingerprint(batch_df.filter(dup_frac <= self.dup_frac_max))
-        keep_w = Window.partitionBy(_FP_COL)
-        in_batch = (
-            clean.withColumn("_keep", F.min(self.id_col).over(keep_w))
-            .filter(F.col(self.id_col) == F.col("_keep"))
-            .drop("_keep")
+        clean = self._fingerprint(
+            batch_df.filter(repetition_frac(self.text_col) <= self.dup_frac_max)
         )
+        in_batch = dedup_min_id(clean, id_col=self.id_col)
 
         corpus = self._corpus(spark)
+        cache_out: list[DataFrame] = []
         if corpus is None:
             new = in_batch
         else:
@@ -121,19 +124,26 @@ class CurationIngestSink:
                 _FP_COL,
                 bloom=self.bloom,
                 persist=True,
+                cache_out=cache_out,
             )
         # write FIRST (txn makes replays no-ops), then fold the batch's
         # fingerprints into the ledger — folding after a skipped replay
         # is harmless (set semantics), and a fresh process re-bootstraps
         # from the table, so the ledger can never under-approximate the
         # DURABLE corpus across restarts
-        dl.write_delta_txn(
-            new.drop(_FP_COL), self.path, self.app_id, batch_id, mode="append"
-        )
-        batch_bloom = build_bloom(
-            self._fingerprint(new), _FP_COL, params=(self._m, self._k)
-        )
-        self.bloom = bloom_union(self.bloom, batch_bloom)
+        try:
+            dl.write_delta_txn(
+                new.drop(_FP_COL), self.path, self.app_id, batch_id, mode="append"
+            )
+            batch_bloom = build_bloom(
+                self._fingerprint(new), _FP_COL, params=(self._m, self._k)
+            )
+            self.bloom = bloom_union(self.bloom, batch_bloom)
+        finally:
+            # release the per-batch cache — a long-running stream would
+            # otherwise accrete one MEMORY_AND_DISK entry per micro-batch
+            for frame in cache_out:
+                frame.unpersist(blocking=False)
 
 
 def curated_ingest_stream(

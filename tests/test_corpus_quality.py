@@ -186,3 +186,27 @@ def test_z14_duplicate_doc_has_zero_novelty(spark, tmp_path):
     assert out[1].novelty_bp == 10000
     assert out[2].novel_grams == 0 and out[2].novelty_bp == 0
     assert out[3].novelty_bp == 10000
+
+
+def test_z07_zero_token_docs_survive(spark, tmp_path):
+    """Empty / whitespace-only docs must not crash z07 (the unguarded
+    slice length was -1 and the dup division hit ANSI DIVIDE_BY_ZERO);
+    they report dup 0.0, share 0.0, unflagged — same as the oracle."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a a a a a a b", "en", "s0", 13),
+            (2, "   ", "en", "s0", 3),
+            (3, "", "en", "s1", 0),
+            (4, "x y", "en", "s1", 3),
+        ],
+    )
+    out = {r.doc_id: r for r in QUERIES["z07_repetition_filter"].fn(spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for i in (2, 3):
+        r = out[i]
+        assert r.n_tokens == 0
+        assert r.dup_token_frac == 0.0 and r.top_bigram_share == 0.0
+        assert r.rep_flagged is False
+    assert out[1].rep_flagged is True

@@ -124,3 +124,20 @@ def test_curated_ingest_stream_end_to_end(spark, tmp_path):
     )
     assert len(fps) == len(set(r["fp"] for r in fps)) == 4
     assert got <= {1, 3, 4, 5, 6, 7, 8}  # never a repetitive doc
+
+
+def test_curation_sink_releases_per_batch_cache(spark, tmp_path):
+    """The sink persists the bloom-flagged frame per micro-batch (the
+    single-scan posture); a long-running stream must not accrete one
+    cache entry per batch — every batch ends with the storage cache no
+    larger than it started."""
+    path = str(tmp_path / "corpus")
+    sink = CurationIngestSink(path, "cache-app", expected_items=10_000)
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    for i, rows in enumerate(_BATCHES):
+        sink(spark.createDataFrame(rows, _SCHEMA), i)
+        assert n_cached() <= before, f"batch {i} leaked a cache entry"

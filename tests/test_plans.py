@@ -304,7 +304,9 @@ def test_cli_detect_distributed_train(spark, tmp_path):
 
     run("generate", "--out", raw, "--days", "1", "--zones", "2")
     run("etl", "--in", raw, "--out", feats)
-    run("detect", "--in", feats, "--out", out, "--ml", "--distributed-train")
+    # no --ml on purpose: --distributed-train implies it (it used to be
+    # silently ignored without --ml, yielding rule-only output)
+    run("detect", "--in", feats, "--out", out, "--distributed-train")
     anoms = spark.read.parquet(out)
     rules = {r["rule_name"] for r in anoms.select("rule_name").distinct().collect()}
     assert "isolation_forest" in rules and len(rules) > 1
@@ -334,3 +336,59 @@ def test_cli_curate_subprocess(spark, tmp_path):
 
     caps = kept.groupBy("source").count().agg(F.max("count")).first()[0]
     assert caps <= 10
+
+
+def test_q93_null_bands_match_window_semantics(spark, tmp_path):
+    """The collect_set rewrite must keep the window form's NULLS LAST
+    dense-rank semantics: an event_type whose bands are all NULL emits
+    its rows at rank 1; one distinct non-null band + nulls emits the
+    nulls at rank 2; nulls behind >=2 non-null bands stay dropped. Also
+    pins the ANSI-mode hazards (empty collect_set subscript, which
+    F.get tolerates)."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "allnull", None, "{}"),
+        (2, t0, 1, "allnull", None, "{}"),
+        (3, t0, 1, "onenull", 5.0, "{}"),
+        (4, t0, 1, "onenull", None, "{}"),
+        (5, t0, 1, "normal", 1.0, "{}"),
+        (6, t0, 1, "normal", 2.0, "{}"),
+        (7, t0, 1, "normal", 3.0, "{}"),
+        (8, t0, 1, "normal", None, "{}"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    spec = QUERIES["q93_dense_rank_ties"]
+    got = sorted((r[0], r[1], r[2], r[3]) for r in spec.fn(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(spec.sql).fetchall())
+    assert got == want
+    assert ("allnull", 1, None, 1) in got and ("onenull", 2, None, 4) in got
+    assert not any(t == "normal" and b is None for t, _, b, _ in got)
