@@ -80,26 +80,49 @@ def main() -> None:
         _F.size("a") > 1e9
     ).count()
 
-    # two passes, per-query MIN (still steady-state policy: the per-query
-    # minimum is the legitimate steady-state estimator on a shared box —
-    # single-shot numbers vary ±50% with unrelated load). The second pass
-    # is skipped if the first already spent the time cap, so worst-case
-    # bench wall time stays bounded.
+    # per-query MIN over a cold pass + a budgeted re-pass (steady-state
+    # policy: the per-query minimum is the legitimate steady-state
+    # estimator on a shared box — single-shot numbers vary ±50% with
+    # unrelated load). The old all-or-nothing second pass ("skip if
+    # pass 1 > 120 s") turned into a cliff as the registry grew: the
+    # COLD pass crept past the cap (z10/z11 alone cost ~14 s of one-off
+    # codegen/Arrow warmup), so the whole bench silently degraded to
+    # single-shot cold numbers (+20% total, observed). The re-pass now
+    # always runs, SLOWEST FIRST — the queries whose cold numbers are
+    # most inflated are exactly the ones re-measured — and stops when
+    # the wall budget is spent, so worst-case bench wall time stays
+    # bounded at ~warmup + BENCH_WALL_BUDGET.
+    BENCH_WALL_BUDGET = 240.0
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name, spec in sorted(QUERIES.items()):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, float("inf")), elapsed)
-            assert n >= 0
-            # queries that persist an intermediate (z01/z04/z10/z11)
-            # build a fresh lineage per pass — drop the orphaned cache
-            # entries so later queries aren't measured under their
-            # memory pressure
-            spark.catalog.clearCache()
-        if sum(timings.values()) > 120.0:
+
+    def run_one(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = df.count()
+        elapsed = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+        timings[name] = min(timings.get(name, float("inf")), elapsed)
+        # queries that persist an intermediate (z01/z04/z10/z11) build a
+        # fresh lineage per pass — drop the orphaned cache entries so
+        # later queries aren't measured under their memory pressure
+        spark.catalog.clearCache()
+        return elapsed
+
+    spent = 0.0
+    for name in sorted(QUERIES):
+        spent += run_one(name)
+    # repeated sweeps until the budget is spent or a full sweep finds no
+    # better minimum — the per-query min is monotone, so extra sweeps
+    # only sharpen the steady-state estimate
+    while spent < BENCH_WALL_BUDGET:
+        improved = False
+        for name in sorted(timings, key=timings.get, reverse=True):
+            if spent >= BENCH_WALL_BUDGET:
+                break
+            before = timings[name]
+            spent += run_one(name)
+            improved = improved or timings[name] < before
+        if not improved:
             break
 
     total = round(sum(timings.values()), 4)
