@@ -100,9 +100,20 @@ def _hashed_shingles(
 # ---------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative per normalized content fingerprint."""
+    """Keep the min-id representative per normalized content fingerprint.
+
+    NULL text has no content to match on: sha2(NULL) is NULL, and an
+    unguarded partition key would pool every null-text row into ONE
+    window partition — a skewed single task at corpus scale that drops
+    all but one of them, deleting distinct (merely text-less) documents.
+    Null rows are keyed by their own id instead: unique group ⇒ always
+    kept, and the non-hex prefix cannot collide with a real digest."""
+    fp = content_fingerprint(F.col(text_col))
+    key = F.coalesce(
+        fp, F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+    )
     return (
-        df.withColumn("_fp", content_fingerprint(F.col(text_col)))
+        df.withColumn("_fp", key)
         .withColumn("_keep", F.min(id_col).over(Window.partitionBy("_fp")))
         .filter(F.col(id_col) == F.col("_keep"))
         .drop("_fp", "_keep")
@@ -638,18 +649,26 @@ def connected_components(
     ``component`` is the MIN id reachable through the pair graph — the
     deterministic cluster label dedup pipelines key on.
 
-    Iterative min-label propagation (the GraphFrames-free shape): each
-    round joins current labels across edges and keeps the minimum of a
-    node's own label and its neighbors'; stops when no label changed.
-    Rounds needed = graph diameter in the worst case, but near-dup
-    graphs are unions of small dense cliques (diameter ≤ 2-3), so 2-4
-    rounds close real corpora. Each round is one join + one aggregate
-    shuffle on the node id; ``localCheckpoint`` truncates the lineage so
-    round N's plan does not replay rounds 1..N-1 (the classic iterative-
-    DataFrame blowup). The convergence probe rides the SAME aggregate
-    (max(changed) — no separate scan). At 100 TB prefer the large-star/
-    small-star variant for skewed mega-components; for dedup clusters
-    bounded by near-dup semantics this direct form is the right cost.
+    Iterative min-label propagation (the GraphFrames-free shape) with
+    POINTER JUMPING: each round (a) joins current labels across edges
+    and keeps the minimum of a node's own label and its neighbors', then
+    (b) shortcuts ``component ← label(component)`` — every label is
+    itself a node id, so one extra self-join halves label-chain depth.
+    One-hop propagation alone needs diameter rounds, and this operator's
+    only over-gate caller feeds it exactly the high-diameter regime:
+    ``_chunked_bucket`` turns a mega-bucket into a CHAIN of overlapping
+    windows whose diameter is bucket_size/cap — far past any fixed round
+    cap. With the shortcut, convergence is O(log diameter) rounds
+    (≤ ``max_iterations`` = 20 covers diameters past 10⁶), and the loop
+    RAISES instead of silently returning fragmented labels (a split
+    cluster keeps multiple "representatives" = under-deduplication) if
+    the cap is somehow still hit. Each round is two joins + one
+    aggregate shuffle on the node id; ``localCheckpoint`` truncates the
+    lineage so round N's plan does not replay rounds 1..N-1 (the classic
+    iterative-DataFrame blowup). The convergence probe rides the SAME
+    aggregate (max(changed) — no separate scan): labels only ever
+    decrease, and a fixpoint of the neighbor-min step means every edge
+    joins two equal labels — per-component uniform, hence converged.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -661,6 +680,7 @@ def connected_components(
         F.col("u").alias("id"), F.col("u").alias("component")
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -684,8 +704,32 @@ def connected_components(
         changed = updated.agg(F.max("_chg")).first()[0]
         labels = updated.drop("_chg")
         if not changed:
+            converged = True
             break
+        # pointer jump: component ← label(component). Labels are node
+        # ids, so the lookup always hits; labels are monotone
+        # non-increasing, so this never overshoots the component min —
+        # it only collapses label chains, turning O(diameter) rounds
+        # into O(log diameter).
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jc")
+        )
+        labels = (
+            labels.join(jump, labels["component"] == F.col("_jid"), "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_jc"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds — with pointer jumping that needs a component diameter "
+            "past ~2^max_iterations; raise max_iterations (or investigate "
+            "the pair graph: this regime means a pathological label chain)"
+        )
     return labels
 
 
@@ -710,6 +754,31 @@ def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in parent}
+
+
+def _labels_frame(spark, labels: dict) -> DataFrame:
+    """(id, component) DataFrame from a driver-side label map.
+
+    pandas-backed createDataFrame rides Arrow; the tuple-list form
+    serializes row-by-row through py4j (seconds at ~50k labels). int64
+    fast path only when ids actually ARE ints — string/uuid doc ids
+    take the object-dtype frame (np.fromiter(int64) raises on them, and
+    the ≤4096 literal-map branch in dedup_clusters already handles them,
+    so this path must too)."""
+    if all(isinstance(v, int) for kv in labels.items() for v in kv):
+        pdf = pd.DataFrame(
+            {
+                "id": np.fromiter(labels.keys(), dtype=np.int64, count=len(labels)),
+                "component": np.fromiter(
+                    labels.values(), dtype=np.int64, count=len(labels)
+                ),
+            }
+        )
+    else:
+        pdf = pd.DataFrame(
+            {"id": list(labels.keys()), "component": list(labels.values())}
+        )
+    return spark.createDataFrame(pdf)
 
 
 def dedup_clusters(
@@ -806,19 +875,7 @@ def dedup_clusters(
                     "is_rep", (F.col("doc_id") == F.col("cluster_rep")).cast("boolean")
                 )
             )
-        spark = df.sparkSession
-        # pandas-backed createDataFrame rides Arrow; the tuple-list form
-        # serializes row-by-row through py4j (seconds at ~50k labels)
-        comps = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "id": np.fromiter(labels.keys(), dtype=np.int64, count=len(labels)),
-                    "component": np.fromiter(
-                        labels.values(), dtype=np.int64, count=len(labels)
-                    ),
-                }
-            )
-        )
+        comps = _labels_frame(df.sparkSession, labels)
     else:
         comps = connected_components(pairs)  # pairs still persisted
     try:

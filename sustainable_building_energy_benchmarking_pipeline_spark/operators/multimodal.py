@@ -71,11 +71,25 @@ def synthesize_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
 def media_repartition(df: DataFrame, target_mb_per_partition: int = 64,
                       avg_row_bytes: int = 1 << 20) -> DataFrame:
     """Partition by payload bytes, not rows: binary rows are huge, so the
-    rows-per-partition target is bytes-derived. (At read time prefer
-    spark.sql.files.maxPartitionBytes; this is the post-transform form.)"""
+    PARTITION COUNT is bytes-derived — ceil(rows/rows_per_part), floored
+    at defaultParallelism (extra partitions only shrink the byte load;
+    too few starve the cluster). The count() is a columnar row count,
+    trivial next to moving the binary payloads it sizes. A fixed
+    defaultParallelism count (the previous form) breaks the contract the
+    moment the corpus outgrows target·parallelism bytes — 100 GB on 8
+    cores is 12.5 GB per task and the downstream mapInPandas decode
+    OOMs. (At read time prefer spark.sql.files.maxPartitionBytes; this
+    is the post-transform form.) Round-robin distribution: media ids
+    carry no locality worth preserving, and it is the tightest row
+    balance."""
     rows_per_part = max(1, (target_mb_per_partition << 20) // avg_row_bytes)
-    n = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    return df.repartition(n, F.col("media_id") % (rows_per_part * n))
+    total = df.count()
+    n = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        -(-total // rows_per_part),
+        1,
+    )
+    return df.repartition(n)
 
 
 try:  # import-guarded real codec: present on full deployments, absent here

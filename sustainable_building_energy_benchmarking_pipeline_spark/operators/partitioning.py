@@ -18,10 +18,29 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin ``repartition(n)`` ONLY when the input has fewer than
     ``n`` partitions (default: the cluster's defaultParallelism).
 
-    ``df.rdd.getNumPartitions()`` plans the query but launches no job —
-    a constant-time driver check, not a scan.
+    The partition probe must stay PLAN-SIDE: ``df.rdd.getNumPartitions()``
+    is exact, but under AQE it finalizes the physical plan — which
+    EXECUTES every upstream shuffle stage, and the real pipeline then
+    runs them again (the pitfall ``sketches.build_bloom`` documents and
+    avoids). So: a plan containing an Exchange is returned unchanged —
+    its output parallelism is already ~spark.sql.shuffle.partitions,
+    which meets any defaultParallelism floor; exchange-free plans (scans
+    and local relations — every hot-path caller here) have no stages
+    ``.rdd`` could trigger, so the exact check is safe and keeps the
+    small-single-file behavior this helper exists for.
     """
     n = n or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # executedPlan is the prepared (post-EnsureRequirements) physical
+        # plan; under AQE its toString renders the INITIAL adaptive plan
+        # without running any query stage (isFinalPlan=false). sparkPlan
+        # would be cheaper still but predates exchange insertion, so it
+        # never shows the very nodes this probe looks for.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # internal-API drift: fail open, never break a query
+        plan = "Exchange"
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

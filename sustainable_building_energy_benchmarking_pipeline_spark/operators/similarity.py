@@ -53,7 +53,15 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    # zero-norm guard: Spark 4 runs ANSI mode by default, so a bare
+    # division throws DIVIDE_BY_ZERO the moment one all-zero embedding
+    # (padding / failed encode) enters the corpus. Substitute denominator
+    # 1.0 → cosine 0.0, the same convention every Arrow kernel in this
+    # module (and the z06 oracle SQL) uses, so expression and kernel
+    # paths agree. Catalyst's common-subexpression elimination keeps the
+    # duplicated denominator tree from evaluating twice under codegen.
+    denom = norm(a, dim) * norm(b, dim)
+    return dot(a, b, dim) / F.when(denom != 0.0, denom).otherwise(F.lit(1.0))
 
 
 def normalized(
@@ -137,13 +145,18 @@ def brute_force_topk_kernel(
     plan must stay pure-JVM (e.g. inside codegen'd pair joins).
     """
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.sqrt(q @ q))
+    # zero-norm convention (shared with cosine()/every sibling kernel):
+    # substitute 1.0 so a zero vector scores 0.0 instead of NaN
+    qn = float(np.sqrt(q @ q)) or 1.0
 
     @F.pandas_udf("double")
     def _cos(col: pd.Series) -> pd.Series:
+        if len(col) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="float64")
         M = np.stack(col.to_numpy()).astype(np.float64, copy=False)
         d = M @ q
         n1 = np.sqrt(np.einsum("ij,ij->i", M, M))
+        n1[n1 == 0] = 1.0
         return pd.Series(d / (n1 * qn))
 
     return (

@@ -111,7 +111,12 @@ def detect_runs(
     orders = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.partitionBy(*parts).orderBy(*orders)
 
-    flagged = df.withColumn("_cond", cond.cast("int"))
+    # NULL condition rows count as False (pandas parity: NaN > 3.0 is
+    # False, so a null reading BREAKS a run). Without the coalesce a
+    # null row is neither a boundary (NULL != lag yields NULL → 0) nor
+    # filtered from the run's count — runs merge across nulls and
+    # run_len inflates by the null rows.
+    flagged = df.withColumn("_cond", F.coalesce(cond.cast("int"), F.lit(0)))
     # boundary = condition value changed vs previous row (first row = boundary)
     boundary = F.when(
         F.lag("_cond").over(w).isNull() | (F.col("_cond") != F.lag("_cond").over(w)), 1
@@ -286,6 +291,10 @@ def _global_rank0(
     (df + ``_rn0``, total rows); (None, 0) on empty input."""
     from pyspark import StorageLevel
 
+    # same scratch-collision refusal the stratified helpers have: a
+    # caller column named like the scratch would be overwritten and then
+    # silently dropped from the output
+    _check_reserved(df, ("_mid", "_pid", "_lrn", "_off", "_rn0"))
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -518,6 +527,7 @@ def deterministic_shuffle(
     coalesced to '' (one deterministic slot, identical across engines —
     CONCAT null semantics differ between Spark and DuckDB otherwise);
     multiple null ids would tie and are outside the contract."""
+    _check_reserved(df, ("_sk",))  # _global_rank0 guards its own scratch
     key = F.sha2(
         F.concat_ws(
             ":",

@@ -82,6 +82,22 @@ def test_right_ts_tie_breaks_by_payload(spark):
     assert row["rid_right"] == 9  # max payload struct wins (unique id first)
 
 
+def test_right_ts_tie_breaks_by_payload_forward_and_nearest(spark):
+    """The documented max-struct tiebreak holds in EVERY direction — the
+    forward fill must order the duplicate run descending or first()
+    silently picks the MIN struct."""
+    left = spark.createDataFrame([(1, "u", _ts(10))], "lid INT, k STRING, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(12)), (9, "u", _ts(12)), (8, "u", _ts(12))],
+        "rid INT, k STRING, ts TIMESTAMP",
+    )
+    [fwd] = asof_join(left, right, on="ts", by=["k"], direction="forward").collect()
+    assert fwd["rid_right"] == 9
+    # nearest: the only candidates are the forward duplicates at ts=12
+    [near] = asof_join(left, right, on="ts", by=["k"], direction="nearest").collect()
+    assert near["rid_right"] == 9
+
+
 def test_plan_one_shuffle_no_nested_loop(frames):
     left, right = frames
     plan = asof_join(left, right, on="ts", by=["k"])._jdf.queryExecution().executedPlan().toString()

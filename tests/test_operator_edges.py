@@ -1,0 +1,180 @@
+"""Edge-semantics regressions from the round-6 operator review:
+null-condition runs, zero-norm cosine under ANSI, reserved scratch
+columns, string-id label maps, long-diameter components, byte-targeted
+media repartition, AQE-safe partition probes, forward as-of tiebreaks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    windows as W,
+)
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
+    ensure_min_partitions,
+)
+
+
+# ---------------------------------------------------------------------------
+# detect_runs: NULL condition rows break runs (pandas NaN-comparison parity)
+# ---------------------------------------------------------------------------
+
+def test_detect_runs_null_breaks_run(spark):
+    rows = [("k", t, v) for t, v in enumerate([5.0, 5.0, None, 5.0, 5.0, 5.0])]
+    df = spark.createDataFrame(rows, "k STRING, t INT, v DOUBLE")
+    out = W.detect_runs(
+        df, F.col("v") > 3.0, partition_by="k", order_by="t", min_run_length=3
+    )
+    got = sorted(r.t for r in out.collect())
+    # only the 3-row run AFTER the null qualifies; the 2-row run before
+    # it must NOT be inflated by the null row into a length-3 "run"
+    assert got == [3, 4, 5]
+    assert all(r._run_len == 3 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# cosine: zero-norm vectors score 0.0 instead of ANSI DIVIDE_BY_ZERO / NaN
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def zero_vec_corpus(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+
+def test_brute_force_topk_survives_zero_vector(zero_vec_corpus):
+    got = {
+        r.id: r.cosine_sim
+        for r in similarity.brute_force_topk(
+            zero_vec_corpus, [1.0, 0.0], k=3
+        ).collect()
+    }
+    assert got[0] == pytest.approx(1.0)
+    assert got[2] == 0.0  # zero vector: defined 0.0, not a crash/NaN
+
+
+def test_kernel_matches_expression_on_zero_vectors(zero_vec_corpus):
+    expr = similarity.brute_force_topk(zero_vec_corpus, [1.0, 0.0], k=3)
+    kern = similarity.brute_force_topk_kernel(zero_vec_corpus, [1.0, 0.0], k=3)
+    e = {(r.id, round(r.cosine_sim, 9)) for r in expr.collect()}
+    k = {(r.id, round(r.cosine_sim, 9)) for r in kern.collect()}
+    assert e == k
+
+
+def test_kernel_zero_query_vector_scores_zero(zero_vec_corpus):
+    got = similarity.brute_force_topk_kernel(
+        zero_vec_corpus, [0.0, 0.0], k=3
+    ).collect()
+    assert {r.cosine_sim for r in got} == {0.0}
+
+
+# ---------------------------------------------------------------------------
+# reserved scratch columns: loud refusal, not silent column loss
+# ---------------------------------------------------------------------------
+
+def test_global_rank_helpers_refuse_reserved_columns(spark):
+    df = spark.range(10).withColumn("_pid", F.lit(1))
+    with pytest.raises(ValueError, match="_pid"):
+        W.distributed_percent_rank(df, ["id"])
+    df2 = spark.range(10).withColumn("_sk", F.lit(1))
+    with pytest.raises(ValueError, match="_sk"):
+        W.deterministic_shuffle(df2, "id")
+
+
+# ---------------------------------------------------------------------------
+# dedup label frames: string doc ids past the literal-map bound
+# ---------------------------------------------------------------------------
+
+def test_labels_frame_string_ids(spark):
+    labels = {f"doc-{i:05d}": f"doc-{(i // 2) * 2:05d}" for i in range(5000)}
+    frame = dedup._labels_frame(spark, labels)
+    assert frame.count() == 5000
+    row = frame.filter(F.col("id") == "doc-00001").first()
+    assert row.component == "doc-00000"
+
+
+def test_labels_frame_int_ids(spark):
+    labels = {i: (i // 2) * 2 for i in range(5000)}
+    frame = dedup._labels_frame(spark, labels)
+    assert frame.schema["id"].dataType.simpleString() == "bigint"
+    assert frame.filter(F.col("id") == 3).first().component == 2
+
+
+# ---------------------------------------------------------------------------
+# connected_components: long-diameter chains converge (pointer jumping),
+# and the iteration cap fails loudly instead of fragmenting clusters
+# ---------------------------------------------------------------------------
+
+def test_connected_components_long_path_converges(spark):
+    n = 300  # diameter 299 ≫ the 20-round cap: needs pointer jumping
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    comps = dedup.connected_components(pairs)
+    assert {r.component for r in comps.collect()} == {0}
+    assert comps.count() == n
+
+
+def test_connected_components_raises_at_cap(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=1)
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup: NULL-text rows are not duplicates of each other
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_keeps_all_null_text_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)],
+        "doc_id LONG, text STRING",
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    # the real duplicate pair collapses; the three text-less docs all stay
+    assert kept == [1, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# media_repartition: partition count honors the byte target
+# ---------------------------------------------------------------------------
+
+def test_media_repartition_honors_byte_target(spark):
+    media = multimodal.synthesize_media_table(spark, n=100)
+    # 1 MB target at 1 MB/row → 1 row per partition → 100 partitions
+    out = multimodal.media_repartition(
+        media, target_mb_per_partition=1, avg_row_bytes=1 << 20
+    )
+    assert out.rdd.getNumPartitions() == 100
+    # generous target: floor at defaultParallelism, not 1
+    out2 = multimodal.media_repartition(
+        media, target_mb_per_partition=1 << 10, avg_row_bytes=1
+    )
+    assert (
+        out2.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+# ---------------------------------------------------------------------------
+# ensure_min_partitions: never finalizes an AQE plan with exchanges
+# ---------------------------------------------------------------------------
+
+def test_ensure_min_partitions_leaves_shuffled_plans_alone(spark):
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    # identity return — no repartition node added, no stage executed
+    assert ensure_min_partitions(agg, 64) is agg
+
+
+def test_ensure_min_partitions_parallelizes_local_frame(spark):
+    one = spark.createDataFrame([(i,) for i in range(10)], "id LONG").coalesce(1)
+    out = ensure_min_partitions(one, 4)
+    assert out.rdd.getNumPartitions() == 4
