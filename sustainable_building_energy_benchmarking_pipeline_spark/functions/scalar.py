@@ -24,13 +24,18 @@ def guarded_div(num: Column, den: Column, default: Column | None = None) -> Colu
 
 
 def clip(col: Column, lo: float | None = None, hi: float | None = None) -> Column:
-    """P15: clamp to [lo, hi] (pandas ``.clip``, src/generate_hvac_data.py:215-218)."""
+    """P15: clamp to [lo, hi] (pandas ``.clip``, src/generate_hvac_data.py:215-218).
+
+    NULL passes through (pandas .clip preserves NaN): greatest/least
+    SKIP nulls, so the bare chain would fabricate the bound itself from
+    a missing reading — a null sensor value must stay null, not become
+    0.0 (or worse, the cap)."""
     c = col
     if lo is not None:
         c = F.greatest(c, F.lit(float(lo)))
     if hi is not None:
         c = F.least(c, F.lit(float(hi)))
-    return c
+    return F.when(col.isNull(), col).otherwise(c)
 
 
 def case_map(col: Column, thresholds: Sequence[tuple[float, str]], default: str) -> Column:

@@ -77,23 +77,50 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(0.0)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score_from_tokens(
+    toks: Column, ltoks: Column, text: Column
+) -> Column:
     """Composite heuristic quality score in [0, 1] — the Gopher/C4-style
     rule family: length band, word-length band, punctuation share,
     stopword presence. Weights are illustrative; each component is a
     documented, swappable expression.
+
+    Takes MATERIALIZED token arrays (raw-case ``toks``, lowercase
+    ``ltoks`` — each its own projection, see shingles_from_tokens):
+    Catalyst does not CSE across lambda boundaries, so the
+    single-expression ``quality_score`` convenience form re-runs the
+    whitespace tokenizer once per component on every row of a
+    corpus-scale scan. Hot paths select the two arrays first and call
+    this form (the module's materialize-the-token-array convention;
+    the q30 oracle builds the same two arrays).
     """
-    n_tok = ws_token_count(text)
+    n_tok = F.size(toks).cast("bigint")
     len_ok = (n_tok >= 10) & (n_tok <= 100000)
-    awl = avg_token_length(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    awl = F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(0.0)
     awl_ok = (awl >= 2.0) & (awl <= 12.0)
     punct_ok = punct_ratio(text) < 0.3
-    stop_ok = stopword_ratio(text) > 0.01
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(*LANG_PROFILES["en"])))
+    stopr = F.when(
+        F.size(ltoks) > 0, hits.cast("double") / F.size(ltoks)
+    ).otherwise(0.0)
+    stop_ok = stopr > 0.01
     return (
         len_ok.cast("double") * 0.3
         + awl_ok.cast("double") * 0.3
         + punct_ok.cast("double") * 0.2
         + stop_ok.cast("double") * 0.2
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Single-expression convenience form of
+    ``quality_score_from_tokens`` — tokenizes inline (≈4 tokenizer runs
+    per row; prefer the two-projection form on hot paths)."""
+    return quality_score_from_tokens(
+        ws_tokens(text), ws_tokens(F.lower(text)), text
     )
 
 
@@ -202,7 +229,13 @@ def shingles(text: Column, k: int = 3) -> Column:
 # backrefs) so a DuckDB oracle can run the identical strings.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d[\d-]{7,}\d",
+    # phone = ≥9 digits joined by optional single dashes, or ≥7 digits
+    # after a literal '+' (international prefix). The digit COUNT is the
+    # discriminator: an ISO date (2026-08-15) is a 9+-char digit/dash
+    # run but only 8 digits, so a char-length rule ("\+?\d[\d-]{7,}\d",
+    # the previous form) redacted every yyyy-MM-dd in the corpus as
+    # [PHONE] — silently destroying dates in a training-data scrub.
+    "phone": r"\+\d(?:-?\d){6,}|\d(?:-?\d){8,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

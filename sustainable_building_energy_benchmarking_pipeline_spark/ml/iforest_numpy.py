@@ -29,6 +29,20 @@ def _c(n: float) -> float:
     return 2.0 * (np.log(n - 1) + np.euler_gamma) - 2.0 * (n - 1) / n
 
 
+def _c_norm(n: float) -> float:
+    """Score-normalization denominator: c(ψ) floored at c(2).
+
+    c(1) = 0 is correct as the LEAF adjustment, but as a denominator it
+    turns every score of a ψ=1 degenerate forest (a partition that got
+    exactly one training row) into 0/0 = NaN — which then poisons the
+    ensemble sum, the percentile threshold, and predict (``s > nan`` is
+    always False: the detector silently flags nothing). Floored, such a
+    forest scores ~1.0 everywhere — no discriminative signal, but
+    finite; ``train_distributed`` additionally drops ψ<2 sub-forests
+    when any real sibling exists."""
+    return max(_c(n), _c(2.0))
+
+
 class NumpyStandardScaler:
     """Drop-in mean/std standardizer (sklearn StandardScaler equivalent)."""
 
@@ -126,7 +140,7 @@ class NumpyIsolationForest:
 
     def _anomaly_score(self, X: np.ndarray) -> np.ndarray:
         eh = self._path_lengths(X)
-        return np.power(2.0, -eh / _c(self._psi))
+        return np.power(2.0, -eh / _c_norm(self._psi))
 
     def score_samples(self, X: np.ndarray) -> np.ndarray:
         """−s(x), sklearn sign convention."""
@@ -163,7 +177,7 @@ class EnsembleIsolationForest:
     def _anomaly_score(self, X: np.ndarray) -> np.ndarray:
         acc = np.zeros(X.shape[0], dtype=np.float64)
         for f, w in zip(self.forests, self._w):
-            acc += w * (f._path_lengths(X) / _c(f._psi))
+            acc += w * (f._path_lengths(X) / _c_norm(f._psi))
         return np.power(2.0, -acc / self._w.sum())
 
     def score_samples(self, X: np.ndarray) -> np.ndarray:

@@ -178,9 +178,14 @@ class IsolationForestDetector:
         )
         if not rows:
             raise ValueError("no training rows for distributed IF training")
-        model = EnsembleIsolationForest(
-            [_pickle.loads(bytes(r["payload"])) for r in rows]
-        )
+        forests = [_pickle.loads(bytes(r["payload"])) for r in rows]
+        # a partition that received exactly one row yields a ψ=1
+        # degenerate forest: zero path lengths, no discriminative
+        # signal — drop it from the merge whenever a real (ψ≥2)
+        # sibling exists (keep-all fallback: an all-singleton corpus
+        # still gets finite scores via the _c_norm floor)
+        real = [f for f in forests if getattr(f, "_psi", 0) >= 2]
+        model = EnsembleIsolationForest(real or forests)
 
         payload = _pickle.dumps({"model": model, "scaler": scaler})
         bc = spark.sparkContext.broadcast(payload)

@@ -1014,13 +1014,28 @@ FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 
 
 def q30_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite heuristic quality scoring (Gopher/C4-style rule family)."""
-    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import quality_score
+    """Composite heuristic quality scoring (Gopher/C4-style rule family).
+    Two-projection form: the raw/lowercase token arrays materialize once
+    per row (same shape as the oracle's CTE), then the score reads the
+    arrays — the single-expression form re-runs the whitespace tokenizer
+    per component (~4× per row on a corpus-scale scan)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        quality_score_from_tokens,
+        ws_tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_score(F.col("text"))
+    toked = docs.select(
+        "source",
+        "text",
+        ws_tokens(F.col("text")).alias("_toks"),
+        ws_tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    q = quality_score_from_tokens(
+        F.col("_toks"), F.col("_ltoks"), F.col("text")
+    )
     return (
-        docs.groupBy("source")
+        toked.groupBy("source")
         .agg(
             F.round(F.avg(q), 4).alias("avg_quality"),
             A.count_if(q >= 0.8).cast("bigint").alias("n_high_quality"),
@@ -2614,13 +2629,13 @@ WITH c AS (
 )
 SELECT c_custkey,
        CAST(LEN(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-       CAST(LEN(regexp_extract_all(contact, '\+?\d[\d-]{7,}\d')) AS INT) AS n_phone,
+       CAST(LEN(regexp_extract_all(contact, '\+\d(?:-?\d){6,}|\d(?:-?\d){8,}')) AS INT) AS n_phone,
        CAST(LEN(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
        regexp_replace(
          regexp_replace(
            regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
-         '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted
+         '\+\d(?:-?\d){6,}|\d(?:-?\d){8,}', '[PHONE]', 'g') AS redacted
 FROM c
 ORDER BY c_custkey
 """

@@ -665,13 +665,13 @@ WITH c AS (
 )
 SELECT c_custkey,
        CAST(size(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
-       CAST(size(regexp_extract_all(contact, '\\+?\\d[\\d-]{7,}\\d', 0)) AS INT) AS n_phone,
+       CAST(size(regexp_extract_all(contact, '\\+\\d(?:-?\\d){6,}|\\d(?:-?\\d){8,}', 0)) AS INT) AS n_phone,
        CAST(size(regexp_extract_all(contact, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS INT) AS n_ipv4,
        regexp_replace(
          regexp_replace(
            regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]'),
-         '\\+?\\d[\\d-]{7,}\\d', '[PHONE]') AS redacted
+         '\\+\\d(?:-?\\d){6,}|\\d(?:-?\\d){8,}', '[PHONE]') AS redacted
 FROM c
 ORDER BY c_custkey
 """

@@ -78,6 +78,17 @@ class CurationIngestSink:
         except FileNotFoundError:
             return None
 
+    def _corpus_fps(self, corpus: DataFrame) -> DataFrame:
+        """One-column fingerprint frame for the history side. The sink
+        PERSISTS ``_fp`` in the table (see ``__call__``), so this is a
+        pruned column read — recomputing sha256 from raw text here would
+        cost a full corpus re-hash EVERY micro-batch (and again at every
+        bootstrap), a per-batch bill that grows with corpus size. Tables
+        written before ``_fp`` was stored fall back to recomputing."""
+        if _FP_COL in corpus.columns:
+            return corpus.select(_FP_COL)
+        return self._fingerprint(corpus).select(_FP_COL)
+
     def _ensure_bootstrap(self, spark: SparkSession) -> None:
         if self.bloom is not None:
             return
@@ -88,7 +99,7 @@ class CurationIngestSink:
             )
         else:
             self.bloom = build_bloom(
-                self._fingerprint(corpus), _FP_COL, params=(self._m, self._k)
+                self._corpus_fps(corpus), _FP_COL, params=(self._m, self._k)
             )
 
     # -- the sink --------------------------------------------------------
@@ -119,7 +130,7 @@ class CurationIngestSink:
             new = in_batch
         else:
             new = bloom_incremental_dedup(
-                self._fingerprint(corpus).select(_FP_COL),
+                self._corpus_fps(corpus),
                 in_batch,
                 _FP_COL,
                 bloom=self.bloom,
@@ -130,13 +141,27 @@ class CurationIngestSink:
         # fingerprints into the ledger — folding after a skipped replay
         # is harmless (set semantics), and a fresh process re-bootstraps
         # from the table, so the ledger can never under-approximate the
-        # DURABLE corpus across restarts
+        # DURABLE corpus across restarts. ``_fp`` is WRITTEN with the
+        # row (~64 B/doc): every later micro-batch's anti-join history
+        # side and every bootstrap become pruned column reads instead of
+        # full-corpus sha256 recomputes — the storage-for-compute trade
+        # a growing ingestion table must make. ``new`` already carries
+        # ``_fp``; building the ledger delta from it directly avoids a
+        # second per-row hash of the survivors.
+        # back-compat: a table created before ``_fp`` was stored keeps
+        # its schema (appending the extra column would be a mismatch);
+        # it simply stays on the recompute path
+        out = (
+            new
+            if corpus is None or _FP_COL in corpus.columns
+            else new.drop(_FP_COL)
+        )
         try:
             dl.write_delta_txn(
-                new.drop(_FP_COL), self.path, self.app_id, batch_id, mode="append"
+                out, self.path, self.app_id, batch_id, mode="append"
             )
             batch_bloom = build_bloom(
-                self._fingerprint(new), _FP_COL, params=(self._m, self._k)
+                new, _FP_COL, params=(self._m, self._k)
             )
             self.bloom = bloom_union(self.bloom, batch_bloom)
         finally:

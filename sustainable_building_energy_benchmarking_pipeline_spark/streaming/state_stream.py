@@ -32,7 +32,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def _ord_key(row: dict[str, Any], order_cols: list[str]) -> tuple:
-    return tuple(row[c] for c in order_cols)
+    """NULL-tolerant ordering key: each element becomes ``(present,
+    value)`` with None/NaN/NaT normalized to ``(False, None)``, so a
+    null-ordered row loses to ANY real row (False < True), two nulls
+    tie (first-seen kept), and a null restored from GroupState as None
+    never reaches a ``Timestamp > None`` comparison (TypeError that
+    would otherwise crash the query permanently — it replays on every
+    restart)."""
+    out = []
+    for c in order_cols:
+        v = row[c]
+        null = v is None or v != v  # v != v catches both NaN and NaT
+        out.append((False, None) if null else (True, v))
+    return tuple(out)
+
+
+def _ddl_field_names(schema: str) -> list[str]:
+    """Field names from a DDL string via the real parser — a naive
+    ``split(",")`` breaks on any parameterized or nested type
+    (``decimal(10,2)``, ``array<...>``, ``struct<...>``), silently
+    misaligning state tuples and crashing the executor with a KeyError
+    on the bogus trailing token."""
+    from pyspark.sql.types import StructType
+
+    return [f.name for f in StructType.fromDDL(schema).fields]
 
 
 def latest_state_stream(
@@ -53,7 +76,7 @@ def latest_state_stream(
     composes with append-only sinks like parquet files.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    columns = [f.strip().split()[0] for f in state_schema.split(",")]
+    columns = _ddl_field_names(state_schema)
 
     def process(
         key: Tuple,
@@ -114,7 +137,7 @@ def latest_state_stream_tws(
     )
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    columns = [f.strip().split()[0] for f in state_schema.split(",")]
+    columns = _ddl_field_names(state_schema)
 
     class LatestStateProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

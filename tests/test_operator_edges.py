@@ -178,3 +178,107 @@ def test_ensure_min_partitions_parallelizes_local_frame(spark):
     one = spark.createDataFrame([(i,) for i in range(10)], "id LONG").coalesce(1)
     out = ensure_min_partitions(one, 4)
     assert out.rdd.getNumPartitions() == 4
+
+
+# ---------------------------------------------------------------------------
+# PII phone pattern: digit-count discriminator (dates are not phones)
+# ---------------------------------------------------------------------------
+
+def test_phone_pattern_spares_dates_keeps_phones(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions import text as TXT
+
+    rows = [
+        ("meeting on 2026-08-15 at noon",),          # ISO date: 8 digits
+        ("call 555-867-5309 or +1-555-0123 now",),   # real phones
+        ("order id 000000123 shipped",),             # 9-digit run: masked
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r.r for r in df.select(TXT.redact_pii(F.col("t")).alias("r")).collect()]
+    assert got[0] == "meeting on 2026-08-15 at noon"
+    assert got[1] == "call [PHONE] or [PHONE] now"
+    assert got[2] == "order id [PHONE] shipped"
+
+
+# ---------------------------------------------------------------------------
+# clip: NULL passes through (pandas parity), never fabricates a bound
+# ---------------------------------------------------------------------------
+
+def test_clip_preserves_null(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.scalar import clip
+
+    df = spark.createDataFrame([(None,), (-5.0,), (150.0,)], "v double")
+    got = [
+        r.c for r in df.select(clip(F.col("v"), 0.0, 100.0).alias("c")).collect()
+    ]
+    assert got == [None, 0.0, 100.0]
+
+
+# ---------------------------------------------------------------------------
+# isolation forest: psi=1 degenerate sub-forests stay finite / get dropped
+# ---------------------------------------------------------------------------
+
+def test_iforest_single_row_fit_scores_finite():
+    import numpy as np
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.ml.iforest_numpy import (
+        EnsembleIsolationForest,
+        NumpyIsolationForest,
+    )
+
+    rng = np.random.RandomState(0)
+    lone = NumpyIsolationForest(n_estimators=8).fit(np.array([[1.0, 2.0]]))
+    X = rng.normal(size=(50, 2))
+    assert np.isfinite(lone._anomaly_score(X)).all()
+    real = NumpyIsolationForest(n_estimators=8).fit(rng.normal(size=(200, 2)))
+    ens = EnsembleIsolationForest([lone, real])
+    assert np.isfinite(ens._anomaly_score(X)).all()
+
+
+def test_train_distributed_survives_singleton_partitions(spark):
+    import numpy as np
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.ml.isolation_forest import (
+        IsolationForestDetector,
+    )
+
+    det = IsolationForestDetector(n_estimators=16)
+    det.feature_cols = ["f1", "f2"]
+    rows = [(float(i % 7), float(i % 5)) for i in range(6)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double")
+    det.train_distributed(df, normal_only=False, num_partitions=8)
+    assert np.isfinite(det.model.threshold_)
+
+
+# ---------------------------------------------------------------------------
+# streaming state helpers: DDL parsing + null ordering keys
+# ---------------------------------------------------------------------------
+
+def test_ddl_field_names_nested_types(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.streaming.state_stream import (
+        _ddl_field_names,
+    )
+
+    ddl = (
+        "id long, ts timestamp, amount decimal(10,2), "
+        "tags array<string>, meta struct<a:int,b:string>"
+    )
+    assert _ddl_field_names(ddl) == ["id", "ts", "amount", "tags", "meta"]
+
+
+def test_ord_key_null_tolerant():
+    import pandas as pd
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.streaming.state_stream import (
+        _ord_key,
+    )
+
+    ts = pd.Timestamp("2024-01-01")
+    real = {"ts": ts, "v": 1}
+    null_row = {"ts": None, "v": 2}
+    nat_row = {"ts": pd.NaT, "v": 3}
+    cols = ["ts"]
+    assert _ord_key(real, cols) > _ord_key(null_row, cols)
+    assert _ord_key(real, cols) > _ord_key(nat_row, cols)
+    # two nulls tie — comparable, no TypeError
+    assert not (_ord_key(null_row, cols) > _ord_key(nat_row, cols))
+    assert not (_ord_key(nat_row, cols) > _ord_key(null_row, cols))
