@@ -53,7 +53,7 @@ def _records(d: dict[str, int], key: str) -> list[dict[str, Any]]:
     """{value: n} → reference record shape, count DESC (src/db.py:204-229)."""
     return [
         {key: v, "count": n}
-        for v, n in sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        for v, n in sorted(d.items(), key=lambda kv: (-kv[1], kv[0] if kv[0] is not None else ""))
     ]
 
 
@@ -70,8 +70,12 @@ _W, _H, _PAD_L, _PAD_B, _PAD_T = 640, 180, 42, 24, 10
 
 
 def _xy(i: int, n: int, v: float, vmax: float) -> tuple[float, float]:
+    # vmax is the value the axis label PRINTS — scale by it exactly
+    # (callers guarantee vmax > 0). A max(vmax, 1) clamp here silently
+    # squashed fractional-score charts: a 0.65-max series plotted at
+    # 65% height under an axis labeled 0.65.
     x = _PAD_L + (_W - _PAD_L - 8) * (i / max(n - 1, 1))
-    y = _PAD_T + (_H - _PAD_T - _PAD_B) * (1 - v / max(vmax, 1))
+    y = _PAD_T + (_H - _PAD_T - _PAD_B) * (1 - v / vmax)
     return round(x, 1), round(y, 1)
 
 
@@ -81,7 +85,7 @@ def _svg_daily_trend(series: list[dict[str, Any]], esc) -> str:
     targets. One series — the heading names it, no legend box."""
     if not series:
         return "<p class='muted'>no data in window</p>"
-    vmax = max(p["count"] for p in series)
+    vmax = max(p["count"] for p in series) or 1  # all-zero series: flat baseline
     n = len(series)
     pts = [_xy(i, n, p["count"], vmax) for i, p in enumerate(series)]
     grid = "".join(
@@ -251,7 +255,11 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
                         ),
                         400,
                     )
-                filters[key] = v.replace("T", " ").replace("Z", "")
+                # 'Z' must become an explicit UTC offset: stripping it
+                # reinterprets the instant in the Spark session timezone
+                # (a +08:00 session would widen the window by 8 hours);
+                # numeric offsets already pass through and cast correctly
+                filters[key] = v.replace("T", " ").replace("Z", "+00:00")
         return filters, None
 
     def _bounded_daily(filters: dict[str, Any]):
@@ -364,7 +372,7 @@ def create_app(spark: SparkSession, anomalies: DataFrame):
         def dim_table(title: str, counts: dict[str, int]) -> str:
             body = "".join(
                 f"<tr><td>{esc(k)}</td><td>{v}</td></tr>"
-                for k, v in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                for k, v in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0] if kv[0] is not None else ""))
             )
             return (
                 f"<h3>{esc(title)}</h3><table><tr><th>name</th><th>count</th>"

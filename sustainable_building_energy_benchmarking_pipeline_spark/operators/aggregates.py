@@ -36,17 +36,25 @@ def multi_dim_summary(
     df: DataFrame,
     dims: Sequence[str],
     measures: Sequence[Column],
+    grouping_id_col: str | None = None,
 ) -> DataFrame:
     """A7: one-pass multi-dimensional summary via GROUPING SETS.
 
     The reference's ``get_anomaly_summary`` issues four separate SQL
     statements over the same filtered base (src/db.py:171-236: by severity,
     by rule, by zone). Here: single scan, single shuffle —
-    ``GROUPING SETS ((severity),(rule_name),(zone_id))``. Each output row
-    has exactly one non-null dim column identifying its grouping set.
-    """
+    ``GROUPING SETS ((severity),(rule_name),(zone_id))``.
+
+    Pass ``grouping_id_col`` to get ``F.grouping_id()`` in the output —
+    the RELIABLE grouping-set marker. Value-nullness is not one: a row
+    whose dim VALUE is null (a null-severity anomaly) looks identical
+    to the aggregated-out columns of the other sets, so a nullness
+    classifier silently drops that group from its breakdown (the
+    reference SQL's GROUP BY returns the NULL group)."""
     gs = df.groupingSets([[F.col(d)] for d in dims], *[F.col(d) for d in dims])
-    return gs.agg(*measures)
+    if grouping_id_col is None:
+        return gs.agg(*measures)
+    return gs.agg(F.grouping_id().alias(grouping_id_col), *measures)
 
 
 def describe_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:

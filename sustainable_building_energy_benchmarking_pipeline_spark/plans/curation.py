@@ -46,7 +46,19 @@ def dedup_min_id(
     fp_col: str = "_fp",
 ) -> DataFrame:
     """Keep MIN(id) per fingerprint group (``fp_col`` must already be
-    attached). The shuffle carries only the 32-byte digest key."""
+    attached).
+
+    Shuffle honesty: the window hash-partitions FULL ROWS (text
+    included) on the digest — one corpus-sized shuffle. A digest-only
+    shuffle does not exist for exact dedup in one pass: the keep-set
+    alternative (groupBy(fp).agg(min(id)) then join back) shuffles only
+    (fp, id) pairs in the aggregate but the join then re-shuffles the
+    full rows anyway, trading one corpus shuffle for a corpus shuffle
+    plus an extra aggregate. The window form is the minimum-pass shape;
+    the way to make the shuffle cheap at 100 TB is upstream — bucket or
+    pre-partition the corpus by the fingerprint so the exchange is
+    already satisfied (sources.bucketed), or run the Bloom ledger path
+    (z01/z04) that moves digests only for the INCREMENTAL case."""
     keep_w = Window.partitionBy(fp_col)
     return (
         df.withColumn("_keep", F.min(id_col).over(keep_w))

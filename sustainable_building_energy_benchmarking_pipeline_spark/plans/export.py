@@ -15,7 +15,7 @@ import datetime as _dt
 import json
 from typing import Any
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sustainable_building_energy_benchmarking_pipeline_spark.functions.scalar import (
@@ -23,6 +23,7 @@ from sustainable_building_energy_benchmarking_pipeline_spark.functions.scalar im
     split_trim,
 )
 from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+    _global_rank0,
     distributed_percent_rank,
 )
 
@@ -61,9 +62,24 @@ _ALIASES = {
 
 def resolve_building_records(df: DataFrame) -> DataFrame:
     """Normalize any tolerated input schema to the export building schema
-    (the get_col alias-coalescing behavior, src/export_json.py:103-152)."""
-    rn = F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
-    out = df.withColumn("_rn", rn)
+    (the get_col alias-coalescing behavior, src/export_json.py:103-152).
+
+    ``_rn`` (the 1-based fallback row number for absent id/name columns
+    and the percentile tiebreak) comes from the distributed two-pass
+    rank over a materialized ``monotonically_increasing_id`` — a bare
+    ``Window.orderBy(...)`` with no partition key funnels the WHOLE
+    input through one task, the exact anti-pattern this module's W9
+    note exists to avoid. The mid is materialized as a column FIRST so
+    the range exchange and the local sort see the same values (re-
+    evaluating a nondeterministic expression per stage would not).
+    Same caveat as before: mid depends on the input partition layout,
+    so fallback ids are stable per materialized plan, not across
+    repartitionings — callers needing durable ids must supply one."""
+    ranked, _total = _global_rank0(df.withColumn("_mid0", F.monotonically_increasing_id()), ["_mid0"])
+    if ranked is None:  # empty input: keep the schema contract
+        out = df.withColumn("_rn", F.lit(None).cast("long"))
+    else:
+        out = ranked.withColumn("_rn", F.col("_rn0") + 1).drop("_rn0", "_mid0")
 
     def col_of(key: str, default=None):
         return coalesce_aliases(out, _ALIASES[key], default)

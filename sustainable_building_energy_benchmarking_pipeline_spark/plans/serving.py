@@ -81,19 +81,26 @@ def anomaly_summary(anomalies: DataFrame, **filters: Any) -> dict[str, Any]:
             base,
             ["severity", "rule_name", "zone_id"],
             [F.count(F.lit(1)).alias("n")],
+            grouping_id_col="_gid",
         ).collect()
         by_severity: dict[str, int] = {}
         by_rule: dict[str, int] = {}
         by_zone: dict[str, int] = {}
+        # classify rows by grouping_id, NOT value-nullness: a NULL dim
+        # value (null-severity anomaly) is a legitimate group whose row
+        # a nullness chain would drop — total would then exceed every
+        # breakdown's sum. gid bit = 1 means aggregated-out; dims are
+        # MSB-first, so the (severity)/(rule)/(zone) sets are 011/101/110.
         for r in rows:
-            if r["severity"] is not None:
+            gid = r["_gid"]
+            if gid == 0b011:
                 by_severity[r["severity"]] = r["n"]
-            elif r["rule_name"] is not None:
+            elif gid == 0b101:
                 by_rule[r["rule_name"]] = r["n"]
-            elif r["zone_id"] is not None:
+            elif gid == 0b110:
                 by_zone[r["zone_id"]] = r["n"]
         top_zones = dict(
-            sorted(by_zone.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            sorted(by_zone.items(), key=lambda kv: (-kv[1], kv[0] if kv[0] is not None else ""))[:10]
         )  # ORDER BY count DESC LIMIT 10 (src/db.py:222-229)
         return {
             "total_anomalies": total,
@@ -127,7 +134,7 @@ def stat_tiles(
     def _top1(counts: dict[str, int]) -> dict[str, Any] | None:
         if not counts:
             return None
-        name, n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        name, n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0] if kv[0] is not None else ""))[0]
         return {"name": name, "count": n}
 
     return {

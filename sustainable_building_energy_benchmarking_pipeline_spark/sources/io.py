@@ -41,15 +41,19 @@ def read_table(
     **options: str,
 ) -> DataFrame:
     """Explicit-schema scan. Format inferred from extension when omitted.
-    Schema inference is deliberately NOT the default — an inference pass
-    is an extra full scan at 100 TB; pass a schema or accept parquet's
-    embedded one."""
+    Pass a schema (or accept parquet's embedded one) at scale: a
+    SCHEMALESS CSV read falls back to inference — typed columns beat
+    all-strings for interactive use, but the inference pass is an extra
+    full scan of the file, so at 100 TB the schema must be explicit.
+    Silence the fallback with ``inferSchema="false"`` to take
+    all-string columns instead."""
     fmt = fmt or _infer_fmt(path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt == "csv":
-        options.setdefault("inferSchema", "true")  # explicit opt-in only
+        # schemaless-CSV fallback (see docstring — NOT free: extra scan)
+        options.setdefault("inferSchema", "true")
     if fmt == "csv":
         options.setdefault("header", "true")
     return reader.options(**options).format(fmt).load(path)
@@ -125,17 +129,21 @@ def coalesce_aliases(
     (src/export_json.py:91-121 ``get_col``). Schema tolerance as a
     library helper, not engine semantics: existence is checked against
     ``df.columns`` driver-side; the per-row null fallback is one
-    ``F.coalesce`` — no UDF, no extra pass."""
+    ``F.coalesce`` — no UDF, no extra pass.
+
+    Frame-shaping form of ``functions.scalar.coalesce_aliases`` (the
+    single-column resolver plans/export.py uses): each logical column
+    DELEGATES to it, so the resolution semantics have exactly one
+    definition."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.scalar import (
+        coalesce_aliases as _resolve_one,
+    )
+
     defaults = defaults or {}
-    out_cols: list[Column] = []
-    for logical, names in aliases.items():
-        present = [n for n in names if n in df.columns]
-        arms: list[Column] = [F.col(n) for n in present]
-        if logical in defaults:
-            arms.append(F.lit(defaults[logical]))
-        if not arms:
-            arms = [F.lit(None)]
-        out_cols.append(F.coalesce(*arms).alias(logical))
+    out_cols: list[Column] = [
+        _resolve_one(df, names, defaults.get(logical)).alias(logical)
+        for logical, names in aliases.items()
+    ]
     if keep_others:
         claimed = {n for names in aliases.values() for n in names}
         out_cols = [F.col(c) for c in df.columns if c not in claimed] + out_cols
@@ -160,6 +168,8 @@ def with_ingestion_metadata(df: DataFrame) -> DataFrame:
 # S14: metadata sidecar  /  S15: content-hash diff skip
 # ---------------------------------------------------------------------------
 
+SIDECAR_NAME = "_sidecar.json"  # never "_metadata*" — see write_with_sidecar
+
 def write_with_sidecar(
     df: DataFrame,
     path: str,
@@ -167,13 +177,20 @@ def write_with_sidecar(
     fmt: str = "parquet",
     mode: str = "overwrite",
 ) -> None:
-    """Write the table plus a ``_metadata.json`` sidecar carrying the
+    """Write the table plus a ``_sidecar.json`` carrying the
     pipeline/layer/generated-at key-values the reference embeds in
     parquet footers (scripts/export_gold_parquet.py:95-110). A sidecar —
     not footer metadata — so it survives format changes and is readable
-    without a parquet reader; Delta would use TBLPROPERTIES."""
+    without a parquet reader; Delta would use TBLPROPERTIES.
+
+    The file must NOT be named ``_metadata*``: Spark's parquet reader
+    treats that prefix as a summary file and tries to parse its FOOTER
+    during schema inference — a JSON file there fails every schemaless
+    re-read of the table with CANNOT_READ_FILE_FOOTER (found by the
+    compact_table partition-roundtrip test). ``_sidecar.json`` falls
+    under the ordinary hidden-file filter and is ignored by scans."""
     write_table(df, path, fmt=fmt, mode=mode)
-    with open(os.path.join(path, "_metadata.json"), "w") as f:
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
         json.dump(metadata, f, indent=2, sort_keys=True, default=str)
 
 
@@ -211,7 +228,10 @@ def write_if_changed(
     SHA-256 publish gate, scripts/push_to_huggingface.py:76-86). Returns
     True when a write happened. The previous hash rides in the sidecar."""
     new_hash = content_hash(df)
-    sidecar = os.path.join(path, "_metadata.json")
+    sidecar = os.path.join(path, SIDECAR_NAME)
+    if not os.path.exists(sidecar):  # pre-rename tables: legacy name
+        legacy = os.path.join(path, "_metadata.json")
+        sidecar = legacy if os.path.exists(legacy) else sidecar
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             if json.load(f).get("content_sha256") == new_hash:
@@ -252,6 +272,15 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would ship the literal string 'None' as a bound
+            # and die deep in Spark's JDBC option parsing — fail at the
+            # call site with the actual contract instead
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (the range Spark splits into numPartitions "
+                "per-partition predicates)"
+            )
         reader = (
             reader.option("dbtable", f"({query}) spark_subq")
             .option("partitionColumn", partition_column)
@@ -304,24 +333,69 @@ def compact_table(
 
     File count comes from the table's actual on-disk size (filesystem
     stat, no data scan), then one shuffle-free coalesce rewrite when
-    shrinking, or repartition when growing parallelism. Writes to a
-    temp sibling then atomically swaps directories, so readers never
-    see a partial table. Returns the new file count."""
+    shrinking, or repartition when growing parallelism. Hive-partition
+    layouts (``key=value`` directories) are PRESERVED — the rewrite
+    re-``partitionBy``s the discovered keys, so partition pruning
+    survives compaction — and root-level ``_*`` sidecars (e.g. the
+    ``write_with_sidecar`` metadata) are carried over.
+
+    Swap protocol: write to a temp sibling, rename the live directory
+    aside, rename the temp in, delete the old copy. The instant between
+    the two renames is NOT atomic — a concurrently-listing reader can
+    catch a missing directory; run compaction in the maintenance window
+    (real lakes solve this with a transaction log — that is what the
+    Delta path's OPTIMIZE is for). Crash-safe: a stale temp from a
+    crashed run is rebuilt; a stale ``._compact_old`` alongside a live
+    table is a superseded copy and is removed; ``._compact_old``
+    WITHOUT a live table means a crash mid-swap — the data is intact
+    there, and this raises with the recovery step instead of guessing.
+    Returns the new file count."""
+    import re
     import shutil
 
+    base = path.rstrip("/")
+    tmp, old = base + "._compact_tmp", base + "._compact_old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # partial rewrite from a crashed run: rebuilt below
+    if os.path.exists(old):
+        if os.path.isdir(base):
+            shutil.rmtree(old)  # superseded copy (crash after the swap)
+        else:
+            raise RuntimeError(
+                f"found {old} but no live table: a previous compaction "
+                f"crashed mid-swap. Recover with: mv {old} {base}"
+            )
+
     total = 0
-    for root, _dirs, files in os.walk(path):
+    key_at_depth: dict[int, str] = {}  # nesting depth → partition key
+    hive = re.compile(r"^[^=/]+=[^=/]*$")
+    for root, dirs, files in os.walk(base):
+        rel = os.path.relpath(root, base)
+        depth = 0 if rel == "." else len(rel.split(os.sep))
+        for d in dirs:
+            if hive.match(d):
+                key_at_depth.setdefault(depth, d.split("=", 1)[0])
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
+    part_keys = [key_at_depth[i] for i in sorted(key_at_depth)]
     n_files = max(1, -(-total // target_file_bytes))  # ceil
-    df = read_table(spark, path, fmt=fmt)
+    df = read_table(spark, base, fmt=fmt)
     current = df.rdd.getNumPartitions()
     out = df.coalesce(n_files) if n_files < current else df.repartition(n_files)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    out.write.mode("overwrite").format(fmt).save(tmp)
-    old = path.rstrip("/") + "._compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
+    writer = out.write.mode("overwrite").format(fmt)
+    if part_keys:
+        writer = writer.partitionBy(*part_keys)
+    writer.save(tmp)
+    for f in os.listdir(base):  # carry root-level sidecars (_sidecar.json …)
+        src = os.path.join(base, f)
+        if f.startswith("_") and os.path.isfile(src) and f != "_SUCCESS":
+            # legacy sidecars migrate to the safe name — carrying
+            # "_metadata.json" verbatim would re-poison the rewritten
+            # table's schema inference (see write_with_sidecar)
+            dst = SIDECAR_NAME if f == "_metadata.json" else f
+            shutil.copy2(src, os.path.join(tmp, dst))
+    os.rename(base, old)
+    os.rename(tmp, base)
     shutil.rmtree(old)
     return n_files

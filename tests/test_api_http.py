@@ -235,3 +235,27 @@ def test_daily_series_over_window_422(spark):
     assert r3.status_code == 200
     assert r3.get_json()["total"] > 0
     wide.unpersist()
+
+
+def test_alerts_z_suffix_is_utc(client, spark):
+    """A trailing 'Z' is an explicit UTC offset, not decoration: under a
+    non-UTC session timezone the window must select the same INSTANTS a
+    naive query selects under UTC (stripping the Z would shift the
+    window by the session offset)."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        pytest.skip("fixture instants assume a UTC session")
+    url = "/alerts?start=2024-01-01T00:30:00{z}&end=2024-01-01T01:00:00{z}&limit=5000"
+    want = {
+        (a["zone_id"], a["severity"], a["score"])
+        for a in client.get(url.format(z="")).get_json()["anomalies"]
+    }
+    assert want  # the window is non-empty by construction
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        got = {
+            (a["zone_id"], a["severity"], a["score"])
+            for a in client.get(url.format(z="Z")).get_json()["anomalies"]
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == want

@@ -105,9 +105,13 @@ def test_sidecar_and_hash_skip(spark, small_df, tmp_path):
     path = str(tmp_path / "gold.parquet")
     wrote = sio.write_if_changed(small_df, path, metadata={"layer": "gold"})
     assert wrote is True
-    with open(os.path.join(path, "_metadata.json")) as f:
+    with open(os.path.join(path, sio.SIDECAR_NAME)) as f:
         meta = json.load(f)
     assert meta["layer"] == "gold" and len(meta["content_sha256"]) == 64
+    # the sidecar must not break a bare re-read of the table (a
+    # "_metadata*" name is treated as a parquet summary file and fails
+    # schema inference with CANNOT_READ_FILE_FOOTER)
+    assert spark.read.parquet(path).count() == small_df.count()
 
     # same content (different row order) → skip
     assert sio.write_if_changed(small_df.orderBy(F.desc("id")), path) is False

@@ -282,3 +282,114 @@ def test_ord_key_null_tolerant():
     # two nulls tie — comparable, no TypeError
     assert not (_ord_key(null_row, cols) > _ord_key(nat_row, cols))
     assert not (_ord_key(nat_row, cols) > _ord_key(null_row, cols))
+
+
+# ---------------------------------------------------------------------------
+# compact_table: partition layout + sidecar survive; crash residue handled
+# ---------------------------------------------------------------------------
+
+def test_compact_table_preserves_partitions_and_sidecar(spark, tmp_path):
+    import json
+    import os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import io as sio
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(60)], "id LONG, date STRING, v DOUBLE"
+    )
+    df.write.partitionBy("date").parquet(p)
+    with open(os.path.join(p, sio.SIDECAR_NAME), "w") as f:
+        json.dump({"content_sha256": "abc"}, f)
+    n = sio.compact_table(spark, p, target_file_bytes=10**9)
+    assert n == 1
+    # hive layout preserved → partition pruning still possible
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("date=")
+    ) == ["date=d0", "date=d1", "date=d2"]
+    # sidecar carried over
+    assert json.load(open(os.path.join(p, sio.SIDECAR_NAME)))["content_sha256"] == "abc"
+    # data intact
+    assert spark.read.parquet(p).count() == 60
+
+
+def test_compact_table_crash_residue(spark, tmp_path):
+    import os
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import io as sio
+
+    p = str(tmp_path / "t2")
+    spark.range(10).write.parquet(p)
+    os.makedirs(p + "._compact_old")
+    # live table + stale old → superseded copy removed, compaction proceeds
+    sio.compact_table(spark, p, target_file_bytes=10**9)
+    assert not os.path.exists(p + "._compact_old")
+    # old WITHOUT live table → data lives in old: refuse with recovery hint
+    os.rename(p, p + "._compact_old")
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        sio.compact_table(spark, p, target_file_bytes=10**9)
+
+
+# ---------------------------------------------------------------------------
+# read_jdbc: partition quartet validated at the call site
+# ---------------------------------------------------------------------------
+
+def test_read_jdbc_requires_bounds(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import io as sio
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        sio.read_jdbc(spark, "jdbc:derby:x", "SELECT 1", partition_column="id")
+
+
+# ---------------------------------------------------------------------------
+# anomaly_summary: NULL dim values stay in their breakdown (grouping_id)
+# ---------------------------------------------------------------------------
+
+def test_anomaly_summary_counts_null_groups(spark):
+    import datetime as dt
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans import serving
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h), "z1", "temp_drift", sev, 1.0)
+        for h, sev in enumerate(["high", "high", None, "low"])
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp TIMESTAMP, zone_id STRING, rule_name STRING, severity STRING, score DOUBLE"
+    )
+    s = serving.anomaly_summary(df)
+    assert s["total_anomalies"] == 4
+    # the null-severity anomaly is a group, not a dropped row
+    assert sum(s["by_severity"].values()) == 4
+    assert s["by_severity"][None] == 1
+    assert sum(s["by_rule"].values()) == 4
+
+
+# ---------------------------------------------------------------------------
+# SVG scaling: the axis label and the mark scale agree for vmax < 1
+# ---------------------------------------------------------------------------
+
+def test_svg_xy_matches_axis_for_fractional_vmax():
+    from sustainable_building_energy_benchmarking_pipeline_spark import api
+
+    _x, y_top = api._xy(0, 1, 0.65, 0.65)
+    assert y_top == api._PAD_T  # max value renders at the top of the chart
+
+
+# ---------------------------------------------------------------------------
+# export: fallback row numbers come from the distributed rank, no window
+# ---------------------------------------------------------------------------
+
+def test_resolve_building_records_no_global_window(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.export import (
+        resolve_building_records,
+    )
+
+    df = spark.createDataFrame(
+        [(float(60 + i),) for i in range(7)], "energy_intensity DOUBLE"
+    )
+    out = resolve_building_records(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # the old form was a single-task global sort
+    ids = sorted(r.building_id for r in out.collect())
+    assert len(set(ids)) == 7 and all(i.startswith("BLD-") for i in ids)
