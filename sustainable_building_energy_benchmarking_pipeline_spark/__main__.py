@@ -289,7 +289,11 @@ def main(argv: list[str] | None = None) -> int:
         df = QUERIES[args.name].fn(spark, args.sf_dir)
         rows = df.limit(args.limit).collect()
         for r in rows:
-            print(json.dumps(r.asDict(), default=str))
+            # recursive: a shallow asDict leaves nested structs as Row
+            # objects, which default=str renders as quoted "Row(...)"
+            # reprs — not machine-parseable JSON, defeating the JSON
+            # output for exactly the nested-document queries
+            print(json.dumps(r.asDict(recursive=True), default=str))
     spark.stop()
     return 0
 

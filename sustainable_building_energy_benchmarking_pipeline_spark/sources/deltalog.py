@@ -961,6 +961,7 @@ def _commit_with_retry(
         a["remove"]["path"] for a in actions if "remove" in a
     }
     own_meta = any("metaData" in a or "protocol" in a for a in actions)
+    own_txn_apps = {a["txn"]["appId"] for a in actions if "txn" in a}
     read_set = set(depends_on) | our_removes
     for attempt in range(max_retries + 1):
         try:
@@ -988,6 +989,18 @@ def _commit_with_retry(
                         rival_removed.add(a["remove"]["path"])
                     if "metaData" in a or "protocol" in a:
                         rival_meta = True
+                    if "txn" in a and a["txn"].get("appId") in own_txn_apps:
+                        # a rival SetTransaction for the same appId: this
+                        # transaction's idempotence check (last_txn_version,
+                        # read pre-race) is stale — retrying as a blind
+                        # append would commit the same batch twice. Real
+                        # Delta: ConcurrentTransactionException.
+                        raise DeltaConcurrentModification(
+                            f"concurrent txn commit for appId "
+                            f"{a['txn'].get('appId')!r} at version {v}: "
+                            "idempotence state is stale — re-check "
+                            "last_txn_version and retry"
+                        ) from None
             if rival_meta and (own_meta or read_metadata):
                 raise DeltaConcurrentModification(
                     f"concurrent metaData/protocol commit(s) up to version "
@@ -1116,12 +1129,42 @@ def merge_delta(
     active, schema, partition_cols = _replay(path, versions[-1])
     if partition_cols:
         raise ValueError("merge_delta supports unpartitioned tables")
+    # the same name+type enforcement write_delta applies: an updates
+    # frame whose schema drifts would otherwise be staged and committed
+    # VERBATIM (the no-affected-files arm writes it directly), leaving a
+    # metaData that disagrees with the new parquet — every later
+    # schema'd read then fails on type conversion. MERGE does not evolve
+    # schemas (align the frame first, or write_delta(merge_schema=True)).
+    if [(f.name, f.dataType) for f in updates.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError(
+            f"schema mismatch vs Delta table at {path}: "
+            f"table={schema.simpleString()} "
+            f"updates={updates.schema.simpleString()} "
+            "(MERGE enforces the table schema; evolve via "
+            "write_delta(merge_schema=True) first)"
+        )
 
     from pyspark.sql import functions as F
 
-    n_upd, lo, hi = updates.agg(
-        F.count(F.lit(1)), F.min(key), F.max(key)
+    n_upd, n_keyed, n_distinct, lo, hi = updates.agg(
+        F.count(F.lit(1)),
+        F.count(key),
+        F.countDistinct(key),
+        F.min(key),
+        F.max(key),
     ).first()
+    # Delta MERGE raises when several source rows match one target row;
+    # here duplicate non-null keys would all survive the anti-join and
+    # land together — silent duplication, not replacement. Null keys are
+    # exempt (they never match; each is a WHEN NOT MATCHED insert).
+    if n_keyed != n_distinct:
+        raise ValueError(
+            f"updates contain duplicate values of merge key {key!r}: "
+            "each key must appear once (Delta's multiple-source-rows-"
+            "matched error) — pre-aggregate the updates frame"
+        )
     if n_upd == 0:
         # genuinely empty updates: nothing can match or insert — no-op,
         # no spurious version
@@ -1595,15 +1638,27 @@ def write_delta_txn(
 
     Returns the committed Delta version, or None when skipped. The txn
     action rides IN the data commit (one atomic log entry), so a crash
-    can never record data without its idempotence marker or vice versa."""
+    can never record data without its idempotence marker or vice versa.
+
+    Zombie-writer race: when a stale attempt and its restarted
+    replacement both pass the pre-commit idempotence check, the loser's
+    retry loop sees the winner's txn action for this appId and raises
+    (``_commit_with_retry``'s ConcurrentTransaction arm) instead of
+    re-committing the batch as a blind append — the re-check below then
+    resolves to the idempotent no-op, preserving exactly-once."""
     if txn_version <= last_txn_version(path, app_id):
         return None
-    return write_delta(
-        df,
-        path,
-        mode=mode,
-        extra_actions=[{"txn": {"appId": app_id, "version": int(txn_version)}}],
-    )
+    try:
+        return write_delta(
+            df,
+            path,
+            mode=mode,
+            extra_actions=[{"txn": {"appId": app_id, "version": int(txn_version)}}],
+        )
+    except DeltaConcurrentModification:
+        if txn_version <= last_txn_version(path, app_id):
+            return None  # the rival WAS this batch — already committed once
+        raise
 
 
 def stream_to_delta(stream_df: DataFrame, path: str, app_id: str, **options: Any):
@@ -1689,18 +1744,39 @@ def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
         return []
     versions = _list_versions(path)
     boundary = min(cp, (versions[-1] - retain_versions + 1) if versions else cp)
+    # every retained version must stay REPLAYABLE: version w replays
+    # from the newest checkpoint ≤ w plus the JSON commits after it, so
+    # the deletion floor is the newest checkpoint AT OR BELOW the
+    # boundary (`base`), not the boundary itself — deleting base's
+    # checkpoint (or the JSONs in (base, boundary)) would make every
+    # version in [boundary, next checkpoint) raise the truncation guard
+    # even though it sits inside the retention window.
+    d = _log_dir(path)
+    cp_versions = sorted(
+        {
+            int(m.group(1))
+            for name in os.listdir(d)
+            if (m := _CP_NAME_RE.match(name))
+        }
+    )
+    bases = [v for v in cp_versions if v <= boundary]
+    if not bases:
+        return []  # no checkpoint at/below the boundary: nothing deletable
+    base = bases[-1]
     deleted: list[str] = []
     for v in versions:
-        if v < boundary:
+        # replay of any retained version starts at base's checkpoint, so
+        # JSONs at-or-below base are redundant — but never delete inside
+        # the retention window itself (v >= boundary keeps the version
+        # listing / history / CDF of retained commits intact)
+        if v <= base and v < boundary:
             os.remove(_commit_file(path, v))
             deleted.append(os.path.basename(_commit_file(path, v)))
-    d = _log_dir(path)
     for name in sorted(os.listdir(d)):
         m = _CP_NAME_RE.match(name)  # single-file AND multi-part forms
         if not m:
             continue
-        v = int(m.group(1))
-        if v < boundary and v != cp:
+        if int(m.group(1)) < base:
             os.remove(os.path.join(d, name))
             deleted.append(name)
     return deleted
@@ -1727,6 +1803,16 @@ def _zorder_value(df: DataFrame, columns: list[str], bits: int = 4):
         tmp_cols.append(key)
         if dt in ("string", "binary"):
             work = work.withColumn(key, F.xxhash64(F.col(c)).cast("double"))
+        elif dt == "date":
+            # Spark forbids date→double casts: epoch days keeps range
+            # locality for date clustering keys
+            work = work.withColumn(
+                key, F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            )
+        elif dt.startswith("timestamp"):
+            work = work.withColumn(
+                key, F.unix_timestamp(F.col(c)).cast("double")
+            )
         else:
             work = work.withColumn(key, F.col(c).cast("double"))
     # ONE sampling pass for every column's boundaries (approxQuantile
@@ -1816,8 +1902,17 @@ def optimize_delta(
         for name in sorted(files_):
             if not name.endswith(".parquet"):
                 continue
+            src = os.path.join(root, name)
+            stats = _file_stats(src)
+            if stats and json.loads(stats).get("numRecords") == 0:
+                # same skip every writer applies: a ZORDER whose values
+                # collapse into fewer range partitions than target_files
+                # emits empty parts — committing them would permanently
+                # add zero-row files every read lists and opens, the
+                # opposite of compaction
+                continue
             dest = os.path.join(path, name)
-            os.replace(os.path.join(root, name), dest)
+            os.replace(src, dest)
             add: dict[str, Any] = {
                 "path": name,
                 "partitionValues": {},
@@ -1825,7 +1920,6 @@ def optimize_delta(
                 "modificationTime": now_ms,
                 "dataChange": False,
             }
-            stats = _file_stats(dest)
             if stats:
                 add["stats"] = stats
             actions.append({"add": add})

@@ -393,3 +393,112 @@ def test_resolve_building_records_no_global_window(spark):
     assert "Window" not in plan  # the old form was a single-task global sort
     ids = sorted(r.building_id for r in out.collect())
     assert len(set(ids)) == 7 and all(i.startswith("BLD-") for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# deltalog: log-maintenance and concurrency edges (fourth review batch)
+# ---------------------------------------------------------------------------
+
+def _dl():
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    return dl
+
+
+def test_cleanup_log_keeps_replay_base(spark, tmp_path):
+    """Versions inside the retention window but BELOW the newest
+    checkpoint must stay readable: their replay base is the newest
+    checkpoint at-or-below the boundary, which cleanup must keep."""
+    dl = _dl()
+    path = str(tmp_path / "t")
+    for i in range(25):  # auto-checkpoints every CHECKPOINT_INTERVAL
+        dl.write_delta(spark.range(i * 10, i * 10 + 3), path, mode="append")
+    latest = 24
+    dl.cleanup_log(path, retain_versions=10)
+    # oldest retained version (boundary = 15) replays correctly
+    for v in (latest - 9, latest - 5, latest):
+        assert dl.read_delta(spark, path, version=v).count() == (v + 1) * 3
+    # versions below the boundary are cleaned (descriptive error)
+    with pytest.raises(ValueError, match="not in table history|predates|cleaned"):
+        dl.read_delta(spark, path, version=3).count()
+
+
+def test_merge_delta_rejects_schema_drift(spark, tmp_path):
+    dl = _dl()
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 2.0)], "id LONG, value DOUBLE"), path
+    )
+    drifted = spark.createDataFrame([(9, "nope")], "id LONG, value STRING")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.merge_delta(spark, path, drifted, key="id")
+    # table still readable with its declared schema
+    assert dl.read_delta(spark, path).count() == 1
+
+
+def test_merge_delta_rejects_duplicate_keys(spark, tmp_path):
+    dl = _dl()
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1, 10)], "id LONG, v LONG"), path)
+    dup = spark.createDataFrame([(1, 11), (1, 12)], "id LONG, v LONG")
+    with pytest.raises(ValueError, match="duplicate"):
+        dl.merge_delta(spark, path, dup, key="id")
+    # null keys are exempt: they never match, each inserts
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "id LONG, v LONG")
+    dl.merge_delta(spark, path, nulls, key="id")
+    assert dl.read_delta(spark, path).count() == 3
+
+
+def test_commit_retry_detects_rival_txn(spark, tmp_path):
+    dl = _dl()
+    path = str(tmp_path / "t")
+    dl.write_delta_txn(spark.range(5), path, "app", 1)  # v0 carries txn(app,1)
+    with pytest.raises(dl.DeltaConcurrentModification, match="appId"):
+        # a loser that raced this commit with the SAME appId must not
+        # retry as a blind append (that would double-commit the batch)
+        dl._commit_with_retry(path, 0, [{"txn": {"appId": "app", "version": 1}}])
+
+
+def test_write_delta_txn_zombie_race_is_noop(spark, tmp_path, monkeypatch):
+    dl = _dl()
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.range(3).selectExpr("id"), path)
+    real_write = dl.write_delta
+
+    def zombie(df, p, mode="append", extra_actions=None, **kw):
+        # the rival (restarted writer) lands the batch first, then this
+        # stale attempt loses the race
+        real_write(df, p, mode=mode, extra_actions=extra_actions, **kw)
+        raise dl.DeltaConcurrentModification("simulated lost race")
+
+    monkeypatch.setattr(dl, "write_delta", zombie)
+    assert dl.write_delta_txn(spark.range(3).selectExpr("id"), path, "app", 7) is None
+    monkeypatch.undo()
+    assert dl.read_delta(spark, path).count() == 6  # batch landed exactly once
+
+
+def test_optimize_zorder_date_column(spark, tmp_path):
+    dl = _dl()
+    path = str(tmp_path / "t")
+    df = spark.range(40).selectExpr(
+        "id", "date_add(date'2024-01-01', cast(id % 7 as int)) AS d"
+    )
+    dl.write_delta(df, path)
+    dl.optimize_delta(spark, path, target_files=2, zorder_by=["d"])
+    assert dl.read_delta(spark, path).count() == 40
+
+
+def test_optimize_commits_no_empty_files(spark, tmp_path):
+    import json as _json
+
+    dl = _dl()
+    path = str(tmp_path / "t")
+    # constant z-values collapse into ONE range partition; target 8
+    df = spark.range(50).selectExpr("id", "42 AS k")
+    dl.write_delta(df, path)
+    dl.optimize_delta(spark, path, target_files=8, zorder_by=["k"])
+    active, _schema, _p = dl._replay(path, dl._list_versions(path)[-1])
+    for add in active.values():
+        stats = add.get("stats")
+        assert stats and _json.loads(stats)["numRecords"] > 0
+    assert dl.read_delta(spark, path).count() == 50
