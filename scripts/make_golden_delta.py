@@ -170,5 +170,407 @@ def main() -> None:
     print(f"golden fixture written to {ROOT}")
 
 
+# ---- fixture family: protocol-gate + checkpointed external layouts ----
+#
+# Each table below models an external writer's output that our engine
+# must either READ FAITHFULLY or REFUSE (never silently misread) — the
+# round-7 directive. Data parquets are minimal (the gated tables raise
+# before touching data anyway) but real, so a passing read is a full
+# read.
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+
+PLAIN_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _write_plain_parquet(root: str, rel: str, rows: list[tuple[int, float]]) -> int:
+    dest = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dest) or root, exist_ok=True)
+    table = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, dest, compression="snappy")
+    return os.path.getsize(dest)
+
+
+def _commit_json(root: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+
+def _meta(schema_string: str, config: dict | None = None) -> dict:
+    return {
+        "metaData": {
+            "id": "77777777-aaaa-4bbb-8ccc-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": config or {},
+            "createdTime": T0,
+        }
+    }
+
+
+def _plain_add(rel: str, size: int, ts: int = T0) -> dict:
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": ts,
+            "dataChange": True,
+        }
+    }
+
+
+def make_dv_table() -> None:
+    """Reader-v3 table requiring deletionVectors: a row was deleted via
+    a DV sidecar, so a reader that ignores the feature would resurface
+    it. Our reader must raise DeltaUnsupportedProtocol, never read."""
+    root = os.path.join(DATA_DIR, "golden_delta_dv")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel = "part-00000-9999dddd-0000-4000-8000-000000000000-c000.snappy.parquet"
+    size = _write_plain_parquet(root, rel, [(1, 1.0), (2, 2.0)])
+    add = _plain_add(rel, size)
+    add["add"]["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab^-aqEH.-t(zIW-:vzc",
+        "offset": 1,
+        "sizeInBytes": 36,
+        "cardinality": 1,
+    }
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta(
+                PLAIN_SCHEMA_STRING,
+                {"delta.enableDeletionVectors": "true"},
+            ),
+            add,
+        ],
+    )
+
+
+def make_column_mapping_table() -> None:
+    """Reader-v2 name-mode column-mapping table: logical names live in
+    schema metadata, parquet columns carry physical names (col-xxxx). A
+    v1 reader would return wrong/physical columns — must raise."""
+    root = os.path.join(DATA_DIR, "golden_delta_cm")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    # physical column names on disk differ from the logical schema
+    rel = "part-00000-8888cccc-0000-4000-8000-000000000000-c000.snappy.parquet"
+    dest = os.path.join(root, rel)
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "col-1a2b3c4d": pa.array([1, 2], pa.int64()),
+                "col-5e6f7a8b": pa.array([1.0, 2.0], pa.float64()),
+            }
+        ),
+        dest,
+        compression="snappy",
+    )
+    cm_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-1a2b3c4d",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-5e6f7a8b",
+                    },
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(
+                cm_schema,
+                {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            ),
+            _plain_add(rel, os.path.getsize(dest)),
+        ],
+    )
+
+
+def make_writer_feature_table() -> None:
+    """Reader-v1 table whose WRITER protocol demands identityColumns
+    (writer v7 feature we do not implement): reads must succeed, any
+    commit from our writer must raise."""
+    root = os.path.join(DATA_DIR, "golden_delta_wfeat")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel = "part-00000-7777bbbb-0000-4000-8000-000000000000-c000.snappy.parquet"
+    size = _write_plain_parquet(root, rel, [(10, 0.5)])
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["identityColumns"],
+                }
+            },
+            _meta(PLAIN_SCHEMA_STRING),
+            _plain_add(rel, size),
+        ],
+    )
+
+
+def make_invariants_table() -> None:
+    """Writer-v2 table declaring a column invariant (delta.invariants in
+    field metadata) — a constraint our writer does not evaluate: reads
+    succeed, commits must refuse."""
+    root = os.path.join(DATA_DIR, "golden_delta_inv")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel = "part-00000-6666aaaa-0000-4000-8000-000000000000-c000.snappy.parquet"
+    size = _write_plain_parquet(root, rel, [(5, 5.0)])
+    inv_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.invariants": json.dumps(
+                            {"expression": {"expression": "id > 0"}}
+                        )
+                    },
+                },
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(inv_schema),
+            _plain_add(rel, size),
+        ],
+    )
+
+
+def make_checkpointed_table() -> None:
+    """External-layout CHECKPOINTED table whose early JSON commits were
+    cleaned (deleted) — the snapshot is reconstructible ONLY through the
+    checkpoint parquet, which carries a remove tombstone and struct
+    fields in a different order (plus extra columns like
+    commitInfo-less txn.lastUpdated and remove.extendedFileMetadata)
+    than our own writer emits. Exercises the reader's tolerance of
+    foreign checkpoint layouts end-to-end.
+
+    History: v0 added f0+f1, v1 removed f1 and added f2 (both JSONs
+    deleted after checkpointing at v1), v2 adds f3 (retained JSON).
+    Expected latest snapshot: f0, f2, f3 → ids {1, 2, 3, 4}."""
+    root = os.path.join(DATA_DIR, "golden_delta_ckpt")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    files = {
+        "part-00000-aaaa0000-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (1, 1.0),
+            (2, 2.0),
+        ],
+        "part-00001-bbbb1111-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (99, 99.0)  # removed at v1 — must NOT appear
+        ],
+        "part-00002-cccc2222-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (3, 3.0)
+        ],
+        "part-00003-dddd3333-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (4, 4.0)
+        ],
+    }
+    sizes = {rel: _write_plain_parquet(root, rel, rows) for rel, rows in files.items()}
+    rels = list(files)
+
+    # checkpoint parquet at v1: reconciled state = protocol + metaData +
+    # adds(f0, f2) + remove tombstone(f1) + a txn. Struct field order is
+    # deliberately NOT our writer's order, and extra spec-legal fields
+    # (tags, extendedFileMetadata, partitionValues on remove) appear.
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("dataChange", pa.bool_()),       # reordered vs our writer
+            ("modificationTime", pa.int64()),
+            ("partitionValues", str_map),
+            ("path", pa.string()),
+            ("size", pa.int64()),
+            ("stats", pa.string()),
+            ("tags", str_map),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("dataChange", pa.bool_()),
+            ("deletionTimestamp", pa.int64()),
+            ("extendedFileMetadata", pa.bool_()),
+            ("partitionValues", str_map),
+            ("path", pa.string()),
+            ("size", pa.int64()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+            ("description", pa.string()),
+            ("format", pa.struct([("options", str_map), ("provider", pa.string())])),
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("schemaString", pa.string()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("lastUpdated", pa.int64()),
+            ("version", pa.int64()),
+        ]
+    )
+    schema = pa.schema(
+        [("txn", txn_t), ("add", add_t), ("remove", remove_t),
+         ("metaData", meta_t), ("protocol", proto_t)]
+    )
+
+    def _add_row(rel: str) -> dict:
+        return {
+            "dataChange": True,
+            "modificationTime": T0,
+            "partitionValues": [],
+            "path": rel,
+            "size": sizes[rel],
+            "stats": None,
+            "tags": None,
+        }
+
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "configuration": [],
+                "createdTime": T0,
+                "description": None,
+                "format": {"options": [], "provider": "parquet"},
+                "id": "88888888-bbbb-4ccc-9ddd-000000000000",
+                "name": None,
+                "partitionColumns": [],
+                "schemaString": PLAIN_SCHEMA_STRING,
+            }
+        },
+        {"txn": {"appId": "ckpt-app", "lastUpdated": T0, "version": 3}},
+        {"add": _add_row(rels[0])},
+        {"add": _add_row(rels[2])},
+        {
+            "remove": {
+                "dataChange": True,
+                "deletionTimestamp": T0 + 1000,
+                "extendedFileMetadata": True,
+                "partitionValues": [],
+                "path": rels[1],
+                "size": sizes[rels[1]],
+            }
+        },
+    ]
+    table = pa.Table.from_pylist(
+        [{k: row.get(k) for k in ("txn", "add", "remove", "metaData", "protocol")}
+         for row in rows],
+        schema=schema,
+    )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    cp_path = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    pq.write_table(table, cp_path, compression="snappy")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": len(rows)}, separators=(",", ":")))
+
+    # v2: post-checkpoint retained JSON commit adding f3
+    _commit_json(
+        root,
+        2,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": T0 + 2000,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append"},
+                    "engineInfo": "Apache-Spark/3.5.1 Delta-Lake/3.1.0",
+                }
+            },
+            _plain_add(rels[3], sizes[rels[3]], T0 + 2000),
+        ],
+    )
+    # v0/v1 JSONs were "cleaned" (never written): the checkpoint is the
+    # only route to the pre-v2 state, exactly the post-cleanup layout.
+
+
+def main_family() -> None:
+    make_dv_table()
+    make_column_mapping_table()
+    make_writer_feature_table()
+    make_invariants_table()
+    make_checkpointed_table()
+    print(f"protocol/checkpoint fixture family written under {DATA_DIR}")
+
+
 if __name__ == "__main__":
     main()
+    main_family()

@@ -470,6 +470,99 @@ def _latest_protocol(path: str, version: int) -> dict[str, Any]:
     return proto
 
 
+class DeltaUnsupportedProtocol(Exception):
+    """The table's ``protocol`` action demands reader/writer capabilities
+    this implementation does not have. The Delta spec REQUIRES refusal:
+    a reader that ignores ``minReaderVersion`` silently returns wrong
+    rows (deletion vectors ignored → deleted rows resurface; column
+    mapping ignored → physical instead of logical column names), and a
+    writer that ignores ``minWriterVersion`` corrupts invariants it
+    never heard of. Wrong-but-plausible output is the one failure mode
+    worse than an error."""
+
+
+# Reader capability ceiling. This implementation targets reader
+# protocol v1 (plain add/remove replay over parquet data files). It
+# implements NO reader table features — deletionVectors, columnMapping,
+# timestampNtz and v2Checkpoint all change what bytes mean on disk.
+# Per spec, minReaderVersion 3 tables list their requirements in
+# ``readerFeatures`` and MAY be readable if every listed feature is
+# supported (an empty list is legal and degenerate-v1).
+_SUPPORTED_READER_VERSION = 1
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+
+# Writer capability ceiling. v2 = column invariants (checked separately
+# at write time — see write paths: an external schema carrying
+# ``delta.invariants`` metadata is refused because this writer cannot
+# enforce it), v3 = CHECK constraints (enforced: see add_constraint /
+# the write-path constraint evaluation). minWriterVersion 7 tables list
+# ``writerFeatures``; we can commit iff every listed feature is one we
+# actually enforce.
+_SUPPORTED_WRITER_VERSION = 3
+_SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
+    {"appendOnly", "invariants", "checkConstraints"}
+)
+
+
+def _check_read_protocol(proto: dict[str, Any], path: str) -> None:
+    """Raise ``DeltaUnsupportedProtocol`` unless this reader can
+    faithfully reconstruct the table — the spec-mandated refusal gate
+    every snapshot/CDF/streaming read passes through (``_replay``)."""
+    v = int(proto.get("minReaderVersion", 1))
+    feats = set(proto.get("readerFeatures") or [])
+    if v <= _SUPPORTED_READER_VERSION:
+        return
+    if v == 3 and feats <= _SUPPORTED_READER_FEATURES:
+        return
+    raise DeltaUnsupportedProtocol(
+        f"Delta table at {path} requires minReaderVersion={v}"
+        + (f" with readerFeatures={sorted(feats)}" if feats else "")
+        + f", but this reader supports version <= {_SUPPORTED_READER_VERSION}"
+        + " — refusing to read rather than silently misinterpret the log "
+        "(e.g. ignored deletion vectors would resurface deleted rows)"
+    )
+
+
+def _check_column_invariants_absent(path: str, version: int) -> None:
+    """Column invariants (``delta.invariants`` in schema-field metadata,
+    writer protocol v2) are constraints this writer does not evaluate —
+    committing rows into a table that declares them could silently
+    violate the table's contract, so the spec-correct move is refusal.
+    A raw substring probe on the schemaString is deliberately
+    conservative: false positives (a user column literally named
+    ``delta.invariants``) err on the safe side."""
+    meta = _latest_metadata(path, version)
+    if "delta.invariants" in meta.get("schemaString", ""):
+        raise DeltaUnsupportedProtocol(
+            f"Delta table at {path} declares column invariants "
+            "(delta.invariants in schema metadata) which this writer "
+            "does not enforce — refusing to commit rather than risk "
+            "violating them"
+        )
+
+
+def _check_write_protocol(proto: dict[str, Any], path: str) -> None:
+    """Raise ``DeltaUnsupportedProtocol`` unless this writer can uphold
+    every invariant the table's protocol demands. Called at the commit
+    choke point (``_commit_with_retry``) so MERGE/DELETE/OPTIMIZE/
+    VACUUM/streaming sinks are all covered, and re-checked after losing
+    a version race (a rival may have upgraded the protocol mid-retry)."""
+    v = int(proto.get("minWriterVersion", 2))
+    feats = set(proto.get("writerFeatures") or [])
+    if v <= _SUPPORTED_WRITER_VERSION:
+        return
+    if v == 7 and feats <= _SUPPORTED_WRITER_FEATURES:
+        return
+    raise DeltaUnsupportedProtocol(
+        f"Delta table at {path} requires minWriterVersion={v}"
+        + (f" with writerFeatures={sorted(feats)}" if feats else "")
+        + f", but this writer supports version <= {_SUPPORTED_WRITER_VERSION}"
+        + f" (or 7 with features within {sorted(_SUPPORTED_WRITER_FEATURES)})"
+        + " — refusing to commit rather than violate invariants it cannot "
+        "enforce"
+    )
+
+
 def _collect_txns(path: str, version: int) -> dict[str, int]:
     """Latest ``txn`` version per appId at-or-below ``version``
     (checkpoint-accelerated)."""
@@ -509,14 +602,17 @@ def _replay(
     active: dict[str, dict] = {}
     schema: T.StructType | None = None
     partition_cols: list[str] = []
+    proto: dict[str, Any] = {"minReaderVersion": 1, "minWriterVersion": 2}
 
     def fold(action: dict[str, Any]) -> None:
-        nonlocal schema, partition_cols
+        nonlocal schema, partition_cols, proto
         if "metaData" in action:
             schema = T.StructType.fromJson(
                 json.loads(action["metaData"]["schemaString"])
             )
             partition_cols = list(action["metaData"].get("partitionColumns", []))
+        elif "protocol" in action:
+            proto = action["protocol"]
         elif "add" in action:
             active[action["add"]["path"]] = action["add"]
         elif "remove" in action:
@@ -542,6 +638,9 @@ def _replay(
             continue
         for action in _read_actions(path, v):
             fold(action)
+    # the LATEST protocol at-or-below the target version governs the
+    # whole snapshot — checked after the fold so mid-log upgrades win
+    _check_read_protocol(proto, path)
     if schema is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
     return active, schema, partition_cols
@@ -963,6 +1062,13 @@ def _commit_with_retry(
     own_meta = any("metaData" in a or "protocol" in a for a in actions)
     own_txn_apps = {a["txn"]["appId"] for a in actions if "txn" in a}
     read_set = set(depends_on) | our_removes
+    if version > 0 and not any("protocol" in a for a in actions):
+        # spec-mandated writer gate: refuse to commit into a table whose
+        # protocol demands capabilities this writer lacks. Transactions
+        # that carry their own protocol action (constraint installs,
+        # table creation) are the upgrade mechanism itself and exempt.
+        _check_write_protocol(_latest_protocol(path, version - 1), path)
+        _check_column_invariants_absent(path, version - 1)
     for attempt in range(max_retries + 1):
         try:
             _commit(path, version, actions)
@@ -1014,6 +1120,12 @@ def _commit_with_retry(
                     f"concurrent commit(s) up to version {latest} removed "
                     f"files this transaction depends on: {sorted(conflict)[:5]}"
                 ) from None
+            if rival_meta:
+                # a rival may have UPGRADED the protocol mid-retry — a
+                # blind append must re-gate before re-committing, or it
+                # would write into a table it no longer understands
+                _check_write_protocol(_latest_protocol(path, latest), path)
+                _check_column_invariants_absent(path, latest)
             version = latest + 1
     raise AssertionError("unreachable")
 

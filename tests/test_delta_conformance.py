@@ -182,3 +182,95 @@ def test_golden_checkpoint_schema_columns(spark, tmp_path):
     cp = dl._checkpoint_file(work, 1)
     cols = set(pq.read_schema(cp).names)
     assert {"txn", "add", "remove", "metaData", "protocol"} <= cols
+
+
+# ---- fixture family: protocol gates + external checkpoint layout -------
+#
+# (round-7 directive: the spec REQUIRES refusal of tables above the
+# reader/writer capability ceiling — silently misreading an external
+# reader-v3 table was the one silent-wrong-answer path left)
+
+GOLDEN_DV = os.path.join(os.path.dirname(__file__), "data", "golden_delta_dv")
+GOLDEN_CM = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cm")
+GOLDEN_WFEAT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_wfeat")
+GOLDEN_INV = os.path.join(os.path.dirname(__file__), "data", "golden_delta_inv")
+GOLDEN_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ckpt")
+
+
+def test_deletion_vector_table_refused(spark):
+    """Reader-v3 + deletionVectors: reading would resurface the
+    DV-deleted row — every read path must raise, version pins too."""
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
+        dl.read_delta(spark, GOLDEN_DV)
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl.read_delta(spark, GOLDEN_DV, version=0)
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl.delta_changes(spark, GOLDEN_DV, since_version=-1)
+
+
+def test_column_mapping_table_refused(spark):
+    """Reader-v2 name-mode column mapping: parquet columns are physical
+    (col-xxxx) — a v1 read would return wrong column names; refuse."""
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="minReaderVersion=2"):
+        dl.read_delta(spark, GOLDEN_CM)
+
+
+def test_unsupported_protocol_blocks_writes_not_reads(spark, tmp_path):
+    """minReaderVersion=1 + minWriterVersion=7 writerFeatures
+    [identityColumns]: reads succeed faithfully, commits refuse."""
+    import shutil
+
+    work = str(tmp_path / "wfeat")
+    shutil.copytree(GOLDEN_WFEAT, work)
+    rows = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, work).collect())
+    assert rows == [(10, 0.5)]
+    batch = spark.createDataFrame([(11, 1.5)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="identityColumns"):
+        dl.write_delta(batch, work, mode="append")
+    # the refused commit left no trace: snapshot unchanged
+    assert dl.read_delta(spark, work).count() == 1
+
+
+def test_column_invariants_block_writes_not_reads(spark, tmp_path):
+    """delta.invariants in schema metadata (writer v2): we don't
+    evaluate the invariant, so commits must refuse; reads are fine."""
+    import shutil
+
+    work = str(tmp_path / "inv")
+    shutil.copytree(GOLDEN_INV, work)
+    assert dl.read_delta(spark, work).count() == 1
+    batch = spark.createDataFrame([(-1, 0.0)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="invariants"):
+        dl.write_delta(batch, work, mode="append")
+
+
+def test_external_checkpoint_layout_replay(spark):
+    """Cleaned-log table reconstructible ONLY through an external-layout
+    checkpoint (reordered struct fields, remove tombstone with
+    extendedFileMetadata, map-typed fields, a txn row) + one retained
+    JSON commit. The removed file's rows must NOT appear."""
+    df = dl.read_delta(spark, GOLDEN_CKPT)
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]  # 99 removed
+    # txn watermark survives the checkpoint round-trip
+    assert dl.last_txn_version(GOLDEN_CKPT, "ckpt-app") == 3
+    # time travel to the checkpointed version itself
+    v2 = dl.read_delta(spark, GOLDEN_CKPT, version=2)
+    assert v2.count() == 4
+
+
+def test_our_own_tables_stay_below_the_gate(spark, tmp_path):
+    """Every table this engine writes must remain readable/writable by
+    this engine: the writer never emits a protocol above the reader
+    ceiling (reader v1; writer ≤3 even after a constraint install)."""
+    path = str(tmp_path / "own")
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    dl.write_delta(df, path)
+    dl.add_constraint(spark, path, "id_pos", "id > 0")
+    dl.write_delta(
+        spark.createDataFrame([(2, "y")], "id long, s string"), path, mode="append"
+    )
+    assert dl.read_delta(spark, path).count() == 2
+    proto = dl._latest_protocol(path, dl._list_versions(path)[-1])
+    assert int(proto["minReaderVersion"]) <= dl._SUPPORTED_READER_VERSION
+    assert int(proto["minWriterVersion"]) <= dl._SUPPORTED_WRITER_VERSION
