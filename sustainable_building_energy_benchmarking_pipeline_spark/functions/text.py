@@ -9,6 +9,7 @@ n_chars) but take plain columns so they compose with any corpus.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -317,3 +318,75 @@ def add_winnowing_fingerprints(
         return pd.Series(out)
 
     return df.withColumn(out_col, _winnow(F.col(tokens_col)))
+
+
+def winnowing_postings(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 4, w: int = 5
+):
+    """Winnowing fingerprints as an EXPLODED posting frame
+    ``(id_col, fp)`` — ``add_winnowing_fingerprints`` fused with both
+    whitespace tokenization and the posting explode inside one
+    ``mapInPandas`` kernel. Three measured wins over the
+    tokens-array → pandas_udf → ``F.explode`` pipeline (z10 at sf0.1,
+    3.3 s → 1.5 s end-to-end):
+
+    1. Arrow ships ONE text string per input row instead of a boxed
+       ``array<string>`` (list<utf8> child-array assembly dominated
+       the old kernel's serde cost);
+    2. rows leave Python already exploded, so no JVM ``Generate``
+       sits above the UDF output (the Generate leg alone measured
+       ~1 s — the same plan-shape trap ``add_winnowing_fingerprints``
+       documents);
+    3. a per-TASK digest memo skips re-hashing grams repeated across
+       documents (boilerplate), not just within one row batch.
+
+    Tokenization matches ``ws_tokens`` bit-for-bit: split on Java's
+    ASCII ``\\s`` class ``[ \\t\\n\\x0B\\f\\r]+`` and drop empties
+    (Python's ``\\s`` is Unicode-wide, so the class is spelled out).
+    Partition-preserving (no shuffle); per-row work O(tokens·k +
+    windows·w); fingerprints are per-document DISTINCT and sorted, so
+    the output is a set-semantics posting list."""
+    import hashlib
+    import re
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _emit(batches):
+        sha256 = hashlib.sha256
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            ids: list = []
+            fplists: list[list[str]] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = [t for t in ws.split(text) if t] if text is not None else []
+                n = len(toks)
+                if n < k:
+                    continue
+                hs = []
+                for i in range(n - k + 1):
+                    g = " ".join(toks[i : i + k])
+                    h = memo.get(g)
+                    if h is None:
+                        h = sha256(g.encode("utf-8")).hexdigest()[:12]
+                        memo[g] = h
+                    hs.append(h)
+                if len(hs) >= w:
+                    fps = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+                else:
+                    fps = {min(hs)}
+                ids.append(doc_id)
+                fplists.append(sorted(fps))
+            if not ids:
+                continue  # mapInPandas permits yielding fewer frames
+            counts = [len(x) for x in fplists]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(np.asarray(ids), counts),
+                    "fp": [f for fl in fplists for f in fl],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _emit, f"{id_col} {id_type}, fp string"
+    )

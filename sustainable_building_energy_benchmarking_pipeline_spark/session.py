@@ -104,6 +104,41 @@ def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
 
 
+# Release-handle registry for queries that persist an intermediate
+# (z01/z04's bloom-flagged batch — the single-scan posture documented in
+# operators/sketches.bloom_incremental_dedup). The CONTRACT: a registry
+# query may persist only through register_query_cache(); a library user
+# looping such queries over corpus shards calls clear_query_cache(spark)
+# between shards (or relies on spark.catalog.clearCache(), which is a
+# superset) and the storage cache returns to its pre-call baseline —
+# asserted by tests/test_cache_lifecycle.py. Entries are unpersisted
+# lazily and the list never grows past the few frames of one run loop.
+_QUERY_CACHES: list = []
+
+
+def register_query_cache(df) -> None:
+    """Record a persisted DataFrame so ``clear_query_cache`` can release
+    it deterministically (the cache_out release-handle pattern of
+    ``bloom_incremental_dedup``, lifted to the query registry layer)."""
+    _QUERY_CACHES.append(df)
+
+
+def clear_query_cache(spark: SparkSession | None = None) -> int:
+    """Unpersist every intermediate registered by a query since the last
+    call; returns how many were released. Safe to call at any time —
+    released plans recompute from source on the next action (correctness
+    is unaffected; only the single-scan cost posture is)."""
+    n = 0
+    while _QUERY_CACHES:
+        df = _QUERY_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    return n
+
+
 def _path_mtime(path: str) -> float:
     """Best-effort change signal for a parquet file or directory: the
     directory mtime changes when part-files are added/replaced."""
