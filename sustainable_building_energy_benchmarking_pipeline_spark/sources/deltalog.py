@@ -277,6 +277,13 @@ def _checkpoint_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # feature lists must survive checkpoint + log
+                        # cleanup: a checkpoint that drops them would
+                        # reconstruct a featureless v3/v7 protocol and
+                        # launder the read/write gates away (round-7
+                        # advice finding)
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -346,18 +353,29 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         raise FileNotFoundError(f"no Delta log at {path}")
     if version is None:
         version = versions[-1]
-    active, schema, partition_cols = _replay(path, version)
+    active, schema, partition_cols, meta = _replay(path, version)
     txns = _collect_txns(path, version)
-    meta = _latest_metadata(path, version)
 
     proto = _latest_protocol(path, version)
+    cp_proto: dict[str, Any] = {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        # round-trip feature lists verbatim (None when absent so the
+        # parquet column stays null for pre-feature tables) — see
+        # _checkpoint_schema
+        "readerFeatures": (
+            list(proto["readerFeatures"])
+            if proto.get("readerFeatures") is not None
+            else None
+        ),
+        "writerFeatures": (
+            list(proto["writerFeatures"])
+            if proto.get("writerFeatures") is not None
+            else None
+        ),
+    }
     rows: list[dict[str, Any]] = [
-        {
-            "protocol": {
-                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
-                "minWriterVersion": int(proto.get("minWriterVersion", 2)),
-            }
-        },
+        {"protocol": cp_proto},
         {
             "metaData": {
                 "id": meta.get("id"),
@@ -482,14 +500,20 @@ class DeltaUnsupportedProtocol(Exception):
 
 
 # Reader capability ceiling. This implementation targets reader
-# protocol v1 (plain add/remove replay over parquet data files). It
-# implements NO reader table features — deletionVectors, columnMapping,
-# timestampNtz and v2Checkpoint all change what bytes mean on disk.
-# Per spec, minReaderVersion 3 tables list their requirements in
-# ``readerFeatures`` and MAY be readable if every listed feature is
-# supported (an empty list is legal and degenerate-v1).
+# protocol v1 (plain add/remove replay over parquet data files) plus
+# NAME-mode column mapping (reader v2, or v3 listing the
+# ``columnMapping`` feature): physical parquet column names resolve to
+# logical schema names via ``delta.columnMapping.physicalName`` field
+# metadata — the protocol every delta-spark 3.x table that ever RENAMEd
+# a column carries. ID-mode mapping (resolution by parquet field id,
+# the iceberg-conversion path) and the remaining reader features —
+# deletionVectors, timestampNtz, v2Checkpoint — change what bytes mean
+# on disk and are refused. Per spec, minReaderVersion 3 tables list
+# their requirements in ``readerFeatures`` and MAY be readable if every
+# listed feature is supported (an empty list is legal and
+# degenerate-v1).
 _SUPPORTED_READER_VERSION = 1
-_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"columnMapping"})
 
 # Writer capability ceiling. v2 = column invariants (checked separately
 # at write time — see write paths: an external schema carrying
@@ -504,13 +528,36 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
 )
 
 
-def _check_read_protocol(proto: dict[str, Any], path: str) -> None:
+def _column_mapping_mode(meta: dict[str, Any] | None) -> str:
+    """The table's ``delta.columnMapping.mode`` ("none" when unset)."""
+    return (meta or {}).get("configuration", {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+
+
+def _check_read_protocol(
+    proto: dict[str, Any], path: str, cm_mode: str = "none"
+) -> None:
     """Raise ``DeltaUnsupportedProtocol`` unless this reader can
     faithfully reconstruct the table — the spec-mandated refusal gate
-    every snapshot/CDF/streaming read passes through (``_replay``)."""
+    every snapshot/CDF/streaming read passes through (``_replay``).
+    ``cm_mode`` is the table's column-mapping mode: "name" is supported
+    (physical→logical resolution via schema field metadata), "id"
+    (parquet field-id resolution) is not."""
     v = int(proto.get("minReaderVersion", 1))
     feats = set(proto.get("readerFeatures") or [])
+    if cm_mode == "id":
+        raise DeltaUnsupportedProtocol(
+            f"Delta table at {path} uses id-mode column mapping "
+            "(delta.columnMapping.mode=id, resolution by parquet field "
+            "id) which this reader does not implement — name mode is "
+            "supported; refusing rather than resolve columns wrongly"
+        )
     if v <= _SUPPORTED_READER_VERSION:
+        return
+    if v == 2:
+        # reader v2 == column-mapping capability (no feature list);
+        # mode "none" is the degenerate upgraded-but-unmapped table
         return
     if v == 3 and feats <= _SUPPORTED_READER_FEATURES:
         return
@@ -518,8 +565,57 @@ def _check_read_protocol(proto: dict[str, Any], path: str) -> None:
         f"Delta table at {path} requires minReaderVersion={v}"
         + (f" with readerFeatures={sorted(feats)}" if feats else "")
         + f", but this reader supports version <= {_SUPPORTED_READER_VERSION}"
+        + f" (or 2/3 with features within "
+        f"{sorted(_SUPPORTED_READER_FEATURES)})"
         + " — refusing to read rather than silently misinterpret the log "
         "(e.g. ignored deletion vectors would resurface deleted rows)"
+    )
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """The PHYSICAL (on-parquet) shape of a logical data type under
+    name-mode column mapping: struct field names are replaced by their
+    ``delta.columnMapping.physicalName`` metadata at every nesting
+    level (arrays/maps recurse); non-struct types are unchanged."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.metadata.get("delta.columnMapping.physicalName", f.name),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _physical_name(field: T.StructField) -> str:
+    return field.metadata.get("delta.columnMapping.physicalName", field.name)
+
+
+def _to_logical_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Map a physically-named DataFrame back to the logical schema:
+    top-level columns are selected by physical name and aliased; nested
+    struct field names are renamed via a same-shape cast (struct→struct
+    cast renames by POSITION, and physical/logical schemas are
+    identical modulo names)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
 
 
@@ -587,11 +683,13 @@ def _collect_txns(path: str, version: int) -> dict[str, int]:
 
 def _replay(
     path: str, version: int | None
-) -> tuple[dict[str, dict], T.StructType, list[str]]:
+) -> tuple[dict[str, dict], T.StructType, list[str], dict[str, Any]]:
     """Reconstruct the snapshot at ``version`` (inclusive; default
     latest): newest checkpoint at-or-below it, then only the JSON
     commits after. Returns (active add-actions by relative path, table
-    schema, partition columns)."""
+    schema, partition columns, latest metaData action) — the metaData
+    rides along so read paths can resolve column mapping without a
+    second log pass."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
@@ -602,11 +700,13 @@ def _replay(
     active: dict[str, dict] = {}
     schema: T.StructType | None = None
     partition_cols: list[str] = []
+    meta: dict[str, Any] = {}
     proto: dict[str, Any] = {"minReaderVersion": 1, "minWriterVersion": 2}
 
     def fold(action: dict[str, Any]) -> None:
-        nonlocal schema, partition_cols, proto
+        nonlocal schema, partition_cols, proto, meta
         if "metaData" in action:
+            meta = action["metaData"]
             schema = T.StructType.fromJson(
                 json.loads(action["metaData"]["schemaString"])
             )
@@ -640,10 +740,10 @@ def _replay(
             fold(action)
     # the LATEST protocol at-or-below the target version governs the
     # whole snapshot — checked after the fold so mid-log upgrades win
-    _check_read_protocol(proto, path)
+    _check_read_protocol(proto, path, _column_mapping_mode(meta))
     if schema is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
-    return active, schema, partition_cols
+    return active, schema, partition_cols, meta
 
 
 def _file_stats(file_path: str) -> str | None:
@@ -845,8 +945,7 @@ def write_delta(
         # construction paths (spark.range yields non-null,
         # createDataFrame yields nullable) and a nullable/non-null flip
         # is not a data-incompatibility here.
-        _, table_schema, table_pcols = _replay(path, versions[-1])
-        meta = _latest_metadata(path, versions[-1])
+        _, table_schema, table_pcols, meta = _replay(path, versions[-1])
         config = dict(meta.get("configuration", {}))
         if mode == "overwrite" and config.get("delta.appendOnly") == "true":
             raise ValueError(
@@ -952,7 +1051,7 @@ def write_delta(
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     if mode == "overwrite" and version > 0:
-        prior_active, _, _ = _replay(path, versions[-1])
+        prior_active, _, _, _ = _replay(path, versions[-1])
         for rel in prior_active:
             actions.append(
                 {
@@ -1183,7 +1282,14 @@ def read_delta(
       should still be applied to the returned DataFrame; pruning bounds
       IO, it does not implement the filter.
     """
-    active, schema, partition_cols = _replay(path, version)
+    active, schema, partition_cols, meta = _replay(path, version)
+    # name-mode column mapping (reader v2/v3): the log's partitionValues
+    # keys, per-file stats keys, hive dir names and parquet column names
+    # are all PHYSICAL; the logical names live only in the schemaString.
+    # Resolve at the log layer so pruning still works, read with the
+    # physical schema, and present logical names at the end.
+    cm = _column_mapping_mode(meta) == "name"
+    phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     if partition_filter:
         unknown = set(partition_filter) - set(partition_cols)
         if unknown:
@@ -1197,17 +1303,21 @@ def read_delta(
             rel: a
             for rel, a in active.items()
             if all(
-                a.get("partitionValues", {}).get(k)
+                a.get("partitionValues", {}).get(phys_of.get(k, k))
                 == (None if v is None else str(v))
                 for k, v in partition_filter.items()
             )
         }
     if where:
-        active = {rel: a for rel, a in active.items() if _may_satisfy(a, where)}
+        col, op, val = where
+        phys_where = (phys_of.get(col, col), op, val)
+        active = {
+            rel: a for rel, a in active.items() if _may_satisfy(a, phys_where)
+        }
     if not active:
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in sorted(active)]
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(_physical_type(schema) if cm else schema)
     if partition_cols:
         # hive-layout partition columns materialize from the dir names;
         # basePath anchors inference when an explicit file list is given.
@@ -1216,8 +1326,12 @@ def read_delta(
         # what a Delta reader must present (externally-written tables
         # commonly declare partition columns first)
         reader = reader.option("basePath", path)
-        return reader.parquet(*files).select(*schema.fieldNames())
-    return reader.parquet(*files)
+        df = reader.parquet(*files)
+        if cm:
+            return _to_logical_columns(df, schema)
+        return df.select(*schema.fieldNames())
+    df = reader.parquet(*files)
+    return _to_logical_columns(df, schema) if cm else df
 
 
 def merge_delta(
@@ -1238,7 +1352,7 @@ def merge_delta(
     versions = _list_versions(path)
     if not versions:
         return write_delta(updates, path, mode="append")
-    active, schema, partition_cols = _replay(path, versions[-1])
+    active, schema, partition_cols, _meta = _replay(path, versions[-1])
     if partition_cols:
         raise ValueError("merge_delta supports unpartitioned tables")
     # the same name+type enforcement write_delta applies: an updates
@@ -1496,15 +1610,30 @@ def add_constraint(
         config[key] = expr
         meta["configuration"] = config
         proto = _latest_protocol(path, versions[-1])
+        # ALTER is not the upgrade mechanism for foreign features: this
+        # writer must already be allowed to commit into the table (the
+        # carried-protocol commit path is exempt from the commit gate,
+        # so check here), and the re-emitted protocol must preserve any
+        # readerFeatures/writerFeatures VERBATIM — dropping them would
+        # silently strip requirements this writer cannot maintain
+        # (round-7 advice finding).
+        _check_write_protocol(proto, path)
+        new_proto: dict[str, Any] = {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": max(int(proto.get("minWriterVersion", 2)), 3),
+        }
+        for feat_key in ("readerFeatures", "writerFeatures"):
+            if proto.get(feat_key) is not None:
+                new_proto[feat_key] = list(proto[feat_key])
+        if new_proto["minWriterVersion"] >= 7:
+            # v7 tables carry requirements as features: the constraint
+            # must be declared or a feature-aware writer would not see it
+            feats = list(new_proto.get("writerFeatures") or [])
+            if "checkConstraints" not in feats:
+                feats.append("checkConstraints")
+            new_proto["writerFeatures"] = feats
         actions: list[dict[str, Any]] = [
-            {
-                "protocol": {
-                    "minReaderVersion": int(proto.get("minReaderVersion", 1)),
-                    "minWriterVersion": max(
-                        int(proto.get("minWriterVersion", 2)), 3
-                    ),
-                }
-            },
+            {"protocol": new_proto},
             {"metaData": meta},
             {
                 "commitInfo": {
@@ -1556,7 +1685,7 @@ def delete_delta(
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
-    active, schema, partition_cols = _replay(path, versions[-1])
+    active, schema, partition_cols, _meta = _replay(path, versions[-1])
     if partition_cols:
         raise ValueError("delete_delta supports unpartitioned tables")
     config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
@@ -1654,8 +1783,8 @@ def restore_delta(path: str, to_version: int) -> int:
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
     current = versions[-1]
-    old_active, _old_schema, old_pcols = _replay(path, to_version)
-    cur_active, _cur_schema, cur_pcols = _replay(path, current)
+    old_active, _old_schema, old_pcols, _ = _replay(path, to_version)
+    cur_active, _cur_schema, cur_pcols, _ = _replay(path, current)
     config = dict(_latest_metadata(path, current).get("configuration", {}))
     if config.get("delta.appendOnly") == "true" and (
         cur_active.keys() - old_active.keys()
@@ -1812,7 +1941,7 @@ def vacuum_delta(
             "deleted, corrupting its commit. Pass force=True only when "
             "no writer can be in flight."
         )
-    active, _, _ = _replay(path, None)
+    active, _, _, _ = _replay(path, None)
     keep = {os.path.normpath(rel) for rel in active}
     cutoff = time.time() - retain_hours * 3600.0
     deleted: list[str] = []
@@ -1984,7 +2113,7 @@ def optimize_delta(
     versions = _list_versions(path)
     if not versions:
         return None
-    active, schema, partition_cols = _replay(path, versions[-1])
+    active, schema, partition_cols, _meta = _replay(path, versions[-1])
     if partition_cols:
         raise ValueError("optimize_delta supports unpartitioned tables")
     if len(active) <= target_files and not zorder_by:
@@ -2086,7 +2215,7 @@ def delta_changes(
             f"change window ({since_version}, {to_version}] predates the "
             f"retained log (oldest commit {versions[0]}) at {path}"
         )
-    _, schema, _ = _replay(path, to_version)
+    _, schema, _, cdf_meta = _replay(path, to_version)
     # NET add/remove count per path (not set intersection): Delta-legal
     # logs can remove then RE-ADD the same path (RESTORE, stats-refresh
     # commits), which set-cancellation would wrongly net to "no change",
@@ -2107,12 +2236,15 @@ def delta_changes(
     added = [p for p, n in net.items() if n > 0]
     removed = [p for p, n in net.items() if n < 0]
 
+    cm = _column_mapping_mode(cdf_meta) == "name"
+
     def _load(rels: list[str]) -> DataFrame:
         if not rels:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
+        df = spark.read.schema(_physical_type(schema) if cm else schema).parquet(
             *[os.path.join(path, r) for r in sorted(rels)]
         )
+        return _to_logical_columns(df, schema) if cm else df
 
     return _load(added), _load(removed)
 

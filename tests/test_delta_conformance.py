@@ -208,11 +208,57 @@ def test_deletion_vector_table_refused(spark):
         dl.delta_changes(spark, GOLDEN_DV, since_version=-1)
 
 
-def test_column_mapping_table_refused(spark):
-    """Reader-v2 name-mode column mapping: parquet columns are physical
-    (col-xxxx) — a v1 read would return wrong column names; refuse."""
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="minReaderVersion=2"):
-        dl.read_delta(spark, GOLDEN_CM)
+def test_column_mapping_name_mode_reads(spark):
+    """Reader-v2 name-mode column mapping (round-8): parquet columns
+    are physical (col-xxxx); the read resolves them to the logical
+    schema names via delta.columnMapping.physicalName field metadata —
+    the delta-spark 3.x table shape any RENAME COLUMN produces."""
+    df = dl.read_delta(spark, GOLDEN_CM)
+    assert df.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
+    # version pin reads the same snapshot
+    assert dl.read_delta(spark, GOLDEN_CM, version=0).count() == 2
+    # CDF over the mapped table presents logical names too
+    added, removed = dl.delta_changes(spark, GOLDEN_CM, since_version=-1)
+    assert added.columns == ["id", "v"] and added.count() == 2
+    assert removed.count() == 0
+
+
+def test_column_mapping_table_still_write_refused(spark, tmp_path):
+    """Read support must NOT open the write path: this writer cannot
+    produce physically-named files, so commits into a column-mapped
+    table (minWriterVersion=5) keep refusing."""
+    import shutil
+
+    work = str(tmp_path / "cm")
+    shutil.copytree(GOLDEN_CM, work)
+    batch = spark.createDataFrame([(3, 3.0)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="minWriterVersion=5"):
+        dl.write_delta(batch, work, mode="append")
+    assert dl.read_delta(spark, work).count() == 2
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    """id-mode mapping resolves by parquet FIELD ID, which this reader
+    does not implement — name-mode support must not leak id-mode tables
+    through the gate."""
+    import shutil
+
+    work = str(tmp_path / "cm_id")
+    shutil.copytree(GOLDEN_CM, work)
+    log = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    with open(log) as f:
+        lines = f.read().replace(
+            '"delta.columnMapping.mode":"name"',
+            '"delta.columnMapping.mode":"id"',
+        )
+    with open(log, "w") as f:
+        f.write(lines)
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="id-mode"):
+        dl.read_delta(spark, work)
 
 
 def test_unsupported_protocol_blocks_writes_not_reads(spark, tmp_path):
@@ -242,6 +288,74 @@ def test_column_invariants_block_writes_not_reads(spark, tmp_path):
     batch = spark.createDataFrame([(-1, 0.0)], "id long, v double")
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="invariants"):
         dl.write_delta(batch, work, mode="append")
+
+
+def test_checkpoint_preserves_protocol_features(spark, tmp_path):
+    """Checkpointing a writer-featured table must round-trip its
+    readerFeatures/writerFeatures: after the JSON commits are gone, the
+    reconstructed protocol still lists identityColumns and the write
+    gate keeps refusing (round-7 advice: a featureless checkpoint
+    laundered the gate away)."""
+    import shutil
+
+    work = str(tmp_path / "wfeat_cp")
+    shutil.copytree(GOLDEN_WFEAT, work)
+    # an external writer lands one more (featureless) commit, then the
+    # log is checkpointed and cleaned below it — the round-7 laundering
+    # scenario: only the checkpoint carries the protocol afterwards
+    with open(os.path.join(work, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "X"}}) + "\n")
+    dl.write_checkpoint(work, 1)
+    proto = None
+    for action in dl._read_checkpoint_actions(work, 1):
+        if "protocol" in action:
+            proto = action["protocol"]
+    assert proto is not None
+    assert proto.get("writerFeatures") == ["identityColumns"]
+    os.remove(os.path.join(work, "_delta_log", f"{0:020d}.json"))
+    assert dl.read_delta(spark, work).count() == 1  # reads still fine
+    batch = spark.createDataFrame([(11, 1.5)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="identityColumns"):
+        dl.write_delta(batch, work, mode="append")
+
+
+def test_add_constraint_refuses_foreign_features(spark, tmp_path):
+    """ALTER on a table whose writerFeatures this writer cannot uphold
+    must refuse BEFORE committing — and must never re-emit a protocol
+    stripped of its feature lists (round-7 advice: add_constraint
+    silently dropped writerFeatures, opening the table to later
+    appends)."""
+    import shutil
+
+    work = str(tmp_path / "wfeat_alter")
+    shutil.copytree(GOLDEN_WFEAT, work)
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="identityColumns"):
+        dl.add_constraint(spark, work, "v_pos", "v > 0")
+    # no commit landed; protocol on disk untouched
+    proto = dl._latest_protocol(work, dl._list_versions(work)[-1])
+    assert proto.get("writerFeatures") == ["identityColumns"]
+
+
+def test_add_constraint_v7_supported_features_preserved(spark, tmp_path):
+    """A v7 table whose features we DO support stays v7 with its list
+    preserved (plus checkConstraints declared) after ADD CONSTRAINT."""
+    path = str(tmp_path / "v7ok")
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    dl.write_delta(df, path)
+    # hand-upgrade to v7 with a supported feature set
+    versions = dl._list_versions(path)
+    with open(os.path.join(path, "_delta_log", f"{versions[-1] + 1:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 7,
+                                         "writerFeatures": ["appendOnly"]}}) + "\n")
+    dl.add_constraint(spark, path, "v_pos", "v > 0")
+    proto = dl._latest_protocol(path, dl._list_versions(path)[-1])
+    assert int(proto["minWriterVersion"]) == 7
+    assert set(proto["writerFeatures"]) == {"appendOnly", "checkConstraints"}
+    # the constraint is live
+    bad = spark.createDataFrame([(2, -1.0)], "id long, v double")
+    with pytest.raises(Exception, match="v_pos|constraint"):
+        dl.write_delta(bad, path, mode="append")
 
 
 def test_external_checkpoint_layout_replay(spark):

@@ -988,7 +988,7 @@ def test_deltalog_changes_readd_same_path(tmp_path, spark):
 
     path = str(tmp_path / "dreadd")
     dl.write_delta(spark.range(5).toDF("id").coalesce(1), path)  # v0: adds P
-    active, _, _ = dl._replay(path, 0)
+    active, _, _, _ = dl._replay(path, 0)
     (p,) = active  # the single part file
     now = 1_700_000_000_000
     # v1: remove P (content gone)
@@ -1200,7 +1200,7 @@ def test_deltalog_delete_where_file_targeted(spark, tmp_path):
     hi = spark.createDataFrame([(i, "hi") for i in range(100, 110)], "id long, tag string")
     dl.write_delta(lo.coalesce(1), path)
     dl.write_delta(hi.coalesce(1), path)
-    active0, _, _ = dl._replay(path, None)
+    active0, _, _, _ = dl._replay(path, None)
     lo_files = {r for r in active0 if json.loads(active0[r]["stats"])["maxValues"]["id"] < 100}
     assert len(active0) == 2 and len(lo_files) == 1
     before_bytes = {
@@ -1210,7 +1210,7 @@ def test_deltalog_delete_where_file_targeted(spark, tmp_path):
     assert v == 2
     got = sorted(r.id for r in dl.read_delta(spark, path).collect())
     assert got == list(range(10)) + list(range(105, 110))
-    active1, _, _ = dl._replay(path, None)
+    active1, _, _, _ = dl._replay(path, None)
     # the lo file is untouched: same add path, same mtime
     assert lo_files < set(active1)
     for rel in lo_files:
@@ -1545,7 +1545,7 @@ def test_multipart_checkpoint_100k_actions(spark, tmp_path):
         _pq.ParquetFile(f).metadata.num_rows <= dl.CHECKPOINT_MAX_ACTIONS_PER_PART
         for f in files
     )
-    active, schema, _ = dl._replay(path, 1)
+    active, schema, _, _ = dl._replay(path, 1)
     assert len(active) == n_fake + 1  # synthetic adds + the real v0 file
     assert [f.name for f in schema.fields] == ["id"]
 

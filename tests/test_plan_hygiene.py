@@ -55,10 +55,32 @@ _TINY_INPUT_GLOBAL_WINDOW_OK = {
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_single_partition_window(spark, name):
-    if name in _TINY_INPUT_GLOBAL_WINDOW_OK:
-        pytest.skip("annotated value-domain-bounded global window")
     df = QUERIES[name].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in _TINY_INPUT_GLOBAL_WINDOW_OK:
+        # weaker targeted gate instead of a skip (round-7 advice): each
+        # single-partition window must consume AGGREGATE output — an
+        # aggregate appears in its child chain before any scan. A
+        # refactor that re-points the window at the raw corpus would
+        # pass a skip silently.
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window " not in line and "WindowExec" not in line:
+                continue
+            ok = False
+            for nxt in lines[i + 1 :]:
+                if re.search(r"(Hash|Sort|Object.*)Aggregate", nxt):
+                    ok = True
+                    break
+                if "Scan" in nxt:
+                    break
+            assert ok, (
+                f"{name} is allowlisted for a value-domain-bounded "
+                "global window but the window's input chain reaches a "
+                "scan before any aggregate — the boundedness argument "
+                "no longer holds"
+            )
+        return
     assert not _single_partition_window(plan), (
         f"{name} plans a Window over Exchange SinglePartition — "
         "the whole input funnels through one task; partition the window, "
