@@ -239,22 +239,61 @@ def _plain_add(rel: str, size: int, ts: int = T0) -> dict:
 
 
 def make_dv_table() -> None:
-    """Reader-v3 table requiring deletionVectors: a row was deleted via
-    a DV sidecar, so a reader that ignores the feature would resurface
-    it. Our reader must raise DeltaUnsupportedProtocol, never read."""
+    """Reader-v3 table requiring deletionVectors — a POSITIVE fixture
+    since round 8: rows deleted through DV sidecars must be ABSENT from
+    every read. Exercises both storage forms (file-based 'u' with a
+    version byte + framed offset + CRC, and inline 'i' Z85), a
+    run-container bitmap, and the DELETE commit shape (remove +
+    re-add of the same path carrying the DV). Deterministic bytes:
+    fixed uuid, fixed rows.
+
+    Expected surviving rows: file1 loses ids 1,4 (indexes 0,3); file2
+    loses id 8 (index 2); file3 untouched → ids {2,3,5,6,7,9,10,11,12}.
+    """
+    import sys
+    import uuid as _uuidmod
+    import zlib as _zlib
+
+    import numpy as _np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import (
+        deletion_vectors as _dv,
+    )
+
     root = os.path.join(DATA_DIR, "golden_delta_dv")
     if os.path.isdir(root):
         shutil.rmtree(root)
-    rel = "part-00000-9999dddd-0000-4000-8000-000000000000-c000.snappy.parquet"
-    size = _write_plain_parquet(root, rel, [(1, 1.0), (2, 2.0)])
-    add = _plain_add(rel, size)
-    add["add"]["deletionVector"] = {
+    rel1 = "part-00000-9999dddd-0000-4000-8000-000000000000-c000.snappy.parquet"
+    rel2 = "part-00001-9999dddd-0000-4000-8000-000000000001-c000.snappy.parquet"
+    rel3 = "part-00002-9999dddd-0000-4000-8000-000000000002-c000.snappy.parquet"
+    size1 = _write_plain_parquet(
+        root, rel1, [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0)]
+    )
+    size2 = _write_plain_parquet(root, rel2, [(6, 6.0), (7, 7.0), (8, 8.0), (9, 9.0)])
+    size3 = _write_plain_parquet(root, rel3, [(10, 10.0), (11, 11.0), (12, 12.0)])
+
+    # file-based DV for file1: fixed uuid, one framed bitmap at offset 1
+    dv_uuid = _uuidmod.UUID("9999eeee-0000-4000-8000-000000000001")
+    data1 = _dv.roaring64_serialize(_np.array([0, 3]))
+    buf = bytearray(b"\x01")
+    off1 = len(buf)
+    buf += len(data1).to_bytes(4, "big") + data1
+    buf += (_zlib.crc32(data1) & 0xFFFFFFFF).to_bytes(4, "big")
+    with open(os.path.join(root, f"deletion_vector_{dv_uuid}.bin"), "wb") as f:
+        f.write(bytes(buf))
+    dv1 = {
         "storageType": "u",
-        "pathOrInlineDv": "ab^-aqEH.-t(zIW-:vzc",
-        "offset": 1,
-        "sizeInBytes": 36,
-        "cardinality": 1,
+        "pathOrInlineDv": _dv.z85_encode(dv_uuid.bytes),
+        "offset": off1,
+        "sizeInBytes": len(data1),
+        "cardinality": 2,
     }
+    dv2 = _dv.inline_dv_descriptor(_np.array([2]))
+
+    add1 = _plain_add(rel1, size1)
+    add2 = _plain_add(rel2, size2)
+    add3 = _plain_add(rel3, size3)
     _commit_json(
         root,
         0,
@@ -271,7 +310,44 @@ def make_dv_table() -> None:
                 PLAIN_SCHEMA_STRING,
                 {"delta.enableDeletionVectors": "true"},
             ),
-            add,
+            add1,
+            add2,
+            add3,
+        ],
+    )
+    # v1: the DELETE commit — remove + re-add the same paths, now
+    # carrying their deletion vectors (delta-spark's DV DELETE shape)
+    readd1 = _plain_add(rel1, size1, ts=T0 + 1000)
+    readd1["add"]["deletionVector"] = dv1
+    readd2 = _plain_add(rel2, size2, ts=T0 + 1000)
+    readd2["add"]["deletionVector"] = dv2
+    _commit_json(
+        root,
+        1,
+        [
+            {
+                "remove": {
+                    "path": rel1,
+                    "deletionTimestamp": T0 + 1000,
+                    "dataChange": True,
+                }
+            },
+            {
+                "remove": {
+                    "path": rel2,
+                    "deletionTimestamp": T0 + 1000,
+                    "dataChange": True,
+                }
+            },
+            readd1,
+            readd2,
+            {
+                "commitInfo": {
+                    "timestamp": T0 + 1000,
+                    "operation": "DELETE",
+                    "operationParameters": {},
+                }
+            },
         ],
     )
 

@@ -238,6 +238,21 @@ def _checkpoint_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # DV descriptors must survive checkpointing — a
+                        # checkpoint that drops them would resurrect
+                        # every DV-deleted row after log cleanup
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -400,6 +415,7 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
     )
     for rel in sorted(active):
         a = active[rel]
+        dv = a.get("deletionVector")
         rows.append(
             {
                 "add": {
@@ -409,6 +425,17 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": bool(a.get("dataChange", True)),
                     "stats": a.get("stats"),
+                    "deletionVector": (
+                        {
+                            "storageType": dv.get("storageType"),
+                            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": dv.get("sizeInBytes"),
+                            "cardinality": dv.get("cardinality"),
+                        }
+                        if dv
+                        else None
+                    ),
                 }
             }
         )
@@ -500,20 +527,27 @@ class DeltaUnsupportedProtocol(Exception):
 
 
 # Reader capability ceiling. This implementation targets reader
-# protocol v1 (plain add/remove replay over parquet data files) plus
-# NAME-mode column mapping (reader v2, or v3 listing the
-# ``columnMapping`` feature): physical parquet column names resolve to
-# logical schema names via ``delta.columnMapping.physicalName`` field
-# metadata — the protocol every delta-spark 3.x table that ever RENAMEd
-# a column carries. ID-mode mapping (resolution by parquet field id,
-# the iceberg-conversion path) and the remaining reader features —
-# deletionVectors, timestampNtz, v2Checkpoint — change what bytes mean
-# on disk and are refused. Per spec, minReaderVersion 3 tables list
-# their requirements in ``readerFeatures`` and MAY be readable if every
-# listed feature is supported (an empty list is legal and
-# degenerate-v1).
+# protocol v1 (plain add/remove replay over parquet data files) plus:
+# - NAME-mode column mapping (reader v2, or v3 listing the
+#   ``columnMapping`` feature): physical parquet column names resolve
+#   to logical schema names via ``delta.columnMapping.physicalName``
+#   field metadata — the protocol every delta-spark 3.x table that
+#   ever RENAMEd a column carries;
+# - deletion vectors (reader v3 + ``deletionVectors``): roaring-bitmap
+#   row-index sets on add actions, applied as an anti-join on
+#   ``_metadata.row_index`` — the protocol every table that ran a
+#   modern row-level DELETE/UPDATE/MERGE carries (see
+#   sources/deletion_vectors.py for the byte formats).
+# ID-mode mapping (resolution by parquet field id, the
+# iceberg-conversion path) and the remaining reader features —
+# timestampNtz, v2Checkpoint — change what bytes mean on disk and are
+# refused. Per spec, minReaderVersion 3 tables list their requirements
+# in ``readerFeatures`` and MAY be readable if every listed feature is
+# supported (an empty list is legal and degenerate-v1).
 _SUPPORTED_READER_VERSION = 1
-_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"columnMapping"})
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
+    {"columnMapping", "deletionVectors"}
+)
 
 # Writer capability ceiling. v2 = column invariants (checked separately
 # at write time — see write paths: an external schema carrying
@@ -601,6 +635,87 @@ def _physical_type(dt: T.DataType) -> T.DataType:
 
 def _physical_name(field: T.StructField) -> str:
     return field.metadata.get("delta.columnMapping.physicalName", field.name)
+
+
+# Above this many total deleted rows the DV bitmaps decode on executors
+# (mapInPandas over the descriptor list) instead of the driver — a
+# 100 TB table's DVs can carry billions of row indexes, while the common
+# case (a few row-level deletes) is a handful of tiny bitmaps where the
+# extra Spark job costs more than the driver decode.
+DV_DRIVER_DECODE_MAX = 1_000_000
+
+
+def _deleted_rows_frame(
+    spark: SparkSession, table_path: str, dv_by_rel: dict[str, dict]
+) -> DataFrame:
+    """(dv_fname, dv_ridx) rows for every DV-deleted row of the given
+    add actions. Join key is the data file's BASENAME — Delta part
+    files embed a writer uuid, unique within a table. Size-gated
+    driver/executor decode (see DV_DRIVER_DECODE_MAX); cardinality
+    comes free from the descriptors so the gate costs nothing."""
+    import pandas as pd
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+        deleted_row_indexes,
+    )
+
+    out_schema = "dv_fname string, dv_ridx long"
+    total = sum(int(d.get("cardinality", 0)) for d in dv_by_rel.values())
+    if total <= DV_DRIVER_DECODE_MAX:
+        frames = [
+            pd.DataFrame(
+                {
+                    "dv_fname": os.path.basename(rel),
+                    "dv_ridx": deleted_row_indexes(table_path, desc),
+                }
+            )
+            for rel, desc in dv_by_rel.items()
+        ]
+        pdf = pd.concat(frames, ignore_index=True)
+        return spark.createDataFrame(pdf, out_schema)
+    desc_rows = [
+        (os.path.basename(rel), json.dumps(desc))
+        for rel, desc in sorted(dv_by_rel.items())
+    ]
+    descs = spark.createDataFrame(desc_rows, "fname string, desc string")
+    descs = descs.repartition(min(len(desc_rows), 64))
+
+    def _emit(batches):
+        for pdf in batches:
+            for fname, dj in zip(pdf["fname"], pdf["desc"]):
+                yield pd.DataFrame(
+                    {
+                        "dv_fname": fname,
+                        "dv_ridx": deleted_row_indexes(table_path, json.loads(dj)),
+                    }
+                )
+
+    return descs.mapInPandas(_emit, out_schema)
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    dv_by_rel: dict[str, dict],
+) -> DataFrame:
+    """Drop DV-deleted rows from a parquet read: anti-join on
+    (file basename, ``_metadata.row_index``). Must be applied to the
+    reader output BEFORE any projection drops the _metadata column."""
+    from pyspark.sql import functions as F
+
+    deleted = _deleted_rows_frame(spark, table_path, dv_by_rel)
+    keyed = df.withColumn(
+        "__dv_fname",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("__dv_ridx", F.col("_metadata.row_index"))
+    survivors = keyed.join(
+        deleted,
+        (F.col("__dv_fname") == F.col("dv_fname"))
+        & (F.col("__dv_ridx") == F.col("dv_ridx")),
+        "left_anti",
+    )
+    return survivors.drop("__dv_fname", "__dv_ridx")
 
 
 def _to_logical_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -1317,6 +1432,11 @@ def read_delta(
     if not active:
         return spark.createDataFrame([], schema)
     files = [os.path.join(path, rel) for rel in sorted(active)]
+    dv_by_rel = {
+        rel: a["deletionVector"]
+        for rel, a in active.items()
+        if a.get("deletionVector")
+    }
     reader = spark.read.schema(_physical_type(schema) if cm else schema)
     if partition_cols:
         # hive-layout partition columns materialize from the dir names;
@@ -1326,12 +1446,12 @@ def read_delta(
         # what a Delta reader must present (externally-written tables
         # commonly declare partition columns first)
         reader = reader.option("basePath", path)
-        df = reader.parquet(*files)
-        if cm:
-            return _to_logical_columns(df, schema)
-        return df.select(*schema.fieldNames())
     df = reader.parquet(*files)
-    return _to_logical_columns(df, schema) if cm else df
+    if dv_by_rel:
+        df = _apply_deletion_vectors(spark, path, df, dv_by_rel)
+    if cm:
+        return _to_logical_columns(df, schema)
+    return df.select(*schema.fieldNames())
 
 
 def merge_delta(
@@ -2229,6 +2349,20 @@ def delta_changes(
         if v <= since_version or v > to_version:
             continue
         for action in _read_actions(path, v):
+            payload = action.get("add") or action.get("remove")
+            if payload and payload.get("deletionVector"):
+                # a DV commit changes the CONTENT of an existing path —
+                # file-granular netting would report "no change" for a
+                # row-level delete. Snapshot reads handle DVs; this
+                # change feed cannot represent them faithfully, so
+                # refuse rather than under-report (real CDF needs the
+                # table's _change_data files here).
+                raise DeltaUnsupportedProtocol(
+                    f"change window ({since_version}, {to_version}] of "
+                    f"{path} contains deletionVector commits — file-"
+                    "granular change feeds cannot represent row-level "
+                    "deletes; read snapshots instead"
+                )
             if "add" in action and action["add"].get("dataChange", True):
                 net[action["add"]["path"]] += 1
             elif "remove" in action and action["remove"].get("dataChange", True):

@@ -1,0 +1,125 @@
+"""Deletion-vector codec properties: the parser must read back every
+bitmap the serializer can produce (array / run / bitmap containers,
+multi-high-key 64-bit values, both cookies), Z85 must round-trip
+arbitrary bytes, and the read path must behave identically through the
+driver-decode and executor-decode (mapInPandas) gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import (
+    deletion_vectors as dv,
+)
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+
+@given(st.binary(min_size=0, max_size=64))
+def test_z85_roundtrip(b):
+    assert dv.z85_decode(dv.z85_encode(b), len(b)) == b
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        min_size=0,
+        max_size=500,
+    )
+)
+def test_roaring64_roundtrip(vals):
+    arr = np.asarray(sorted(set(vals)), dtype=np.int64)
+    out = dv.roaring64_deserialize(dv.roaring64_serialize(arr))
+    assert np.array_equal(out, arr)
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        np.array([], dtype=np.int64),
+        np.arange(100, 110),  # one run container
+        np.arange(0, 10000, 2),  # dense scattered -> bitmap container
+        np.concatenate([np.arange(0, 5), np.array([1 << 33, (1 << 33) + 1])]),
+        np.arange(65530, 65545),  # crosses the 16-bit container boundary
+    ],
+)
+def test_roaring64_container_kinds(vals):
+    out = dv.roaring64_deserialize(dv.roaring64_serialize(vals))
+    assert np.array_equal(out, np.unique(vals))
+
+
+def test_file_frames_and_inline(tmp_path):
+    td = str(tmp_path)
+    a, b = np.array([1, 5]), np.arange(10, 40)
+    descs = dv.write_dv_file(td, [a, b])
+    assert descs[0]["offset"] == 1  # past the format-version byte
+    assert np.array_equal(dv.deleted_row_indexes(td, descs[0]), a)
+    assert np.array_equal(dv.deleted_row_indexes(td, descs[1]), b)
+    inline = dv.inline_dv_descriptor(a)
+    assert np.array_equal(dv.deleted_row_indexes(td, inline), a)
+
+
+def test_cardinality_mismatch_raises(tmp_path):
+    d = dv.inline_dv_descriptor(np.array([0, 2]))
+    d["cardinality"] = 3
+    with pytest.raises(ValueError, match="cardinality"):
+        dv.deleted_row_indexes(str(tmp_path), d)
+
+
+def _make_dv_table(spark, path: str, n_rows: int, deleted: np.ndarray) -> None:
+    import json
+    import os
+
+    spark.range(n_rows).selectExpr(
+        "id", "cast(id as double) as v"
+    ).coalesce(1).write.parquet(path + "_stage")
+    part = next(
+        f for f in os.listdir(path + "_stage") if f.endswith(".parquet")
+    )
+    os.makedirs(path)
+    os.rename(
+        os.path.join(path + "_stage", part), os.path.join(path, part)
+    )
+    desc = dv.write_dv_file(path, [deleted])[0]
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": part, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_driver_and_executor_decode_agree(spark, tmp_path, monkeypatch):
+    """The DV_DRIVER_DECODE_MAX gate changes the decode locality, never
+    the result."""
+    deleted = np.unique(np.random.RandomState(3).randint(0, 500, size=120))
+    path = str(tmp_path / "t")
+    _make_dv_table(spark, path, 500, deleted)
+    expect = sorted(set(range(500)) - set(deleted.tolist()))
+    got_driver = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got_driver == expect
+    monkeypatch.setattr(dl, "DV_DRIVER_DECODE_MAX", 0)
+    got_exec = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got_exec == expect

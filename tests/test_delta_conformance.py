@@ -197,15 +197,75 @@ GOLDEN_INV = os.path.join(os.path.dirname(__file__), "data", "golden_delta_inv")
 GOLDEN_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ckpt")
 
 
-def test_deletion_vector_table_refused(spark):
-    """Reader-v3 + deletionVectors: reading would resurface the
-    DV-deleted row — every read path must raise, version pins too."""
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
-        dl.read_delta(spark, GOLDEN_DV)
-    with pytest.raises(dl.DeltaUnsupportedProtocol):
-        dl.read_delta(spark, GOLDEN_DV, version=0)
-    with pytest.raises(dl.DeltaUnsupportedProtocol):
+def test_deletion_vector_table_reads(spark):
+    """Reader-v3 + deletionVectors (round-8 positive fixture): rows
+    deleted through DV sidecars are absent — file-based 'u' descriptor
+    (version byte, framed offset, CRC) on file1, inline 'i' Z85 on
+    file2, file3 untouched."""
+    df = dl.read_delta(spark, GOLDEN_DV)
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [2, 3, 5, 6, 7, 9, 10, 11, 12]  # 1,4,8 DV-deleted
+    # time travel to v0 (before the DELETE commit): all rows visible
+    assert dl.read_delta(spark, GOLDEN_DV, version=0).count() == 12
+    # file-granular CDF cannot represent row-level deletes — refuse
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVector"):
         dl.delta_changes(spark, GOLDEN_DV, since_version=-1)
+    # ...but a window that stops before the DV commit is fine
+    added, removed = dl.delta_changes(spark, GOLDEN_DV, since_version=-1,
+                                      to_version=0)
+    assert added.count() == 12 and removed.count() == 0
+
+
+def test_deletion_vector_write_refused_and_vacuum_safe(spark, tmp_path):
+    """DV tables stay read-only (writer v7 + deletionVectors is above
+    the writer ceiling), and VACUUM never deletes the DV .bin sidecars
+    (it only ever removes unreferenced *.parquet)."""
+    import shutil
+
+    work = str(tmp_path / "dv")
+    shutil.copytree(GOLDEN_DV, work)
+    batch = spark.createDataFrame([(99, 9.9)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
+        dl.write_delta(batch, work, mode="append")
+    deleted = dl.vacuum_delta(work, retain_hours=0.0, force=True)
+    assert not any(d.endswith(".bin") for d in deleted)
+    ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
+    assert ids == [2, 3, 5, 6, 7, 9, 10, 11, 12]
+
+
+def test_deletion_vector_checkpoint_roundtrip(spark, tmp_path):
+    """Checkpointing a DV table must carry the descriptors: after log
+    cleanup the checkpoint is the only source, and a dropped DV would
+    resurrect deleted rows (the worst failure mode)."""
+    import shutil
+
+    work = str(tmp_path / "dv_cp")
+    shutil.copytree(GOLDEN_DV, work)
+    dl.write_checkpoint(work, 1)
+    for v in (0,):
+        os.remove(os.path.join(work, "_delta_log", f"{v:020d}.json"))
+    ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
+    assert ids == [2, 3, 5, 6, 7, 9, 10, 11, 12]
+
+
+def test_deletion_vector_corruption_refused(spark, tmp_path):
+    """A DV whose bytes disagree with the descriptor (CRC or
+    cardinality) must raise, never silently mis-delete."""
+    import shutil
+
+    work = str(tmp_path / "dv_bad")
+    shutil.copytree(GOLDEN_DV, work)
+    binp = next(
+        os.path.join(work, f)
+        for f in os.listdir(work)
+        if f.startswith("deletion_vector_")
+    )
+    raw = bytearray(open(binp, "rb").read())
+    raw[-1] ^= 0xFF  # corrupt the CRC word
+    with open(binp, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(Exception, match="checksum|cardinality"):
+        dl.read_delta(spark, work).collect()
 
 
 def test_column_mapping_name_mode_reads(spark):
