@@ -2248,7 +2248,19 @@ def q59_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed form (round-6 de-skew), NOT ``Window.partitionBy
     ("lang")``: lang is a fixed enum, so the window form would funnel
     the dominant language through ONE task at corpus scale. Cost: two
-    balanced shuffles + an O(n_partitions + n_strata) offset table."""
+    balanced shuffles + an O(n_partitions + n_strata) offset table.
+
+    Round-8 answer to the carried q96/z11-style re-tune question: this
+    cumsum does NOT qualify for the value-domain-bounded plain-window
+    annotation. q96/z11 window over DISTINCT-VALUE aggregates (bounded
+    by a 6-dp score domain regardless of corpus size); q59's window
+    input is one row PER DOCUMENT — n_tok repeats but the running sum
+    needs every row, so no distinct-value compression exists and the
+    frame grows linearly with the corpus. Measured A/B at sf0.1: the
+    plain enum-partitioned window is 0.26 s vs 0.87 s stratified — the
+    0.6 s is the price of not funneling ~half a real crawl (lang='en')
+    through one task, and stays: this query exists to be the 100 TB
+    export step."""
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
         ws_token_count,
     )
