@@ -176,6 +176,93 @@ def minhash_band_hashes(
     return _bands
 
 
+def _hashed_shingles_with_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """``_hashed_shingles`` fused with ``minhash_band_hashes`` into ONE
+    mapInPandas pass returning (id, sh, _bh) — the z10 kernel lesson
+    applied to MinHash: chaining two pandas UDFs pays two Arrow
+    round-trips and two Python dispatches per batch, and the shingle
+    stage dominated q33's cost (measured 2.2 s → 1.6 s end-to-end at
+    sf0.1). Hashing, tokenization and band folding are BIT-IDENTICAL to
+    the unfused helpers (same blake2b-8, same splitmix64 salts), plus a
+    per-task shingle-digest memo for boilerplate repeated across
+    documents. Shingle-less/NULL docs get sh=[] and _bh=NULL (so
+    posexplode drops them from banding, exactly as the unfused band UDF
+    does)."""
+    import hashlib
+    import re
+
+    r = num_hashes // bands
+    assert num_hashes % bands == 0
+    rng = np.random.RandomState(seed)
+    salts = rng.randint(0, 2**63, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
+    ws = re.compile(r"\s+", re.ASCII)
+    k = shingle_k
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _emit(batches):
+        blake2b = hashlib.blake2b
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids: list = []
+            shs: list = []
+            bhs: list = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                toks = (
+                    [t for t in ws.split(text.strip().lower()) if t]
+                    if text is not None
+                    else []
+                )
+                if len(toks) >= k:
+                    raw = {
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    }
+                elif toks:
+                    raw = {" ".join(toks)}
+                else:
+                    ids.append(doc_id)
+                    shs.append([])
+                    bhs.append(None)
+                    continue
+                sh = []
+                for s in raw:
+                    h = memo.get(s)
+                    if h is None:
+                        h = int.from_bytes(
+                            blake2b(s.encode(), digest_size=8).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        memo[s] = h
+                    sh.append(h)
+                x = np.asarray(sh, dtype=np.int64).view(np.uint64)
+                sig = _splitmix64(x[None, :] ^ salts[:, None]).min(axis=1)
+                band_vals = sig.reshape(bands, r)
+                bh = band_vals[:, 0]
+                for j in range(1, r):
+                    bh = _splitmix64(bh ^ band_vals[:, j])
+                ids.append(doc_id)
+                shs.append(sorted(sh))
+                bhs.append(bh.astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {"id": np.asarray(ids), "sh": shs, "_bh": bhs}
+            )
+
+    return ensure_min_partitions(df).select(id_col, text_col).mapInPandas(
+        _emit, f"id {id_type}, sh array<long>, _bh array<long>"
+    )
+
+
 def _chunked_bucket(xs_col: str, cap: int):
     """Bound quadratic pair emission from one LSH bucket: above ``cap``
     members, split the collected array into overlapping windows of size
@@ -361,42 +448,45 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
     verify → pairs ≥ threshold. Output: (id_a, id_b, jaccard).
 
+    Both postures start from ONE fused kernel pass
+    (``_hashed_shingles_with_bands``: tokenize + shingle-hash + band
+    fold in a single Arrow batch — two chained pandas UDFs measured
+    ~0.6 s slower at sf0.1).
+
     ``persist_shingles`` picks the execution posture. True (default, the
-    reuse/cluster posture): the shingle frame — feeding the banding and
+    reuse/cluster posture): the combined frame — feeding the banding and
     both verify sides — is persisted (MEMORY_AND_DISK) and materialized
-    with one count, so the tokenize+hash UDF runs once instead of once
-    per consumer branch, and the count doubles as the corpus-size probe:
+    with one count, so the kernel runs once instead of once per
+    consumer branch, and the count doubles as the corpus-size probe:
     small corpora (≤ ``broadcast_max_docs``) get broadcast-hash verify
     joins instead of two sort-merge shuffles of the candidate set.
     False (the single-shot cold posture, e.g. a one-off bench/CLI run):
-    no persist barrier, no sizing job, no broadcast builds — instead a
-    COMBINED (id, sh, band_hashes) frame computed in one chained-UDF
-    pass feeds both the banding branch and the verify joins, and the
-    verify joins are merge-hinted so their identically-partitioned
-    hash(id) exchanges dedupe (ReuseExchange) rather than re-running
-    the shingle UDF per broadcast build (A/B at sf0.1: 2.4 s combined
-    vs 4.1 s separate banding + hinted verify, vs 2.1 s round-7 form —
-    and the combined shape is the one that exists at 100 TB anyway)."""
-    hs = _hashed_shingles(df, text_col, id_col, shingle_k)
+    no persist barrier, no sizing job, no broadcast builds — the
+    combined frame feeds both branches lazily and the verify joins are
+    merge-hinted so their identically-partitioned hash(id) exchanges
+    dedupe (ReuseExchange) rather than re-running the kernel per
+    broadcast build (A/B at sf0.1: 1.6 s fused/hinted vs 4.1 s
+    separate banding + hinted verify vs 2.1 s round-7 chained-UDF form
+    — and the shuffled-verify shape is the one that exists at 100 TB
+    anyway)."""
+    combined = _hashed_shingles_with_bands(
+        df, text_col, id_col, shingle_k, num_hashes, bands, seed
+    )
+    use_broadcast = False
     if persist_shingles:
         from pyspark import StorageLevel
 
-        hs = hs.persist(StorageLevel.MEMORY_AND_DISK)
-        use_broadcast = hs.count() <= broadcast_max_docs
-        cands = _lsh_candidates_from_shingles(
-            hs, num_hashes, bands, seed, min_band_collisions, bucket_cap=bucket_cap
-        )
-        return _jaccard_of_pairs_from_shingles(
-            cands, hs, broadcast_shingles=use_broadcast
-        ).filter(F.col("jaccard") >= threshold)
-    band_udf = minhash_band_hashes(num_hashes, bands, seed)
-    combined = hs.select("id", "sh", band_udf(F.col("sh")).alias("_bh"))
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        use_broadcast = combined.count() <= broadcast_max_docs
     banded = combined.select(
         "id", F.posexplode("_bh").alias("band_idx", "band_hash")
     )
     cands = _lsh_candidates_from_banded(banded, min_band_collisions, bucket_cap)
+    sh = combined.select("id", "sh")
+    if not persist_shingles:
+        sh = sh.hint("merge")
     return _jaccard_of_pairs_from_shingles(
-        cands, combined.select("id", "sh").hint("merge")
+        cands, sh, broadcast_shingles=use_broadcast
     ).filter(F.col("jaccard") >= threshold)
 
 
