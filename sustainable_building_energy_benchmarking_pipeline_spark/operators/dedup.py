@@ -176,6 +176,90 @@ def minhash_band_hashes(
     return _bands
 
 
+def _shingle_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    extra: list | None = None,
+) -> DataFrame:
+    """``_hashed_shingles`` fused with the posting explode into one
+    mapInPandas pass: (id, *extra, sz, s) rows leave Python already
+    exploded — no JVM Generate over a UDF array output (the z10
+    plan-shape lesson; measured ~0.4 s of q32's cost at sf0.1) and no
+    list<int64> Arrow assembly. Hashing/tokenization bit-identical to
+    ``_hashed_shingles`` (blake2b-8 over ASCII-\\s+ lowercased
+    k-grams), with a per-task digest memo. ``sz`` is the document's
+    DISTINCT shingle count (the Jaccard denominator piece), repeated on
+    each posting so no sizes join is needed downstream. Shingle-less
+    docs emit nothing, exactly like exploding an empty array."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    k = shingle_k
+    extra = extra or []
+    sel = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        *[c.alias(name) for c, name in extra],
+        F.col(text_col).alias("_txt"),
+    )
+    fields = ["id"] + [name for _, name in extra]
+    types = {f: sel.schema[f].dataType.simpleString() for f in fields}
+    out_schema = (
+        ", ".join(f"{f} {types[f]}" for f in fields) + ", sz int, s long"
+    )
+
+    def _emit(batches):
+        blake2b = hashlib.blake2b
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            cols: dict[str, list] = {f: [] for f in fields}
+            counts: list[int] = []
+            flat: list[int] = []
+            field_vals = [pdf[f].values for f in fields]
+            for text, *fvals in zip(pdf["_txt"].values, *field_vals):
+                toks = (
+                    [t for t in ws.split(text.strip().lower()) if t]
+                    if text is not None
+                    else []
+                )
+                if len(toks) >= k:
+                    raw = {
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    }
+                elif toks:
+                    raw = {" ".join(toks)}
+                else:
+                    continue
+                for s in raw:
+                    h = memo.get(s)
+                    if h is None:
+                        h = int.from_bytes(
+                            blake2b(s.encode(), digest_size=8).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        memo[s] = h
+                    flat.append(h)
+                counts.append(len(raw))
+                for f, v in zip(fields, fvals):
+                    cols[f].append(v)
+            if not counts:
+                continue
+            out = {
+                f: np.repeat(np.asarray(cols[f]), counts) for f in fields
+            }
+            out["sz"] = np.repeat(
+                np.asarray(counts, dtype=np.int32), counts
+            )
+            out["s"] = np.asarray(flat, dtype=np.int64)
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(_emit, out_schema)
+
+
 def _hashed_shingles_with_bands(
     df: DataFrame,
     text_col: str,
@@ -523,12 +607,9 @@ def blocked_jaccard_pairs(
     """
     assert threshold > 0.0, "inverted-index Jaccard only surfaces overlapping pairs"
     blk = [f"_blk{i}" for i in range(len(block_cols))]
-    sh = _hashed_shingles(
+    postings = _shingle_postings(
         df, text_col, id_col, shingle_k,
         extra=[(c, f"_blk{i}") for i, c in enumerate(block_cols)],
-    )
-    postings = sh.select(
-        "id", *blk, F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
     # merge-hint the self-join: at toy SF the planner picks broadcast
     # (postings fit), but that re-runs the Python shingle pipeline for
