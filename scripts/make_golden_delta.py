@@ -638,12 +638,249 @@ def make_checkpointed_table() -> None:
     # only route to the pre-v2 state, exactly the post-cleanup layout.
 
 
+def make_ntz_table() -> None:
+    """Reader-v3 + timestampNtz: a TIMESTAMP WITHOUT TIME ZONE column
+    (parquet isAdjustedToUTC=false). Values must read back as the
+    WALL-CLOCK instants written, regardless of session timezone."""
+    import datetime
+
+    root = os.path.join(DATA_DIR, "golden_delta_ntz")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel = "part-00000-aaaa1111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    dest = os.path.join(root, rel)
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [
+                        datetime.datetime(2024, 1, 1, 12, 0, 0),
+                        datetime.datetime(2024, 6, 1, 0, 30, 0),
+                    ],
+                    pa.timestamp("us"),  # no tz => isAdjustedToUTC=false
+                ),
+            }
+        ),
+        dest,
+        compression="snappy",
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {
+                    "name": "ts",
+                    "type": "timestamp_ntz",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": ["timestampNtz"],
+                }
+            },
+            _meta(schema),
+            _plain_add(rel, os.path.getsize(dest)),
+        ],
+    )
+
+
+def make_v2_checkpoint_table() -> None:
+    """Reader-v3 + v2Checkpoint: a uuid-named checkpoint file carrying
+    checkpointMetadata + sidecar actions, with the add/remove actions
+    split across TWO _sidecars/ parquet files. Early JSON commits are
+    cleaned, so the snapshot is reconstructible only through the v2
+    checkpoint + the one retained JSON.
+
+    History: v0 added f0+f1, v1 removed f1 and added f2 (JSONs v0+v1
+    deleted after the v2 checkpoint at v1), v2 adds f3 (retained JSON).
+    Expected latest snapshot: f0, f2, f3 → ids {1, 2, 3, 4}."""
+    root = os.path.join(DATA_DIR, "golden_delta_v2cp")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    files = {
+        "part-00000-eeee0000-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (1, 1.0),
+            (2, 2.0),
+        ],
+        "part-00001-eeee1111-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (99, 99.0)  # removed at v1 — must NOT appear
+        ],
+        "part-00002-eeee2222-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (3, 3.0)
+        ],
+        "part-00003-eeee3333-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (4, 4.0)
+        ],
+    }
+    sizes = {rel: _write_plain_parquet(root, rel, rows) for rel, rows in files.items()}
+    rels = list(files)
+    log = os.path.join(root, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir)
+
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    side_schema = pa.schema([("add", add_t), ("remove", remove_t)])
+
+    def _add_row(rel: str) -> dict:
+        return {
+            "path": rel,
+            "partitionValues": [],
+            "size": sizes[rel],
+            "modificationTime": T0,
+            "dataChange": True,
+            "stats": None,
+        }
+
+    side_files = {
+        "00000000000000000001.checkpoint.0000000001.0000000002-s1.parquet": [
+            {"add": _add_row(rels[0]), "remove": None},
+        ],
+        "00000000000000000001.checkpoint.0000000001.0000000002-s2.parquet": [
+            {"add": _add_row(rels[2]), "remove": None},
+            {
+                "add": None,
+                "remove": {
+                    "path": rels[1],
+                    "deletionTimestamp": T0 + 1,
+                    "dataChange": True,
+                },
+            },
+        ],
+    }
+    side_meta = {}
+    for name, rows in side_files.items():
+        dest = os.path.join(side_dir, name)
+        pq.write_table(pa.Table.from_pylist(rows, schema=side_schema), dest)
+        side_meta[name] = os.path.getsize(dest)
+
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    cpmeta_t = pa.struct([("version", pa.int64()), ("tags", str_map)])
+    sidecar_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    main_schema = pa.schema(
+        [
+            ("protocol", proto_t),
+            ("metaData", meta_t),
+            ("txn", txn_t),
+            ("checkpointMetadata", cpmeta_t),
+            ("sidecar", sidecar_t),
+        ]
+    )
+    main_rows = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "88888888-aaaa-4bbb-8ccc-000000000000",
+                "name": None,
+                "description": None,
+                "format": {"provider": "parquet", "options": []},
+                "schemaString": PLAIN_SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": [],
+                "createdTime": T0,
+            }
+        },
+        {"txn": {"appId": "v2cp-app", "version": 5}},
+        {"checkpointMetadata": {"version": 1, "tags": []}},
+    ] + [
+        {
+            "sidecar": {
+                "path": name,
+                "sizeInBytes": size,
+                "modificationTime": T0,
+            }
+        }
+        for name, size in side_meta.items()
+    ]
+    main_rows = [
+        {k: row.get(k) for k in main_schema.names} for row in main_rows
+    ]
+    cp_name = (
+        "00000000000000000001.checkpoint."
+        "80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    )
+    pq.write_table(
+        pa.Table.from_pylist(main_rows, schema=main_schema),
+        os.path.join(log, cp_name),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": len(main_rows) + 3}))
+    # retained JSON commit v2 (v0/v1 cleaned away)
+    _commit_json(root, 2, [_plain_add(rels[3], sizes[rels[3]], ts=T0 + 2)])
+
+
 def main_family() -> None:
     make_dv_table()
     make_column_mapping_table()
     make_writer_feature_table()
     make_invariants_table()
     make_checkpointed_table()
+    make_ntz_table()
+    make_v2_checkpoint_table()
     print(f"protocol/checkpoint fixture family written under {DATA_DIR}")
 
 

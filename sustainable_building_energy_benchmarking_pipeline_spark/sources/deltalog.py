@@ -146,9 +146,17 @@ def _checkpoint_part_file(path: str, version: int, part: int, parts: int) -> str
     )
 
 
-# both checkpoint forms: single-file and multi-part
+# both classic checkpoint forms: single-file and multi-part
 _CP_NAME_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+# v2 ("uuid-named") checkpoint form: <version>.checkpoint.<uniqueStr>.parquet
+# — disjoint from the multi-part form (whose middle segment contains a
+# dot). v2 checkpoints carry a checkpointMetadata action and may move
+# their add/remove actions into _delta_log/_sidecars/ files referenced
+# by sidecar actions.
+_CP_V2_NAME_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-zA-Z_-]+)\.parquet$"
 )
 
 
@@ -177,9 +185,21 @@ def _checkpoint_parts(path: str, version: int) -> list[str] | None:
         parts_total = total if parts_total is None else parts_total
         if total == parts_total:
             found[part] = os.path.join(d, name)
-    if parts_total is None or len(found) != parts_total:
-        return None
-    return [found[i] for i in range(1, parts_total + 1)]
+    if parts_total is not None and len(found) == parts_total:
+        return [found[i] for i in range(1, parts_total + 1)]
+    # v2 (uuid-named) checkpoint — written by engines with
+    # checkpointPolicy=v2; several identical-content files may coexist
+    # (concurrent checkpointers), any one is complete on its own
+    v2 = sorted(
+        name
+        for name in os.listdir(d)
+        if name.startswith(prefix)
+        and _CP_V2_NAME_RE.match(name)
+        and not _CP_NAME_RE.match(name)
+    )
+    if v2:
+        return [os.path.join(d, v2[0])]
+    return None
 
 
 def _last_checkpoint_file(path: str) -> str:
@@ -330,22 +350,52 @@ def _read_checkpoint_actions(path: str, version: int) -> list[dict[str, Any]]:
     )
     hit = _ACTION_CACHE.get(key)
     if hit is None:
-        tbl = pa.concat_tables([pq.read_table(f) for f in files])
-        hit = []
-        for row in tbl.to_pylist():
-            for kind in ("protocol", "metaData", "txn", "add", "remove"):
-                payload = row.get(kind)
-                if payload is None:
+
+        def _rows_to_actions(tbl) -> tuple[list[dict], list[str]]:
+            actions: list[dict] = []
+            sidecars: list[str] = []
+            for row in tbl.to_pylist():
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    # v2 checkpoint: add/remove actions live in the
+                    # referenced _sidecars/ parquet — resolve below,
+                    # never surface the sidecar action itself
+                    sidecars.append(sc["path"])
                     continue
-                payload = {k: v for k, v in payload.items() if v is not None}
-                # map-typed fields come back as [(k, v), ...] pairs
-                for mk in ("partitionValues", "configuration"):
-                    if isinstance(payload.get(mk), list):
-                        payload[mk] = dict(payload[mk])
-                fmt = payload.get("format")
-                if isinstance(fmt, dict) and isinstance(fmt.get("options"), list):
-                    fmt["options"] = dict(fmt["options"])
-                hit.append({kind: payload})
+                for kind in ("protocol", "metaData", "txn", "add", "remove"):
+                    payload = row.get(kind)
+                    if payload is None:
+                        continue
+                    payload = {
+                        k: v for k, v in payload.items() if v is not None
+                    }
+                    # map-typed fields come back as [(k, v), ...] pairs
+                    for mk in ("partitionValues", "configuration"):
+                        if isinstance(payload.get(mk), list):
+                            payload[mk] = dict(payload[mk])
+                    fmt = payload.get("format")
+                    if isinstance(fmt, dict) and isinstance(
+                        fmt.get("options"), list
+                    ):
+                        fmt["options"] = dict(fmt["options"])
+                    actions.append({kind: payload})
+            return actions, sidecars
+
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
+        hit, sidecar_rels = _rows_to_actions(tbl)
+        for rel in sidecar_rels:
+            sp = os.path.join(_log_dir(path), "_sidecars", rel)
+            # sidecar content is immutable once referenced, so caching
+            # under the MAIN file's key stays correct
+            side_actions, nested = _rows_to_actions(pq.read_table(sp))
+            if nested:
+                raise ValueError(
+                    f"sidecar {rel} of checkpoint {version} references "
+                    "further sidecars — not a legal v2 checkpoint"
+                )
+            hit.extend(side_actions)
         if len(_ACTION_CACHE) >= _ACTION_CACHE_MAX:
             _ACTION_CACHE.pop(next(iter(_ACTION_CACHE)))
         _ACTION_CACHE[key] = hit
@@ -538,15 +588,24 @@ class DeltaUnsupportedProtocol(Exception):
 #   ``_metadata.row_index`` — the protocol every table that ran a
 #   modern row-level DELETE/UPDATE/MERGE carries (see
 #   sources/deletion_vectors.py for the byte formats).
+# - timestampNtz (reader v3 + ``timestampNtz``): TIMESTAMP WITHOUT
+#   TIME ZONE columns — the schemaString's ``timestamp_ntz`` parses to
+#   TimestampNTZType and Spark reads the isAdjustedToUTC=false parquet
+#   natively, so support is declarative (test-asserted).
+# - v2Checkpoint (reader v3 + ``v2Checkpoint``): uuid-named checkpoint
+#   files carrying a checkpointMetadata action, with add/remove
+#   actions optionally moved to _delta_log/_sidecars/ files referenced
+#   by sidecar actions — discovered in ``_checkpoint_parts`` and
+#   resolved in ``_read_checkpoint_actions``.
 # ID-mode mapping (resolution by parquet field id, the
-# iceberg-conversion path) and the remaining reader features —
-# timestampNtz, v2Checkpoint — change what bytes mean on disk and are
-# refused. Per spec, minReaderVersion 3 tables list their requirements
-# in ``readerFeatures`` and MAY be readable if every listed feature is
-# supported (an empty list is legal and degenerate-v1).
+# iceberg-conversion path) and any remaining reader features change
+# what bytes mean on disk and are refused. Per spec, minReaderVersion 3
+# tables list their requirements in ``readerFeatures`` and MAY be
+# readable if every listed feature is supported (an empty list is
+# legal and degenerate-v1).
 _SUPPORTED_READER_VERSION = 1
 _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"columnMapping", "deletionVectors"}
+    {"columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint"}
 )
 
 # Writer capability ceiling. v2 = column invariants (checked separately

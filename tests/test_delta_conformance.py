@@ -195,6 +195,8 @@ GOLDEN_CM = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cm")
 GOLDEN_WFEAT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_wfeat")
 GOLDEN_INV = os.path.join(os.path.dirname(__file__), "data", "golden_delta_inv")
 GOLDEN_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ckpt")
+GOLDEN_NTZ = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ntz")
+GOLDEN_V2CP = os.path.join(os.path.dirname(__file__), "data", "golden_delta_v2cp")
 
 
 def test_deletion_vector_table_reads(spark):
@@ -268,6 +270,34 @@ def test_deletion_vector_corruption_refused(spark, tmp_path):
         dl.read_delta(spark, work).collect()
 
 
+def test_timestamp_ntz_table_reads(spark, tmp_path):
+    """Reader-v3 + timestampNtz: the ntz column reads back as the
+    wall-clock instants written (session timezone is UTC-pinned, but
+    NTZ semantics are timezone-free by definition); writes into the
+    v7 timestampNtz table keep refusing."""
+    import datetime
+
+    df = dl.read_delta(spark, GOLDEN_NTZ)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "timestamp_ntz",
+    ]
+    rows = sorted((r["id"], r["ts"]) for r in df.collect())
+    assert rows == [
+        (1, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+        (2, datetime.datetime(2024, 6, 1, 0, 30, 0)),
+    ]
+    import shutil
+
+    work = str(tmp_path / "ntz")
+    shutil.copytree(GOLDEN_NTZ, work)
+    batch = spark.createDataFrame(
+        [(3, datetime.datetime(2025, 1, 1))], "id long, ts timestamp_ntz"
+    )
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="timestampNtz"):
+        dl.write_delta(batch, work, mode="append")
+
+
 def test_column_mapping_name_mode_reads(spark):
     """Reader-v2 name-mode column mapping (round-8): parquet columns
     are physical (col-xxxx); the read resolves them to the logical
@@ -285,6 +315,91 @@ def test_column_mapping_name_mode_reads(spark):
     added, removed = dl.delta_changes(spark, GOLDEN_CM, since_version=-1)
     assert added.columns == ["id", "v"] and added.count() == 2
     assert removed.count() == 0
+
+
+def test_column_mapping_partitioned_reads(spark, tmp_path):
+    """Name-mode mapping on a PARTITIONED table: hive dirs and
+    partitionValues carry the PHYSICAL partition-column name; the read
+    presents logical names in metaData column order and partition
+    pruning matches through the mapping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmp")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "lang",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-p1",
+                    },
+                },
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-d1",
+                    },
+                },
+            ],
+        }
+    )
+    rels = {}
+    for part, ids in (("en", [1, 2]), ("fr", [3])):
+        rel = f"col-p1={part}/part-0000-{part}-c000.snappy.parquet"
+        dest = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pq.write_table(
+            pa.table({"col-d1": pa.array(ids, pa.int64())}), dest
+        )
+        rels[part] = (rel, os.path.getsize(dest))
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "t",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": ["lang"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {"col-p1": part},
+                "size": size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for part, (rel, size) in rels.items()
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    df = dl.read_delta(spark, root)
+    assert df.columns == ["lang", "id"]  # metaData order, logical names
+    rows = sorted((r["lang"], r["id"]) for r in df.collect())
+    assert rows == [("en", 1), ("en", 2), ("fr", 3)]
+    # partition pruning through the LOGICAL name
+    fr = dl.read_delta(spark, root, partition_filter={"lang": "fr"})
+    assert sorted(r["id"] for r in fr.collect()) == [3]
 
 
 def test_column_mapping_table_still_write_refused(spark, tmp_path):
@@ -431,6 +546,27 @@ def test_external_checkpoint_layout_replay(spark):
     # time travel to the checkpointed version itself
     v2 = dl.read_delta(spark, GOLDEN_CKPT, version=2)
     assert v2.count() == 4
+
+
+def test_v2_checkpoint_sidecar_replay(spark, tmp_path):
+    """Reader-v3 + v2Checkpoint: a uuid-named checkpoint whose
+    add/remove actions live in two _sidecars/ files, with the early
+    JSON commits cleaned — the snapshot reconstructs only through the
+    v2 checkpoint + one retained JSON. The removed file's rows must not
+    appear; txn watermark survives; writes refuse."""
+    df = dl.read_delta(spark, GOLDEN_V2CP)
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [1, 2, 3, 4]  # 99 removed via the sidecar tombstone
+    assert dl.last_txn_version(GOLDEN_V2CP, "v2cp-app") == 5
+    # version pin replays checkpoint + the retained JSON
+    assert dl.read_delta(spark, GOLDEN_V2CP, version=2).count() == 4
+    import shutil
+
+    work = str(tmp_path / "v2cp")
+    shutil.copytree(GOLDEN_V2CP, work)
+    batch = spark.createDataFrame([(5, 5.0)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="v2Checkpoint"):
+        dl.write_delta(batch, work, mode="append")
 
 
 def test_our_own_tables_stay_below_the_gate(spark, tmp_path):

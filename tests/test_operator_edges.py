@@ -497,7 +497,7 @@ def test_optimize_commits_no_empty_files(spark, tmp_path):
     df = spark.range(50).selectExpr("id", "42 AS k")
     dl.write_delta(df, path)
     dl.optimize_delta(spark, path, target_files=8, zorder_by=["k"])
-    active, _schema, _p = dl._replay(path, dl._list_versions(path)[-1])
+    active, _schema, _p, _m = dl._replay(path, dl._list_versions(path)[-1])
     for add in active.values():
         stats = add.get("stats")
         assert stats and _json.loads(stats)["numRecords"] > 0
