@@ -111,6 +111,63 @@ def _make_dv_table(spark, path: str, n_rows: int, deleted: np.ndarray) -> None:
             f.write(json.dumps(a) + "\n")
 
 
+def test_dv_composes_with_column_mapping(spark, tmp_path):
+    """A table with BOTH name-mode column mapping and deletion vectors
+    (delta-spark 3.x after RENAME + row-level DELETE): the DV anti-join
+    runs on the physical read, then logical names come out."""
+    import json
+    import os
+
+    path = str(tmp_path / "cmdv")
+    os.makedirs(path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part = "part-0000-cmdv-c000.snappy.parquet"
+    pq.write_table(
+        pa.table({"col-x1": pa.array([10, 20, 30], pa.int64())}),
+        os.path.join(path, part),
+    )
+    desc = dv.inline_dv_descriptor(np.array([1]))  # drop id=20
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-x1",
+                    },
+                }
+            ],
+        }
+    )
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping", "deletionVectors"],
+                      "writerFeatures": ["columnMapping", "deletionVectors"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "name",
+                                        "delta.columnMapping.maxColumnId": "1"},
+                      "createdTime": 0}},
+        {"add": {"path": part, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    df = dl.read_delta(spark, path)
+    assert df.columns == ["id"]
+    assert sorted(r["id"] for r in df.collect()) == [10, 30]
+
+
 def test_driver_and_executor_decode_agree(spark, tmp_path, monkeypatch):
     """The DV_DRIVER_DECODE_MAX gate changes the decode locality, never
     the result."""
