@@ -225,7 +225,7 @@ def _latest_checkpoint_version(path: str, at_or_below: int | None = None) -> int
         return None
     candidates: set[int] = set()
     for name in os.listdir(d):
-        m = _CP_NAME_RE.match(name)
+        m = _CP_NAME_RE.match(name) or _CP_V2_NAME_RE.match(name)
         if not m:
             continue
         v = int(m.group(1))

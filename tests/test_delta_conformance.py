@@ -567,6 +567,15 @@ def test_v2_checkpoint_sidecar_replay(spark, tmp_path):
     batch = spark.createDataFrame([(5, 5.0)], "id long, v double")
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="v2Checkpoint"):
         dl.write_delta(batch, work, mode="append")
+    # a torn/missing _last_checkpoint pointer: discovery falls back to
+    # the listdir scan, which must see uuid-named checkpoints too
+    os.remove(os.path.join(work, "_delta_log", "_last_checkpoint"))
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        1,
+        2,
+        3,
+        4,
+    ]
 
 
 def test_our_own_tables_stay_below_the_gate(spark, tmp_path):
