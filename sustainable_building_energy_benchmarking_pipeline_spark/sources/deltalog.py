@@ -1532,6 +1532,9 @@ def merge_delta(
     if not versions:
         return write_delta(updates, path, mode="append")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
+    # fail fast: the commit gate re-checks after staging, but staging a
+    # MERGE against a feature-gated table is pure wasted IO
+    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
     if partition_cols:
         raise ValueError("merge_delta supports unpartitioned tables")
     # the same name+type enforcement write_delta applies: an updates
@@ -1865,6 +1868,7 @@ def delete_delta(
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
+    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
     if partition_cols:
         raise ValueError("delete_delta supports unpartitioned tables")
     config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
@@ -2293,6 +2297,7 @@ def optimize_delta(
     if not versions:
         return None
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
+    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
     if partition_cols:
         raise ValueError("optimize_delta supports unpartitioned tables")
     if len(active) <= target_files and not zorder_by:

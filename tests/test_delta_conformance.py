@@ -233,6 +233,13 @@ def test_deletion_vector_write_refused_and_vacuum_safe(spark, tmp_path):
     assert not any(d.endswith(".bin") for d in deleted)
     ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
     assert ids == [2, 3, 5, 6, 7, 9, 10, 11, 12]
+    # file-rewriting ops refuse EARLY (before staging any IO)
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
+        dl.delete_delta(spark, work, "id = 2")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
+        dl.optimize_delta(spark, work, target_files=1)
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
+        dl.merge_delta(spark, work, batch, "id")
 
 
 def test_deletion_vector_checkpoint_roundtrip(spark, tmp_path):
