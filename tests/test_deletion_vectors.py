@@ -168,6 +168,81 @@ def test_dv_composes_with_column_mapping(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [10, 30]
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dv_model_random_deletes(spark, tmp_path, seed):
+    """Model-based conformance: random rounds of DV row-level deletes
+    (remove + re-add with a GROWING deletion vector, delta's DELETE
+    shape) against a pure-Python model of surviving (file, row) sets —
+    checked at the head AND at every time-travel version."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    path = str(tmp_path / f"t{seed}")
+    os.makedirs(path)
+    n_files, rows_per = 3, 40
+    parts = {}
+    base = 0
+    for i in range(n_files):
+        part = f"part-{i:04d}-model-c000.snappy.parquet"
+        ids = list(range(base, base + rows_per))
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}),
+                       os.path.join(path, part))
+        parts[part] = ids
+        base += rows_per
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+    ] + [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for p in parts
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in v0:
+            f.write(json.dumps(a) + "\n")
+
+    deleted: dict[str, set[int]] = {p: set() for p in parts}
+    expected_by_version = {0: set(base for ids in parts.values() for base in ids)}
+    version = 0
+    for _round in range(4):
+        version += 1
+        part = list(parts)[rng.randint(n_files)]
+        kill = set(rng.choice(rows_per, size=rng.randint(1, 6), replace=False).tolist())
+        deleted[part] |= kill  # delta DVs are cumulative per file
+        desc = dv.inline_dv_descriptor(np.asarray(sorted(deleted[part])))
+        actions = [
+            {"remove": {"path": part, "deletionTimestamp": version,
+                        "dataChange": True}},
+            {"add": {"path": part, "partitionValues": {}, "size": 1,
+                     "modificationTime": version, "dataChange": True,
+                     "deletionVector": desc}},
+        ]
+        with open(os.path.join(log, f"{version:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        expected_by_version[version] = {
+            i
+            for p, ids in parts.items()
+            for off, i in enumerate(ids)
+            if off not in deleted[p]
+        }
+    for v, expect in expected_by_version.items():
+        got = {r["id"] for r in dl.read_delta(spark, path, version=v).collect()}
+        assert got == expect, f"seed={seed} version={v}"
+
+
 def test_driver_and_executor_decode_agree(spark, tmp_path, monkeypatch):
     """The DV_DRIVER_DECODE_MAX gate changes the decode locality, never
     the result."""
