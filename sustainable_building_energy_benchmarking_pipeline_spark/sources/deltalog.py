@@ -757,12 +757,33 @@ def _apply_deletion_vectors(
     table_path: str,
     df: DataFrame,
     dv_by_rel: dict[str, dict],
+    all_rels: list[str] | None = None,
 ) -> DataFrame:
     """Drop DV-deleted rows from a parquet read: anti-join on
     (file basename, ``_metadata.row_index``). Must be applied to the
-    reader output BEFORE any projection drops the _metadata column."""
+    reader output BEFORE any projection drops the _metadata column.
+
+    Basename (not full URI) is the join key because the URI rendering
+    of ``_metadata.file_path`` is a Spark/Hadoop detail — a silent
+    mismatch would RESURFACE deleted rows, the worst failure mode.
+    Delta writers make file names uuid-unique, but an external layout
+    could repeat a basename across partition dirs, which would
+    over-delete — so ambiguity refuses loudly instead."""
     from pyspark.sql import functions as F
 
+    scope = list(all_rels) if all_rels is not None else list(dv_by_rel)
+    dv_names = {os.path.basename(rel) for rel in dv_by_rel}
+    seen: dict[str, str] = {}
+    for rel in scope:
+        b = os.path.basename(rel)
+        if b in dv_names and seen.get(b, rel) != rel:
+            raise ValueError(
+                f"files of {table_path} share the basename {b!r} across "
+                "directories and one carries a deletion vector — "
+                "basename row matching would be ambiguous; refusing "
+                "rather than mis-apply DVs"
+            )
+        seen.setdefault(b, rel)
     deleted = _deleted_rows_frame(spark, table_path, dv_by_rel)
     keyed = df.withColumn(
         "__dv_fname",
@@ -1507,7 +1528,9 @@ def read_delta(
         reader = reader.option("basePath", path)
     df = reader.parquet(*files)
     if dv_by_rel:
-        df = _apply_deletion_vectors(spark, path, df, dv_by_rel)
+        df = _apply_deletion_vectors(
+            spark, path, df, dv_by_rel, all_rels=list(active)
+        )
     if cm:
         return _to_logical_columns(df, schema)
     return df.select(*schema.fieldNames())

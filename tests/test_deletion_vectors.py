@@ -168,6 +168,47 @@ def test_dv_composes_with_column_mapping(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [10, 30]
 
 
+def test_dv_basename_collision_refused(spark, tmp_path):
+    """An external layout repeating a basename across directories while
+    one copy carries a DV must refuse (basename row-matching would be
+    ambiguous) — never silently over-delete the other file's rows."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "dup")
+    rels = ["a/part-same.parquet", "b/part-same.parquet"]
+    for rel, ids in zip(rels, ([1, 2], [3, 4])):
+        dest = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), dest)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    desc = dv.inline_dv_descriptor(np.array([0]))
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "d", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": rels[0], "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}},
+        {"add": {"path": rels[1], "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="basename"):
+        dl.read_delta(spark, path).collect()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_dv_model_random_deletes(spark, tmp_path, seed):
     """Model-based conformance: random rounds of DV row-level deletes
