@@ -560,7 +560,10 @@ def minhash_near_duplicates(
     if persist_shingles:
         from pyspark import StorageLevel
 
+        from sustainable_building_energy_benchmarking_pipeline_spark.session import register_query_cache
+
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        register_query_cache(combined)  # outlives the call: release handle
         use_broadcast = combined.count() <= broadcast_max_docs
     banded = combined.select(
         "id", F.posexplode("_bh").alias("band_idx", "band_hash")

@@ -534,6 +534,10 @@ def ivf_topk_exact(
     assigned = corpus.withColumn("_cd", _cell_dist(F.col(vec_col))).select(
         "*", F.col("_cd.cell").alias("_cell"), F.col("_cd.dist").alias("_cdist")
     ).drop("_cd").persist(StorageLevel.MEMORY_AND_DISK)
+    # outlives the call (the returned rerank reads it): release handle
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import register_query_cache
+
+    register_query_cache(assigned)
 
     # job 1: nlist tiny rows — cell populations and radii
     stats = {

@@ -306,6 +306,12 @@ def _global_rank0(
         .drop("_mid")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # the persisted frame outlives this call (the returned lazy plan
+    # reads it) — register the release handle so clear_query_cache()
+    # returns the storage cache to baseline (round-8 lifecycle contract)
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import register_query_cache
+
+    register_query_cache(with_id)
     stats = sorted(
         with_id.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect(),
         key=lambda r: r["_pid"],

@@ -56,6 +56,18 @@ def test_clear_query_cache_idempotent_and_safe(spark, sf_dir):
     assert df.count() == n1
 
 
+def test_all_persisting_queries_release_via_handle(spark, sf_dir):
+    """Every query-layer persist is registered (round-8 sweep: q20's
+    two-pass rank frame, q49's IVF assignment, plus the bloom pair):
+    after clear_query_cache the storage cache returns to baseline."""
+    clear_query_cache(spark)
+    before = _n_cached(spark)
+    for name in ("q20_percent_rank", "q49_ivf_topk"):
+        assert QUERIES[name].fn(spark, sf_dir).count() >= 0
+    assert clear_query_cache(spark) >= 2
+    assert _n_cached(spark) <= before
+
+
 def test_register_then_clear_counts(spark):
     df = spark.range(10).persist()
     df.count()
