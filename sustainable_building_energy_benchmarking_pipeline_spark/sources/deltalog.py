@@ -832,23 +832,38 @@ def _check_column_invariants_absent(path: str, version: int) -> None:
         )
 
 
-def _check_write_protocol(proto: dict[str, Any], path: str) -> None:
+def _check_write_protocol(
+    proto: dict[str, Any], path: str, operation: str = "mutate"
+) -> None:
     """Raise ``DeltaUnsupportedProtocol`` unless this writer can uphold
     every invariant the table's protocol demands. Called at the commit
     choke point (``_commit_with_retry``) so MERGE/DELETE/OPTIMIZE/
     VACUUM/streaming sinks are all covered, and re-checked after losing
-    a version race (a rival may have upgraded the protocol mid-retry)."""
+    a version race (a rival may have upgraded the protocol mid-retry).
+
+    ``operation="append"`` relaxes exactly ONE feature: a blind append
+    into a ``deletionVectors`` table is safe — it neither reads nor
+    rewrites existing files, so the DV invariant is vacuous for it
+    (real Delta writers append to DV tables the same way). Every
+    file-touching operation (MERGE/DELETE/OPTIMIZE/RESTORE/overwrite)
+    keeps refusing: rewriting a DV-bearing file without applying its
+    bitmap would resurrect deleted rows. Column mapping stays refused
+    even for appends (new files would need PHYSICAL column names)."""
     v = int(proto.get("minWriterVersion", 2))
     feats = set(proto.get("writerFeatures") or [])
+    allowed = _SUPPORTED_WRITER_FEATURES
+    if operation == "append":
+        allowed = allowed | {"deletionVectors"}
     if v <= _SUPPORTED_WRITER_VERSION:
         return
-    if v == 7 and feats <= _SUPPORTED_WRITER_FEATURES:
+    if v == 7 and feats <= allowed:
         return
     raise DeltaUnsupportedProtocol(
         f"Delta table at {path} requires minWriterVersion={v}"
         + (f" with writerFeatures={sorted(feats)}" if feats else "")
         + f", but this writer supports version <= {_SUPPORTED_WRITER_VERSION}"
-        + f" (or 7 with features within {sorted(_SUPPORTED_WRITER_FEATURES)})"
+        + f" (or 7 with features within {sorted(allowed)}"
+        + f" for {operation} operations)"
         + " — refusing to commit rather than violate invariants it cannot "
         "enforce"
     )
@@ -1274,6 +1289,9 @@ def write_delta(
         version,
         actions,
         max_retries=max_retries,
+        # blind appends qualify for the append-only protocol relaxation
+        # (deletionVectors tables accept them); everything else mutates
+        commit_operation="append" if mode == "append" else "mutate",
         # version>0 means this write enforced the snapshot's schema,
         # CHECK constraints, and appendOnly gate — a rival metaData/
         # protocol commit invalidates that derivation
@@ -1324,6 +1342,7 @@ def _commit_with_retry(
     max_retries: int = 5,
     read_metadata: bool = False,
     full_table: bool = False,
+    commit_operation: str = "mutate",
 ) -> int:
     """Optimistic-concurrency loop around ``_commit`` — the part of
     Delta's writer protocol the raw O_EXCL primitive leaves to the
@@ -1361,7 +1380,9 @@ def _commit_with_retry(
         # protocol demands capabilities this writer lacks. Transactions
         # that carry their own protocol action (constraint installs,
         # table creation) are the upgrade mechanism itself and exempt.
-        _check_write_protocol(_latest_protocol(path, version - 1), path)
+        _check_write_protocol(
+            _latest_protocol(path, version - 1), path, commit_operation
+        )
         _check_column_invariants_absent(path, version - 1)
     for attempt in range(max_retries + 1):
         try:
@@ -1418,7 +1439,9 @@ def _commit_with_retry(
                 # a rival may have UPGRADED the protocol mid-retry — a
                 # blind append must re-gate before re-committing, or it
                 # would write into a table it no longer understands
-                _check_write_protocol(_latest_protocol(path, latest), path)
+                _check_write_protocol(
+                    _latest_protocol(path, latest), path, commit_operation
+                )
                 _check_column_invariants_absent(path, latest)
             version = latest + 1
     raise AssertionError("unreachable")

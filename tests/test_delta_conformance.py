@@ -218,28 +218,37 @@ def test_deletion_vector_table_reads(spark):
     assert added.count() == 12 and removed.count() == 0
 
 
-def test_deletion_vector_write_refused_and_vacuum_safe(spark, tmp_path):
-    """DV tables stay read-only (writer v7 + deletionVectors is above
-    the writer ceiling), and VACUUM never deletes the DV .bin sidecars
-    (it only ever removes unreferenced *.parquet)."""
+def test_deletion_vector_append_allowed_mutations_refused(spark, tmp_path):
+    """Per-operation writer gate: a blind APPEND into a DV table is
+    safe (it touches no existing file, so the DV invariant is vacuous)
+    and must land; every file-rewriting op still refuses EARLY (before
+    staging any IO) — rewriting a DV-bearing file without its bitmap
+    would resurrect deleted rows. VACUUM never deletes the .bin
+    sidecars (it only ever removes unreferenced *.parquet)."""
     import shutil
 
     work = str(tmp_path / "dv")
     shutil.copytree(GOLDEN_DV, work)
-    batch = spark.createDataFrame([(99, 9.9)], "id long, v double")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
-        dl.write_delta(batch, work, mode="append")
+    batch = spark.createDataFrame([(100, 10.0)], "id long, v double")
+    v = dl.write_delta(batch, work, mode="append")
+    assert v == 2
+    ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
+    assert ids == [2, 3, 5, 6, 7, 9, 10, 11, 12, 100]  # DVs still applied
+    # checkpointing the appended table keeps the DV descriptors
+    dl.write_checkpoint(work)
+    assert dl.read_delta(spark, work).count() == 10
     deleted = dl.vacuum_delta(work, retain_hours=0.0, force=True)
     assert not any(d.endswith(".bin") for d in deleted)
-    ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
-    assert ids == [2, 3, 5, 6, 7, 9, 10, 11, 12]
-    # file-rewriting ops refuse EARLY (before staging any IO)
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
+        dl.write_delta(batch, work, mode="overwrite")
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
         dl.delete_delta(spark, work, "id = 2")
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
         dl.optimize_delta(spark, work, target_files=1)
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="deletionVectors"):
         dl.merge_delta(spark, work, batch, "id")
+    # snapshot untouched by the refused mutations
+    assert dl.read_delta(spark, work).count() == 10
 
 
 def test_deletion_vector_checkpoint_roundtrip(spark, tmp_path):
