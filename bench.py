@@ -111,6 +111,17 @@ def main() -> None:
     spent = 0.0
     for name in sorted(QUERIES):
         spent += run_one(name)
+    # FIRST re-pass cheapest-first: under host contention the cold sweep
+    # alone can eat half the budget, and a slowest-first re-pass then
+    # never reaches the cheap tail — whose COLD numbers are the most
+    # inflated relative to steady state (observed 6-8× under load) while
+    # re-measuring them costs seconds total. Cheapest-first guarantees
+    # full second-measurement coverage almost for free; the sweeps after
+    # it go slowest-first to sharpen where the absolute seconds are.
+    for name in sorted(timings, key=timings.get):
+        if spent >= BENCH_WALL_BUDGET:
+            break
+        spent += run_one(name)
     # repeated sweeps until the budget is spent or a full sweep finds no
     # better minimum — the per-query min is monotone, so extra sweeps
     # only sharpen the steady-state estimate
