@@ -873,6 +873,94 @@ def make_v2_checkpoint_table() -> None:
     _commit_json(root, 2, [_plain_add(rels[3], sizes[rels[3]], ts=T0 + 2)])
 
 
+def make_row_tracking_table() -> None:
+    """minWriterVersion 7 + rowTracking/domainMetadata — the writer
+    feature set newer delta-spark runtimes enable BY DEFAULT, so this
+    is the most common "modern table" shape after deletion vectors.
+    Both are WRITER-only features: reads must pass the reader gate
+    untouched while tolerating the action/field vocabulary they bring
+    (add.baseRowId / add.defaultRowCommitVersion, a domainMetadata
+    action carrying the delta.rowTracking high-water mark). Writes
+    must REFUSE: this writer cannot materialize fresh baseRowIds, and
+    committing an add without one would corrupt the table's row-id
+    assignment."""
+    root = os.path.join(DATA_DIR, "golden_delta_rowtracking")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel1 = "part-00000-aaaa1111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    rel2 = "part-00001-aaaa1111-0000-4000-8000-000000000001-c000.snappy.parquet"
+    size1 = _write_plain_parquet(root, rel1, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    size2 = _write_plain_parquet(root, rel2, [(4, 4.0), (5, 5.0)])
+    add1 = _plain_add(rel1, size1)
+    add1["add"]["baseRowId"] = 0
+    add1["add"]["defaultRowCommitVersion"] = 0
+    add2 = _plain_add(rel2, size2)
+    add2["add"]["baseRowId"] = 3
+    add2["add"]["defaultRowCommitVersion"] = 0
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["rowTracking", "domainMetadata"],
+                }
+            },
+            _meta(
+                PLAIN_SCHEMA_STRING,
+                {
+                    "delta.enableRowTracking": "true",
+                    "delta.rowTracking.materializedRowIdColumnName":
+                        "_row-id-col-0",
+                    "delta.rowTracking.materializedRowCommitVersionColumnName":
+                        "_row-commit-version-col-0",
+                },
+            ),
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps({"rowIdHighWaterMark": 4}),
+                    "removed": False,
+                }
+            },
+            add1,
+            add2,
+        ],
+    )
+
+
+def make_vacuum_protocol_check_table() -> None:
+    """Reader v3 + writer v7 with vacuumProtocolCheck on BOTH sides —
+    a routine delta-spark 3.x+ upgrade marker. The feature demands
+    nothing of readers and exactly one thing of writers: VACUUM must
+    re-check the protocol before deleting files. Reads, appends and
+    vacuums must all succeed here (every capability the protocol
+    lists is genuinely upheld)."""
+    root = os.path.join(DATA_DIR, "golden_delta_vpc")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel1 = "part-00000-bbbb2222-0000-4000-8000-000000000000-c000.snappy.parquet"
+    size1 = _write_plain_parquet(root, rel1, [(1, 1.0), (2, 2.0)])
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["vacuumProtocolCheck"],
+                    "writerFeatures": ["vacuumProtocolCheck"],
+                }
+            },
+            _meta(PLAIN_SCHEMA_STRING),
+            _plain_add(rel1, size1),
+        ],
+    )
+
+
 def main_family() -> None:
     make_dv_table()
     make_column_mapping_table()
@@ -881,6 +969,8 @@ def main_family() -> None:
     make_checkpointed_table()
     make_ntz_table()
     make_v2_checkpoint_table()
+    make_row_tracking_table()
+    make_vacuum_protocol_check_table()
     print(f"protocol/checkpoint fixture family written under {DATA_DIR}")
 
 

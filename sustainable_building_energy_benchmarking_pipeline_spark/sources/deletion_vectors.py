@@ -299,8 +299,13 @@ def deleted_row_indexes(table_path: str, desc: dict[str, Any]) -> np.ndarray:
             if st == "u"
             else desc["pathOrInlineDv"]
         )
+        # offset is OPTIONAL per the spec and may round-trip as an
+        # explicit null through a parquet checkpoint (struct fields are
+        # never stripped, only nulled) — both absent and None mean the
+        # default frame position right after the format-version byte
+        off = desc.get("offset")
         with open(p, "rb") as f:
-            f.seek(int(desc.get("offset", 1)))
+            f.seek(int(off) if off is not None else 1)
             frame_size = int.from_bytes(f.read(4), "big")
             if frame_size != size:
                 raise ValueError(

@@ -386,7 +386,22 @@ def _read_checkpoint_actions(path: str, version: int) -> list[dict[str, Any]]:
         )
         hit, sidecar_rels = _rows_to_actions(tbl)
         for rel in sidecar_rels:
-            sp = os.path.join(_log_dir(path), "_sidecars", rel)
+            # the spec encourages bare file names under _sidecars/ but
+            # allows paths; resolve absolute local paths directly and
+            # refuse non-file URI schemes with a protocol error instead
+            # of a misleading FileNotFoundError under _sidecars/
+            if "://" in rel:
+                if rel.startswith("file://"):
+                    sp = rel[len("file://"):]
+                else:
+                    raise DeltaUnsupportedProtocol(
+                        f"sidecar of checkpoint {version} at {path} uses "
+                        f"a URI scheme this reader cannot access: {rel!r}"
+                    )
+            elif os.path.isabs(rel):
+                sp = rel
+            else:
+                sp = os.path.join(_log_dir(path), "_sidecars", rel)
             # sidecar content is immutable once referenced, so caching
             # under the MAIN file's key stays correct
             side_actions, nested = _rows_to_actions(pq.read_table(sp))
@@ -597,6 +612,12 @@ class DeltaUnsupportedProtocol(Exception):
 #   actions optionally moved to _delta_log/_sidecars/ files referenced
 #   by sidecar actions — discovered in ``_checkpoint_parts`` and
 #   resolved in ``_read_checkpoint_actions``.
+# - vacuumProtocolCheck (reader v3 + ``vacuumProtocolCheck``): the
+#   feature's only requirement on READERS is nothing at all (it
+#   regulates VACUUM, which checks the write gate — see
+#   ``vacuum_delta``), so declaring support is the spec-correct move:
+#   refusing would lock out tables that are byte-identical to readable
+#   ones.
 # ID-mode mapping (resolution by parquet field id, the
 # iceberg-conversion path) and any remaining reader features change
 # what bytes mean on disk and are refused. Per spec, minReaderVersion 3
@@ -605,7 +626,13 @@ class DeltaUnsupportedProtocol(Exception):
 # legal and degenerate-v1).
 _SUPPORTED_READER_VERSION = 1
 _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint"}
+    {
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "v2Checkpoint",
+        "vacuumProtocolCheck",
+    }
 )
 
 # Writer capability ceiling. v2 = column invariants (checked separately
@@ -614,10 +641,25 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
 # enforce it), v3 = CHECK constraints (enforced: see add_constraint /
 # the write-path constraint evaluation). minWriterVersion 7 tables list
 # ``writerFeatures``; we can commit iff every listed feature is one we
-# actually enforce.
+# actually enforce. ``deletionVectors`` is upheld by APPLY-AND-REWRITE
+# (round-9): this writer never EMITS a DV, but every file-rewriting op
+# (DELETE/MERGE/OPTIMIZE) reads DV-bearing files through
+# ``_apply_deletion_vectors`` and commits the survivor rows WITHOUT a
+# DV — the spec-sanctioned materialization posture, so deleted rows can
+# never resurrect and appends stay trivially safe.
+# ``vacuumProtocolCheck`` requires exactly one thing of a writer: that
+# VACUUM re-check the protocol gates before deleting files —
+# ``vacuum_delta`` does (both read and write gates), so the feature is
+# upheld, not merely tolerated.
 _SUPPORTED_WRITER_VERSION = 3
 _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
-    {"appendOnly", "invariants", "checkConstraints"}
+    {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "deletionVectors",
+        "vacuumProtocolCheck",
+    }
 )
 
 
@@ -841,19 +883,19 @@ def _check_write_protocol(
     VACUUM/streaming sinks are all covered, and re-checked after losing
     a version race (a rival may have upgraded the protocol mid-retry).
 
-    ``operation="append"`` relaxes exactly ONE feature: a blind append
-    into a ``deletionVectors`` table is safe — it neither reads nor
-    rewrites existing files, so the DV invariant is vacuous for it
-    (real Delta writers append to DV tables the same way). Every
-    file-touching operation (MERGE/DELETE/OPTIMIZE/RESTORE/overwrite)
-    keeps refusing: rewriting a DV-bearing file without applying its
-    bitmap would resurrect deleted rows. Column mapping stays refused
-    even for appends (new files would need PHYSICAL column names)."""
+    ``deletionVectors`` is allowed for EVERY operation since round 9:
+    blind appends never touch existing files (the invariant is vacuous
+    for them), and each file-rewriting operation (MERGE/DELETE/
+    OPTIMIZE) upholds the invariant by apply-and-rewrite — DV-bearing
+    files are read through ``_apply_deletion_vectors`` and the
+    survivor rows are committed WITHOUT a DV, so a rewrite can never
+    resurrect deleted rows. Column mapping stays refused even for
+    appends (new files would need PHYSICAL column names). The
+    ``operation`` tag still rides on the error message so a refused
+    commit names what it attempted."""
     v = int(proto.get("minWriterVersion", 2))
     feats = set(proto.get("writerFeatures") or [])
     allowed = _SUPPORTED_WRITER_FEATURES
-    if operation == "append":
-        allowed = allowed | {"deletionVectors"}
     if v <= _SUPPORTED_WRITER_VERSION:
         return
     if v == 7 and feats <= allowed:
@@ -913,20 +955,32 @@ def _replay(
     meta: dict[str, Any] = {}
     proto: dict[str, Any] = {"minReaderVersion": 1, "minWriterVersion": 2}
 
-    def fold(action: dict[str, Any]) -> None:
+    def fold_batch(batch: list[dict[str, Any]]) -> None:
         nonlocal schema, partition_cols, proto, meta
-        if "metaData" in action:
-            meta = action["metaData"]
-            schema = T.StructType.fromJson(
-                json.loads(action["metaData"]["schemaString"])
-            )
-            partition_cols = list(action["metaData"].get("partitionColumns", []))
-        elif "protocol" in action:
-            proto = action["protocol"]
-        elif "add" in action:
-            active[action["add"]["path"]] = action["add"]
-        elif "remove" in action:
-            active.pop(action["remove"]["path"], None)
+        # Per the Delta spec, logical files are keyed by (path,
+        # deletionVector.uniqueId) and INTRA-COMMIT action order is
+        # unspecified: a DV DELETE commit may legally list
+        # add(path, newDV) BEFORE remove(path, oldDV). Applying each
+        # batch's removes before its adds makes an intra-commit re-add
+        # always win — equivalent to keyed reconciliation for every
+        # spec-legal log (a commit never both adds and removes the SAME
+        # logical file), without breaking path-keyed lookups everywhere
+        # else. Batches are one checkpoint or one commit; ACROSS batches
+        # order is the commit order and already correct.
+        for action in batch:
+            if "remove" in action:
+                active.pop(action["remove"]["path"], None)
+        for action in batch:
+            if "metaData" in action:
+                meta = action["metaData"]
+                schema = T.StructType.fromJson(
+                    json.loads(action["metaData"]["schemaString"])
+                )
+                partition_cols = list(action["metaData"].get("partitionColumns", []))
+            elif "protocol" in action:
+                proto = action["protocol"]
+            elif "add" in action:
+                active[action["add"]["path"]] = action["add"]
 
     cp = _latest_checkpoint_version(path, at_or_below=version)
     if cp is None and versions[0] > 0:
@@ -941,13 +995,11 @@ def _replay(
             "is gone, as after Delta log cleanup"
         )
     if cp is not None:
-        for action in _read_checkpoint_actions(path, cp):
-            fold(action)
+        fold_batch(_read_checkpoint_actions(path, cp))
     for v in versions:
         if (cp is not None and v <= cp) or v > version:
             continue
-        for action in _read_actions(path, v):
-            fold(action)
+        fold_batch(_read_actions(path, v))
     # the LATEST protocol at-or-below the target version governs the
     # whole snapshot — checked after the fold so mid-log upgrades win
     _check_read_protocol(proto, path, _column_mapping_mode(meta))
@@ -1102,6 +1154,39 @@ def _violated_constraint(
         if bad:
             return name, expr
     return None
+
+
+def _dv_key(desc: dict[str, Any] | None) -> tuple | None:
+    """The identity of a deletion vector for change detection — the
+    spec's uniqueId fields (storageType + pathOrInlineDv + offset).
+    Content-addressed: two adds with the same key delete the same
+    row set; None = no DV."""
+    if not desc:
+        return None
+    off = desc.get("offset")
+    return (
+        desc.get("storageType"),
+        desc.get("pathOrInlineDv"),
+        int(off) if off is not None else None,
+    )
+
+
+def _remove_action(
+    rel: str, add: dict[str, Any] | None, now_ms: int, data_change: bool = True
+) -> dict[str, Any]:
+    """A spec-shaped remove for an active add: when the add carries a
+    deletionVector the remove repeats it, so external engines that
+    reconcile by (path, dv.uniqueId) — and vacuum implementations that
+    track .bin references through tombstones — see the logical file
+    this remove actually tombstones."""
+    rm: dict[str, Any] = {
+        "path": rel,
+        "deletionTimestamp": now_ms,
+        "dataChange": data_change,
+    }
+    if add and add.get("deletionVector"):
+        rm["deletionVector"] = add["deletionVector"]
+    return {"remove": rm}
 
 
 def write_delta(
@@ -1262,16 +1347,8 @@ def write_delta(
         actions.append({"metaData": evolved_meta})
     if mode == "overwrite" and version > 0:
         prior_active, _, _, _ = _replay(path, versions[-1])
-        for rel in prior_active:
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+        for rel, prior_add in prior_active.items():
+            actions.append(_remove_action(rel, prior_add, now_ms))
     actions.extend(adds)
     actions.extend(extra_actions or [])  # e.g. the txn idempotence action
     actions.append(
@@ -1653,12 +1730,23 @@ def merge_delta(
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
-        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
-        for rel in affected
+        _remove_action(rel, a, now_ms) for rel, a in affected.items()
     ]
     if affected:
         files = [os.path.join(path, rel) for rel in sorted(affected)]
         old = spark.read.schema(schema).parquet(*files)
+        # apply-and-rewrite: a DV-bearing affected file is read WITHOUT
+        # its deleted rows and rewritten DV-free — rewriting the raw
+        # parquet would resurrect them
+        dv_affected = {
+            rel: a["deletionVector"]
+            for rel, a in affected.items()
+            if a.get("deletionVector")
+        }
+        if dv_affected:
+            old = _apply_deletion_vectors(
+                spark, path, old, dv_affected, all_rels=sorted(affected)
+            )
         kept = old.join(updates.select(key), on=key, how="left_anti")
         new_data = kept.unionByName(updates)
     else:
@@ -1932,11 +2020,27 @@ def delete_delta(
         return versions[-1]
     root = os.path.abspath(path)
     cand_files = [os.path.join(path, rel) for rel in sorted(cand)]
+    dv_cand = {
+        rel: a["deletionVector"]
+        for rel, a in cand.items()
+        if a.get("deletionVector")
+    }
+    # phase 1 must see the LOGICAL content: a predicate matching only
+    # DV-deleted rows must not flag the file (the rewrite would be a
+    # no-op that still resurrects nothing, but the version bump and IO
+    # are pure waste). `_metadata.file_path` instead of
+    # input_file_name() because the DV anti-join sits between the scan
+    # and the projection, and input_file_name is undefined after a join.
+    phase1 = spark.read.schema(schema).parquet(*cand_files).withColumn(
+        "_f", F.col("_metadata.file_path")
+    )
+    if dv_cand:
+        phase1 = _apply_deletion_vectors(
+            spark, path, phase1, dv_cand, all_rels=list(cand)
+        )
     hit_rows = (
-        spark.read.schema(schema)
-        .parquet(*cand_files)
-        .filter(pred)
-        .select(F.input_file_name().alias("_f"))
+        phase1.filter(pred)
+        .select("_f")
         .distinct()
         .collect()  # bounded: ≤ one row per candidate file
     )
@@ -1946,15 +2050,20 @@ def delete_delta(
     if not hit_files:
         return versions[-1]
 
-    keep = (
-        spark.read.schema(schema)
-        .parquet(*[os.path.join(path, rel) for rel in sorted(hit_files)])
-        .filter(~pred)
+    keep = spark.read.schema(schema).parquet(
+        *[os.path.join(path, rel) for rel in sorted(hit_files)]
     )
+    dv_hit = {rel: dv_cand[rel] for rel in hit_files if rel in dv_cand}
+    if dv_hit:
+        # apply-and-rewrite: survivors of a DV-bearing file exclude its
+        # bitmap's rows; the rewritten file carries NO deletion vector
+        keep = _apply_deletion_vectors(
+            spark, path, keep, dv_hit, all_rels=sorted(hit_files)
+        )
+    keep = keep.filter(~pred)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
-        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
-        for rel in sorted(hit_files)
+        _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     keep.write.mode("errorifexists").parquet(staging)
@@ -2032,6 +2141,29 @@ def restore_delta(path: str, to_version: int) -> int:
             f"cannot RESTORE {path} to version {to_version}: data files "
             f"missing (vacuumed?): {missing[:5]}"
         )
+    # a re-activated add may reference a DV .bin that vacuum reclaimed
+    # once the CURRENT snapshot stopped referencing it — same refusal
+    # as missing data files, or the restored snapshot would be unreadable
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+        dv_file_path,
+    )
+
+    missing_bins = sorted(
+        {
+            dv_file_path(path, dv["pathOrInlineDv"])
+            if dv.get("storageType") == "u"
+            else dv["pathOrInlineDv"]
+            for rel in old_active.keys() - cur_active.keys()
+            if (dv := old_active[rel].get("deletionVector"))
+            and dv.get("storageType") in ("u", "p")
+        }
+    )
+    missing_bins = [p for p in missing_bins if not os.path.exists(p)]
+    if missing_bins:
+        raise ValueError(
+            f"cannot RESTORE {path} to version {to_version}: deletion-"
+            f"vector files missing (vacuumed?): {missing_bins[:5]}"
+        )
     old_meta = _latest_metadata(path, to_version)
     cur_meta = _latest_metadata(path, current)
     now_ms = int(time.time() * 1000)
@@ -2046,15 +2178,7 @@ def restore_delta(path: str, to_version: int) -> int:
         restored_meta["configuration"] = config
         actions.append({"metaData": restored_meta})
     for rel in sorted(cur_active.keys() - old_active.keys()):
-        actions.append(
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        actions.append(_remove_action(rel, cur_active[rel], now_ms))
     for rel in sorted(old_active.keys() - cur_active.keys()):
         add = dict(old_active[rel])
         add["dataChange"] = True
@@ -2170,8 +2294,36 @@ def vacuum_delta(
             "deleted, corrupting its commit. Pass force=True only when "
             "no writer can be in flight."
         )
+    # the vacuumProtocolCheck contract: VACUUM must re-check the
+    # protocol gates before deleting anything — a table carrying a
+    # feature this implementation does not understand may reference
+    # data files in ways the replay below cannot see (the exact failure
+    # the feature exists to prevent), so refuse instead of deleting
+    versions = _list_versions(path)
+    if versions:
+        _check_write_protocol(
+            _latest_protocol(path, versions[-1]), path, "vacuum"
+        )
     active, _, _, _ = _replay(path, None)
     keep = {os.path.normpath(rel) for rel in active}
+    # DV .bin sidecars referenced by the CURRENT snapshot must survive;
+    # once apply-and-rewrite (DELETE/MERGE/OPTIMIZE) materializes the
+    # deletes, the orphaned .bin becomes reclaimable like any other
+    # unreferenced file. One .bin can hold frames for SEVERAL adds —
+    # any surviving reference keeps the whole file.
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+        dv_file_path,
+    )
+
+    for a in active.values():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            p = (
+                dv_file_path(path, dv["pathOrInlineDv"])
+                if dv["storageType"] == "u"
+                else dv["pathOrInlineDv"]
+            )
+            keep.add(os.path.normpath(os.path.relpath(p, path)))
     cutoff = time.time() - retain_hours * 3600.0
     deleted: list[str] = []
     for root, dirs, files in os.walk(path, topdown=True):
@@ -2179,7 +2331,10 @@ def vacuum_delta(
         for name in files:
             full = os.path.join(root, name)
             rel = os.path.normpath(os.path.relpath(full, path))
-            if rel in keep or not name.endswith(".parquet"):
+            reclaimable = name.endswith(".parquet") or (
+                name.startswith("deletion_vector_") and name.endswith(".bin")
+            )
+            if rel in keep or not reclaimable:
                 continue
             if os.path.getmtime(full) <= cutoff:
                 os.remove(full)
@@ -2351,11 +2506,23 @@ def optimize_delta(
     files = [os.path.join(path, rel) for rel in sorted(active)]
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
-        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
-        for rel in active
+        _remove_action(rel, a, now_ms, data_change=False)
+        for rel, a in active.items()
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     snapshot = spark.read.schema(schema).parquet(*files)
+    dv_active = {
+        rel: a["deletionVector"]
+        for rel, a in active.items()
+        if a.get("deletionVector")
+    }
+    if dv_active:
+        # apply-and-rewrite: compaction materializes the DV deletes —
+        # logical content is unchanged (dataChange stays False), the
+        # bitmaps just stop existing
+        snapshot = _apply_deletion_vectors(
+            spark, path, snapshot, dv_active, all_rels=list(active)
+        )
     if zorder_by:
         missing = set(zorder_by) - set(snapshot.columns)
         if missing:
@@ -2431,7 +2598,21 @@ def delta_changes(
     table content — the cost is proportional to the CHANGED data, which
     is the entire point of incremental maintenance at 100 TB. Files
     removed by the window must not have been vacuumed yet (same
-    constraint as real CDF reads past retention)."""
+    constraint as real CDF reads past retention).
+
+    Deletion-vector windows (round-9): a DV commit changes the CONTENT
+    of an existing path, which file-granular netting cannot see. When
+    the window touches a DV table, the feed switches to a CONTENT-state
+    diff: simulate only the window's dataChange actions from the
+    replayed start snapshot, then per path emit (a) full survivor sets
+    for appearing/disappearing files and (b) row-level diffs of the old
+    vs new bitmap for in-place DV updates — rows in (newDV − oldDV) are
+    deletes, (oldDV − newDV) are re-inserts (RESTORE). Cost stays
+    proportional to the changed rows: bitmaps are decoded per the
+    DV_DRIVER_DECODE_MAX locality gate and only the diffed files are
+    ever read."""
+    from pyspark.sql import functions as F
+
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
@@ -2446,51 +2627,155 @@ def delta_changes(
             f"retained log (oldest commit {versions[0]}) at {path}"
         )
     _, schema, _, cdf_meta = _replay(path, to_version)
-    # NET add/remove count per path (not set intersection): Delta-legal
-    # logs can remove then RE-ADD the same path (RESTORE, stats-refresh
-    # commits), which set-cancellation would wrongly net to "no change",
-    # and an idempotent duplicate add must not double-read the file. A
-    # path's file content is immutable in Delta, so net > 0 ⇒ its rows
-    # were added once; net < 0 ⇒ removed once; net 0 ⇒ no content change.
-    from collections import Counter
-
-    net: Counter = Counter()
+    window: list[list[dict[str, Any]]] = []
+    has_dv_action = False
     for v in versions:
         if v <= since_version or v > to_version:
             continue
-        for action in _read_actions(path, v):
+        acts = _read_actions(path, v)
+        window.append(acts)
+        for action in acts:
             payload = action.get("add") or action.get("remove")
             if payload and payload.get("deletionVector"):
-                # a DV commit changes the CONTENT of an existing path —
-                # file-granular netting would report "no change" for a
-                # row-level delete. Snapshot reads handle DVs; this
-                # change feed cannot represent them faithfully, so
-                # refuse rather than under-report (real CDF needs the
-                # table's _change_data files here).
-                raise DeltaUnsupportedProtocol(
-                    f"change window ({since_version}, {to_version}] of "
-                    f"{path} contains deletionVector commits — file-"
-                    "granular change feeds cannot represent row-level "
-                    "deletes; read snapshots instead"
-                )
-            if "add" in action and action["add"].get("dataChange", True):
-                net[action["add"]["path"]] += 1
-            elif "remove" in action and action["remove"].get("dataChange", True):
-                net[action["remove"]["path"]] -= 1
-    added = [p for p, n in net.items() if n > 0]
-    removed = [p for p, n in net.items() if n < 0]
+                has_dv_action = True
 
     cm = _column_mapping_mode(cdf_meta) == "name"
 
-    def _load(rels: list[str]) -> DataFrame:
-        if not rels:
+    def _load_survivors(files_dv: dict[str, dict | None]) -> DataFrame:
+        """Full logical content of the given files: each file minus its
+        deletion vector (None = whole file)."""
+        if not files_dv:
             return spark.createDataFrame([], schema)
+        rels = sorted(files_dv)
         df = spark.read.schema(_physical_type(schema) if cm else schema).parquet(
-            *[os.path.join(path, r) for r in sorted(rels)]
+            *[os.path.join(path, r) for r in rels]
         )
-        return _to_logical_columns(df, schema) if cm else df
+        dv_by_rel = {r: d for r, d in files_dv.items() if d}
+        if dv_by_rel:
+            df = _apply_deletion_vectors(spark, path, df, dv_by_rel, all_rels=rels)
+        return _to_logical_columns(df, schema) if cm else df.select(
+            *schema.fieldNames()
+        )
 
-    return _load(added), _load(removed)
+    proto_feats = set(
+        _latest_protocol(path, to_version).get("readerFeatures") or []
+    )
+    if not has_dv_action and "deletionVectors" not in proto_feats:
+        # NET add/remove count per path (not set intersection):
+        # Delta-legal logs can remove then RE-ADD the same path
+        # (RESTORE, stats-refresh commits), which set-cancellation
+        # would wrongly net to "no change", and an idempotent duplicate
+        # add must not double-read the file. A path's file content is
+        # immutable in Delta, so net > 0 ⇒ its rows were added once;
+        # net < 0 ⇒ removed once; net 0 ⇒ no content change.
+        from collections import Counter
+
+        net: Counter = Counter()
+        for acts in window:
+            for action in acts:
+                if "add" in action and action["add"].get("dataChange", True):
+                    net[action["add"]["path"]] += 1
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    net[action["remove"]["path"]] -= 1
+        return (
+            _load_survivors({p: None for p, n in net.items() if n > 0}),
+            _load_survivors({p: None for p, n in net.items() if n < 0}),
+        )
+
+    # --- DV-aware content-state diff ---
+    # Start from the replayed snapshot at since_version and fold ONLY
+    # the window's dataChange actions (dataChange:false moves bytes,
+    # not content — an OPTIMIZE that compacts or materializes a DV
+    # must read as "no change", which a raw end-snapshot replay could
+    # not distinguish). Removes before adds, same reconciliation rule
+    # as _replay.
+    if since_version < 0:
+        start_active: dict[str, dict] = {}
+    else:
+        try:
+            start_active, _, _, _ = _replay(path, since_version)
+        except ValueError as e:
+            raise ValueError(
+                f"DV-aware change feed needs the start snapshot at "
+                f"version {since_version} of {path}: {e}"
+            ) from e
+    end_active: dict[str, dict] = dict(start_active)
+    for acts in window:
+        for action in acts:
+            if "remove" in action and action["remove"].get("dataChange", True):
+                end_active.pop(action["remove"]["path"], None)
+        for action in acts:
+            if "add" in action and action["add"].get("dataChange", True):
+                end_active[action["add"]["path"]] = action["add"]
+
+    added_full: dict[str, dict | None] = {}
+    removed_full: dict[str, dict | None] = {}
+    dv_pairs: dict[str, tuple[dict | None, dict | None]] = {}
+    for rel in set(start_active) | set(end_active):
+        a0, a1 = start_active.get(rel), end_active.get(rel)
+        d0 = a0.get("deletionVector") if a0 else None
+        d1 = a1.get("deletionVector") if a1 else None
+        if a0 is not None and a1 is not None:
+            if _dv_key(d0) != _dv_key(d1):
+                dv_pairs[rel] = (d0, d1)
+        elif a1 is not None:
+            added_full[rel] = d1
+        else:
+            removed_full[rel] = d0
+
+    def _diff_rows(
+        grow: dict[str, dict], shrink: dict[str, dict]
+    ) -> DataFrame | None:
+        """Rows of each file whose index is in its ``grow`` DV but not
+        its ``shrink`` DV (bitmap set difference, joined back to the
+        file's rows by (basename, _metadata.row_index))."""
+        if not grow:
+            return None
+        rels = sorted(grow)
+        basenames = [os.path.basename(r) for r in rels]
+        if len(set(basenames)) != len(basenames):
+            raise ValueError(
+                f"files of {path} share a basename across directories "
+                "in a DV change window — row matching would be "
+                "ambiguous; refusing rather than misreport changes"
+            )
+        idx = _deleted_rows_frame(spark, path, grow)
+        shrink = {r: d for r, d in shrink.items() if d and r in grow}
+        if shrink:
+            idx = idx.join(
+                _deleted_rows_frame(spark, path, shrink),
+                ["dv_fname", "dv_ridx"],
+                "left_anti",
+            )
+        df = spark.read.schema(_physical_type(schema) if cm else schema).parquet(
+            *[os.path.join(path, r) for r in rels]
+        )
+        keyed = df.withColumn(
+            "dv_fname",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("dv_ridx", F.col("_metadata.row_index"))
+        hit = keyed.join(idx, ["dv_fname", "dv_ridx"], "inner")
+        return _to_logical_columns(hit, schema) if cm else hit.select(
+            *schema.fieldNames()
+        )
+
+    deletes_rows = _diff_rows(
+        {r: d1 for r, (d0, d1) in dv_pairs.items() if d1},
+        {r: d0 for r, (d0, d1) in dv_pairs.items() if d0},
+    )
+    inserts_rows = _diff_rows(
+        {r: d0 for r, (d0, d1) in dv_pairs.items() if d0},
+        {r: d1 for r, (d0, d1) in dv_pairs.items() if d1},
+    )
+    added_df = _load_survivors(added_full)
+    removed_df = _load_survivors(removed_full)
+    if inserts_rows is not None:
+        added_df = added_df.unionByName(inserts_rows)
+    if deletes_rows is not None:
+        removed_df = removed_df.unionByName(deletes_rows)
+    return added_df, removed_df
 
 
 def refresh_aggregate(

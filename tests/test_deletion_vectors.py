@@ -284,6 +284,192 @@ def test_dv_model_random_deletes(spark, tmp_path, seed):
         assert got == expect, f"seed={seed} version={v}"
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dv_model_interleaved_engine_ops(spark, tmp_path, seed):
+    """Model-based conformance for the round-9 apply-and-rewrite write
+    path: random rounds interleaving EXTERNAL DV row-level deletes
+    (hand-written commits, delta's DELETE shape) with THIS ENGINE's
+    delete_delta / optimize_delta, against a pure-Python model of the
+    surviving id set. After any engine rewrite no resurrected id may
+    appear and no surviving id may vanish."""
+    import json
+    import os
+
+    rng = np.random.RandomState(100 + seed)
+    path = str(tmp_path / f"ix{seed}")
+    os.makedirs(path)
+    n_files, rows_per = 3, 30
+    parts: dict[str, list[int]] = {}
+    base = 0
+    for i in range(n_files):
+        part = f"part-{i:04d}-ix-c000.snappy.parquet"
+        ids = list(range(base, base + rows_per))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}),
+                       os.path.join(path, part))
+        parts[part] = ids
+        base += rows_per
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    v0 = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "ix", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+    ] + [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for p in parts
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        for a in v0:
+            f.write(json.dumps(a) + "\n")
+
+    alive = set(range(base))
+    dv_state: dict[str, set[int]] = {p: set() for p in parts}
+    for _round in range(6):
+        op = rng.randint(3)
+        if op == 0 and any(len(dv_state[p]) < rows_per for p in parts):
+            # external DV delete on a file still present in the log
+            active, _, _, _ = dl._replay(path, None)
+            dv_parts = [p for p in active if p in parts
+                        and len(dv_state[p]) < rows_per]
+            if not dv_parts:
+                continue
+            part = dv_parts[rng.randint(len(dv_parts))]
+            kill = set(
+                rng.choice(rows_per, size=rng.randint(1, 5),
+                           replace=False).tolist()
+            )
+            dv_state[part] |= kill
+            alive -= {parts[part][off] for off in dv_state[part]}
+            desc = dv.inline_dv_descriptor(
+                np.asarray(sorted(dv_state[part]))
+            )
+            ver = dl._list_versions(path)[-1] + 1
+            actions = [
+                {"add": {"path": part, "partitionValues": {}, "size": 1,
+                         "modificationTime": ver, "dataChange": True,
+                         "deletionVector": desc}},
+                {"remove": {"path": part, "deletionTimestamp": ver,
+                            "dataChange": True}},
+            ]  # add listed FIRST — the spec-legal order that broke replay
+            with open(os.path.join(log, f"{ver:020d}.json"), "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a) + "\n")
+        elif op == 1 and alive:
+            victim = int(sorted(alive)[rng.randint(len(alive))])
+            dl.delete_delta(spark, path, f"id = {victim}")
+            alive.discard(victim)
+            # the rewrite materialized that file's DV — it is gone from
+            # the log; stop tracking (ids already removed from `alive`)
+            for p in list(dv_state):
+                if victim in parts.get(p, []):
+                    dv_state[p] = set()
+        else:
+            dl.optimize_delta(spark, path, target_files=2)
+            for p in dv_state:
+                dv_state[p] = set()
+        got = {r["id"] for r in dl.read_delta(spark, path).collect()}
+        assert got == alive, f"seed={seed} round={_round} op={op}"
+
+
+def test_dv_cdf_incremental_aggregate_matches_recompute(spark, tmp_path):
+    """Incremental SUM/COUNT view maintenance across an external
+    DV-delete commit window equals the full recompute (round-9
+    directive #2's done-criterion): refresh_aggregate consumes the
+    row-level DV diff and lands on the same state as re-aggregating
+    the snapshot."""
+    import json
+    import os
+
+    path = str(tmp_path / "ivm")
+    _make_dv_table(spark, path, 40, np.array([1, 3]))  # v0 already has a DV
+    # state as of v0
+    state = dl.refresh_aggregate(
+        spark, path, None, keys=[], sums={"sv": "v"}, since_version=-1
+    )
+    # external DV-delete commit v1: grow file's DV to {1, 3, 7, 20}
+    part = next(f for f in os.listdir(path) if f.endswith(".parquet"))
+    desc = dv.inline_dv_descriptor(np.array([1, 3, 7, 20]))
+    actions = [
+        {"add": {"path": part, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "deletionVector": desc}},
+        {"remove": {"path": part, "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    # the (0, 1] diff must be exactly the two newly-deleted rows
+    added, removed = dl.delta_changes(spark, path, since_version=0)
+    assert added.count() == 0
+    assert sorted(r["id"] for r in removed.collect()) == [7, 20]
+    new_state = dl.refresh_aggregate(
+        spark, path, state, keys=[], sums={"sv": "v"}, since_version=0
+    )
+    got = new_state.collect()[0]
+    survivors = [i for i in range(40) if i not in (1, 3, 7, 20)]
+    assert got["sv"] == float(sum(survivors))
+    assert got["_n"] == len(survivors)
+
+
+def test_dv_commit_add_before_remove_ordering(spark, tmp_path):
+    """Intra-commit action order is UNSPECIFIED by the spec: a DV
+    DELETE commit may list add(path, newDV) BEFORE remove(path, oldDV).
+    Replay must keep the file with the new DV — path-keyed folding in
+    log order silently dropped the file and all its surviving rows
+    (round-8 advice, high)."""
+    import json
+    import os
+
+    path = str(tmp_path / "addfirst")
+    _make_dv_table(spark, path, 20, np.array([0]))
+    # commit 1: DELETE rows {0, 5} — ADD LISTED FIRST
+    desc = dv.inline_dv_descriptor(np.array([0, 5]))
+    part = next(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    actions = [
+        {"add": {"path": part, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True,
+                 "deletionVector": desc}},
+        {"remove": {"path": part, "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ]
+    with open(os.path.join(path, "_delta_log",
+                           f"{1:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    got = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got == [i for i in range(20) if i not in (0, 5)]
+    # and the checkpoint of that state reconciles identically
+    dl.write_checkpoint(path, 1)
+    got_cp = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got_cp == got
+
+
+def test_dv_offset_none_defaults_to_frame_start(tmp_path):
+    """A 'u' descriptor whose optional ``offset`` round-tripped as an
+    explicit null (parquet checkpoint shape) must decode from the
+    default position after the format-version byte, not raise
+    TypeError (round-8 advice, low)."""
+    td = str(tmp_path)
+    vals = np.array([2, 4, 8])
+    desc = dv.write_dv_file(td, [vals])[0]
+    assert desc["offset"] == 1
+    desc["offset"] = None
+    assert np.array_equal(dv.deleted_row_indexes(td, desc), vals)
+
+
 def test_driver_and_executor_decode_agree(spark, tmp_path, monkeypatch):
     """The DV_DRIVER_DECODE_MAX gate changes the decode locality, never
     the result."""
