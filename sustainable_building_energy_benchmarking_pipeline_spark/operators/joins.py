@@ -158,6 +158,7 @@ def fuzzy_join_ed1(
     left_key: str,
     right_key: str,
     self_join: bool = False,
+    keep_rows: bool = False,
 ) -> DataFrame:
     """Fuzzy key join at edit distance ≤ 1 (insert/delete/substitute) —
     the entity-resolution operator Spark lacks: a naive form is an
@@ -190,6 +191,18 @@ def fuzzy_join_ed1(
     Returns distinct ``(left_key, right_key, dist)`` with dist ≤ 1,
     NULL keys dropped. Self-matches of a self-join (same string both
     sides) come back at dist 0 — filter at the call site.
+
+    ``keep_rows=True`` (round-9, advisory #3) restores ROW-LEVEL
+    multiplicity: the full ``left`` and ``right`` rows re-join onto the
+    distinct-key matches, so a key appearing in N left rows and M
+    matching right rows emits N×M pairs — what entity-resolution
+    callers expect from a join, without each of them re-deriving the
+    re-join (and silently losing duplicate source rows when they
+    forget). Output columns: every left column, every right column
+    (caller must pre-disambiguate collisions, as with any join), then
+    ``dist``. The core match stays distinct-key sized; the fan-out is
+    two equi-joins AFTER the edit-distance work, so the scale shape is
+    unchanged.
 
     ``self_join=True`` declares left and right the SAME key set (the
     entity-resolution self-match case) and halves the work: the dist-0
@@ -263,7 +276,7 @@ def fuzzy_join_ed1(
             .select("p.*")
             .withColumn("dist", F.lit(1))
         )
-        return eq.unionByName(sub).unionByName(deln_both)
+        pairs = eq.unionByName(sub).unionByName(deln_both)
     else:
         rdel = R.select(
             "right_key",
@@ -274,5 +287,16 @@ def fuzzy_join_ed1(
         insn = L.join(rdel, F.col("left_key") == F.col("_v")).select(
             "left_key", "right_key", dist1
         )
-
-    return eq.unionByName(sub).unionByName(deln).unionByName(insn)
+        pairs = eq.unionByName(sub).unionByName(deln).unionByName(insn)
+    if not keep_rows:
+        return pairs
+    m = pairs.select(
+        F.col("left_key").alias("__lkm"),
+        F.col("right_key").alias("__rkm"),
+        "dist",
+    )
+    return (
+        left.join(m, F.col(left_key).cast("string") == F.col("__lkm"))
+        .join(right, F.col("__rkm") == F.col(right_key).cast("string"))
+        .drop("__lkm", "__rkm")
+    )

@@ -181,3 +181,40 @@ def test_fuzzy_join_ed1_self_join_mode_identical(spark):
         for r in J.fuzzy_join_ed1(keys, keys, "k", "k", self_join=True).collect()
     }
     assert fast == general
+
+
+def test_fuzzy_join_ed1_keep_rows_multiplicity(spark):
+    """keep_rows=True == naive levenshtein cross-join WITH duplicate
+    source rows: a key held by N left rows matching a key held by M
+    right rows emits N×M output rows carrying the full payloads
+    (round-8 advisory: the distinct-key contract was a silent-row-loss
+    footgun for entity-resolution callers)."""
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "kitten"), (3, "ab"), (4, "zzz")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "kitte"), (11, "kitte"), (12, "kitten"), (13, "ba")],
+        "rid long, rname string",
+    )
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in J.fuzzy_join_ed1(
+            left, right, "lname", "rname", keep_rows=True
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"], r["d"])
+        for r in left.crossJoin(right)
+        .selectExpr("lid", "rid", "levenshtein(lname, rname) AS d")
+        .filter("d <= 1")
+        .collect()
+    }
+    assert got == naive
+    # kitten×2 left rows → each matches kitte×2 and kitten×1 = 6 pairs
+    assert sum(1 for (lid, _, _) in got if lid in (1, 2)) == 6
+    # payload columns survive
+    cols = set(
+        J.fuzzy_join_ed1(left, right, "lname", "rname", keep_rows=True).columns
+    )
+    assert {"lid", "lname", "rid", "rname", "dist"} <= cols
