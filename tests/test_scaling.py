@@ -28,10 +28,14 @@ HEAVY = [
     "q50_dedup_clusters",
     "q61_decontaminate",
     "q67_fuzzy_name_match",
+    "q77_tfidf_terms",
     "q97_boilerplate_ngrams",
     "z01_bloom_incremental_dedup",
     "z02_heavy_hitters",
     "z03_deterministic_shuffle",
+    "z04_sharded_bloom_dedup",
+    "z10_winnowing_pairs",
+    "z11_lm_perplexity_tiers",
 ]
 
 MAX_RATIO = 15.0

@@ -79,3 +79,43 @@ def test_minhash_pairs_10x_bounded(docs10x):
     elapsed = time.perf_counter() - t0
     assert n_pairs > 0
     assert elapsed < 60, f"10x minhash took {elapsed:.0f}s"
+
+
+@pytest.fixture(scope="module")
+def sf10x_dir(docs10x, tmp_path_factory):
+    """A 10× sf-layout dir: the duplicate-heavy docs10x stands in for
+    documents.parquet, every other table symlinks to sf0.1 — so the
+    REGISTRY queries (which take (spark, sf_dir)) run unmodified on 10×
+    corpus input."""
+    root = tmp_path_factory.mktemp("sf10x")
+    docs10x.write.parquet(str(root / "documents.parquet"))
+    for name in os.listdir(SF_DIR):
+        if name != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, name), str(root / name))
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name,bound_sec",
+    [
+        ("z02_heavy_hitters", 90),
+        ("z04_sharded_bloom_dedup", 120),
+        ("z10_winnowing_pairs", 150),
+        ("z11_lm_perplexity_tiers", 120),
+    ],
+)
+def test_z_tail_10x_bounded(spark, sf10x_dir, name, bound_sec):
+    """Round-9 directive #6: the ≥1 s z-tail gets its own 10× receipt.
+    Each query must complete on the duplicate-heavy 10× corpus within
+    a fixed wall bound and return a sane row count — z10's pair stage
+    in particular faces ~100× the near-dup pair mass here, the exact
+    shape its common-fingerprint suppression (df>50) exists to bound."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+
+    fn = QUERIES[name].fn
+    t0 = time.perf_counter()
+    n = fn(spark, sf10x_dir).count()
+    elapsed = time.perf_counter() - t0
+    assert n >= 0
+    assert elapsed < bound_sec, f"10x {name} took {elapsed:.0f}s (> {bound_sec}s)"
+    spark.catalog.clearCache()  # z04/z10 register persists per pass
