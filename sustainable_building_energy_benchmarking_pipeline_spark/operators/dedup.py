@@ -833,6 +833,119 @@ def embedding_near_duplicates(
     return allpairs_cosine(df, threshold, id_col=id_col, vec_col=vec_col)
 
 
+def semdedup_prune(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_mod: int = 13,
+    seed_residue: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every item that is cosine-similar (≥ ``threshold``) to
+    an EARLIER item — semantically-redundant data prunes at a fraction
+    of the all-pairs cost because the quadratic term is confined to
+    clusters.
+
+    Deterministic, oracle-able variant of the paper's recipe:
+    - centroids = the ``n_clusters`` smallest ids with
+      ``id % seed_mod == seed_residue`` (a fixed k-means E-step stand-in
+      — fully reproducible cross-engine, where Lloyd's iterations would
+      make the oracle chase float convergence);
+    - assignment = argmax centroid cosine, rounded to 6 dp with ties to
+      the smallest cluster id (the rounding absorbs last-ulp summation
+      differences between engines);
+    - prune rule = EXISTS an earlier same-cluster item with cosine ≥
+      threshold. This is the set-expressible (anti-monotone) variant of
+      the paper's keep-one-per-neighborhood: unlike the greedy chain
+      (whose keep decisions depend on earlier keep decisions and resist
+      SQL), it is order-free, so the DuckDB oracle is exact. It prunes
+      a superset of the greedy rule, which is the conservative
+      direction for dedup.
+
+    Scale shape (100 TB): assignment is a pure MAP — the centroids are
+    plan literals, no join, no shuffle; the per-cluster pair stage is
+    one groupBy(cluster) + BLAS block matmul (same kernel family as
+    ``allpairs_cosine``), so per-task memory is (cluster size)². At
+    corpus scale, ``n_clusters`` grows with n to hold the target
+    cluster size constant (the paper's regime: K ~ n/10⁴), which keeps
+    both the task count and the quadratic term bounded; an oversized
+    cluster escalates to the chunked ``allpairs_cosine`` shape rather
+    than one task.
+
+    Returns the KEPT rows: (``id_col`` long, cluster int), one row per
+    surviving item."""
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    seeds = sorted(
+        base.where(F.pmod(F.col("_id"), F.lit(seed_mod)) == seed_residue)
+        .orderBy("_id")
+        .limit(n_clusters)
+        .collect(),  # ≤ n_clusters rows — centroid literals by design
+        key=lambda r: r["_id"],
+    )
+    if not seeds:
+        raise ValueError(
+            f"no centroid seeds: no {id_col} with {id_col} % {seed_mod} "
+            f"== {seed_residue}"
+        )
+
+    def _lit_vec(vals) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
+    # argmax over per-centroid cosines as ONE array_max of (cos, -k)
+    # structs: struct ordering is lexicographic, so max = highest
+    # rounded cosine, then smallest cluster id — a pure projection,
+    # no join/shuffle anywhere in the assignment
+    choice = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(cosine(F.col("_v"), _lit_vec(r["_v"])), 6).alias("c"),
+                    F.lit(-k).alias("nk"),
+                )
+                for k, r in enumerate(seeds)
+            ]
+        )
+    )
+    assigned = base.withColumn(
+        "cluster", (-choice.getField("nk")).cast("int")
+    )
+
+    prune_schema = T.StructType([T.StructField("_id", T.LongType(), False)])
+
+    def _pruned_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        mat = mat[order]
+        sims = mat @ mat.T
+        # item j prunes iff ANY earlier item i<j (id order) has cos >= τ
+        hit = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({"_id": ids[hit]})
+
+    pruned = assigned.groupBy("cluster").applyInPandas(
+        _pruned_block, prune_schema
+    )
+    return (
+        assigned.join(pruned, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), "cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components + representative selection
 # ---------------------------------------------------------------------------

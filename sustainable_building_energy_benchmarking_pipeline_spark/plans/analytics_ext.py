@@ -2697,6 +2697,77 @@ ORDER BY d.doc_id
 """
 
 
+def z15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning over the embeddings table (Abbas et
+    al. 2023): deterministic seeded centroids, argmax-cosine cluster
+    assignment as a pure map (centroid literals, zero shuffles), then
+    a per-cluster BLAS pair stage drops every vector cosine-≥τ to an
+    earlier same-cluster vector. Returns the kept (vec_id, cluster)
+    rows — the corpus a pretraining run would keep after semantic
+    dedup. The DuckDB oracle replays the identical centroid rule,
+    assignment tie-breaks and prune rule exactly (see
+    operators/dedup.semdedup_prune for why the set-expressible prune
+    variant was chosen over the paper's greedy chain)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        semdedup_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_prune(
+        emb, threshold=0.35, n_clusters=8, vec_col="embedding",
+        id_col="vec_id",
+    ).orderBy("vec_id")
+
+
+Z15_SQL = """
+WITH seeds AS (
+  SELECT vec_id, embedding,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM embeddings WHERE vec_id % 13 = 5
+  ORDER BY vec_id LIMIT 8
+),
+vc AS (
+  SELECT v.vec_id, s.cluster,
+         SUM(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(s.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)) AS nv,
+         SUM(CAST(s.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(s.embedding[CAST(i AS INT)] AS DOUBLE)) AS ns
+  FROM embeddings v, seeds s, RANGE(1, 65) t(i)
+  GROUP BY v.vec_id, s.cluster
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id
+             ORDER BY ROUND(COALESCE(dot / NULLIF(SQRT(nv) * SQRT(ns), 0), 0), 6) DESC,
+                      cluster ASC
+           ) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT bb.vec_id AS id_b,
+         SUM(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot,
+         SUM(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE)) AS na,
+         SUM(CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE)) AS nb
+  FROM assign aa
+  JOIN assign bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+  JOIN embeddings ea ON ea.vec_id = aa.vec_id
+  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+  CROSS JOIN RANGE(1, 65) t(i)
+  GROUP BY aa.vec_id, bb.vec_id
+),
+pruned AS (
+  SELECT DISTINCT id_b FROM pairs
+  WHERE COALESCE(dot / NULLIF(SQRT(na) * SQRT(nb), 0), 0) >= 0.35
+)
+SELECT a.vec_id, a.cluster
+FROM assign a
+WHERE NOT EXISTS (SELECT 1 FROM pruned p WHERE p.id_b = a.vec_id)
+ORDER BY a.vec_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2742,4 +2813,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z12_source_kl_drift": QuerySpec(z12_source_kl_drift, Z12_SQL),
     "z13_dsir_importance": QuerySpec(z13_dsir_importance, Z13_SQL),
     "z14_ngram_novelty": QuerySpec(z14_ngram_novelty, Z14_SQL),
+    "z15_semdedup": QuerySpec(z15_semdedup, Z15_SQL),
 }

@@ -1334,3 +1334,48 @@ LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN novel n USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# z15: the cosine folds are the exact zip_with+aggregate form the
+# DataFrame plan uses, so the SQL surface reproduces the same float
+# stream; the 6-dp rounding on the assignment argmax absorbs last-ulp
+# differences, same as the DuckDB oracle.
+_Z15_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0.0D, (acc, e) -> acc + e)"
+)
+_Z15_COS = (
+    "COALESCE("
+    + _Z15_DOT.format(a="{a}", b="{b}")
+    + " / NULLIF(SQRT(" + _Z15_DOT.format(a="{a}", b="{a}") + ")"
+    + " * SQRT(" + _Z15_DOT.format(a="{b}", b="{b}") + "), 0.0D), 0.0D)"
+)
+
+SPARK_SQL["z15_semdedup"] = f"""
+WITH seeds AS (
+  SELECT vec_id, embedding,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 13 = 5 ORDER BY vec_id LIMIT 8)
+), assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, s.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND({_Z15_COS.format(a='v.embedding', b='s.embedding')}, 6) DESC,
+                      s.cluster ASC
+           ) AS rn
+    FROM embeddings v CROSS JOIN seeds s
+  ) WHERE rn = 1
+), pruned AS (
+  SELECT DISTINCT bb.vec_id AS id_b
+  FROM assign aa
+  JOIN assign bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+  JOIN embeddings ea ON ea.vec_id = aa.vec_id
+  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+  WHERE {_Z15_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.35D
+)
+SELECT a.vec_id, a.cluster
+FROM assign a
+WHERE NOT EXISTS (SELECT 1 FROM pruned p WHERE p.id_b = a.vec_id)
+ORDER BY a.vec_id
+"""

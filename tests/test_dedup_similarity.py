@@ -489,3 +489,54 @@ def test_hard_negative_zero_vector_cross_engine_parity(spark):
     # the zero vector is present, rankable, and scores exactly 0
     zero_rows = [t for t in got if t[0] == 1]
     assert zero_rows and zero_rows[0][4] == 0.0
+
+
+def test_semdedup_prune_properties(embeddings):
+    """SemDeDup prune invariants, cross-checked against a NumPy replay:
+    every pruned item has an earlier same-cluster neighbor at cos >= τ,
+    every kept item has none, and the result is partition-invariant."""
+    import numpy as np
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        semdedup_prune,
+    )
+
+    tau = 0.35
+    kept = semdedup_prune(embeddings, threshold=tau, n_clusters=8)
+    rows = {r["vec_id"]: r["cluster"] for r in kept.collect()}
+    n_total = embeddings.count()
+    assert 0 < len(rows) < n_total  # discriminates: some pruned, some kept
+
+    # NumPy replay of the full contract
+    src = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    seeds = sorted(i for i in src if i % 13 == 5)[:8]
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+    def cos6(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)) if na and nb else 0.0, 6)
+    assign = {
+        i: max(range(len(seeds)), key=lambda k: (cos6(v, src[seeds[k]]), -k))
+        for i, v in src.items()
+    }
+    expect_kept = {}
+    for i in sorted(src):
+        c = assign[i]
+        earlier = [j for j in src if j < i and assign[j] == c]
+        if not any(unit(src[i]) @ unit(src[j]) >= tau for j in earlier):
+            expect_kept[i] = c
+    assert rows == expect_kept
+
+    # partition invariance: the plan is a map + per-cluster kernel —
+    # input partitioning must not change the kept set
+    again = {
+        r["vec_id"]: r["cluster"]
+        for r in semdedup_prune(
+            embeddings.repartition(11), threshold=tau, n_clusters=8
+        ).collect()
+    }
+    assert again == rows
