@@ -961,6 +961,97 @@ def make_vacuum_protocol_check_table() -> None:
     )
 
 
+def make_in_commit_timestamp_table() -> None:
+    """minWriterVersion 7 + inCommitTimestamp (delta 4.x, default-on in
+    newer runtimes): commitInfo carries the authoritative
+    inCommitTimestamp and metaData the enablement key. WRITER-only —
+    reads must pass untouched (we do no timestamp-based time travel,
+    so the reader obligation is vacuous); writes must refuse (we would
+    not emit the monotonic timestamps the feature promises)."""
+    root = os.path.join(DATA_DIR, "golden_delta_ict")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel1 = "part-00000-cccc3333-0000-4000-8000-000000000000-c000.snappy.parquet"
+    size1 = _write_plain_parquet(root, rel1, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    meta = _meta(
+        PLAIN_SCHEMA_STRING,
+        {"delta.enableInCommitTimestamps": "true"},
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": T0,
+                    "inCommitTimestamp": T0 + 7,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Overwrite"},
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["inCommitTimestamp"],
+                }
+            },
+            meta,
+            _plain_add(rel1, size1),
+        ],
+    )
+
+
+def make_type_widening_table() -> None:
+    """Reader v3 + typeWidening (delta 4.x): the schema's field metadata
+    records widenings (e.g. int→long) that the READER must apply when
+    older files carry the narrower parquet type — ignoring it would
+    misread bytes, so our gate must REFUSE this table by feature name,
+    never return plausible-but-wrong columns."""
+    root = os.path.join(DATA_DIR, "golden_delta_tw")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel1 = "part-00000-dddd4444-0000-4000-8000-000000000000-c000.snappy.parquet"
+    size1 = _write_plain_parquet(root, rel1, [(1, 1.0)])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long",
+                             "tableVersion": 1}
+                        ]
+                    },
+                },
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+            _meta(schema),
+            _plain_add(rel1, size1),
+        ],
+    )
+
+
 def main_family() -> None:
     make_dv_table()
     make_column_mapping_table()
@@ -971,6 +1062,8 @@ def main_family() -> None:
     make_v2_checkpoint_table()
     make_row_tracking_table()
     make_vacuum_protocol_check_table()
+    make_in_commit_timestamp_table()
+    make_type_widening_table()
     print(f"protocol/checkpoint fixture family written under {DATA_DIR}")
 
 

@@ -166,6 +166,12 @@ def test_dv_composes_with_column_mapping(spark, tmp_path):
     df = dl.read_delta(spark, path)
     assert df.columns == ["id"]
     assert sorted(r["id"] for r in df.collect()) == [10, 30]
+    # the DV-aware change feed composes with column mapping too: the
+    # full window inserts only the SURVIVORS, under LOGICAL names
+    added, removed = dl.delta_changes(spark, path, since_version=-1)
+    assert added.columns == ["id"] and removed.columns == ["id"]
+    assert sorted(r["id"] for r in added.collect()) == [10, 30]
+    assert removed.count() == 0
 
 
 def test_dv_basename_collision_refused(spark, tmp_path):

@@ -201,6 +201,8 @@ GOLDEN_ROWTRACK = os.path.join(
     os.path.dirname(__file__), "data", "golden_delta_rowtracking"
 )
 GOLDEN_VPC = os.path.join(os.path.dirname(__file__), "data", "golden_delta_vpc")
+GOLDEN_ICT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ict")
+GOLDEN_TW = os.path.join(os.path.dirname(__file__), "data", "golden_delta_tw")
 
 
 def test_deletion_vector_table_reads(spark):
@@ -774,6 +776,35 @@ def test_vacuum_refuses_unknown_writer_features(tmp_path):
     shutil.copytree(GOLDEN_WFEAT, work)
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="identityColumns"):
         dl.vacuum_delta(work, retain_hours=0.0, force=True)
+
+
+def test_in_commit_timestamp_reads_writes_refused(spark, tmp_path):
+    """inCommitTimestamp (delta 4.x, default-on in newer runtimes) is
+    WRITER-only: reads pass (this engine does no timestamp time
+    travel, so the reader obligation is vacuous) and history surfaces
+    the commit; writes refuse — we would not emit the monotonic
+    in-commit timestamps the feature promises."""
+    import shutil
+
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, GOLDEN_ICT).collect()
+    ) == [1, 2, 3]
+    assert dl.delta_history(GOLDEN_ICT)[0]["operation"] == "WRITE"
+    work = str(tmp_path / "ict")
+    shutil.copytree(GOLDEN_ICT, work)
+    batch = spark.createDataFrame([(4, 4.0)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="inCommitTimestamp"):
+        dl.write_delta(batch, work, mode="append")
+    assert dl.read_delta(spark, work).count() == 3
+
+
+def test_type_widening_read_refused(spark):
+    """typeWidening is a READER feature: the schema records widenings
+    older files need applied at read time — ignoring it would misread
+    bytes, so the gate must refuse BY NAME, never return
+    plausible-but-wrong columns."""
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="typeWidening"):
+        dl.read_delta(spark, GOLDEN_TW)
 
 
 def test_our_own_tables_stay_below_the_gate(spark, tmp_path):
