@@ -1976,11 +1976,129 @@ def drop_constraint(path: str, name: str) -> int:
     )
 
 
+# Largest DELETE (matched rows + existing bitmap cardinalities) that
+# commits as a deletion vector; past it delete_delta(use_dv=True) falls
+# back to the rewrite path — a bitmap covering millions of rows stops
+# being the cheap representation, the same size heuristic real engines
+# apply. Aligned with DV_DRIVER_DECODE_MAX: the union is built on the
+# driver.
+DV_WRITE_MAX = 1_000_000
+
+
+def _delete_emit_dv(
+    spark: SparkSession,
+    path: str,
+    latest: int,
+    cand: dict[str, dict],
+    phase1: DataFrame,
+    pred,
+    condition: str,
+    config: dict[str, str],
+    proto: dict[str, Any],
+) -> int | None:
+    """DELETE as a copy-on-write deletion vector (see delete_delta's
+    ``use_dv``). Returns the committed version, or None when the match
+    volume exceeds DV_WRITE_MAX and the caller should rewrite."""
+    import numpy as np
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+        deleted_row_indexes,
+        write_dv_file,
+    )
+
+    feats_w = set(proto.get("writerFeatures") or [])
+    feats_r = set(proto.get("readerFeatures") or [])
+    if (
+        "deletionVectors" not in feats_w
+        or "deletionVectors" not in feats_r
+        or config.get("delta.enableDeletionVectors") != "true"
+    ):
+        raise ValueError(
+            f"use_dv=True needs the Delta table at {path} to already "
+            "carry the deletionVectors feature on BOTH protocol sides "
+            "and delta.enableDeletionVectors=true — this writer never "
+            "upgrades a table's protocol implicitly; run the default "
+            "rewrite DELETE instead"
+        )
+    matches = (
+        phase1.filter(pred)
+        .select("_f", "_ridx")
+        .limit(DV_WRITE_MAX + 1)
+        .collect()
+    )
+    if len(matches) > DV_WRITE_MAX:
+        return None
+    root = os.path.abspath(path)
+    by_rel: dict[str, list[int]] = {}
+    for r in matches:
+        rel = os.path.relpath(unquote(urlparse(r["_f"]).path), root)
+        by_rel.setdefault(rel, []).append(int(r["_ridx"]))
+    rels = sorted(by_rel)
+    if (
+        sum(
+            int((cand[rel].get("deletionVector") or {}).get("cardinality", 0))
+            for rel in rels
+        )
+        + len(matches)
+        > DV_WRITE_MAX
+    ):
+        return None  # the UNION would exceed the bitmap budget
+    bitmaps: list[np.ndarray] = []
+    for rel in rels:
+        old = cand[rel].get("deletionVector")
+        prev = (
+            deleted_row_indexes(path, old)
+            if old
+            else np.empty(0, dtype=np.int64)
+        )
+        bitmaps.append(
+            np.union1d(prev, np.asarray(by_rel[rel], dtype=np.int64))
+        )
+    descs = write_dv_file(path, bitmaps)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    for rel, bm, desc in zip(rels, bitmaps, descs):
+        actions.append(_remove_action(rel, cand[rel], now_ms))
+        num_records = None
+        stats = cand[rel].get("stats")
+        if stats:
+            try:
+                num_records = json.loads(stats).get("numRecords")
+            except (ValueError, TypeError):
+                pass
+        if num_records is not None and len(bm) >= int(num_records):
+            continue  # bitmap covers the whole file — drop it outright
+        add = dict(cand[rel])
+        add["deletionVector"] = desc
+        add["dataChange"] = True
+        add["modificationTime"] = now_ms
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": condition,
+                    "deletionVector": True,
+                },
+            }
+        }
+    )
+    return _commit_with_retry(
+        path, latest + 1, actions, depends_on=set(rels), read_metadata=True
+    )
+
+
 def delete_delta(
     spark: SparkSession,
     path: str,
     condition: str,
     prune: tuple[str, str, Any] | None = None,
+    use_dv: bool = False,
 ) -> int:
     """DELETE FROM table WHERE ``condition`` (a Spark SQL boolean
     expression; NULL keeps the row, SQL WHERE semantics).
@@ -1994,7 +2112,22 @@ def delete_delta(
     table. ``prune`` — an optional (col, op, value) the condition
     implies — drops files by footer stats before phase 1 ever scans
     them, same lever as ``read_delta(where=...)``. No matching rows →
-    no-op, no spurious version. Returns the committed version."""
+    no-op, no spurious version. Returns the committed version.
+
+    ``use_dv=True`` (round-9, the spec's copy-on-write deletion-vector
+    posture): instead of rewriting hit files, EMIT a deletion vector —
+    the matched row indexes union the file's existing bitmap, one .bin
+    holds every file's frame, and the commit is remove(old add, old DV)
+    + add(same path, new DV). Zero data-file IO: a small DELETE on a
+    100 TB table moves kilobytes of bitmap, which is why modern engines
+    default to it. Only allowed when the table ALREADY carries the
+    deletionVectors feature on both protocol sides and
+    delta.enableDeletionVectors=true (this writer never upgrades a
+    protocol implicitly); deletes matching more than ``DV_WRITE_MAX``
+    rows fall back to the rewrite path automatically — past that size a
+    bitmap stops being the cheap representation, the same heuristic
+    real engines apply. A file whose bitmap would cover every physical
+    row is dropped outright (remove, no re-add)."""
     from pyspark.sql import functions as F
     from urllib.parse import urlparse
 
@@ -2031,8 +2164,11 @@ def delete_delta(
     # are pure waste). `_metadata.file_path` instead of
     # input_file_name() because the DV anti-join sits between the scan
     # and the projection, and input_file_name is undefined after a join.
-    phase1 = spark.read.schema(schema).parquet(*cand_files).withColumn(
-        "_f", F.col("_metadata.file_path")
+    phase1 = (
+        spark.read.schema(schema)
+        .parquet(*cand_files)
+        .withColumn("_f", F.col("_metadata.file_path"))
+        .withColumn("_ridx", F.col("_metadata.row_index"))
     )
     if dv_cand:
         phase1 = _apply_deletion_vectors(
@@ -2049,6 +2185,22 @@ def delete_delta(
     }
     if not hit_files:
         return versions[-1]
+
+    if use_dv:
+        committed = _delete_emit_dv(
+            spark,
+            path,
+            versions[-1],
+            cand,
+            phase1,
+            pred,
+            condition,
+            config,
+            _latest_protocol(path, versions[-1]),
+        )
+        if committed is not None:
+            return committed
+        # fell through: too many matched rows for a bitmap — rewrite
 
     keep = spark.read.schema(schema).parquet(
         *[os.path.join(path, rel) for rel in sorted(hit_files)]

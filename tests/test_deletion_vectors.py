@@ -328,7 +328,8 @@ def test_dv_model_interleaved_engine_ops(spark, tmp_path, seed):
         {"metaData": {"id": "ix", "format": {"provider": "parquet",
                                              "options": {}},
                       "schemaString": schema, "partitionColumns": [],
-                      "configuration": {}, "createdTime": 0}},
+                      "configuration": {"delta.enableDeletionVectors": "true"},
+                      "createdTime": 0}},
     ] + [
         {"add": {"path": p, "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}}
@@ -372,13 +373,23 @@ def test_dv_model_interleaved_engine_ops(spark, tmp_path, seed):
                     f.write(json.dumps(a) + "\n")
         elif op == 1 and alive:
             victim = int(sorted(alive)[rng.randint(len(alive))])
-            dl.delete_delta(spark, path, f"id = {victim}")
+            use_dv_flag = bool(rng.randint(2))
+            dl.delete_delta(spark, path, f"id = {victim}", use_dv=use_dv_flag)
             alive.discard(victim)
-            # the rewrite materialized that file's DV — it is gone from
-            # the log; stop tracking (ids already removed from `alive`)
-            for p in list(dv_state):
-                if victim in parts.get(p, []):
-                    dv_state[p] = set()
+            vic_part = next(
+                (p for p, ids in parts.items() if victim in ids), None
+            )
+            if vic_part is not None:
+                if use_dv_flag:
+                    # the engine grew that part's DV in place — keep the
+                    # model bitmap in sync so a later EXTERNAL DV commit
+                    # unions correctly (external ops only ever touch
+                    # parts still active under their original name)
+                    dv_state[vic_part] |= {parts[vic_part].index(victim)}
+                else:
+                    # rewrite: the original part left the log; its DV
+                    # tracking is moot (ids already dropped from alive)
+                    dv_state[vic_part] = set()
         else:
             dl.optimize_delta(spark, path, target_files=2)
             for p in dv_state:

@@ -283,6 +283,117 @@ def test_deletion_vector_ops_matrix(spark, tmp_path):
     assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [100]
 
 
+def test_dv_emit_delete_copy_on_write(spark, tmp_path):
+    """delete_delta(use_dv=True): the spec's copy-on-write DV posture —
+    no data file is rewritten, the commit is remove(old DV) + add(same
+    path, grown DV), survivors exclude old AND new deletes, and the
+    DV-aware change feed reports exactly the newly-deleted rows."""
+    import shutil
+
+    work = str(tmp_path / "dvw")
+    shutil.copytree(GOLDEN_DV, work)
+    before_active, _, _, _ = dl._replay(work, None)
+    v = dl.delete_delta(spark, work, "id = 2", use_dv=True)
+    ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
+    assert ids == [3, 5, 6, 7, 9, 10, 11, 12]
+    after_active, _, _, _ = dl._replay(work, None)
+    # same data files — nothing was rewritten
+    assert set(after_active) == set(before_active)
+    # the hit file's DV grew from 2 to 3 deleted rows
+    grown = [
+        a["deletionVector"]["cardinality"]
+        for rel, a in after_active.items()
+        if a.get("deletionVector")
+        and dl._dv_key(a["deletionVector"])
+        != dl._dv_key(before_active[rel].get("deletionVector"))
+    ]
+    assert grown == [3]
+    # the remove tombstone repeats the OLD DV; the new add carries the new
+    acts = _actions(work, v)
+    rm = [a["remove"] for a in acts if "remove" in a]
+    ad = [a["add"] for a in acts if "add" in a]
+    assert len(rm) == 1 and len(ad) == 1
+    assert rm[0]["deletionVector"]["cardinality"] == 2
+    assert ad[0]["path"] == rm[0]["path"]
+    # change feed across the DV-emitting commit: exactly id=2 removed
+    added, removed = dl.delta_changes(spark, work, since_version=v - 1)
+    assert added.count() == 0
+    assert [r["id"] for r in removed.collect()] == [2]
+    # time travel to the pre-delete snapshot still sees id=2
+    assert 2 in {
+        r["id"] for r in dl.read_delta(spark, work, version=v - 1).collect()
+    }
+
+
+def test_dv_emit_delete_gates_and_fallback(spark, tmp_path, monkeypatch):
+    """use_dv=True refuses on a table without the DV feature (never an
+    implicit protocol upgrade), and falls back to the rewrite path when
+    the match volume exceeds DV_WRITE_MAX — correct rows either way."""
+    import shutil
+
+    plain = str(tmp_path / "plain")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    dl.write_delta(df, plain)
+    with pytest.raises(ValueError, match="deletionVectors"):
+        dl.delete_delta(spark, plain, "id = 1", use_dv=True)
+
+    work = str(tmp_path / "dvfb")
+    shutil.copytree(GOLDEN_DV, work)
+    monkeypatch.setattr(dl, "DV_WRITE_MAX", 0)
+    v = dl.delete_delta(spark, work, "id = 2", use_dv=True)
+    ids = sorted(r["id"] for r in dl.read_delta(spark, work).collect())
+    assert ids == [3, 5, 6, 7, 9, 10, 11, 12]
+    # fallback REWROTE: the new adds carry no DV
+    acts = _actions(work, v)
+    assert all(not a["add"].get("deletionVector") for a in acts if "add" in a)
+
+
+def test_dv_emit_delete_whole_file_drops_add(spark, tmp_path):
+    """A DV that would cover every physical row of a file commits as a
+    remove with NO re-add — a fully-deleted file must leave the
+    snapshot, not linger as an all-deleted bitmap."""
+    import json as _json
+
+    path = str(tmp_path / "dvwhole")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, v double"
+        ).coalesce(1),
+        path,
+    )
+    dl.write_delta(
+        spark.createDataFrame(
+            [(3, 3.0), (4, 4.0)], "id long, v double"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    # hand-upgrade: protocol v3/v7 + deletionVectors, property enabled
+    meta = dl._latest_metadata(path, dl._list_versions(path)[-1])
+    meta = dict(meta)
+    meta["configuration"] = {"delta.enableDeletionVectors": "true"}
+    ver = dl._list_versions(path)[-1] + 1
+    with open(
+        os.path.join(path, "_delta_log", f"{ver:020d}.json"), "w"
+    ) as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(_json.dumps({"metaData": meta}) + "\n")
+    v = dl.delete_delta(spark, path, "id <= 2", use_dv=True)
+    assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) == [3, 4]
+    acts = _actions(path, v)
+    assert sum(1 for a in acts if "remove" in a) == 1
+    assert sum(1 for a in acts if "add" in a) == 0  # whole file dropped
+    # and a partial DV delete on the surviving file emits a real DV
+    v2 = dl.delete_delta(spark, path, "id = 3", use_dv=True)
+    acts2 = _actions(path, v2)
+    adds2 = [a["add"] for a in acts2 if "add" in a]
+    assert len(adds2) == 1 and adds2[0]["deletionVector"]["cardinality"] == 1
+    assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) == [4]
+
+
 def test_dv_optimize_materializes_and_vacuum_reclaims(spark, tmp_path):
     """OPTIMIZE on a DV table compacts with the bitmaps APPLIED
     (content unchanged → dataChange stays false, streaming readers
