@@ -961,6 +961,76 @@ def make_vacuum_protocol_check_table() -> None:
     )
 
 
+def make_column_mapping_id_table() -> None:
+    """ID-mode column mapping (the iceberg-conversion shape): parquet
+    column names match NEITHER the logical names NOR Delta's
+    physicalName — only the parquet FIELD IDS (= delta.columnMapping.id)
+    identify columns. A reader resolving by any name silently returns
+    wrong/null columns; resolution must go through the field ids."""
+    root = os.path.join(DATA_DIR, "golden_delta_cmid")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    rel1 = "part-00000-ffff5555-0000-4000-8000-000000000000-c000.snappy.parquet"
+    # iceberg-era parquet: original source column names + field ids.
+    # Column ORDER is also scrambled vs the logical schema.
+    table = pa.table(
+        {
+            "legacy_value_col": pa.array([1.5, 2.5], pa.float64()),
+            "legacy_id_col": pa.array([1, 2], pa.int64()),
+        }
+    )
+    fields = [
+        pa.field("legacy_value_col", pa.float64(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("legacy_id_col", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+    ]
+    table = table.cast(pa.schema(fields))
+    pq.write_table(table, os.path.join(root, rel1), compression="snappy")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-9d8c7b6a",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-5a4b3c2d",
+                    },
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(
+                schema,
+                {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            ),
+            _plain_add(rel1, os.path.getsize(os.path.join(root, rel1))),
+        ],
+    )
+
+
 def make_in_commit_timestamp_table() -> None:
     """minWriterVersion 7 + inCommitTimestamp (delta 4.x, default-on in
     newer runtimes): commitInfo carries the authoritative
@@ -1062,6 +1132,7 @@ def main_family() -> None:
     make_v2_checkpoint_table()
     make_row_tracking_table()
     make_vacuum_protocol_check_table()
+    make_column_mapping_id_table()
     make_in_commit_timestamp_table()
     make_type_widening_table()
     print(f"protocol/checkpoint fixture family written under {DATA_DIR}")

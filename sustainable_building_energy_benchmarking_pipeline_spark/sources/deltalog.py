@@ -593,11 +593,17 @@ class DeltaUnsupportedProtocol(Exception):
 
 # Reader capability ceiling. This implementation targets reader
 # protocol v1 (plain add/remove replay over parquet data files) plus:
-# - NAME-mode column mapping (reader v2, or v3 listing the
-#   ``columnMapping`` feature): physical parquet column names resolve
-#   to logical schema names via ``delta.columnMapping.physicalName``
-#   field metadata — the protocol every delta-spark 3.x table that
-#   ever RENAMEd a column carries;
+# - column mapping, BOTH modes (reader v2, or v3 listing the
+#   ``columnMapping`` feature): name mode resolves physical parquet
+#   column names to logical schema names via
+#   ``delta.columnMapping.physicalName`` field metadata — the protocol
+#   every delta-spark 3.x table that ever RENAMEd a column carries;
+#   id mode (round-9, the iceberg-conversion path, where parquet
+#   column names match NEITHER logical nor physical names) resolves by
+#   parquet field id through Spark's native
+#   ``spark.sql.parquet.fieldId.read.enabled`` reader, with
+#   ``parquet.field.id`` = ``delta.columnMapping.id`` stamped on the
+#   requested schema (see ``_reader_schema``);
 # - deletion vectors (reader v3 + ``deletionVectors``): roaring-bitmap
 #   row-index sets on add actions, applied as an anti-join on
 #   ``_metadata.row_index`` — the protocol every table that ran a
@@ -618,8 +624,7 @@ class DeltaUnsupportedProtocol(Exception):
 #   ``vacuum_delta``), so declaring support is the spec-correct move:
 #   refusing would lock out tables that are byte-identical to readable
 #   ones.
-# ID-mode mapping (resolution by parquet field id, the
-# iceberg-conversion path) and any remaining reader features change
+# Any remaining reader features change
 # what bytes mean on disk and are refused. Per spec, minReaderVersion 3
 # tables list their requirements in ``readerFeatures`` and MAY be
 # readable if every listed feature is supported (an empty list is
@@ -676,17 +681,18 @@ def _check_read_protocol(
     """Raise ``DeltaUnsupportedProtocol`` unless this reader can
     faithfully reconstruct the table — the spec-mandated refusal gate
     every snapshot/CDF/streaming read passes through (``_replay``).
-    ``cm_mode`` is the table's column-mapping mode: "name" is supported
-    (physical→logical resolution via schema field metadata), "id"
-    (parquet field-id resolution) is not."""
+    ``cm_mode`` is the table's column-mapping mode: "name" (physical→
+    logical resolution via schema field metadata) and "id" (parquet
+    field-id resolution through Spark's native
+    ``spark.sql.parquet.fieldId.read.enabled`` path, round-9) are both
+    supported; anything else is unknown vocabulary and refuses."""
     v = int(proto.get("minReaderVersion", 1))
     feats = set(proto.get("readerFeatures") or [])
-    if cm_mode == "id":
+    if cm_mode not in ("none", "name", "id"):
         raise DeltaUnsupportedProtocol(
-            f"Delta table at {path} uses id-mode column mapping "
-            "(delta.columnMapping.mode=id, resolution by parquet field "
-            "id) which this reader does not implement — name mode is "
-            "supported; refusing rather than resolve columns wrongly"
+            f"Delta table at {path} declares an unknown column-mapping "
+            f"mode {cm_mode!r} — refusing rather than resolve columns "
+            "wrongly"
         )
     if v <= _SUPPORTED_READER_VERSION:
         return
@@ -707,31 +713,58 @@ def _check_read_protocol(
     )
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _physical_type(
+    dt: T.DataType, with_field_ids: bool = False
+) -> T.DataType:
     """The PHYSICAL (on-parquet) shape of a logical data type under
-    name-mode column mapping: struct field names are replaced by their
+    column mapping: struct field names are replaced by their
     ``delta.columnMapping.physicalName`` metadata at every nesting
-    level (arrays/maps recurse); non-struct types are unchanged."""
+    level (arrays/maps recurse); non-struct types are unchanged.
+
+    ``with_field_ids=True`` (id-mode) additionally stamps each field
+    with ``parquet.field.id`` = ``delta.columnMapping.id`` — the
+    metadata key Spark's parquet reader resolves columns BY when
+    ``spark.sql.parquet.fieldId.read.enabled`` is on, which is how
+    id-mode tables (typically iceberg conversions, whose parquet
+    column names match NEITHER logical nor Delta physical names) read
+    correctly."""
     if isinstance(dt, T.StructType):
-        return T.StructType(
-            [
+        fields = []
+        for f in dt.fields:
+            meta = None
+            if with_field_ids and "delta.columnMapping.id" in f.metadata:
+                meta = {"parquet.field.id": int(f.metadata["delta.columnMapping.id"])}
+            fields.append(
                 T.StructField(
                     f.metadata.get("delta.columnMapping.physicalName", f.name),
-                    _physical_type(f.dataType),
+                    _physical_type(f.dataType, with_field_ids),
                     f.nullable,
+                    metadata=meta,
                 )
-                for f in dt.fields
-            ]
-        )
+            )
+        return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _physical_type(dt.elementType, with_field_ids), dt.containsNull
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType),
-            _physical_type(dt.valueType),
+            _physical_type(dt.keyType, with_field_ids),
+            _physical_type(dt.valueType, with_field_ids),
             dt.valueContainsNull,
         )
     return dt
+
+
+def _reader_schema(schema: T.StructType, cm_mode: str) -> T.StructType:
+    """The schema handed to ``spark.read.schema`` for a given
+    column-mapping mode: logical as-is for "none", physical names for
+    "name", physical names + parquet field ids for "id"."""
+    if cm_mode == "name":
+        return _physical_type(schema)
+    if cm_mode == "id":
+        return _physical_type(schema, with_field_ids=True)
+    return schema
 
 
 def _physical_name(field: T.StructField) -> str:
@@ -1578,12 +1611,20 @@ def read_delta(
       IO, it does not implement the filter.
     """
     active, schema, partition_cols, meta = _replay(path, version)
-    # name-mode column mapping (reader v2/v3): the log's partitionValues
-    # keys, per-file stats keys, hive dir names and parquet column names
-    # are all PHYSICAL; the logical names live only in the schemaString.
-    # Resolve at the log layer so pruning still works, read with the
-    # physical schema, and present logical names at the end.
-    cm = _column_mapping_mode(meta) == "name"
+    # column mapping (reader v2/v3): the log's partitionValues keys,
+    # per-file stats keys and hive dir names are all PHYSICAL; the
+    # logical names live only in the schemaString. Resolve at the log
+    # layer so pruning still works, read with the physical schema, and
+    # present logical names at the end. In id-mode the parquet column
+    # names are not even the physical names — resolution is by parquet
+    # field id, which Spark does natively once the requested schema
+    # carries parquet.field.id metadata and the fieldId.read conf is on
+    # (set below and left on: the read is LAZY, and the conf only
+    # affects schemas that carry field-id metadata).
+    cm_mode = _column_mapping_mode(meta)
+    cm = cm_mode in ("name", "id")
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     if partition_filter:
         unknown = set(partition_filter) - set(partition_cols)
@@ -1617,7 +1658,7 @@ def read_delta(
         for rel, a in active.items()
         if a.get("deletionVector")
     }
-    reader = spark.read.schema(_physical_type(schema) if cm else schema)
+    reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         # hive-layout partition columns materialize from the dir names;
         # basePath anchors inference when an explicit file list is given.
@@ -2791,7 +2832,10 @@ def delta_changes(
             if payload and payload.get("deletionVector"):
                 has_dv_action = True
 
-    cm = _column_mapping_mode(cdf_meta) == "name"
+    cm_mode = _column_mapping_mode(cdf_meta)
+    cm = cm_mode in ("name", "id")
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def _load_survivors(files_dv: dict[str, dict | None]) -> DataFrame:
         """Full logical content of the given files: each file minus its
@@ -2799,7 +2843,7 @@ def delta_changes(
         if not files_dv:
             return spark.createDataFrame([], schema)
         rels = sorted(files_dv)
-        df = spark.read.schema(_physical_type(schema) if cm else schema).parquet(
+        df = spark.read.schema(_reader_schema(schema, cm_mode)).parquet(
             *[os.path.join(path, r) for r in rels]
         )
         dv_by_rel = {r: d for r, d in files_dv.items() if d}
@@ -2901,7 +2945,7 @@ def delta_changes(
                 ["dv_fname", "dv_ridx"],
                 "left_anti",
             )
-        df = spark.read.schema(_physical_type(schema) if cm else schema).parquet(
+        df = spark.read.schema(_reader_schema(schema, cm_mode)).parquet(
             *[os.path.join(path, r) for r in rels]
         )
         keyed = df.withColumn(

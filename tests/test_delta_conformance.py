@@ -192,6 +192,7 @@ def test_golden_checkpoint_schema_columns(spark, tmp_path):
 
 GOLDEN_DV = os.path.join(os.path.dirname(__file__), "data", "golden_delta_dv")
 GOLDEN_CM = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cm")
+GOLDEN_CMID = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cmid")
 GOLDEN_WFEAT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_wfeat")
 GOLDEN_INV = os.path.join(os.path.dirname(__file__), "data", "golden_delta_inv")
 GOLDEN_CKPT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ckpt")
@@ -602,10 +603,32 @@ def test_column_mapping_table_still_write_refused(spark, tmp_path):
     assert dl.read_delta(spark, work).count() == 2
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
-    """id-mode mapping resolves by parquet FIELD ID, which this reader
-    does not implement — name-mode support must not leak id-mode tables
-    through the gate."""
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """id-mode mapping (round-9): the fixture's parquet column names
+    match NEITHER the logical names NOR Delta's physicalName, and the
+    column order is scrambled — only the parquet field ids
+    (= delta.columnMapping.id) identify columns. The read must resolve
+    by id and present logical names; writes stay refused
+    (minWriterVersion=5)."""
+    import shutil
+
+    df = dl.read_delta(spark, GOLDEN_CMID)
+    assert df.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+        (1, 1.5), (2, 2.5),
+    ]
+    work = str(tmp_path / "cmid")
+    shutil.copytree(GOLDEN_CMID, work)
+    batch = spark.createDataFrame([(3, 3.0)], "id long, v double")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="minWriterVersion=5"):
+        dl.write_delta(batch, work, mode="append")
+    assert dl.read_delta(spark, work).count() == 2
+
+
+def test_column_mapping_id_mode_missing_ids_fails_loudly(spark, tmp_path):
+    """An id-mode table whose parquet files carry NO field ids (a
+    corrupt or mislabeled conversion) must fail LOUDLY at read — never
+    fall back to name matching that could bind the wrong columns."""
     import shutil
 
     work = str(tmp_path / "cm_id")
@@ -618,8 +641,8 @@ def test_column_mapping_id_mode_refused(spark, tmp_path):
         )
     with open(log, "w") as f:
         f.write(lines)
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="id-mode"):
-        dl.read_delta(spark, work)
+    with pytest.raises(Exception, match="field|id"):
+        dl.read_delta(spark, work).collect()
 
 
 def test_unsupported_protocol_blocks_writes_not_reads(spark, tmp_path):
