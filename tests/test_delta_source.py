@@ -1,0 +1,197 @@
+"""Delta as a registered Python Data Source (batch + streaming) —
+``spark.read.format("deltalog")`` must match ``read_delta`` on every
+golden fixture shape (partitioned, deletion vectors, name- and id-mode
+column mapping), and ``spark.readStream.format("deltalog")`` must
+stream exactly the appended commits with Delta's append-only contract
+(change commits raise; skipChangeCommits skips)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+    DeltaLogDataSource,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(DeltaLogDataSource)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    ["golden_delta", "golden_delta_dv", "golden_delta_cm", "golden_delta_cmid"],
+)
+def test_batch_source_matches_read_delta(spark, fixture):
+    """One partition per active file; hive partition values, deletion
+    vectors and both column-mapping modes must come out exactly as the
+    native read path produces them."""
+    path = os.path.join(DATA, fixture)
+    via_source = spark.read.format("deltalog").load(path)
+    native = dl.read_delta(spark, path)
+    assert via_source.schema == native.schema
+    assert _rows(via_source) == _rows(native)
+
+
+def test_batch_source_version_as_of(spark):
+    path = os.path.join(DATA, "golden_delta_dv")
+    v0 = spark.read.format("deltalog").option("versionAsOf", 0).load(path)
+    assert v0.count() == 12  # before the DV DELETE commit
+    head = spark.read.format("deltalog").load(path)
+    assert head.count() == 9
+
+
+def test_stream_source_appends_and_change_contract(spark, tmp_path):
+    """Micro-batches cover commit windows: the initial batch replays
+    history, each append lands as its own batch, a data-changing commit
+    raises (append-only contract), and skipChangeCommits resumes past
+    it."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    dl.write_delta(df.coalesce(1), path)
+
+    def _start(**source_opts):
+        reader = spark.readStream.format("deltalog")
+        for k, v in source_opts.items():
+            reader = reader.option(k, v)
+        return (
+            reader.load(path)
+            .writeStream.format("parquet")  # file sink: checkpoint-recoverable
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def _sink_rows():
+        return _rows(spark.read.schema("id long, s string").parquet(out))
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+        assert _sink_rows() == [(1, "a"), (2, "b")]
+
+        dl.write_delta(
+            spark.createDataFrame([(3, "c")], "id long, s string").coalesce(1),
+            path,
+            mode="append",
+        )
+        q.processAllAvailable()
+        assert _sink_rows() == [(1, "a"), (2, "b"), (3, "c")]
+
+        # a DELETE rewrites a file: the append-only stream must fail
+        dl.delete_delta(spark, path, "id = 1")
+        with pytest.raises(Exception, match="skipChangeCommits|data-changing"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart WITH skipChangeCommits from the SAME checkpoint: the
+    # change commit is skipped, later appends flow again
+    q2 = _start(skipChangeCommits="true")
+    try:
+        q2.processAllAvailable()
+        dl.write_delta(
+            spark.createDataFrame([(4, "d")], "id long, s string").coalesce(1),
+            path,
+            mode="append",
+        )
+        q2.processAllAvailable()
+        rows = set(_sink_rows())
+        assert (4, "d") in rows  # the post-delete append flowed
+        # the delete commit's rewritten file was skipped, so the sink
+        # still holds the pre-delete appends and nothing from v(delete)
+        assert rows == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    finally:
+        q2.stop()
+
+
+def test_stream_source_starting_version(spark, tmp_path):
+    """startingVersion=latest streams only commits AFTER stream start;
+    an integer startingVersion replays from that commit on."""
+    path = str(tmp_path / "sv")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), path
+    )
+    dl.write_delta(
+        spark.createDataFrame([(2, 2.0)], "id long, v double").coalesce(1),
+        path,
+        mode="append",
+    )
+
+    q = (
+        spark.readStream.format("deltalog")
+        .option("startingVersion", "latest")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("dsrc_sv")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("dsrc_sv").count() == 0  # history skipped
+        dl.write_delta(
+            spark.createDataFrame([(3, 3.0)], "id long, v double").coalesce(1),
+            path,
+            mode="append",
+        )
+        q.processAllAvailable()
+        assert _rows(spark.table("dsrc_sv")) == [(3, 3.0)]
+    finally:
+        q.stop()
+
+    q2 = (
+        spark.readStream.format("deltalog")
+        .option("startingVersion", 1)
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("dsrc_sv2")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert _rows(spark.table("dsrc_sv2")) == [(2, 2.0), (3, 3.0)]
+    finally:
+        q2.stop()
+
+
+def test_stream_source_schema_change_raises(spark, tmp_path):
+    path = str(tmp_path / "sc")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), path
+    )
+    q = (
+        spark.readStream.format("deltalog")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("dsrc_sc")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dl.write_delta(
+            spark.createDataFrame(
+                [(2, 2.0, "x")], "id long, v double, extra string"
+            ).coalesce(1),
+            path,
+            mode="append",
+            merge_schema=True,
+        )
+        with pytest.raises(Exception, match="schema changed"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
