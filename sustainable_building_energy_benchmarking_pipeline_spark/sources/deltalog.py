@@ -779,14 +779,53 @@ def _physical_name(field: T.StructField) -> str:
 DV_DRIVER_DECODE_MAX = 1_000_000
 
 
+def _dv_suffix_depth(rels) -> int | None:
+    """Path depth (component count) shared by every rel, or None when
+    mixed. Uniform depth is the Delta norm — partition columns are fixed
+    at table creation, so every data file sits exactly
+    ``len(partition_cols)`` directories deep."""
+    depths = {r.count("/") + 1 for r in rels}
+    return depths.pop() if len(depths) == 1 else None
+
+
+def _dv_path_key(rel: str, depth: int) -> str:
+    """Driver-side DV join key: the rel path's last ``depth`` components
+    verbatim (on-disk names, hive-escaped as stored in the log)."""
+    return "/".join(rel.split("/")[-depth:])
+
+
+def _dv_file_key_col(depth: int):
+    """Columnar twin of ``_dv_path_key`` over ``_metadata.file_path``:
+    the URI's last ``depth`` components, percent-decoded back to the
+    ON-DISK names. The URI rendering re-encodes the hive-escaped dir
+    name (on-disk ``p=pt%3ABR`` appears as ``p=pt%253ABR``), so one
+    decode recovers it; '+' is protected first because ``url_decode``
+    is form-decoding (it would turn a literal '+' into a space)."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    comps = [
+        F.url_decode(
+            F.regexp_replace(F.element_at(parts, -i), r"\+", "%2B")
+        )
+        for i in range(depth, 0, -1)
+    ]
+    return F.concat_ws("/", *comps) if depth > 1 else comps[0]
+
+
 def _deleted_rows_frame(
-    spark: SparkSession, table_path: str, dv_by_rel: dict[str, dict]
+    spark: SparkSession,
+    table_path: str,
+    dv_by_rel: dict[str, dict],
+    depth: int = 1,
 ) -> DataFrame:
     """(dv_fname, dv_ridx) rows for every DV-deleted row of the given
-    add actions. Join key is the data file's BASENAME — Delta part
-    files embed a writer uuid, unique within a table. Size-gated
-    driver/executor decode (see DV_DRIVER_DECODE_MAX); cardinality
-    comes free from the descriptors so the gate costs nothing."""
+    add actions. Join key is the data file's last-``depth``-components
+    path suffix (depth 1 = basename — Delta part files embed a writer
+    uuid, unique within a table; partitioned tables key on the full
+    partition-dir suffix). Size-gated driver/executor decode (see
+    DV_DRIVER_DECODE_MAX); cardinality comes free from the descriptors
+    so the gate costs nothing."""
     import pandas as pd
 
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
@@ -799,7 +838,7 @@ def _deleted_rows_frame(
         frames = [
             pd.DataFrame(
                 {
-                    "dv_fname": os.path.basename(rel),
+                    "dv_fname": _dv_path_key(rel, depth),
                     "dv_ridx": deleted_row_indexes(table_path, desc),
                 }
             )
@@ -808,7 +847,7 @@ def _deleted_rows_frame(
         pdf = pd.concat(frames, ignore_index=True)
         return spark.createDataFrame(pdf, out_schema)
     desc_rows = [
-        (os.path.basename(rel), json.dumps(desc))
+        (_dv_path_key(rel, depth), json.dumps(desc))
         for rel, desc in sorted(dv_by_rel.items())
     ]
     descs = spark.createDataFrame(desc_rows, "fname string, desc string")
@@ -835,34 +874,39 @@ def _apply_deletion_vectors(
     all_rels: list[str] | None = None,
 ) -> DataFrame:
     """Drop DV-deleted rows from a parquet read: anti-join on
-    (file basename, ``_metadata.row_index``). Must be applied to the
+    (file path suffix, ``_metadata.row_index``). Must be applied to the
     reader output BEFORE any projection drops the _metadata column.
 
-    Basename (not full URI) is the join key because the URI rendering
-    of ``_metadata.file_path`` is a Spark/Hadoop detail — a silent
-    mismatch would RESURFACE deleted rows, the worst failure mode.
-    Delta writers make file names uuid-unique, but an external layout
-    could repeat a basename across partition dirs, which would
-    over-delete — so ambiguity refuses loudly instead."""
+    Path suffix (not full URI) is the join key because the URI
+    rendering of ``_metadata.file_path`` is a Spark/Hadoop detail — a
+    silent mismatch would RESURFACE deleted rows, the worst failure
+    mode. When every file in scope sits at the same depth (Delta's
+    norm: partition depth is fixed at creation) the key is the full
+    partition-dir suffix, which is unique by construction — a
+    partitioned write can legally repeat one part BASENAME across its
+    hive dirs. Mixed depths (external layouts only) fall back to
+    basename with a loud ambiguity refusal."""
     from pyspark.sql import functions as F
 
     scope = list(all_rels) if all_rels is not None else list(dv_by_rel)
-    dv_names = {os.path.basename(rel) for rel in dv_by_rel}
-    seen: dict[str, str] = {}
-    for rel in scope:
-        b = os.path.basename(rel)
-        if b in dv_names and seen.get(b, rel) != rel:
-            raise ValueError(
-                f"files of {table_path} share the basename {b!r} across "
-                "directories and one carries a deletion vector — "
-                "basename row matching would be ambiguous; refusing "
-                "rather than mis-apply DVs"
-            )
-        seen.setdefault(b, rel)
-    deleted = _deleted_rows_frame(spark, table_path, dv_by_rel)
+    depth = _dv_suffix_depth(scope)
+    if depth is None:
+        depth = 1
+        dv_names = {os.path.basename(rel) for rel in dv_by_rel}
+        seen: dict[str, str] = {}
+        for rel in scope:
+            b = os.path.basename(rel)
+            if b in dv_names and seen.get(b, rel) != rel:
+                raise ValueError(
+                    f"files of {table_path} share the basename {b!r} "
+                    "across directories at mixed depths and one carries "
+                    "a deletion vector — row matching would be "
+                    "ambiguous; refusing rather than mis-apply DVs"
+                )
+            seen.setdefault(b, rel)
+    deleted = _deleted_rows_frame(spark, table_path, dv_by_rel, depth)
     keyed = df.withColumn(
-        "__dv_fname",
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        "__dv_fname", _dv_file_key_col(depth)
     ).withColumn("__dv_ridx", F.col("_metadata.row_index"))
     survivors = keyed.join(
         deleted,
@@ -1217,9 +1261,67 @@ def _remove_action(
         "deletionTimestamp": now_ms,
         "dataChange": data_change,
     }
+    if add and add.get("partitionValues"):
+        # the spec marks remove.partitionValues optional but real writers
+        # emit it; CDF readers use it to attribute removed files without
+        # replaying the add
+        rm["partitionValues"] = add["partitionValues"]
     if add and add.get("deletionVector"):
         rm["deletionVector"] = add["deletionVector"]
     return {"remove": rm}
+
+
+def _move_staged_adds(
+    staging: str, path: str, now_ms: int, data_change: bool = True
+) -> list[dict[str, Any]]:
+    """Move every staged parquet out of ``staging`` into the table root
+    (preserving hive partition subdirectories) and return their add
+    actions — the one walk every rewriting op (write/MERGE/DELETE/
+    OPTIMIZE) shares. Hive dirs like ``lang=en`` become the add's
+    ``partitionValues``: Spark %-escapes special chars in dir names
+    (``lang=pt:BR`` → ``lang=pt%3ABR``) and writes nulls as
+    ``__HIVE_DEFAULT_PARTITION__``, but the log must store the LOGICAL
+    values (unescaped, null) as real Delta does, or partition_filter
+    comparisons (and delta-rs/delta-spark interop) silently match
+    nothing. Zero-row parts (empty shuffle partitions, over-provisioned
+    range partitions) are skipped — committing them would permanently
+    add files every read lists and opens. The staging dir is removed."""
+    import shutil
+
+    adds: list[dict[str, Any]] = []
+    for root, _dirs, files_ in os.walk(staging):
+        for name in sorted(files_):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            pvals = {
+                k: (None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw))
+                for k, raw in (
+                    part.split("=", 1)
+                    for part in rel.split(os.sep)[:-1]
+                    if "=" in part
+                )
+            }
+            src = os.path.join(root, name)
+            stats = _file_stats(src)
+            if stats and json.loads(stats).get("numRecords") == 0:
+                continue
+            dest = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)  # part names UUID-unique
+            add: dict[str, Any] = {
+                "path": rel,
+                "partitionValues": pvals,
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": data_change,
+            }
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
+    shutil.rmtree(staging)
+    return adds
 
 
 def write_delta(
@@ -1316,48 +1418,8 @@ def write_delta(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by write "
             f"to Delta table at {path}"
         )
-    adds = []
     now_ms = int(time.time() * 1000)
-    for root, _dirs, files in os.walk(staging):
-        for name in sorted(files):
-            if not name.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(root, staging)
-            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
-            # hive dirs like lang=en → the add action's partitionValues.
-            # Spark %-escapes special chars in dir names (lang=pt:BR →
-            # lang=pt%3ABR) and writes nulls as __HIVE_DEFAULT_PARTITION__;
-            # the log must store the LOGICAL values (unescaped, null) as
-            # real Delta does, or partition_filter comparisons (and
-            # delta-rs/delta-spark interop) silently match nothing.
-            pvals = {
-                k: (None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw))
-                for k, raw in (
-                    part.split("=", 1)
-                    for part in rel.split(os.sep)[:-1]
-                    if "=" in part
-                )
-            }
-            src = os.path.join(root, name)
-            stats = _file_stats(src)
-            if stats and json.loads(stats).get("numRecords") == 0:
-                continue  # empty shuffle partition — nothing to commit
-            dest = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.replace(src, dest)  # part names UUID-unique
-            add: dict[str, Any] = {
-                "path": rel,
-                "partitionValues": pvals,
-                "size": os.path.getsize(dest),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-            if stats:
-                add["stats"] = stats
-            adds.append({"add": add})
-    import shutil
-
-    shutil.rmtree(staging)
+    adds = _move_staged_adds(staging, path, now_ms)
 
     actions: list[dict[str, Any]] = []
     if version == 0:
@@ -1570,8 +1632,35 @@ def _may_satisfy(add: dict, where: tuple[str, str, Any]) -> bool:
     """File-level data skipping on the add action's ``stats``: False only
     when the file's [min, max] range PROVABLY cannot satisfy the
     predicate. Missing/unparseable stats keep the file (skipping is an
-    optimization, never a correctness gate)."""
+    optimization, never a correctness gate).
+
+    A predicate column that is a PARTITION column never appears in
+    footer stats (partition values live in the hive path, not the data
+    file) — it is checked against the add's ``partitionValues`` instead:
+    the stored logical string parses to the probe value's type and the
+    file's "range" is that single point. This is Delta's partition
+    pruning, and it makes DELETE/MERGE on a partition key touch only the
+    matching partitions' files."""
     col, op, val = where
+    pvals = add.get("partitionValues") or {}
+    if col in pvals:
+        if op not in _SKIP_OPS:
+            return True
+        raw = pvals[col]
+        if raw is None:
+            return False  # NULL never satisfies a comparison (SQL)
+        try:
+            if isinstance(val, bool):
+                point: Any = raw == "true"
+            elif isinstance(val, int):
+                point = int(raw)
+            elif isinstance(val, float):
+                point = float(raw)
+            else:
+                point = raw  # strings / ISO dates compare lexicographically
+            return _SKIP_OPS[op](point, point, val)
+        except (TypeError, ValueError):
+            return True
     stats = add.get("stats")
     if not stats:
         return True
@@ -1691,7 +1780,14 @@ def merge_delta(
     else is untouched log-wise and data-wise. A merge touching 1% of
     the key space rewrites ~1% of the table instead of all of it.
     Commit = remove(affected) + add(rewritten ∪ updates), atomic like
-    any other commit. Returns the committed version."""
+    any other commit. Returns the committed version.
+
+    Partitioned tables (round-9): affected files are found the same way
+    — and when ``key`` IS a partition column, ``_may_satisfy`` prunes on
+    ``partitionValues`` instead of footer stats, so only matching
+    partitions' files are read. Rewrites and inserted rows land back in
+    hive layout via ``partitionBy``; untouched partitions never appear
+    in the commit."""
     versions = _list_versions(path)
     if not versions:
         return write_delta(updates, path, mode="append")
@@ -1699,8 +1795,6 @@ def merge_delta(
     # fail fast: the commit gate re-checks after staging, but staging a
     # MERGE against a feature-gated table is pure wasted IO
     _check_write_protocol(_latest_protocol(path, versions[-1]), path)
-    if partition_cols:
-        raise ValueError("merge_delta supports unpartitioned tables")
     # the same name+type enforcement write_delta applies: an updates
     # frame whose schema drifts would otherwise be staged and committed
     # VERBATIM (the no-affected-files arm writes it directly), leaving a
@@ -1775,7 +1869,11 @@ def merge_delta(
     ]
     if affected:
         files = [os.path.join(path, rel) for rel in sorted(affected)]
-        old = spark.read.schema(schema).parquet(*files)
+        reader = spark.read.schema(schema)
+        if partition_cols:
+            # partition columns materialize from the hive dir names
+            reader = reader.option("basePath", path)
+        old = reader.parquet(*files).select(*schema.fieldNames())
         # apply-and-rewrite: a DV-bearing affected file is read WITHOUT
         # its deleted rows and rewritten DV-free — rewriting the raw
         # parquet would resurrect them
@@ -1795,7 +1893,10 @@ def merge_delta(
 
     # stage+move exactly like write_delta, then commit removes+adds in one
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    new_data.write.mode("errorifexists").parquet(staging)
+    writer = new_data.write.mode("errorifexists")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
     viol = _violated_constraint(spark, staging, schema, config)
     if viol:
         import shutil
@@ -1805,29 +1906,7 @@ def merge_delta(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
             f"into Delta table at {path}"
         )
-    for root, _dirs, files_ in os.walk(staging):
-        for name in sorted(files_):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            stats = _file_stats(src)
-            if stats and json.loads(stats).get("numRecords") == 0:
-                continue  # empty shuffle partition — nothing to commit
-            dest = os.path.join(path, name)
-            os.replace(src, dest)
-            add: dict[str, Any] = {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(dest),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-    import shutil
-
-    shutil.rmtree(staging)
+    actions.extend(_move_staged_adds(staging, path, now_ms))
     actions.append(
         {
             "commitInfo": {
@@ -2168,7 +2247,13 @@ def delete_delta(
     rows fall back to the rewrite path automatically — past that size a
     bitmap stops being the cheap representation, the same heuristic
     real engines apply. A file whose bitmap would cover every physical
-    row is dropped outright (remove, no re-add)."""
+    row is dropped outright (remove, no re-add).
+
+    Partitioned tables (round-9): supported end-to-end. A ``prune`` on a
+    partition column prunes by ``partitionValues`` (partition pruning —
+    a DELETE keyed on the partition column touches only that
+    partition's files); survivors rewrite back into hive layout, and
+    the DV path re-adds the same partitioned path unchanged."""
     from pyspark.sql import functions as F
     from urllib.parse import urlparse
 
@@ -2177,8 +2262,6 @@ def delete_delta(
         raise FileNotFoundError(f"no Delta log at {path}")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     _check_write_protocol(_latest_protocol(path, versions[-1]), path)
-    if partition_cols:
-        raise ValueError("delete_delta supports unpartitioned tables")
     config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
@@ -2205,9 +2288,14 @@ def delete_delta(
     # are pure waste). `_metadata.file_path` instead of
     # input_file_name() because the DV anti-join sits between the scan
     # and the projection, and input_file_name is undefined after a join.
+    p1_reader = spark.read.schema(schema)
+    if partition_cols:
+        # partition columns materialize from the hive dir names so the
+        # predicate may reference them (with _may_satisfy having already
+        # pruned non-matching partitions when `prune` names one)
+        p1_reader = p1_reader.option("basePath", path)
     phase1 = (
-        spark.read.schema(schema)
-        .parquet(*cand_files)
+        p1_reader.parquet(*cand_files)
         .withColumn("_f", F.col("_metadata.file_path"))
         .withColumn("_ridx", F.col("_metadata.row_index"))
     )
@@ -2243,7 +2331,10 @@ def delete_delta(
             return committed
         # fell through: too many matched rows for a bitmap — rewrite
 
-    keep = spark.read.schema(schema).parquet(
+    keep_reader = spark.read.schema(schema)
+    if partition_cols:
+        keep_reader = keep_reader.option("basePath", path)
+    keep = keep_reader.parquet(
         *[os.path.join(path, rel) for rel in sorted(hit_files)]
     )
     dv_hit = {rel: dv_cand[rel] for rel in hit_files if rel in dv_cand}
@@ -2253,36 +2344,17 @@ def delete_delta(
         keep = _apply_deletion_vectors(
             spark, path, keep, dv_hit, all_rels=sorted(hit_files)
         )
-    keep = keep.filter(~pred)
+    keep = keep.filter(~pred).select(*schema.fieldNames())
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    keep.write.mode("errorifexists").parquet(staging)
-    for dirpath, _dirs, files_ in os.walk(staging):
-        for fname in sorted(files_):
-            if not fname.endswith(".parquet"):
-                continue
-            src = os.path.join(dirpath, fname)
-            stats = _file_stats(src)
-            if stats and json.loads(stats).get("numRecords") == 0:
-                continue  # a fully-deleted file needs no replacement
-            dest = os.path.join(path, fname)
-            os.replace(src, dest)
-            add: dict[str, Any] = {
-                "path": fname,
-                "partitionValues": {},
-                "size": os.path.getsize(dest),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-    import shutil
-
-    shutil.rmtree(staging)
+    keep_writer = keep.write.mode("errorifexists")
+    if partition_cols:
+        keep_writer = keep_writer.partitionBy(*partition_cols)
+    keep_writer.parquet(staging)
+    actions.extend(_move_staged_adds(staging, path, now_ms))
     actions.append(
         {
             "commitInfo": {
@@ -2676,8 +2748,15 @@ def optimize_delta(
     adds/removes carry ``dataChange: false`` per the Delta spec — the
     table's CONTENT is unchanged, so streaming readers skip the commit.
     Returns the committed version, or None when there is nothing to do.
-    (Unpartitioned tables; partitioned compaction would bin-pack within
-    each partition.)
+
+    Partitioned tables (round-9) bin-pack WITHIN each hive partition —
+    Delta's contract: data never migrates across partitions, and ONLY
+    partitions holding more than ``target_files`` files (or any, under
+    zorder) are rewritten; an already-compact partition contributes no
+    actions, so compacting one hot partition of a 100 TB table moves
+    just that partition's bytes. The single rewrite job hash-partitions
+    on the partition columns (one Spark task per hive partition at
+    target 1), never one job per partition.
 
     ``zorder_by`` additionally CLUSTERS the rewrite on the interleaved
     quantile-rank bits of the given columns (OPTIMIZE ... ZORDER BY):
@@ -2686,27 +2765,42 @@ def optimize_delta(
     prunes on any of them — a lexicographic sort only serves its leading
     column. The z-value is range-partitioned then dropped; it never
     reaches the data files. With zorder_by the rewrite proceeds even when
-    the file count is already at target (re-clustering is the point)."""
+    the file count is already at target (re-clustering is the point); on
+    a partitioned table the range runs over (partition cols, z-value) so
+    clustering stays partition-local."""
+    from pyspark.sql import functions as F
+
     versions = _list_versions(path)
     if not versions:
         return None
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     _check_write_protocol(_latest_protocol(path, versions[-1]), path)
-    if partition_cols:
-        raise ValueError("optimize_delta supports unpartitioned tables")
-    if len(active) <= target_files and not zorder_by:
+    groups: dict[tuple, dict[str, dict]] = {}
+    for rel, a in active.items():
+        gkey = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(gkey, {})[rel] = a
+    work = {
+        gkey: g
+        for gkey, g in groups.items()
+        if len(g) > target_files or zorder_by
+    }
+    if not work:
         return None
-    files = [os.path.join(path, rel) for rel in sorted(active)]
+    rewrite = {rel: a for g in work.values() for rel, a in g.items()}
+    files = [os.path.join(path, rel) for rel in sorted(rewrite)]
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(rel, a, now_ms, data_change=False)
-        for rel, a in active.items()
+        for rel, a in rewrite.items()
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    snapshot = spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if partition_cols:
+        reader = reader.option("basePath", path)
+    snapshot = reader.parquet(*files).select(*schema.fieldNames())
     dv_active = {
         rel: a["deletionVector"]
-        for rel, a in active.items()
+        for rel, a in rewrite.items()
         if a.get("deletionVector")
     }
     if dv_active:
@@ -2714,49 +2808,39 @@ def optimize_delta(
         # logical content is unchanged (dataChange stays False), the
         # bitmaps just stop existing
         snapshot = _apply_deletion_vectors(
-            spark, path, snapshot, dv_active, all_rels=list(active)
+            spark, path, snapshot, dv_active, all_rels=list(rewrite)
         )
+    n_out = max(1, target_files) * len(work)
     if zorder_by:
         missing = set(zorder_by) - set(snapshot.columns)
         if missing:
             raise ValueError(f"zorder_by columns not in table: {sorted(missing)}")
         clustered = (
             _zorder_value(snapshot, list(zorder_by))
-            .repartitionByRange(target_files, "_zval")
-            .sortWithinPartitions("_zval")
+            .repartitionByRange(n_out, *partition_cols, "_zval")
+            .sortWithinPartitions(*partition_cols, "_zval")
             .drop("_zval")
         )
+    elif partition_cols:
+        # hash on the partition columns: every row of one hive partition
+        # lands in ONE task → exactly one output file per partition at
+        # target 1; target>1 adds a task-local salt. Over-provisioned
+        # empty parts are dropped by the staging walk.
+        if target_files > 1:
+            clustered = snapshot.repartition(
+                n_out,
+                *partition_cols,
+                F.pmod(F.monotonically_increasing_id(), F.lit(target_files)),
+            )
+        else:
+            clustered = snapshot.repartition(len(work), *partition_cols)
     else:
         clustered = snapshot.coalesce(target_files)
-    clustered.write.mode("errorifexists").parquet(staging)
-    for root, _dirs, files_ in os.walk(staging):
-        for name in sorted(files_):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            stats = _file_stats(src)
-            if stats and json.loads(stats).get("numRecords") == 0:
-                # same skip every writer applies: a ZORDER whose values
-                # collapse into fewer range partitions than target_files
-                # emits empty parts — committing them would permanently
-                # add zero-row files every read lists and opens, the
-                # opposite of compaction
-                continue
-            dest = os.path.join(path, name)
-            os.replace(src, dest)
-            add: dict[str, Any] = {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(dest),
-                "modificationTime": now_ms,
-                "dataChange": False,
-            }
-            if stats:
-                add["stats"] = stats
-            actions.append({"add": add})
-    import shutil
-
-    shutil.rmtree(staging)
+    writer = clustered.write.mode("errorifexists")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    actions.extend(_move_staged_adds(staging, path, now_ms, data_change=False))
     actions.append(
         {
             "commitInfo": {
@@ -2769,10 +2853,11 @@ def optimize_delta(
             }
         }
     )
-    # OPTIMIZE reads the whole snapshot, so any rival remove conflicts;
-    # rival appends retry cleanly (their files simply stay un-compacted)
+    # OPTIMIZE reads the files it rewrites, so a rival removing any of
+    # them conflicts; rival appends (and rewrites of untouched
+    # partitions) retry cleanly — their files simply stay un-compacted
     return _commit_with_retry(
-        path, versions[-1] + 1, actions, depends_on=set(active)
+        path, versions[-1] + 1, actions, depends_on=set(rewrite)
     )
 
 
@@ -2819,7 +2904,7 @@ def delta_changes(
             f"change window ({since_version}, {to_version}] predates the "
             f"retained log (oldest commit {versions[0]}) at {path}"
         )
-    _, schema, _, cdf_meta = _replay(path, to_version)
+    _, schema, cdf_pcols, cdf_meta = _replay(path, to_version)
     window: list[list[dict[str, Any]]] = []
     has_dv_action = False
     for v in versions:
@@ -2843,9 +2928,12 @@ def delta_changes(
         if not files_dv:
             return spark.createDataFrame([], schema)
         rels = sorted(files_dv)
-        df = spark.read.schema(_reader_schema(schema, cm_mode)).parquet(
-            *[os.path.join(path, r) for r in rels]
-        )
+        reader = spark.read.schema(_reader_schema(schema, cm_mode))
+        if cdf_pcols:
+            # partition columns live in the hive dir names, not the
+            # data files — without basePath they read back as NULL
+            reader = reader.option("basePath", path)
+        df = reader.parquet(*[os.path.join(path, r) for r in rels])
         dv_by_rel = {r: d for r, d in files_dv.items() if d}
         if dv_by_rel:
             df = _apply_deletion_vectors(spark, path, df, dv_by_rel, all_rels=rels)
@@ -2926,31 +3014,37 @@ def delta_changes(
     ) -> DataFrame | None:
         """Rows of each file whose index is in its ``grow`` DV but not
         its ``shrink`` DV (bitmap set difference, joined back to the
-        file's rows by (basename, _metadata.row_index))."""
+        file's rows by (path suffix, _metadata.row_index) — same keying
+        as _apply_deletion_vectors, so partitioned tables that repeat a
+        part basename across hive dirs match unambiguously)."""
         if not grow:
             return None
         rels = sorted(grow)
-        basenames = [os.path.basename(r) for r in rels]
-        if len(set(basenames)) != len(basenames):
-            raise ValueError(
-                f"files of {path} share a basename across directories "
-                "in a DV change window — row matching would be "
-                "ambiguous; refusing rather than misreport changes"
-            )
-        idx = _deleted_rows_frame(spark, path, grow)
+        depth = _dv_suffix_depth(rels)
+        if depth is None:
+            depth = 1
+            basenames = [os.path.basename(r) for r in rels]
+            if len(set(basenames)) != len(basenames):
+                raise ValueError(
+                    f"files of {path} share a basename across "
+                    "directories at mixed depths in a DV change window "
+                    "— row matching would be ambiguous; refusing "
+                    "rather than misreport changes"
+                )
+        idx = _deleted_rows_frame(spark, path, grow, depth)
         shrink = {r: d for r, d in shrink.items() if d and r in grow}
         if shrink:
             idx = idx.join(
-                _deleted_rows_frame(spark, path, shrink),
+                _deleted_rows_frame(spark, path, shrink, depth),
                 ["dv_fname", "dv_ridx"],
                 "left_anti",
             )
-        df = spark.read.schema(_reader_schema(schema, cm_mode)).parquet(
-            *[os.path.join(path, r) for r in rels]
-        )
+        dr_reader = spark.read.schema(_reader_schema(schema, cm_mode))
+        if cdf_pcols:
+            dr_reader = dr_reader.option("basePath", path)
+        df = dr_reader.parquet(*[os.path.join(path, r) for r in rels])
         keyed = df.withColumn(
-            "dv_fname",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            "dv_fname", _dv_file_key_col(depth)
         ).withColumn("dv_ridx", F.col("_metadata.row_index"))
         hit = keyed.join(idx, ["dv_fname", "dv_ridx"], "inner")
         return _to_logical_columns(hit, schema) if cm else hit.select(

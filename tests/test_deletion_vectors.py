@@ -174,10 +174,9 @@ def test_dv_composes_with_column_mapping(spark, tmp_path):
     assert removed.count() == 0
 
 
-def test_dv_basename_collision_refused(spark, tmp_path):
-    """An external layout repeating a basename across directories while
-    one copy carries a DV must refuse (basename row-matching would be
-    ambiguous) — never silently over-delete the other file's rows."""
+def _dup_basename_table(tmp_path, rels):
+    """External layout repeating one part basename across directories,
+    the DV on the FIRST rel (row index 0 = its lowest id)."""
     import json
     import os
 
@@ -185,7 +184,6 @@ def test_dv_basename_collision_refused(spark, tmp_path):
     import pyarrow.parquet as pq
 
     path = str(tmp_path / "dup")
-    rels = ["a/part-same.parquet", "b/part-same.parquet"]
     for rel, ids in zip(rels, ([1, 2], [3, 4])):
         dest = os.path.join(path, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -211,6 +209,28 @@ def test_dv_basename_collision_refused(spark, tmp_path):
     with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
+    return path
+
+
+def test_dv_basename_collision_uniform_depth_reads(spark, tmp_path):
+    """A basename repeated across directories at UNIFORM depth is
+    unambiguous under path-suffix keying (round-9: partitioned writes
+    legally repeat one part basename across hive dirs) — the DV applies
+    to ITS file only, never the twin's rows."""
+    path = _dup_basename_table(
+        tmp_path, ["a/part-same.parquet", "b/part-same.parquet"]
+    )
+    got = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got == [2, 3, 4]  # only a/'s row 0 (id=1) is deleted
+
+
+def test_dv_basename_collision_mixed_depth_refused(spark, tmp_path):
+    """MIXED depths fall back to basename keying, where a repeated
+    basename with a DV is genuinely ambiguous — refuse loudly, never
+    silently over-delete the other file's rows."""
+    path = _dup_basename_table(
+        tmp_path, ["part-same.parquet", "b/part-same.parquet"]
+    )
     with pytest.raises(ValueError, match="basename"):
         dl.read_delta(spark, path).collect()
 

@@ -1,0 +1,307 @@
+"""Partitioned-table DML (round-9): DELETE / MERGE / OPTIMIZE on
+hive-partitioned Delta tables. Delta's contract: data never migrates
+across partitions, untouched partitions contribute NO actions to the
+commit, and a predicate/merge-key on the partition column prunes by
+partitionValues (partition pruning) rather than footer stats.
+
+Reference precedent: the medallion writer partitions its Gold layer
+(notebooks/benchmarking_medallion.py) — every engine user with a
+date-partitioned table expects DELETE/MERGE/OPTIMIZE to work there.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+
+def _mk_table(spark, path, rows_per_part=6, parts=("a", "b", "c"), files_per_part=3):
+    """3 partitions × several files each, via per-file appends."""
+    per_file = rows_per_part // files_per_part
+    i = 0
+    for _ in range(files_per_part):
+        rows = []
+        for p in parts:
+            for _ in range(per_file):
+                rows.append((i, p, float(i % 10)))
+                i += 1
+        df = spark.createDataFrame(rows, "id bigint, p string, v double").coalesce(1)
+        dl.write_delta(df, path, partition_by=["p"])
+    return i
+
+
+def _active(path):
+    active, _, _, _ = dl._replay(path, None)
+    return active
+
+
+def _commit_actions(path, version):
+    return dl._read_actions(path, version)
+
+
+def test_partitioned_delete_data_predicate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _mk_table(spark, path)
+    v = dl.delete_delta(spark, path, "v >= 5.0")
+    got = dl.read_delta(spark, path).orderBy("id").collect()
+    assert all(r["v"] < 5.0 for r in got)
+    assert len(got) == sum(1 for i in range(n) if (i % 10) < 5)
+    # survivors stayed in their hive partitions
+    for r in got:
+        assert r["p"] in ("a", "b", "c")
+    # rewritten adds carry partitionValues
+    adds = [a["add"] for a in _commit_actions(path, v) if "add" in a]
+    assert adds and all(a["partitionValues"].get("p") in ("a", "b", "c") for a in adds)
+    removes = [a["remove"] for a in _commit_actions(path, v) if "remove" in a]
+    assert removes and all(
+        r.get("partitionValues", {}).get("p") in ("a", "b", "c") for r in removes
+    )
+
+
+def test_partitioned_delete_partition_prune_touches_one_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    before = _active(path)
+    v = dl.delete_delta(spark, path, "p = 'b'", prune=("p", "==", "b"))
+    acts = _commit_actions(path, v)
+    removes = [a["remove"]["path"] for a in acts if "remove" in a]
+    # partition pruning: ONLY partition b's files were touched
+    assert removes and all(r.startswith("p=b/") for r in removes)
+    assert not [a for a in acts if "add" in a]  # full-partition delete: no survivors
+    # other partitions' files untouched on disk and in the log
+    after = _active(path)
+    assert {r for r in before if not r.startswith("p=b/")} == set(after)
+    got = dl.read_delta(spark, path)
+    assert got.filter("p = 'b'").count() == 0
+    assert got.count() == got.filter("p != 'b'").count() > 0
+
+
+def test_may_satisfy_partition_values_typed():
+    add_int = {"partitionValues": {"d": "10"}}
+    assert dl._may_satisfy(add_int, ("d", "==", 10))
+    assert not dl._may_satisfy(add_int, ("d", "==", 9))
+    assert dl._may_satisfy(add_int, ("d", ">=", 10))
+    assert not dl._may_satisfy(add_int, ("d", "<", 10))
+    # string (ISO date) comparison is lexicographic = chronological
+    add_date = {"partitionValues": {"day": "2024-03-01"}}
+    assert dl._may_satisfy(add_date, ("day", ">", "2024-02-29"))
+    assert not dl._may_satisfy(add_date, ("day", "<", "2024-03-01"))
+    # NULL partition never satisfies a comparison
+    assert not dl._may_satisfy({"partitionValues": {"d": None}}, ("d", "==", 1))
+    # unparseable keeps the file (conservative)
+    assert dl._may_satisfy({"partitionValues": {"d": "x"}}, ("d", "==", 1))
+    # non-partition column falls through to stats
+    add_stats = {
+        "partitionValues": {"p": "a"},
+        "stats": json.dumps(
+            {"numRecords": 3, "minValues": {"v": 1}, "maxValues": {"v": 5}}
+        ),
+    }
+    assert dl._may_satisfy(add_stats, ("v", "==", 3))
+    assert not dl._may_satisfy(add_stats, ("v", ">", 5))
+
+
+def test_partitioned_merge_upsert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _mk_table(spark, path)
+    updates = spark.createDataFrame(
+        [(0, "a", 99.0), (n, "c", 77.0)], "id bigint, p string, v double"
+    )
+    v = dl.merge_delta(spark, path, updates, key="id")
+    got = {r["id"]: r for r in dl.read_delta(spark, path).collect()}
+    assert len(got) == n + 1
+    assert got[0]["v"] == 99.0 and got[0]["p"] == "a"
+    assert got[n]["v"] == 77.0 and got[n]["p"] == "c"
+    # adds landed in hive layout with partitionValues
+    adds = [a["add"] for a in _commit_actions(path, v) if "add" in a]
+    assert adds and all("p" in a["partitionValues"] for a in adds)
+    assert all("=" in a["path"] for a in adds)
+
+
+def test_partitioned_merge_on_partition_key_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    # merge keyed ON the partition column: only p=b files may be affected
+    updates = spark.createDataFrame([("b", -1.0)], "p string, v double")
+    # align schema (MERGE enforces table schema)
+    updates = updates.select(F.lit(1000).cast("bigint").alias("id"), "p", "v")
+    v = dl.merge_delta(spark, path, updates, key="p")
+    removes = [a["remove"]["path"] for a in _commit_actions(path, v) if "remove" in a]
+    assert removes and all(r.startswith("p=b/") for r in removes)
+
+
+def test_partitioned_optimize_compacts_within_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _mk_table(spark, path, files_per_part=3)
+    before = dl.read_delta(spark, path).orderBy("id").collect()
+    v = dl.optimize_delta(spark, path, target_files=1)
+    assert v is not None
+    active = _active(path)
+    # exactly one file per partition now
+    by_part: dict[str, int] = {}
+    for rel in active:
+        by_part[rel.split("/")[0]] = by_part.get(rel.split("/")[0], 0) + 1
+    assert by_part == {"p=a": 1, "p=b": 1, "p=c": 1}
+    after = dl.read_delta(spark, path).orderBy("id").collect()
+    assert after == before
+    assert len(after) == n
+    # dataChange False throughout (content unchanged, streams skip it)
+    acts = _commit_actions(path, v)
+    for a in acts:
+        payload = a.get("add") or a.get("remove")
+        if payload:
+            assert payload["dataChange"] is False
+    # CDF over the OPTIMIZE window is empty
+    added, removed = dl.delta_changes(spark, path, since_version=v - 1)
+    assert added.count() == 0 and removed.count() == 0
+
+
+def test_partitioned_optimize_skips_compact_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # p=a gets 3 files, p=z gets exactly 1 (already compact)
+    for i in range(3):
+        df = spark.createDataFrame([(i, "a", 1.0)], "id bigint, p string, v double")
+        dl.write_delta(df, path, partition_by=["p"])
+    dl.write_delta(
+        spark.createDataFrame([(100, "z", 2.0)], "id bigint, p string, v double"),
+        path,
+        partition_by=["p"],
+    )
+    z_files_before = {rel for rel in _active(path) if rel.startswith("p=z/")}
+    v = dl.optimize_delta(spark, path, target_files=1)
+    acts = _commit_actions(path, v)
+    touched = [
+        (a.get("add") or a.get("remove"))["path"]
+        for a in acts
+        if "add" in a or "remove" in a
+    ]
+    # the already-compact partition contributed no actions
+    assert touched and all(t.startswith("p=a/") for t in touched)
+    assert {rel for rel in _active(path) if rel.startswith("p=z/")} == z_files_before
+
+
+def test_partitioned_optimize_nothing_to_do(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a", 1.0)], "id bigint, p string, v double"),
+        path,
+        partition_by=["p"],
+    )
+    assert dl.optimize_delta(spark, path, target_files=1) is None
+
+
+def test_partitioned_optimize_zorder(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, rows_per_part=12, files_per_part=3)
+    before = dl.read_delta(spark, path).orderBy("id").collect()
+    v = dl.optimize_delta(spark, path, target_files=1, zorder_by=["v"])
+    assert v is not None
+    assert dl.read_delta(spark, path).orderBy("id").collect() == before
+    # every output file stayed within ONE partition (hive layout intact)
+    for rel in _active(path):
+        assert rel.split("/")[0] in ("p=a", "p=b", "p=c")
+
+
+def test_partitioned_delete_null_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, None, 9.0)],
+        "id bigint, p string, v double",
+    )
+    dl.write_delta(df, path, partition_by=["p"])
+    dl.delete_delta(spark, path, "v >= 9.0")
+    got = {r["id"]: r["p"] for r in dl.read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_partitioned_dv_delete_preserves_partition_values(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    # opt the table into DVs (both protocol sides + table property),
+    # the same manual upgrade the DV fixtures perform
+    versions = dl._list_versions(path)
+    proto = dl._latest_protocol(path, versions[-1])
+    meta = dict(dl._latest_metadata(path, versions[-1]))
+    cfg = dict(meta.get("configuration", {}))
+    cfg["delta.enableDeletionVectors"] = "true"
+    meta["configuration"] = cfg
+    dl._commit_with_retry(
+        path,
+        versions[-1] + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+        ],
+    )
+    n_before = dl.read_delta(spark, path).count()
+    v = dl.delete_delta(spark, path, "id = 1", use_dv=True)
+    acts = _commit_actions(path, v)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(a.get("deletionVector") for a in adds)
+    # the DV re-add keeps the hive path AND its partitionValues
+    for a in adds:
+        assert a["path"].startswith("p=")
+        assert a["partitionValues"]["p"] == a["path"].split("/")[0].split("=")[1]
+    got = dl.read_delta(spark, path)
+    assert got.count() == n_before - 1
+    assert got.filter("id = 1").count() == 0
+
+
+def test_partitioned_cdf_reports_partition_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    v0 = dl._list_versions(path)[-1]
+    dl.write_delta(
+        spark.createDataFrame([(500, "b", 5.0)], "id bigint, p string, v double"),
+        path,
+        partition_by=["p"],
+    )
+    dl.delete_delta(spark, path, "id = 0", prune=("p", "==", "a"))
+    added, removed = dl.delta_changes(spark, path, since_version=v0)
+    add_rows = {(r["id"], r["p"]) for r in added.collect()}
+    rem_rows = {(r["id"], r["p"]) for r in removed.collect()}
+    # partition column values materialize (NOT null) in both frames
+    assert (500, "b") in add_rows
+    assert (0, "a") in rem_rows
+    assert all(p is not None for _, p in add_rows | rem_rows)
+
+
+def test_partitioned_delete_duckdb_oracle(spark, tmp_path):
+    """Oracle: survivors equal DuckDB's DELETE semantics on the same rows."""
+    import duckdb
+
+    path = str(tmp_path / "t")
+    n = _mk_table(spark, path, rows_per_part=12, files_per_part=3)
+    dl.delete_delta(spark, path, "v > 3.0 AND p <> 'c'")
+    got = sorted(
+        (r["id"], r["p"], r["v"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    con = duckdb.connect()
+    # rebuild the same rows _mk_table produced
+    rows = []
+    i = 0
+    for _ in range(3):
+        for p in ("a", "b", "c"):
+            for _ in range(4):
+                rows.append((i, p, float(i % 10)))
+                i += 1
+    assert i == n
+    con.execute("CREATE TABLE t (id BIGINT, p VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    con.execute("DELETE FROM t WHERE v > 3.0 AND p <> 'c'")
+    want = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
+    assert got == want
