@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument(
         "op",
         choices=[
-            "history", "optimize", "vacuum", "delete", "restore",
+            "history", "optimize", "vacuum", "delete", "update", "restore",
             "checkpoint", "add-constraint", "drop-constraint",
             "set-property", "unset-property",
         ],
@@ -103,7 +103,14 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("path", help="Delta table directory")
     t.add_argument("--zorder", default=None, help="comma-separated columns for OPTIMIZE ZORDER BY")
     t.add_argument("--target-files", type=int, default=1)
-    t.add_argument("--where", default=None, help="DELETE predicate (Spark SQL)")
+    t.add_argument("--where", default=None, help="DELETE/UPDATE predicate (Spark SQL)")
+    t.add_argument(
+        "--set",
+        action="append",
+        default=None,
+        metavar="COL=EXPR",
+        help="UPDATE assignment, repeatable (e.g. --set 'v=v*1.1')",
+    )
     t.add_argument("--version", type=int, default=None, help="RESTORE target version")
     t.add_argument("--retain-hours", type=float, default=168.0)
     t.add_argument("--force", action="store_true", help="allow vacuum retention < safety floor")
@@ -254,6 +261,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "delete":
             v = dl.delete_delta(spark, args.path, _need("where", "--where"))
             print(f"delete committed version {v}")
+        elif args.op == "update":
+            assignments = _need("set", "--set")
+            set_exprs = {}
+            for item in assignments:
+                col, _, expr = item.partition("=")
+                if not _ or not col.strip():
+                    p.error(f"--set needs COL=EXPR, got {item!r}")
+                set_exprs[col.strip()] = expr
+            v = dl.update_delta(
+                spark, args.path, _need("where", "--where"), set_exprs
+            )
+            print(f"update committed version {v}")
         elif args.op == "restore":
             v = dl.restore_delta(args.path, _need("version", "--version"))
             print(f"restored; committed version {v}")

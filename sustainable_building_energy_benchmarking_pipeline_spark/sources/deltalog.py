@@ -2373,6 +2373,145 @@ def delete_delta(
     )
 
 
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: tuple[str, str, Any] | None = None,
+) -> int:
+    """UPDATE table SET col = expr, ... WHERE ``condition`` — the last
+    Delta DML verb (DELETE and MERGE live above). ``set_exprs`` maps
+    column name → Spark SQL expression (may reference any row columns,
+    e.g. ``{"v": "v * 1.1", "status": "'adjusted'"}``); assigned values
+    cast to the column's declared type so the table schema never drifts.
+    NULL condition keeps the row unchanged (SQL WHERE semantics).
+
+    Scale shape — the same two-phase file-targeted rewrite as
+    ``delete_delta``: phase 1 scans candidate files (``prune`` skips
+    files by footer stats or partitionValues first) and keeps only
+    files holding matched rows; phase 2 rewrites ONLY those files with
+    the assignment applied to matching rows and everything else copied
+    verbatim. An update touching 1% of files rewrites 1% of the table.
+
+    Partitioned tables: fully supported, including updating a PARTITION
+    column — rewritten rows land in their new hive partition (Delta's
+    behavior; the row "moves" because the whole hit file rewrites).
+    DV-bearing hit files apply-and-rewrite (bitmap applied, re-add is
+    DV-free). CHECK constraints are enforced on the staged output, and
+    ``delta.appendOnly`` blocks UPDATE like every file-rewriting op.
+    Returns the committed version (unchanged when nothing matches)."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    active, schema, partition_cols, _meta = _replay(path, versions[-1])
+    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
+    config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
+    if config.get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"Delta table at {path} is delta.appendOnly=true: UPDATE is blocked"
+        )
+    unknown = set(set_exprs) - set(schema.fieldNames())
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET targets not in table schema: {sorted(unknown)}"
+        )
+    pred = F.coalesce(F.expr(condition), F.lit(False))
+    cand = {
+        rel: a
+        for rel, a in active.items()
+        if prune is None or _may_satisfy(a, prune)
+    }
+    if not cand:
+        return versions[-1]
+    root = os.path.abspath(path)
+    cand_files = [os.path.join(path, rel) for rel in sorted(cand)]
+    dv_cand = {
+        rel: a["deletionVector"]
+        for rel, a in cand.items()
+        if a.get("deletionVector")
+    }
+    p1_reader = spark.read.schema(schema)
+    if partition_cols:
+        p1_reader = p1_reader.option("basePath", path)
+    phase1 = p1_reader.parquet(*cand_files).withColumn(
+        "_f", F.col("_metadata.file_path")
+    )
+    if dv_cand:
+        phase1 = _apply_deletion_vectors(
+            spark, path, phase1, dv_cand, all_rels=list(cand)
+        )
+    hit_rows = phase1.filter(pred).select("_f").distinct().collect()
+    hit_files = {
+        os.path.relpath(unquote(urlparse(r["_f"]).path), root) for r in hit_rows
+    }
+    if not hit_files:
+        return versions[-1]
+
+    reader = spark.read.schema(schema)
+    if partition_cols:
+        reader = reader.option("basePath", path)
+    rows = reader.parquet(*[os.path.join(path, rel) for rel in sorted(hit_files)])
+    dv_hit = {rel: dv_cand[rel] for rel in hit_files if rel in dv_cand}
+    if dv_hit:
+        rows = _apply_deletion_vectors(
+            spark, path, rows, dv_hit, all_rels=sorted(hit_files)
+        )
+    by_field = {f.name: f for f in schema.fields}
+    rewritten = rows.select(
+        *[
+            F.when(pred, F.expr(set_exprs[c]).cast(by_field[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in schema.fieldNames()
+        ]
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
+    ]
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    writer = rewritten.write.mode("errorifexists")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    viol = _violated_constraint(spark, staging, schema, config)
+    if viol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"CHECK constraint {viol[0]} ({viol[1]}) violated by UPDATE "
+            f"of Delta table at {path}"
+        )
+    actions.extend(_move_staged_adds(staging, path, now_ms))
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {
+                    "predicate": condition,
+                    "set": dict(sorted(set_exprs.items())),
+                },
+            }
+        }
+    )
+    return _commit_with_retry(
+        path,
+        versions[-1] + 1,
+        actions,
+        depends_on=set(hit_files),
+        read_metadata=True,  # update enforced appendOnly/constraints from its snapshot
+    )
+
+
 def restore_delta(path: str, to_version: int) -> int:
     """RESTORE TABLE TO VERSION AS OF ``to_version`` — a new commit that
     re-activates the old snapshot's files and removes the ones added

@@ -305,3 +305,201 @@ def test_partitioned_delete_duckdb_oracle(spark, tmp_path):
     con.execute("DELETE FROM t WHERE v > 3.0 AND p <> 'c'")
     want = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# update_delta — the third DML verb (round-9)
+# ---------------------------------------------------------------------------
+
+
+def test_update_basic_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    dl.write_delta(df.coalesce(2), path)
+    v = dl.update_delta(spark, path, "id >= 7", {"v": "v * 10"})
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert got == {i: float(i) * (10 if i >= 7 else 1) for i in range(10)}
+    acts = _commit_actions(path, v)
+    ci = [a["commitInfo"] for a in acts if "commitInfo" in a][0]
+    assert ci["operation"] == "UPDATE"
+    assert ci["operationParameters"]["set"] == {"v": "v * 10"}
+
+
+def test_update_file_targeted_rewrite(spark, tmp_path):
+    """Only files holding matched rows rewrite; prune skips by stats."""
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        df = spark.createDataFrame(
+            [(lo + i, 1.0) for i in range(10)], "id bigint, v double"
+        ).coalesce(1)
+        dl.write_delta(df, path)
+    before = _active(path)
+    v = dl.update_delta(
+        spark, path, "id = 105", {"v": "-1.0"}, prune=("id", "==", 105)
+    )
+    acts = _commit_actions(path, v)
+    removes = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removes) == 1  # exactly the one file holding id=105
+    untouched = set(before) - set(removes)
+    assert untouched <= set(_active(path))
+    got = dl.read_delta(spark, path)
+    assert got.filter("id = 105").first()["v"] == -1.0
+    assert got.filter("v = 1.0").count() == 29
+
+
+def test_update_no_match_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    v0 = dl._list_versions(path)[-1]
+    assert dl.update_delta(spark, path, "id = 999", {"v": "0.0"}) == v0
+
+
+def test_update_null_condition_keeps_row(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, None), (2, 5.0)], "id bigint, v double"
+        ),
+        path,
+    )
+    dl.update_delta(spark, path, "v > 1.0", {"id": "id + 100"})
+    got = {r["id"] for r in dl.read_delta(spark, path).collect()}
+    assert got == {1, 102}  # NULL v: condition NULL -> row unchanged
+
+
+def test_update_casts_to_column_type(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 2.0)], "id bigint, v double"), path
+    )
+    dl.update_delta(spark, path, "id = 1", {"v": "7"})  # int literal -> double col
+    _, schema, _, _ = dl._replay(path, None)
+    assert [f.dataType.simpleString() for f in schema.fields] == ["bigint", "double"]
+    assert dl.read_delta(spark, path).first()["v"] == 7.0
+
+
+def test_update_unknown_column_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    with pytest.raises(ValueError, match="not in table schema"):
+        dl.update_delta(spark, path, "id = 1", {"nope": "1"})
+
+
+def test_update_append_only_blocked(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    dl.set_table_properties(path, {"delta.appendOnly": "true"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.update_delta(spark, path, "id = 1", {"v": "2.0"})
+
+
+def test_update_check_constraint_enforced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    dl.add_constraint(spark, path, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        dl.update_delta(spark, path, "id = 1", {"v": "-5.0"})
+    # table unchanged after the refused commit
+    assert dl.read_delta(spark, path).first()["v"] == 1.0
+
+
+def test_update_partitioned_moves_rows_across_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    # updating the PARTITION column migrates the rows' hive dir
+    dl.update_delta(spark, path, "p = 'a' AND id < 2", {"p": "'z'"})
+    got = dl.read_delta(spark, path)
+    moved = got.filter("p = 'z'").select("id").collect()
+    assert {r["id"] for r in moved} == {0, 1}
+    # the moved rows physically live under p=z/
+    active = _active(path)
+    assert any(rel.startswith("p=z/") for rel in active)
+    # no partition column value lies about its directory
+    for rel in active:
+        part_dir = rel.split("/")[0]
+        assert part_dir.split("=")[0] == "p"
+
+
+def test_update_partitioned_cdf_shows_pre_and_post(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    v0 = dl._list_versions(path)[-1]
+    dl.update_delta(spark, path, "id = 3", {"v": "123.0"})
+    added, removed = dl.delta_changes(spark, path, since_version=v0)
+    # file-granular CDF: updated row appears in both frames (pre+post)
+    assert (3, 123.0) in {(r["id"], r["v"]) for r in added.collect()}
+    assert 3 in {r["id"] for r in removed.collect()}
+
+
+def test_update_dv_table_apply_and_rewrite(spark, tmp_path):
+    """UPDATE on a DV-bearing file applies the bitmap first — deleted
+    rows must NOT resurrect through the rewrite."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    ).coalesce(1)
+    dl.write_delta(df, path)
+    versions = dl._list_versions(path)
+    meta = dict(dl._latest_metadata(path, versions[-1]))
+    cfg = dict(meta.get("configuration", {}))
+    cfg["delta.enableDeletionVectors"] = "true"
+    meta["configuration"] = cfg
+    dl._commit_with_retry(
+        path,
+        versions[-1] + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+        ],
+    )
+    dl.delete_delta(spark, path, "id = 2", use_dv=True)  # DV on the file
+    dl.update_delta(spark, path, "id = 5", {"v": "500.0"})
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert 2 not in got  # DV delete survived the rewrite
+    assert got[5] == 500.0
+    # rewritten add is DV-free
+    active = _active(path)
+    assert all(not a.get("deletionVector") for a in active.values())
+
+
+def test_update_duckdb_oracle(spark, tmp_path):
+    import duckdb
+
+    path = str(tmp_path / "t")
+    n = _mk_table(spark, path, rows_per_part=12, files_per_part=3)
+    dl.update_delta(spark, path, "v >= 5.0 AND p = 'b'", {"v": "v + 0.5"})
+    got = sorted(
+        (r["id"], r["p"], r["v"]) for r in dl.read_delta(spark, path).collect()
+    )
+    rows = []
+    i = 0
+    for _ in range(3):
+        for p in ("a", "b", "c"):
+            for _ in range(4):
+                rows.append((i, p, float(i % 10)))
+                i += 1
+    assert i == n
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, p VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    con.execute("UPDATE t SET v = v + 0.5 WHERE v >= 5.0 AND p = 'b'")
+    want = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
+    assert got == want
