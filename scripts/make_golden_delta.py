@@ -213,13 +213,17 @@ def _commit_json(root: str, version: int, actions: list[dict]) -> None:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
 
 
-def _meta(schema_string: str, config: dict | None = None) -> dict:
+def _meta(
+    schema_string: str,
+    config: dict | None = None,
+    partition_columns: list[str] | None = None,
+) -> dict:
     return {
         "metaData": {
             "id": "77777777-aaaa-4bbb-8ccc-000000000000",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
-            "partitionColumns": [],
+            "partitionColumns": list(partition_columns or []),
             "configuration": config or {},
             "createdTime": T0,
         }
@@ -1072,6 +1076,119 @@ def make_in_commit_timestamp_table() -> None:
     )
 
 
+def make_partitioned_dv_table() -> None:
+    """Hive-partitioned table whose files carry deletion vectors — the
+    exact external shape a delta-spark 3.x partitioned DELETE produces:
+    BOTH hive dirs hold the SAME part basename (one write task emits one
+    file per partition under one part name), so row matching must key on
+    the partition-dir path suffix, and one partition value needs hive
+    escaping (``pt:BR`` → dir ``lang=pt%3ABR``) while the log stores the
+    LOGICAL value. A basename-keyed or escaping-confused reader would
+    resurrect or over-delete rows silently.
+
+    Layout: lang=en rows (1,2,3) DV-deletes index 1 (id 2); lang=pt:BR
+    rows (10,11) DV-deletes index 0 (id 10). Expected survivors:
+    (1,en), (3,en), (11,pt:BR)."""
+    import sys
+
+    import numpy as _np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import (
+        deletion_vectors as _dv,
+    )
+
+    root = os.path.join(DATA_DIR, "golden_delta_partdv")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    base = "part-00000-eeee5555-0000-4000-8000-000000000000-c000.snappy.parquet"
+    rel_en = f"lang=en/{base}"
+    rel_pt = f"lang=pt%3ABR/{base}"  # on-disk hive-escaped dir name
+    size_en = _write_plain_parquet(root, rel_en, [(1, 1.0), (2, 2.0), (3, 3.0)])
+    size_pt = _write_plain_parquet(root, rel_pt, [(10, 10.0), (11, 11.0)])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "lang", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        separators=(",", ":"),
+    )
+
+    def _padd(rel: str, size: int, lang: str, ts: int = T0) -> dict:
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"lang": lang},  # LOGICAL (unescaped)
+                "size": size,
+                "modificationTime": ts,
+                "dataChange": True,
+            }
+        }
+
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta(
+                schema,
+                {"delta.enableDeletionVectors": "true"},
+                partition_columns=["lang"],
+            ),
+            _padd(rel_en, size_en, "en"),
+            _padd(rel_pt, size_pt, "pt:BR"),
+        ],
+    )
+    # v1: the DV DELETE — remove + re-add of both paths with inline DVs
+    readd_en = _padd(rel_en, size_en, "en", ts=T0 + 1000)
+    readd_en["add"]["deletionVector"] = _dv.inline_dv_descriptor(_np.array([1]))
+    readd_pt = _padd(rel_pt, size_pt, "pt:BR", ts=T0 + 1000)
+    readd_pt["add"]["deletionVector"] = _dv.inline_dv_descriptor(_np.array([0]))
+    _commit_json(
+        root,
+        1,
+        [
+            {
+                "remove": {
+                    "path": rel_en,
+                    "deletionTimestamp": T0 + 1000,
+                    "dataChange": True,
+                    "partitionValues": {"lang": "en"},
+                }
+            },
+            {
+                "remove": {
+                    "path": rel_pt,
+                    "deletionTimestamp": T0 + 1000,
+                    "dataChange": True,
+                    "partitionValues": {"lang": "pt:BR"},
+                }
+            },
+            readd_en,
+            readd_pt,
+            {
+                "commitInfo": {
+                    "timestamp": T0 + 1000,
+                    "operation": "DELETE",
+                    "operationParameters": {},
+                }
+            },
+        ],
+    )
+
+
 def make_type_widening_table() -> None:
     """Reader v3 + typeWidening (delta 4.x): the schema's field metadata
     records widenings (e.g. int→long) that the READER must apply when
@@ -1135,6 +1252,7 @@ def main_family() -> None:
     make_column_mapping_id_table()
     make_in_commit_timestamp_table()
     make_type_widening_table()
+    make_partitioned_dv_table()
     print(f"protocol/checkpoint fixture family written under {DATA_DIR}")
 
 

@@ -956,3 +956,61 @@ def test_our_own_tables_stay_below_the_gate(spark, tmp_path):
     proto = dl._latest_protocol(path, dl._list_versions(path)[-1])
     assert int(proto["minReaderVersion"]) <= dl._SUPPORTED_READER_VERSION
     assert int(proto["minWriterVersion"]) <= dl._SUPPORTED_WRITER_VERSION
+
+
+# ---------------------------------------------------------------------------
+# Partitioned + deletion-vector fixture (round-9): the delta-spark
+# partitioned-DELETE shape — same part basename in every hive dir, one
+# escaped partition value, DVs on both files.
+# ---------------------------------------------------------------------------
+
+GOLDEN_PARTDV = os.path.join(
+    os.path.dirname(__file__), "data", "golden_delta_partdv"
+)
+
+
+def test_partdv_read_survivors_and_partition_values(spark):
+    got = sorted(
+        (r["id"], r["v"], r["lang"])
+        for r in dl.read_delta(spark, GOLDEN_PARTDV).collect()
+    )
+    # en loses id 2 (index 1), pt:BR loses id 10 (index 0); the escaped
+    # dir name lang=pt%3ABR materializes as the LOGICAL value pt:BR
+    assert got == [(1, 1.0, "en"), (3, 3.0, "en"), (11, 11.0, "pt:BR")]
+
+
+def test_partdv_time_travel_pre_delete(spark):
+    got = sorted(
+        r["id"] for r in dl.read_delta(spark, GOLDEN_PARTDV, version=0).collect()
+    )
+    assert got == [1, 2, 3, 10, 11]
+
+
+def test_partdv_partition_filter_on_escaped_value(spark):
+    got = dl.read_delta(
+        spark, GOLDEN_PARTDV, partition_filter={"lang": "pt:BR"}
+    ).collect()
+    assert [(r["id"], r["lang"]) for r in got] == [(11, "pt:BR")]
+
+
+def test_partdv_cdf_across_dv_commit(spark):
+    added, removed = dl.delta_changes(spark, GOLDEN_PARTDV, since_version=0)
+    assert added.count() == 0  # a pure DELETE adds no rows
+    rem = sorted((r["id"], r["lang"]) for r in removed.collect())
+    assert rem == [(2, "en"), (10, "pt:BR")]
+
+
+def test_partdv_dml_on_copy(spark, tmp_path):
+    """DELETE then UPDATE against a copy of the external fixture: the
+    apply-and-rewrite path must honor both DVs and the hive layout."""
+    import shutil as _sh
+
+    path = str(tmp_path / "partdv")
+    _sh.copytree(GOLDEN_PARTDV, path)
+    dl.delete_delta(spark, path, "id = 3")
+    dl.update_delta(spark, path, "lang = 'pt:BR'", {"v": "v + 0.25"})
+    got = sorted(
+        (r["id"], r["v"], r["lang"])
+        for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, 1.0, "en"), (11, 11.25, "pt:BR")]
