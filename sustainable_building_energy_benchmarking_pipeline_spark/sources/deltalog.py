@@ -1398,10 +1398,15 @@ def write_delta(
             ]:
                 evolved_meta = dict(meta)
                 evolved_meta["schemaString"] = merged_schema.json()
-        if list(partition_by or []) != table_pcols:
+        if partition_by is None:
+            # delta-spark behavior: a write that does not specify
+            # partitioning ADOPTS the table's (partitionBy on appends is
+            # optional there); only an EXPLICIT mismatch is an error
+            partition_by = list(table_pcols)
+        elif list(partition_by) != table_pcols:
             raise ValueError(
                 f"partition columns fixed at table creation: "
-                f"table={table_pcols} write={list(partition_by or [])}"
+                f"table={table_pcols} write={list(partition_by)}"
             )
 
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")

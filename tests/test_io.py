@@ -644,9 +644,14 @@ def test_deltalog_partitioned_pruning(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not partition columns"):
         dl.read_delta(spark, path, partition_filter={"v": 10.0})
-    # partition columns are fixed at creation
+    # a plain append ADOPTS the table's partitioning (delta-spark
+    # behavior: partitionBy is optional on appends)
+    dl.write_delta(df.filter("id = 1"), path, mode="append")
+    again = dl.read_delta(spark, path, partition_filter={"lang": "en"})
+    assert sorted(r.id for r in again.collect()) == [1, 1, 2]
+    # ...but an EXPLICIT mismatch is still an error
     with _pytest.raises(ValueError, match="partition columns fixed"):
-        dl.write_delta(df, path, mode="append")
+        dl.write_delta(df, path, mode="append", partition_by=["v"])
 
 
 def test_deltalog_stats_data_skipping(spark, tmp_path):
