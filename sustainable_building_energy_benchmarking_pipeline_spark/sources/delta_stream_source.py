@@ -48,9 +48,12 @@ from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -325,6 +328,385 @@ class _CommitStreamReader(DataSourceStreamReader):
         pass  # progress is tracked by the query's own checkpoint
 
 
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("deltalog") and writeStream.format("deltalog")
+# ---------------------------------------------------------------------------
+
+# Spark's ExternalCatalogUtils.escapePathName character set — hive dir
+# names for partition values must match what Spark/Hive write, or an
+# external reader resolves different partitions than this log declares.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _hive_escape(val: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in val
+    )
+
+
+class _DeltaWriteMessage(WriterCommitMessage):
+    """Per-task result: the add-action payloads for every file the task
+    wrote (rel path, size, stats json, LOGICAL partitionValues)."""
+
+    def __init__(self, adds: list) -> None:
+        self.adds = adds
+
+
+def _write_task(iterator, schema_json: str, partition_cols: list[str], table_path: str):
+    """Executor-side write: stream arrow batches into one parquet file
+    per hive partition this task holds (unpartitioned: one file). Files
+    land DIRECTLY in the table dir under uuid-unique part names —
+    Delta's isolation means uncommitted files are invisible until the
+    driver's commit publishes them, exactly how real writers stage."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _file_stats,
+    )
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    target = to_arrow_schema(schema)
+    data_fields = [f for f in target if f.name not in partition_cols]
+    data_schema = pa.schema(data_fields)
+    task_id = _uuid.uuid4().hex
+    writers: dict[tuple, Any] = {}  # pvals tuple -> (ParquetWriter, rel)
+    seq = 0
+
+    def _str_pval(val) -> str:
+        # Delta stores logical partition values as strings: booleans
+        # lowercase (delta-spark), everything else via str() (dates and
+        # timestamps are python date/datetime here — ISO rendering)
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        return str(val)
+
+    def _dir_for(pvals: tuple) -> str:
+        comps = []
+        for col, val in pvals:
+            raw = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if val is None
+                else _hive_escape(_str_pval(val))
+            )
+            comps.append(f"{col}={raw}")
+        return "/".join(comps)
+
+    def _sink_for(pvals: tuple):
+        nonlocal seq
+        if pvals not in writers:
+            rel_dir = _dir_for(pvals)
+            fname = f"part-{seq:05d}-{task_id}-c000.snappy.parquet"
+            seq += 1
+            rel = f"{rel_dir}/{fname}" if rel_dir else fname
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            writers[pvals] = (
+                pq.ParquetWriter(dest, data_schema, compression="snappy"),
+                rel,
+            )
+        return writers[pvals][0]
+
+    for batch in iterator:
+        tbl = pa.Table.from_batches([batch]).cast(target)
+        if not partition_cols:
+            if tbl.num_rows:
+                _sink_for(()).write_table(tbl.select(data_schema.names))
+            continue
+        # group rows by partition-value combination (pandas groupby
+        # keeps null keys with dropna=False; per-batch cardinality is
+        # small — the hive partitions this task's rows span). Values
+        # come back from ARROW via as_py() so dates stay dates and
+        # bools stay bools — pandas would mangle both into
+        # Timestamp/numpy shapes whose str() breaks hive naming.
+        keys = tbl.select(partition_cols).to_pandas()
+        groups = keys.groupby(
+            partition_cols, dropna=False, sort=False
+        ).indices
+        for idx in groups.values():
+            first = int(idx[0])
+            pvals = tuple(
+                (c, tbl.column(c)[first].as_py()) for c in partition_cols
+            )
+            sub = tbl.take(pa.array(idx)).select(data_schema.names)
+            if sub.num_rows:
+                _sink_for(pvals).write_table(sub)
+
+    adds = []
+    for pvals, (writer, rel) in writers.items():
+        writer.close()
+        dest = os.path.join(table_path, rel)
+        stats = _file_stats(dest)
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": {
+                    c: (None if v is None else _str_pval(v)) for c, v in pvals
+                },
+                "size": os.path.getsize(dest),
+                "stats": stats,
+            }
+        )
+    return _DeltaWriteMessage(adds)
+
+
+def _writer_preflight(
+    path: str, df_schema: StructType, overwrite: bool, options: dict[str, str]
+) -> list[str]:
+    """Driver-side planning checks shared by the batch and stream
+    writers; returns the partition columns the write must use. Fails
+    fast on everything the commit choke point would reject anyway
+    (feature gates) plus what it cannot evaluate (CHECK constraints
+    need a SparkSession; column-mapping writes need physical naming)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _CONSTRAINT_PREFIX,
+        _check_write_protocol,
+        _column_mapping_mode,
+        _latest_metadata,
+        _latest_protocol,
+        _list_versions,
+        _replay,
+    )
+
+    versions = _list_versions(path)
+    if not versions:
+        opt = options.get("partitionby")
+        return [c.strip() for c in opt.split(",") if c.strip()] if opt else []
+    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
+    _active, schema, pcols, meta = _replay(path, versions[-1])
+    if _column_mapping_mode(meta) in ("name", "id"):
+        raise ValueError(
+            f"Delta table at {path} uses column mapping — this data "
+            "source writes logical parquet names; use write_delta-"
+            "compatible tooling or drop column mapping"
+        )
+    config = dict(meta.get("configuration", {}))
+    if any(k.startswith(_CONSTRAINT_PREFIX) for k in config):
+        raise ValueError(
+            f"Delta table at {path} declares CHECK constraints, which "
+            "this data source cannot evaluate executor-side — use "
+            "write_delta (it validates staged data with Spark)"
+        )
+    if config.get("delta.appendOnly") == "true" and overwrite:
+        raise ValueError(
+            f"Delta table at {path} is delta.appendOnly=true: overwrite "
+            "is blocked"
+        )
+    if [(f.name, f.dataType) for f in df_schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise ValueError(
+            f"schema mismatch vs Delta table at {path}: "
+            f"table={schema.simpleString()} df={df_schema.simpleString()}"
+        )
+    opt = options.get("partitionby")
+    if opt:
+        wanted = [c.strip() for c in opt.split(",") if c.strip()]
+        if wanted != pcols:
+            raise ValueError(
+                f"partition columns fixed at table creation: "
+                f"table={pcols} write={wanted}"
+            )
+    return list(pcols)
+
+
+def _commit_write(
+    path: str,
+    df_schema: StructType,
+    partition_cols: list[str],
+    messages,
+    overwrite: bool,
+    operation: str,
+    op_params: dict,
+    extra_actions: list | None = None,
+) -> int:
+    """Driver-side publish: one atomic Delta commit for every file the
+    tasks wrote. Pure filesystem — no SparkSession needed (the data
+    files already exist; the O_EXCL log create is the atomicity point,
+    with version races retried by _commit_with_retry)."""
+    import time as _time
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _commit_with_retry,
+        _list_versions,
+        _remove_action,
+        _replay,
+    )
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    versions = _list_versions(path)
+    version = (versions[-1] + 1) if versions else 0
+    if version == 0:
+        import uuid as _uuid
+
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df_schema.json(),
+                    "partitionColumns": list(partition_cols),
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    removed: set[str] = set()
+    if overwrite and version > 0:
+        prior_active, _, _, _ = _replay(path, versions[-1])
+        for rel, prior_add in prior_active.items():
+            actions.append(_remove_action(rel, prior_add, now_ms))
+        removed = set(prior_active)
+    for m in messages:
+        if m is None:
+            continue
+        for add in m.adds:
+            a = {
+                "path": add["path"],
+                "partitionValues": add["partitionValues"],
+                "size": add["size"],
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if add.get("stats"):
+                a["stats"] = add["stats"]
+            actions.append({"add": a})
+    actions.extend(extra_actions or [])
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": op_params,
+            }
+        }
+    )
+    return _commit_with_retry(
+        path,
+        version,
+        actions,
+        depends_on=removed,
+        read_metadata=version > 0,
+    )
+
+
+def _abort_write(path: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for add in getattr(m, "adds", []):
+            try:
+                os.remove(os.path.join(path, add["path"]))
+            except OSError:
+                pass
+
+
+class _DeltaBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("deltalog").mode("append"|"overwrite")`` —
+    tasks write parquet straight into the table dir (invisible until
+    committed), the driver publishes ONE atomic commit. Partitioned
+    tables adopt their partition columns; new tables take
+    ``option("partitionBy", "col1,col2")``."""
+
+    def __init__(
+        self, options: dict[str, str], schema: StructType, overwrite: bool
+    ) -> None:
+        self._path = options["path"]
+        self._schema = schema
+        self._overwrite = overwrite
+        self._pcols = _writer_preflight(
+            self._path, schema, overwrite, options
+        )
+        missing = set(self._pcols) - set(schema.fieldNames())
+        if missing:
+            raise ValueError(
+                f"partition columns not in dataframe: {sorted(missing)}"
+            )
+
+    def write(self, iterator):
+        return _write_task(
+            iterator, self._schema.json(), self._pcols, self._path
+        )
+
+    def commit(self, messages) -> None:
+        _commit_write(
+            self._path,
+            self._schema,
+            self._pcols,
+            messages,
+            self._overwrite,
+            "WRITE",
+            {"mode": "Overwrite" if self._overwrite else "Append"},
+        )
+
+    def abort(self, messages) -> None:
+        _abort_write(self._path, messages)
+
+
+class _DeltaStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("deltalog")`` — each micro-batch commits
+    atomically. Pass ``option("txnAppId", ...)`` for exactly-once
+    across restarts: the commit then carries a ``txn`` action keyed by
+    (appId, batchId) and a replayed batch is skipped (its re-written
+    files stay orphaned until VACUUM — data is never duplicated).
+    Without txnAppId the sink is at-least-once under restarts."""
+
+    def __init__(
+        self, options: dict[str, str], schema: StructType, overwrite: bool
+    ) -> None:
+        self._path = options["path"]
+        self._schema = schema
+        self._app_id = options.get("txnappid")
+        self._pcols = _writer_preflight(
+            self._path, schema, overwrite, options
+        )
+        missing = set(self._pcols) - set(schema.fieldNames())
+        if missing:
+            raise ValueError(
+                f"partition columns not in dataframe: {sorted(missing)}"
+            )
+
+    def write(self, iterator):
+        return _write_task(
+            iterator, self._schema.json(), self._pcols, self._path
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+            last_txn_version,
+        )
+
+        extra = None
+        if self._app_id is not None:
+            if batchId <= last_txn_version(self._path, self._app_id):
+                _abort_write(self._path, messages)  # replayed batch
+                return
+            extra = [
+                {"txn": {"appId": self._app_id, "version": int(batchId)}}
+            ]
+        _commit_write(
+            self._path,
+            self._schema,
+            self._pcols,
+            messages,
+            False,
+            "STREAMING UPDATE",
+            {"outputMode": "Append", "epochId": int(batchId)},
+            extra_actions=extra,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_write(self._path, messages)
+
+
 class DeltaLogDataSource(DataSource):
     """``spark.dataSource.register(DeltaLogDataSource)`` then read with
     ``format("deltalog")`` — see module docstring."""
@@ -347,3 +729,9 @@ class DeltaLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _CommitStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _DeltaBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _DeltaStreamWriter(self.options, schema, overwrite)

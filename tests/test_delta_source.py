@@ -195,3 +195,154 @@ def test_stream_source_schema_change_raises(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Write path (round-9): df.write.format("deltalog") / writeStream sink
+# ---------------------------------------------------------------------------
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double")
+    df.write.format("deltalog").mode("append").save(path)
+    assert _rows(dl.read_delta(spark, path)) == [(1, 1.0), (2, 2.0)]
+    # append accumulates
+    spark.createDataFrame([(3, 3.0)], "id bigint, v double").write.format(
+        "deltalog"
+    ).mode("append").save(path)
+    assert _rows(dl.read_delta(spark, path)) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # overwrite replaces; time travel still sees v0
+    spark.createDataFrame([(9, 9.0)], "id bigint, v double").write.format(
+        "deltalog"
+    ).mode("overwrite").save(path)
+    assert _rows(dl.read_delta(spark, path)) == [(9, 9.0)]
+    assert _rows(dl.read_delta(spark, path, version=0)) == [(1, 1.0), (2, 2.0)]
+    # adds carry stats (data skipping works on source-written tables)
+    active, _, _, _ = dl._replay(path, None)
+    assert all(a.get("stats") for a in active.values())
+
+
+def test_batch_writer_partitioned_new_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "pt:BR", 2.0), (3, None, 3.0)],
+        "id bigint, lang string, v double",
+    )
+    df.write.format("deltalog").option("partitionBy", "lang").mode(
+        "append"
+    ).save(path)
+    active, _, pcols, _ = dl._replay(path, None)
+    assert pcols == ["lang"]
+    dirs = {rel.rsplit("/", 1)[0] for rel in active}
+    # hive escaping + null partition dir, logical values in the log
+    assert dirs == {"lang=en", "lang=pt%3ABR", "lang=__HIVE_DEFAULT_PARTITION__"}
+    assert {a["partitionValues"]["lang"] for a in active.values()} == {
+        "en", "pt:BR", None,
+    }
+    back = dl.read_delta(spark, path)
+    assert _rows(back) == [(1, "en", 1.0), (2, "pt:BR", 2.0), (3, None, 3.0)]
+    # and the source's own batch reader round-trips it
+    assert _rows(spark.read.format("deltalog").load(path)) == _rows(back)
+    # partition pruning works on writer-produced partitionValues
+    en = dl.read_delta(spark, path, partition_filter={"lang": "en"})
+    assert [r["id"] for r in en.collect()] == [1]
+
+
+def test_batch_writer_adopts_partitioning_on_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id bigint, p string, v double")
+    dl.write_delta(df, path, partition_by=["p"])
+    spark.createDataFrame(
+        [(2, "b", 2.0)], "id bigint, p string, v double"
+    ).write.format("deltalog").mode("append").save(path)
+    active, _, _, _ = dl._replay(path, None)
+    assert any(rel.startswith("p=b/") for rel in active)
+    assert _rows(dl.read_delta(spark, path)) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_batch_writer_schema_mismatch_and_gates(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    bad = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("deltalog").mode("append").save(path)
+    # CHECK constraints can't be evaluated by this writer — refuse
+    dl.add_constraint(spark, path, "v_pos", "v >= 0")
+    df = spark.createDataFrame([(2, 2.0)], "id bigint, v double")
+    with pytest.raises(Exception, match="constraint"):
+        df.write.format("deltalog").mode("append").save(path)
+
+
+def test_batch_writer_append_only_blocks_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    dl.set_table_properties(path, {"delta.appendOnly": "true"})
+    df = spark.createDataFrame([(2, 2.0)], "id bigint, v double")
+    df.write.format("deltalog").mode("append").save(path)  # appends fine
+    with pytest.raises(Exception, match="appendOnly"):
+        df.write.format("deltalog").mode("overwrite").save(path)
+
+
+def test_stream_writer_micro_batches_commit_atomically(spark, tmp_path):
+    """writeStream.format('deltalog'): each micro-batch is one Delta
+    commit carrying a txn action; the table is readable mid-stream."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").write.parquet(src)
+    stream = spark.readStream.schema("id bigint, v double").parquet(src)
+    q = (
+        stream.writeStream.format("deltalog")
+        .option("path", path)
+        .option("txnAppId", "stream-sink-test")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(dl.read_delta(spark, path)) == [(1, 1.0)]
+    assert dl.last_txn_version(path, "stream-sink-test") >= 0
+    # second micro-batch appends
+    spark.createDataFrame([(2, 2.0)], "id bigint, v double").write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema("id bigint, v double").parquet(src)
+        .writeStream.format("deltalog")
+        .option("path", path)
+        .option("txnAppId", "stream-sink-test")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(dl.read_delta(spark, path)) == [(1, 1.0), (2, 2.0)]
+
+
+def test_stream_writer_into_partitioned_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, p string, v double"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("id bigint, p string, v double").parquet(src)
+        .writeStream.format("deltalog")
+        .option("path", path)
+        .option("partitionBy", "p")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    active, _, pcols, _ = dl._replay(path, None)
+    assert pcols == ["p"]
+    assert {rel.split("/")[0] for rel in active} == {"p=a", "p=b"}
+    assert _rows(dl.read_delta(spark, path)) == [(1, "a", 1.0), (2, "b", 2.0)]
