@@ -833,6 +833,12 @@ def embedding_near_duplicates(
     return allpairs_cosine(df, threshold, id_col=id_col, vec_col=vec_col)
 
 
+# Float budget for one semdedup sims block (~128 MB of float64): the
+# triangular-chunk kernel sizes each matmul so chunk·left_width stays
+# under this, bounding executor memory independent of cluster size.
+SEMDEDUP_BLOCK_FLOATS = 16_000_000
+
+
 def semdedup_prune(
     df: DataFrame,
     threshold: float = 0.35,
@@ -868,12 +874,14 @@ def semdedup_prune(
     Scale shape (100 TB): assignment is a pure MAP — the centroids are
     plan literals, no join, no shuffle; the per-cluster pair stage is
     one groupBy(cluster) + BLAS block matmul (same kernel family as
-    ``allpairs_cosine``), so per-task memory is (cluster size)². At
-    corpus scale, ``n_clusters`` grows with n to hold the target
-    cluster size constant (the paper's regime: K ~ n/10⁴), which keeps
-    both the task count and the quadratic term bounded; an oversized
-    cluster escalates to the chunked ``allpairs_cosine`` shape rather
-    than one task.
+    ``allpairs_cosine``). The matmul is TRIANGULAR-CHUNKED under a fixed
+    float budget (``SEMDEDUP_BLOCK_FLOATS``): per-task memory is
+    O(cluster·dim) for the normalized matrix plus O(budget) for each
+    sims block — never (cluster size)², so an adversarial mega-cluster
+    degrades to more matmul passes instead of an executor OOM. At
+    corpus scale ``n_clusters`` still grows with n to hold cluster
+    sizes near the paper's regime (K ~ n/10⁴) — that bounds the
+    QUADRATIC FLOP term; the chunking bounds memory regardless.
 
     Returns the KEPT rows: (``id_col`` long, cluster int), one row per
     surviving item."""
@@ -932,9 +940,26 @@ def semdedup_prune(
         order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
         ids = pdf["_id"].to_numpy()[order]
         mat = mat[order]
-        sims = mat @ mat.T
-        # item j prunes iff ANY earlier item i<j (id order) has cos >= τ
-        hit = np.triu(sims >= threshold, k=1).any(axis=0)
+        n = len(ids)
+        # item j prunes iff ANY earlier item i<j (id order) has cos >= τ.
+        # Triangular chunks under a fixed float budget: rows [s, e) only
+        # ever multiply against rows [0, e), and the chunk height shrinks
+        # as the left side grows, so the sims block never exceeds the
+        # budget no matter the cluster size.
+        hit = np.zeros(n, dtype=bool)
+        s = 1
+        while s < n:
+            chunk = max(1, min(n - s, SEMDEDUP_BLOCK_FLOATS // max(s + 1, 1)))
+            e = s + chunk
+            sims = mat[s:e] @ mat[:e].T  # (chunk, e) <= budget floats
+            block = sims >= threshold
+            # strict lower triangle relative to global indexes: row
+            # s+r may only see columns < s+r
+            cols = np.arange(e)
+            rows = np.arange(s, e)
+            block &= cols[None, :] < rows[:, None]
+            hit[s:e] = block.any(axis=1)
+            s = e
         return pd.DataFrame({"_id": ids[hit]})
 
     pruned = assigned.groupBy("cluster").applyInPandas(

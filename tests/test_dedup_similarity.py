@@ -540,3 +540,28 @@ def test_semdedup_prune_properties(embeddings):
         ).collect()
     }
     assert again == rows
+
+
+def test_semdedup_chunked_kernel_parity(embeddings, monkeypatch):
+    """The triangular-chunked sims kernel (memory bound for mega
+    clusters) must produce EXACTLY the same kept set as the full-matrix
+    form: force many tiny chunks via the float budget and force one
+    adversarial mega-cluster via n_clusters=1."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators import dedup
+
+    baseline = {
+        (r["vec_id"], r["cluster"])
+        for r in dedup.semdedup_prune(
+            embeddings, threshold=0.35, n_clusters=1
+        ).collect()
+    }
+    # budget so small every chunk is a handful of rows (worst case: 1)
+    monkeypatch.setattr(dedup, "SEMDEDUP_BLOCK_FLOATS", 64)
+    chunked = {
+        (r["vec_id"], r["cluster"])
+        for r in dedup.semdedup_prune(
+            embeddings, threshold=0.35, n_clusters=1
+        ).collect()
+    }
+    assert chunked == baseline
+    assert 0 < len(chunked) < embeddings.count()

@@ -36,6 +36,7 @@ HEAVY = [
     "z04_sharded_bloom_dedup",
     "z10_winnowing_pairs",
     "z11_lm_perplexity_tiers",
+    "z15_semdedup",
 ]
 
 MAX_RATIO = 15.0
