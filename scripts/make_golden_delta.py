@@ -1189,6 +1189,109 @@ def make_partitioned_dv_table() -> None:
     )
 
 
+def make_cdf_table() -> None:
+    """Change-data-feed table as delta-spark writes it
+    (delta.enableChangeDataFeed=true, writer feature changeDataFeed):
+    an UPDATE commit carries ``cdc`` actions pointing at
+    ``_change_data/`` files holding update_preimage/update_postimage
+    rows — per the spec a CDF reader must use ONLY those actions for
+    that commit (deriving from its add/remove would double-count and
+    lose the update pairing). A later plain append has NO cdc actions
+    and must derive as an insert.
+
+    v0: rows (1,1.0),(2,2.0). v1: UPDATE id=1 → v=99.0 (file rewrite +
+    cdc pre/postimage). v2: append (3,3.0), no cdc."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = os.path.join(DATA_DIR, "golden_delta_cdf")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    rel1 = "part-00000-ffff6666-0000-4000-8000-000000000000-c000.snappy.parquet"
+    rel1b = "part-00000-ffff6666-0000-4000-8000-000000000001-c000.snappy.parquet"
+    rel2 = "part-00000-ffff6666-0000-4000-8000-000000000002-c000.snappy.parquet"
+    size1 = _write_plain_parquet(root, rel1, [(1, 1.0), (2, 2.0)])
+    size1b = _write_plain_parquet(root, rel1b, [(1, 99.0), (2, 2.0)])
+    size2 = _write_plain_parquet(root, rel2, [(3, 3.0)])
+    cdc_rel = "_change_data/cdc-00000-aaaa7777-0000-4000-8000-000000000000-c000.snappy.parquet"
+    cdc_dest = os.path.join(root, cdc_rel)
+    os.makedirs(os.path.dirname(cdc_dest), exist_ok=True)
+    _pq.write_table(
+        _pa.table(
+            {
+                "id": _pa.array([1, 1], _pa.int64()),
+                "v": _pa.array([1.0, 99.0], _pa.float64()),
+                "_change_type": _pa.array(
+                    ["update_preimage", "update_postimage"], _pa.string()
+                ),
+            }
+        ),
+        cdc_dest,
+        compression="snappy",
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["changeDataFeed"],
+                }
+            },
+            _meta(
+                PLAIN_SCHEMA_STRING,
+                {"delta.enableChangeDataFeed": "true"},
+            ),
+            _plain_add(rel1, size1),
+        ],
+    )
+    _commit_json(
+        root,
+        1,
+        [
+            {
+                "cdc": {
+                    "path": cdc_rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(cdc_dest),
+                    "dataChange": False,
+                }
+            },
+            {
+                "remove": {
+                    "path": rel1,
+                    "deletionTimestamp": T0 + 1000,
+                    "dataChange": True,
+                }
+            },
+            _plain_add(rel1b, size1b, ts=T0 + 1000),
+            {
+                "commitInfo": {
+                    "timestamp": T0 + 1000,
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": "id = 1"},
+                }
+            },
+        ],
+    )
+    _commit_json(
+        root,
+        2,
+        [
+            _plain_add(rel2, size2, ts=T0 + 2000),
+            {
+                "commitInfo": {
+                    "timestamp": T0 + 2000,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append"},
+                }
+            },
+        ],
+    )
+
+
 def make_type_widening_table() -> None:
     """Reader v3 + typeWidening (delta 4.x): the schema's field metadata
     records widenings (e.g. int→long) that the READER must apply when
@@ -1253,6 +1356,7 @@ def main_family() -> None:
     make_in_commit_timestamp_table()
     make_type_widening_table()
     make_partitioned_dv_table()
+    make_cdf_table()
     print(f"protocol/checkpoint fixture family written under {DATA_DIR}")
 
 

@@ -1014,3 +1014,115 @@ def test_partdv_dml_on_copy(spark, tmp_path):
         for r in dl.read_delta(spark, path).collect()
     )
     assert got == [(1, 1.0, "en"), (11, 11.25, "pt:BR")]
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed fixture (round-9): spec `cdc` actions are the
+# EXCLUSIVE change source for their commit; commits without them derive.
+# ---------------------------------------------------------------------------
+
+GOLDEN_CDF = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cdf")
+
+
+def test_cdf_snapshot_read_ignores_change_data(spark):
+    """_change_data files are change METADATA, not table content."""
+    got = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, GOLDEN_CDF).collect())
+    assert got == [(1, 99.0), (2, 2.0), (3, 3.0)]
+
+
+def test_table_changes_uses_cdc_actions_exclusively(spark):
+    """The UPDATE commit (v1) carries cdc actions: table_changes must
+    emit exactly its update_preimage/update_postimage rows — NOT the
+    delete+insert rendering of the whole rewritten file (which would
+    also wrongly include untouched row id=2)."""
+    ch = dl.table_changes(spark, GOLDEN_CDF, since_version=0, to_version=1)
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, 1.0, "update_preimage", 1),
+        (1, 99.0, "update_postimage", 1),
+    ]
+
+
+def test_table_changes_derives_without_cdc(spark):
+    """v2 has no cdc actions: the append derives as insert rows."""
+    ch = dl.table_changes(spark, GOLDEN_CDF, since_version=1)
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert got == [(3, 3.0, "insert", 2)]
+
+
+def test_table_changes_full_window_and_timestamps(spark):
+    ch = dl.table_changes(spark, GOLDEN_CDF, since_version=-1)
+    rows = ch.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {t: len(v) for t, v in sorted(by_type.items())} == {
+        "insert": 3,  # v0's two rows + v2's one
+        "update_preimage": 1,
+        "update_postimage": 1,
+    }
+    # _commit_timestamp: commitInfo clock where present (v1, v2 carry
+    # the fixed fixture clock); v0 has NO commitInfo — the spec marks it
+    # optional — so the delta-spark fallback (commit file mtime) applies
+    # and must still be non-null
+    import datetime
+
+    t0 = datetime.datetime.fromtimestamp(1700000000.0)
+    for r in rows:
+        if r["_commit_version"] == 0:
+            assert r["_commit_timestamp"] is not None
+        else:
+            assert r["_commit_timestamp"] == t0 + datetime.timedelta(
+                seconds=r["_commit_version"]
+            )
+
+
+def test_table_changes_on_own_dml(spark, tmp_path):
+    """Against this engine's own DELETE/MERGE commits (no cdc actions):
+    delete rows tag delete, merge emits the delete+insert pair."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "id bigint, v double")
+    dl.write_delta(df.coalesce(1), path)
+    dl.delete_delta(spark, path, "id = 2")
+    updates = spark.createDataFrame([(3, 33.0), (4, 4.0)], "id bigint, v double")
+    dl.merge_delta(spark, path, updates, key="id")
+    ch = dl.table_changes(spark, path, since_version=0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "delete", 1, 1.0),   # DELETE rewrote the file: all old rows out...
+        (1, "delete", 2, 2.0),
+        (1, "delete", 3, 3.0),
+        (1, "insert", 1, 1.0),   # ...survivors re-inserted (file granularity)
+        (1, "insert", 3, 3.0),
+        (2, "delete", 1, 1.0),   # MERGE affected the survivor file
+        (2, "delete", 3, 3.0),
+        (2, "insert", 1, 1.0),
+        (2, "insert", 3, 33.0),
+        (2, "insert", 4, 4.0),
+    ]
+
+
+def test_table_changes_empty_window_schema(spark):
+    ch = dl.table_changes(spark, GOLDEN_CDF, since_version=2)
+    assert ch.count() == 0
+    assert ch.columns[-3:] == ["_change_type", "_commit_version", "_commit_timestamp"]
+
+
+def test_table_changes_across_dv_commit(spark):
+    """table_changes delegates DV windows to the content-state diff:
+    the partdv fixture's DV DELETE commit yields tagged delete rows."""
+    ch = dl.table_changes(spark, GOLDEN_PARTDV, since_version=0)
+    got = sorted(
+        (r["id"], r["lang"], r["_change_type"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert got == [(2, "en", "delete", 1), (10, "pt:BR", "delete", 1)]
