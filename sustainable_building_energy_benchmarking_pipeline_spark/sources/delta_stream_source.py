@@ -213,11 +213,34 @@ class _SnapshotReader(DataSourceReader):
         v = options.get("versionasof")
         self._version = int(v) if v is not None else None
         self._schema = schema
+        self._pushed: list[tuple[str, str, Any]] = []
 
     def partitions(self):
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+            _may_satisfy,
+            _physical_name,
+        )
+
         active, schema, pcols, cm_mode = _replay_for_source(
             self._path, self._version
         )
+        if self._pushed:
+            # stats/partitionValues keys are PHYSICAL names under
+            # column mapping — translate the pushed logical columns
+            phys_of = {
+                f.name: (
+                    _physical_name(f) if cm_mode in ("name", "id") else f.name
+                )
+                for f in schema.fields
+            }
+            active = {
+                rel: a
+                for rel, a in active.items()
+                if all(
+                    _may_satisfy(a, (phys_of.get(c, c), op, v))
+                    for c, op, v in self._pushed
+                )
+            }
         return [
             InputPartition(
                 _file_task(self._path, rel, active[rel], schema, cm_mode, pcols)
@@ -227,6 +250,45 @@ class _SnapshotReader(DataSourceReader):
 
     def read(self, partition: InputPartition):
         yield from _read_file_batches(partition.value)
+
+
+class _PruningSnapshotReader(_SnapshotReader):
+    """``option("filterPushdown", "true")``: ``pushFilters`` (Spark
+    4.1) turns query predicates into FILE pruning — each pushed
+    comparison is checked against every add action's footer stats and
+    partitionValues (the same ``_may_satisfy`` lever read_delta uses),
+    so a filtered scan of a 100 TB table plans tasks only for files
+    that can match. Every filter is yielded back: skipping bounds IO,
+    Spark still evaluates the predicate row-level (stats pruning is
+    conservative, never a correctness gate).
+
+    A SEPARATE subclass because Spark refuses to initialize a reader
+    that merely IMPLEMENTS pushFilters while
+    ``spark.sql.python.filterPushdown.enabled`` (default false) is off
+    — the plain reader must keep working on default-conf sessions, so
+    opting in takes both the session conf and this option."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], op, f.value))
+            yield f  # partial pushdown: Spark re-applies every filter
 
 
 class _CommitStreamReader(DataSourceStreamReader):
@@ -725,6 +787,8 @@ class DeltaLogDataSource(DataSource):
         return _strip_field_metadata(schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("filterpushdown", "false")).lower() == "true":
+            return _PruningSnapshotReader(self.options, schema)
         return _SnapshotReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -346,3 +346,68 @@ def test_stream_writer_into_partitioned_table(spark, tmp_path):
     assert pcols == ["p"]
     assert {rel.split("/")[0] for rel in active} == {"p=a", "p=b"}
     assert _rows(dl.read_delta(spark, path)) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
+    """pushFilters → file pruning: a pushed comparison drops files whose
+    stats/partitionValues provably cannot match, and the query result is
+    still exact (Spark re-applies every filter row-level). Opt-in via
+    option("filterPushdown") + the 4.1 session conf — the PLAIN reader
+    must keep working on default-conf sessions where Spark refuses any
+    reader that merely implements pushFilters."""
+    from pyspark.sql.datasource import EqualTo
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        _PruningSnapshotReader,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        dl.write_delta(
+            spark.createDataFrame(
+                [(lo + i, 1.0) for i in range(10)], "id bigint, v double"
+            ).coalesce(1),
+            path,
+        )
+    r = _PruningSnapshotReader({"path": path}, dl._replay(path, None)[1])
+    assert len(r.partitions()) == 3  # unfiltered: every file is a task
+    leftover = list(r.pushFilters([EqualTo(("id",), 105)]))
+    assert len(leftover) == 1  # every filter handed back to Spark
+    assert len(r.partitions()) == 1  # stats pruning: one candidate file
+    # partition-column pushdown prunes by partitionValues
+    ppath = str(tmp_path / "p")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, p string, v double"
+        ).repartition(2, "p"),
+        ppath,
+        partition_by=["p"],
+    )
+    pr = _PruningSnapshotReader({"path": ppath}, dl._replay(ppath, None)[1])
+    list(pr.pushFilters([EqualTo(("p",), "b")]))
+    parts = pr.partitions()
+    assert len(parts) == 1 and parts[0].value["pvals"] == {"p": "b"}
+    # end-to-end with conf + option on: exact result
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("deltalog")
+            .option("filterPushdown", "true")
+            .load(path)
+            .filter("id >= 100 AND id < 110")
+            .count()
+        )
+        assert got == 10
+        assert [
+            r2["id"]
+            for r2 in spark.read.format("deltalog")
+            .option("filterPushdown", "true")
+            .load(ppath)
+            .filter("p = 'b'")
+            .collect()
+        ] == [2]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    # default posture: plain reader, no pushFilters, default conf — works
+    assert spark.read.format("deltalog").load(path).count() == 30
