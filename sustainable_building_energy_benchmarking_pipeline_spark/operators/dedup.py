@@ -930,9 +930,14 @@ def semdedup_prune(
         "cluster", (-choice.getField("nk")).cast("int")
     )
 
-    prune_schema = T.StructType([T.StructField("_id", T.LongType(), False)])
+    kept_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("cluster", T.IntegerType(), False),
+        ]
+    )
 
-    def _pruned_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _kept_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
@@ -960,13 +965,14 @@ def semdedup_prune(
             block &= cols[None, :] < rows[:, None]
             hit[s:e] = block.any(axis=1)
             s = e
-        return pd.DataFrame({"_id": ids[hit]})
+        # the kernel has both survivors and their cluster — returning
+        # KEPT rows directly saves the corpus-wide anti-join shuffle
+        # the pruned-ids form needed (one exchange instead of three)
+        return pd.DataFrame({"_id": ids[~hit], "cluster": int(key[0])})
 
-    pruned = assigned.groupBy("cluster").applyInPandas(
-        _pruned_block, prune_schema
-    )
     return (
-        assigned.join(pruned, "_id", "left_anti")
+        assigned.groupBy("cluster")
+        .applyInPandas(_kept_block, kept_schema)
         .select(F.col("_id").alias(id_col), "cluster")
     )
 
