@@ -756,6 +756,28 @@ def _physical_type(
     return dt
 
 
+def _plain_type(dt: T.DataType) -> T.DataType:
+    """``dt`` with all struct-field metadata stripped, recursively —
+    schema compatibility compares names+types; field metadata (column-
+    mapping bookkeeping, comments) is not a data incompatibility."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _plain_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_plain_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _plain_type(dt.keyType),
+            _plain_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _reader_schema(schema: T.StructType, cm_mode: str) -> T.StructType:
     """The schema handed to ``spark.read.schema`` for a given
     column-mapping mode: logical as-is for "none", physical names for
@@ -952,7 +974,11 @@ def _check_column_invariants_absent(path: str, version: int) -> None:
 
 
 def _check_write_protocol(
-    proto: dict[str, Any], path: str, operation: str = "mutate"
+    proto: dict[str, Any],
+    path: str,
+    operation: str = "mutate",
+    extra_features: frozenset[str] = frozenset(),
+    meta: dict[str, Any] | None = None,
 ) -> None:
     """Raise ``DeltaUnsupportedProtocol`` unless this writer can uphold
     every invariant the table's protocol demands. Called at the commit
@@ -966,17 +992,38 @@ def _check_write_protocol(
     OPTIMIZE) upholds the invariant by apply-and-rewrite — DV-bearing
     files are read through ``_apply_deletion_vectors`` and the
     survivor rows are committed WITHOUT a DV, so a rewrite can never
-    resurrect deleted rows. Column mapping stays refused even for
-    appends (new files would need PHYSICAL column names). The
-    ``operation`` tag still rides on the error message so a refused
-    commit names what it attempted."""
+    resurrect deleted rows.
+
+    ``extra_features`` names features the CALLER declares it upholds
+    for THIS operation — ``write_delta`` passes ``columnMapping`` (it
+    renames to physical columns, round-9 late) while the DML verbs do
+    not (their rewrite paths would misread physical parquet), so the
+    gate stays per-operation. Legacy ``minWriterVersion`` 4/5/6 tables
+    (pre-feature column mapping) are writable only when the caller
+    upholds columnMapping AND the table provably does not USE the other
+    capabilities those versions imply — generated columns /
+    identity columns (schemaString probes, same conservative substring
+    approach as ``_check_column_invariants_absent``) and an enabled
+    change data feed (a CDF writer must emit cdc actions; this one
+    does not) — which needs ``meta``. The ``operation`` tag still
+    rides on the error message so a refused commit names what it
+    attempted."""
     v = int(proto.get("minWriterVersion", 2))
     feats = set(proto.get("writerFeatures") or [])
-    allowed = _SUPPORTED_WRITER_FEATURES
+    allowed = _SUPPORTED_WRITER_FEATURES | set(extra_features)
     if v <= _SUPPORTED_WRITER_VERSION:
         return
     if v == 7 and feats <= allowed:
         return
+    if v in (4, 5, 6) and "columnMapping" in extra_features and meta is not None:
+        schema_str = meta.get("schemaString", "")
+        config = meta.get("configuration", {})
+        if (
+            "delta.generatedAlwaysAs" not in schema_str
+            and "delta.identity." not in schema_str
+            and config.get("delta.enableChangeDataFeed") != "true"
+        ):
+            return
     raise DeltaUnsupportedProtocol(
         f"Delta table at {path} requires minWriterVersion={v}"
         + (f" with writerFeatures={sorted(feats)}" if feats else "")
@@ -1208,12 +1255,16 @@ def _violated_constraint(
     staging: str,
     schema: T.StructType,
     config: dict[str, str],
+    cm_mode: str = "none",
 ) -> tuple[str, str] | None:
     """First CHECK constraint the staged data violates, or None. SQL
     CHECK semantics: a row violates only when the expression evaluates
     to FALSE — NULL passes (``coalesce(expr, true)``). Runs against the
     already-staged parquet, so the batch plan is evaluated exactly once
-    (by the write) and each check is a pushdown-friendly local scan."""
+    (by the write) and each check is a pushdown-friendly local scan.
+    Under column mapping the staged files carry PHYSICAL names while
+    constraint expressions reference LOGICAL ones — read physical, then
+    map back before evaluating."""
     from pyspark.sql import functions as F
 
     constraints = sorted(
@@ -1223,7 +1274,13 @@ def _violated_constraint(
     )
     if not constraints:
         return None
-    staged = spark.read.schema(schema).option("basePath", staging).parquet(staging)
+    staged = (
+        spark.read.schema(_reader_schema(schema, cm_mode))
+        .option("basePath", staging)
+        .parquet(staging)
+    )
+    if cm_mode in ("name", "id"):
+        staged = _to_logical_columns(staged, schema)
     for name, expr in constraints:
         bad = staged.filter(
             ~F.coalesce(F.expr(expr), F.lit(True))
@@ -1363,6 +1420,8 @@ def write_delta(
     version = (versions[-1] + 1) if versions else 0
     config: dict[str, str] = {}
     evolved_meta: dict[str, Any] | None = None
+    cm_mode = "none"
+    cm_schema: T.StructType | None = None
     if version > 0:
         # Delta schema enforcement: an append/overwrite whose schema
         # drifts from the table's metaData is rejected, not silently
@@ -1377,13 +1436,38 @@ def write_delta(
         # is not a data-incompatibility here.
         _, table_schema, table_pcols, meta = _replay(path, versions[-1])
         config = dict(meta.get("configuration", {}))
+        cm_mode = _column_mapping_mode(meta)
         if mode == "overwrite" and config.get("delta.appendOnly") == "true":
             raise ValueError(
                 f"Delta table at {path} is delta.appendOnly=true: "
                 "overwrite (which removes files) is blocked"
             )
-        if [(f.name, f.dataType) for f in df.schema.fields] != [
-            (f.name, f.dataType) for f in table_schema.fields
+        if cm_mode in ("name", "id"):
+            # column-mapping WRITE (round-9 late): data files carry
+            # PHYSICAL column names (and, in id mode, parquet field
+            # ids). The incoming frame is logical — compare against the
+            # table's logical schema with field metadata STRIPPED (the
+            # columnMapping bookkeeping is not a data incompatibility),
+            # rename to physical below. Evolution needs maxColumnId
+            # management and fresh physical names — out of scope.
+            if merge_schema:
+                raise ValueError(
+                    f"Delta table at {path} uses column mapping: schema "
+                    "evolution (merge_schema) is not supported — evolve "
+                    "with an engine that assigns physical names"
+                )
+            if cm_mode == "id" and any(
+                isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+                for f in table_schema.fields
+            ):
+                raise ValueError(
+                    f"Delta table at {path} uses id-mode column mapping "
+                    "with nested columns — nested field-id writes are "
+                    "not supported"
+                )
+            cm_schema = table_schema
+        if [(f.name, _plain_type(f.dataType)) for f in df.schema.fields] != [
+            (f.name, _plain_type(f.dataType)) for f in table_schema.fields
         ]:
             if not merge_schema:
                 raise ValueError(
@@ -1410,11 +1494,47 @@ def write_delta(
             )
 
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    staged_df = df
+    staged_partition_by = list(partition_by or [])
+    if cm_schema is not None:
+        from pyspark.sql import functions as F
+
+        # logical → physical: top-level alias (with parquet.field.id
+        # metadata in id mode — Spark's parquet writer stamps field ids
+        # from exactly that key), nested struct fields renamed by a
+        # same-shape cast (position-based, the reverse of
+        # _to_logical_columns)
+        cols = []
+        for f in cm_schema.fields:
+            c = F.col(f.name).cast(_physical_type(f.dataType))
+            if cm_mode == "id" and "delta.columnMapping.id" in f.metadata:
+                c = c.alias(
+                    _physical_name(f),
+                    metadata={
+                        "parquet.field.id": int(
+                            f.metadata["delta.columnMapping.id"]
+                        )
+                    },
+                )
+            else:
+                c = c.alias(_physical_name(f))
+            cols.append(c)
+        staged_df = df.select(*cols)
+        phys_by_logical = {f.name: _physical_name(f) for f in cm_schema.fields}
+        staged_partition_by = [
+            phys_by_logical[p] for p in staged_partition_by
+        ]
+    writer = staged_df.write.mode("errorifexists")
+    if staged_partition_by:
+        writer = writer.partitionBy(*staged_partition_by)
     writer.parquet(staging)
-    viol = _violated_constraint(df.sparkSession, staging, df.schema, config)
+    viol = _violated_constraint(
+        df.sparkSession,
+        staging,
+        cm_schema if cm_schema is not None else df.schema,
+        config,
+        cm_mode,
+    )
     if viol:
         import shutil
 
@@ -1473,6 +1593,12 @@ def write_delta(
         # CHECK constraints, and appendOnly gate — a rival metaData/
         # protocol commit invalidates that derivation
         read_metadata=version > 0,
+        # this write renamed its columns to the table's physical names,
+        # so it upholds the columnMapping writer requirement (the DML
+        # verbs do NOT pass this — their rewrites stay gated)
+        extra_features=frozenset({"columnMapping"})
+        if cm_mode in ("name", "id")
+        else frozenset(),
     )
 
 
@@ -1520,6 +1646,7 @@ def _commit_with_retry(
     read_metadata: bool = False,
     full_table: bool = False,
     commit_operation: str = "mutate",
+    extra_features: frozenset[str] = frozenset(),
 ) -> int:
     """Optimistic-concurrency loop around ``_commit`` — the part of
     Delta's writer protocol the raw O_EXCL primitive leaves to the
@@ -1558,7 +1685,11 @@ def _commit_with_retry(
         # that carry their own protocol action (constraint installs,
         # table creation) are the upgrade mechanism itself and exempt.
         _check_write_protocol(
-            _latest_protocol(path, version - 1), path, commit_operation
+            _latest_protocol(path, version - 1),
+            path,
+            commit_operation,
+            extra_features,
+            _latest_metadata(path, version - 1) if extra_features else None,
         )
         _check_column_invariants_absent(path, version - 1)
     for attempt in range(max_retries + 1):
@@ -1617,7 +1748,11 @@ def _commit_with_retry(
                 # blind append must re-gate before re-committing, or it
                 # would write into a table it no longer understands
                 _check_write_protocol(
-                    _latest_protocol(path, latest), path, commit_operation
+                    _latest_protocol(path, latest),
+                    path,
+                    commit_operation,
+                    extra_features,
+                    _latest_metadata(path, latest) if extra_features else None,
                 )
                 _check_column_invariants_absent(path, latest)
             version = latest + 1
@@ -2004,8 +2139,16 @@ def set_table_properties(
             },
         ]
         try:
-            # max_retries=0: any race falls through to re-derivation
-            return _commit_with_retry(path, versions[-1] + 1, actions, max_retries=0)
+            # max_retries=0: any race falls through to re-derivation.
+            # columnMapping is vacuous for a metadata-only commit (no
+            # data files), so ALTER works on CM tables.
+            return _commit_with_retry(
+                path,
+                versions[-1] + 1,
+                actions,
+                max_retries=0,
+                extra_features=frozenset({"columnMapping"}),
+            )
         except FileExistsError:
             continue
     raise DeltaConcurrentModification(
@@ -2057,8 +2200,12 @@ def add_constraint(
         # so check here), and the re-emitted protocol must preserve any
         # readerFeatures/writerFeatures VERBATIM — dropping them would
         # silently strip requirements this writer cannot maintain
-        # (round-7 advice finding).
-        _check_write_protocol(proto, path)
+        # (round-7 advice finding). columnMapping is vacuous for a
+        # metadata-only commit (no data files are created), so CM
+        # tables may carry constraints.
+        _check_write_protocol(
+            proto, path, extra_features=frozenset({"columnMapping"}), meta=meta
+        )
         new_proto: dict[str, Any] = {
             "minReaderVersion": int(proto.get("minReaderVersion", 1)),
             "minWriterVersion": max(int(proto.get("minWriterVersion", 2)), 3),

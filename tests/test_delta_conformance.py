@@ -589,18 +589,43 @@ def test_column_mapping_partitioned_reads(spark, tmp_path):
     assert sorted(r["id"] for r in fr.collect()) == [3]
 
 
-def test_column_mapping_table_still_write_refused(spark, tmp_path):
-    """Read support must NOT open the write path: this writer cannot
-    produce physically-named files, so commits into a column-mapped
-    table (minWriterVersion=5) keep refusing."""
+def test_column_mapping_gate_not_widened(spark, tmp_path):
+    """CM write support must not widen the gate past columnMapping: a
+    v7 table pairing columnMapping with an UNSUPPORTED writer feature
+    still refuses, and a CM table with an enabled change data feed
+    refuses (this writer emits no cdc actions)."""
     import shutil
 
     work = str(tmp_path / "cm")
     shutil.copytree(GOLDEN_CM, work)
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 2,
+                "minWriterVersion": 7,
+                "writerFeatures": ["columnMapping", "identityColumns"],
+            }
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
     batch = spark.createDataFrame([(3, 3.0)], "id long, v double")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="minWriterVersion=5"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="identityColumns"):
         dl.write_delta(batch, work, mode="append")
-    assert dl.read_delta(spark, work).count() == 2
+    # CDF-enabled CM table (legacy v5): refuses too
+    work2 = str(tmp_path / "cmcdf")
+    shutil.copytree(GOLDEN_CM, work2)
+    log0 = os.path.join(work2, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableChangeDataFeed"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl.write_delta(batch, work2, mode="append")
 
 
 def test_column_mapping_id_mode_reads(spark, tmp_path):
@@ -608,8 +633,7 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     match NEITHER the logical names NOR Delta's physicalName, and the
     column order is scrambled — only the parquet field ids
     (= delta.columnMapping.id) identify columns. The read must resolve
-    by id and present logical names; writes stay refused
-    (minWriterVersion=5)."""
+    by id and present logical names."""
     import shutil
 
     df = dl.read_delta(spark, GOLDEN_CMID)
@@ -617,12 +641,13 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     assert sorted((r["id"], r["v"]) for r in df.collect()) == [
         (1, 1.5), (2, 2.5),
     ]
+    # appends now work too (round-9 late: field-id stamped writes);
+    # the write contract is covered by test_cmid_append_field_ids
     work = str(tmp_path / "cmid")
     shutil.copytree(GOLDEN_CMID, work)
     batch = spark.createDataFrame([(3, 3.0)], "id long, v double")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="minWriterVersion=5"):
-        dl.write_delta(batch, work, mode="append")
-    assert dl.read_delta(spark, work).count() == 2
+    dl.write_delta(batch, work, mode="append")
+    assert dl.read_delta(spark, work).count() == 3
 
 
 def test_column_mapping_id_mode_missing_ids_fails_loudly(spark, tmp_path):
@@ -1126,3 +1151,169 @@ def test_table_changes_across_dv_commit(spark):
         for r in ch.collect()
     )
     assert got == [(2, "en", "delete", 1), (10, "pt:BR", "delete", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Column-mapping WRITES (round-9 late): appends/overwrites into CM
+# tables rename to physical columns; DML verbs stay gated.
+# ---------------------------------------------------------------------------
+
+GOLDEN_CM = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cm")
+GOLDEN_CMID = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cmid")
+
+
+def _cm_copy(tmp_path, src, name="cmw"):
+    import shutil as _sh
+
+    dest = str(tmp_path / name)
+    _sh.copytree(src, dest)
+    return dest
+
+
+def test_cm_append_physical_names(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = _cm_copy(tmp_path, GOLDEN_CM)
+    df = spark.createDataFrame([(3, 3.0)], "id bigint, v double")
+    v = dl.write_delta(df, path)
+    got = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, path).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # the new data file carries PHYSICAL parquet column names
+    new_adds = [a["add"] for a in dl._read_actions(path, v) if "add" in a]
+    assert len(new_adds) == 1
+    cols = pq.read_schema(os.path.join(path, new_adds[0]["path"])).names
+    assert cols == ["col-1a2b3c4d", "col-5e6f7a8b"]
+    # stats keys are physical too (what external CM readers prune on)
+    stats = json.loads(new_adds[0]["stats"])
+    assert set(stats["minValues"]) == {"col-1a2b3c4d", "col-5e6f7a8b"}
+    # time travel still sees the pre-append snapshot
+    assert dl.read_delta(spark, path, version=0).count() == 2
+
+
+def test_cm_overwrite(spark, tmp_path):
+    path = _cm_copy(tmp_path, GOLDEN_CM)
+    df = spark.createDataFrame([(9, 9.0)], "id bigint, v double")
+    dl.write_delta(df, path, mode="overwrite")
+    got = [(r["id"], r["v"]) for r in dl.read_delta(spark, path).collect()]
+    assert got == [(9, 9.0)]
+    assert dl.read_delta(spark, path, version=0).count() == 2
+
+
+def test_cmid_append_field_ids(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = _cm_copy(tmp_path, GOLDEN_CMID)
+    df = spark.createDataFrame([(3, 3.0)], "id bigint, v double")
+    v = dl.write_delta(df, path)
+    got = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, path).collect())
+    assert got == [(1, 1.5), (2, 2.5), (3, 3.0)]
+    # new parquet footer carries the columnMapping ids as parquet field ids
+    new_adds = [a["add"] for a in dl._read_actions(path, v) if "add" in a]
+    sch = pq.read_schema(os.path.join(path, new_adds[0]["path"]))
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+    }
+    assert {k: v_ for k, v_ in ids.items() if v_ is not None}
+    assert set(ids.values()) == {b"1", b"2"}
+
+
+def test_cm_partitioned_append_physical_dirs(spark, tmp_path):
+    """Appending into a partitioned CM table: hive dirs and
+    partitionValues keys carry the PHYSICAL partition-column name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmp")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-p1"}},
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-d1"}},
+        ],
+    })
+    rel = "col-p1=en/part-0000-seed-c000.snappy.parquet"
+    dest = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(pa.table({"col-d1": pa.array([1], pa.int64())}), dest)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": ["lang"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 0}},
+        {"add": {"path": rel, "partitionValues": {"col-p1": "en"},
+                 "size": os.path.getsize(dest), "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    df = spark.createDataFrame([("fr", 2)], "lang string, id bigint")
+    v = dl.write_delta(df, root)  # adopts the table's partitioning
+    new_adds = [a["add"] for a in dl._read_actions(root, v) if "add" in a]
+    assert len(new_adds) == 1
+    assert new_adds[0]["path"].startswith("col-p1=fr/")
+    assert new_adds[0]["partitionValues"] == {"col-p1": "fr"}
+    got = sorted((r["lang"], r["id"]) for r in dl.read_delta(spark, root).collect())
+    assert got == [("en", 1), ("fr", 2)]
+    # logical partition_filter still prunes through the mapping
+    fr = dl.read_delta(spark, root, partition_filter={"lang": "fr"})
+    assert [r["id"] for r in fr.collect()] == [2]
+
+
+def test_cm_constraint_enforced_on_logical_names(spark, tmp_path):
+    path = _cm_copy(tmp_path, GOLDEN_CM)
+    dl.add_constraint(spark, path, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        dl.write_delta(
+            spark.createDataFrame([(4, -4.0)], "id bigint, v double"), path
+        )
+    dl.write_delta(
+        spark.createDataFrame([(4, 4.0)], "id bigint, v double"), path
+    )
+    assert dl.read_delta(spark, path).count() == 3
+
+
+def test_cm_dml_and_evolution_still_refused(spark, tmp_path):
+    path = _cm_copy(tmp_path, GOLDEN_CM)
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl.delete_delta(spark, path, "id = 1")
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl.optimize_delta(spark, path, target_files=1)
+    with pytest.raises(ValueError, match="evolution|merge_schema|column mapping"):
+        dl.write_delta(
+            spark.createDataFrame([(5, 5.0, "x")], "id bigint, v double, s string"),
+            path,
+            merge_schema=True,
+        )
+
+
+def test_cm_v5_generated_columns_still_refused(spark, tmp_path):
+    """minWriterVersion 5 implies v4 capabilities too: a table DECLARING
+    generated columns must refuse even though we uphold columnMapping."""
+    import shutil as _sh
+
+    path = _cm_copy(tmp_path, GOLDEN_CM, "cmgen")
+    # inject a generated-column marker into the schemaString
+    log0 = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            s = json.loads(a["metaData"]["schemaString"])
+            s["fields"][1]["metadata"]["delta.generatedAlwaysAs"] = "id * 2"
+            a["metaData"]["schemaString"] = json.dumps(s)
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl.write_delta(
+            spark.createDataFrame([(3, 3.0)], "id bigint, v double"), path
+        )
