@@ -756,6 +756,52 @@ def _physical_type(
     return dt
 
 
+def _present_logical(
+    df: DataFrame, schema: T.StructType, cm_mode: str, extras: tuple = ()
+) -> DataFrame:
+    """Project a physically-named frame to LOGICAL columns in schema
+    order, carrying ``extras`` (e.g. the _f/_ridx metadata columns the
+    DML verbs thread through) untouched. Identity projection when the
+    table has no column mapping."""
+    from pyspark.sql import functions as F
+
+    if cm_mode not in ("name", "id"):
+        return df.select(*schema.fieldNames(), *extras)
+    cols = [
+        F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols, *[F.col(e) for e in extras])
+
+
+def _physical_frame(
+    df: DataFrame, schema: T.StructType, cm_mode: str
+) -> DataFrame:
+    """The write-side twin of ``_present_logical``: rename a LOGICAL
+    frame to the table's physical column names (nested struct fields by
+    same-shape cast; id mode stamps ``parquet.field.id`` alias metadata
+    so Spark's parquet writer emits real field ids). Identity (schema-
+    order select) without column mapping."""
+    from pyspark.sql import functions as F
+
+    if cm_mode not in ("name", "id"):
+        return df.select(*schema.fieldNames())
+    cols = []
+    for f in schema.fields:
+        c = F.col(f.name).cast(_physical_type(f.dataType))
+        if cm_mode == "id" and "delta.columnMapping.id" in f.metadata:
+            c = c.alias(
+                _physical_name(f),
+                metadata={
+                    "parquet.field.id": int(f.metadata["delta.columnMapping.id"])
+                },
+            )
+        else:
+            c = c.alias(_physical_name(f))
+        cols.append(c)
+    return df.select(*cols)
+
+
 def _plain_type(dt: T.DataType) -> T.DataType:
     """``dt`` with all struct-field metadata stripped, recursively —
     schema compatibility compares names+types; field metadata (column-
@@ -1497,29 +1543,9 @@ def write_delta(
     staged_df = df
     staged_partition_by = list(partition_by or [])
     if cm_schema is not None:
-        from pyspark.sql import functions as F
-
-        # logical → physical: top-level alias (with parquet.field.id
-        # metadata in id mode — Spark's parquet writer stamps field ids
-        # from exactly that key), nested struct fields renamed by a
-        # same-shape cast (position-based, the reverse of
-        # _to_logical_columns)
-        cols = []
-        for f in cm_schema.fields:
-            c = F.col(f.name).cast(_physical_type(f.dataType))
-            if cm_mode == "id" and "delta.columnMapping.id" in f.metadata:
-                c = c.alias(
-                    _physical_name(f),
-                    metadata={
-                        "parquet.field.id": int(
-                            f.metadata["delta.columnMapping.id"]
-                        )
-                    },
-                )
-            else:
-                c = c.alias(_physical_name(f))
-            cols.append(c)
-        staged_df = df.select(*cols)
+        # logical → physical rename; hive dirs must carry physical
+        # partition-column names (the spec's on-disk convention)
+        staged_df = _physical_frame(df, cm_schema, cm_mode)
         phys_by_logical = {f.name: _physical_name(f) for f in cm_schema.fields}
         staged_partition_by = [
             phys_by_logical[p] for p in staged_partition_by
@@ -1932,17 +1958,27 @@ def merge_delta(
     if not versions:
         return write_delta(updates, path, mode="append")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
+    cm_mode = _column_mapping_mode(_meta)
+    cm = cm_mode in ("name", "id")
     # fail fast: the commit gate re-checks after staging, but staging a
     # MERGE against a feature-gated table is pure wasted IO
-    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
+    _check_write_protocol(
+        _latest_protocol(path, versions[-1]),
+        path,
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        meta=_meta,
+    )
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     # the same name+type enforcement write_delta applies: an updates
     # frame whose schema drifts would otherwise be staged and committed
     # VERBATIM (the no-affected-files arm writes it directly), leaving a
     # metaData that disagrees with the new parquet — every later
     # schema'd read then fails on type conversion. MERGE does not evolve
     # schemas (align the frame first, or write_delta(merge_schema=True)).
-    if [(f.name, f.dataType) for f in updates.schema.fields] != [
-        (f.name, f.dataType) for f in schema.fields
+    if [(f.name, _plain_type(f.dataType)) for f in updates.schema.fields] != [
+        (f.name, _plain_type(f.dataType)) for f in schema.fields
     ]:
         raise ValueError(
             f"schema mismatch vs Delta table at {path}: "
@@ -1986,11 +2022,12 @@ def merge_delta(
         # every file affected.)
         affected: dict[str, dict] = {}
     else:
+        phys_key = phys_of.get(key, key)
         affected = {
             rel: a
             for rel, a in active.items()
-            if _may_satisfy(a, (key, ">=", lo))
-            and _may_satisfy(a, (key, "<=", hi))
+            if _may_satisfy(a, (phys_key, ">=", lo))
+            and _may_satisfy(a, (phys_key, "<=", hi))
         }
 
     config = dict(
@@ -2009,11 +2046,11 @@ def merge_delta(
     ]
     if affected:
         files = [os.path.join(path, rel) for rel in sorted(affected)]
-        reader = spark.read.schema(schema)
+        reader = spark.read.schema(_reader_schema(schema, cm_mode))
         if partition_cols:
             # partition columns materialize from the hive dir names
             reader = reader.option("basePath", path)
-        old = reader.parquet(*files).select(*schema.fieldNames())
+        old = reader.parquet(*files)
         # apply-and-rewrite: a DV-bearing affected file is read WITHOUT
         # its deleted rows and rewritten DV-free — rewriting the raw
         # parquet would resurrect them
@@ -2026,18 +2063,21 @@ def merge_delta(
             old = _apply_deletion_vectors(
                 spark, path, old, dv_affected, all_rels=sorted(affected)
             )
+        old = _present_logical(old, schema, cm_mode)
         kept = old.join(updates.select(key), on=key, how="left_anti")
-        new_data = kept.unionByName(updates)
+        new_data = kept.unionByName(updates.select(*schema.fieldNames()))
     else:
         new_data = updates
 
     # stage+move exactly like write_delta, then commit removes+adds in one
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    writer = new_data.write.mode("errorifexists")
+    writer = _physical_frame(new_data, schema, cm_mode).write.mode(
+        "errorifexists"
+    )
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
-    viol = _violated_constraint(spark, staging, schema, config)
+    viol = _violated_constraint(spark, staging, schema, config, cm_mode)
     if viol:
         import shutil
 
@@ -2066,6 +2106,7 @@ def merge_delta(
         actions,
         depends_on=set(affected),
         read_metadata=True,  # merge derived schema + constraints from its snapshot
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
     )
 
 
@@ -2413,17 +2454,32 @@ def delete_delta(
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
-    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
+    cm_mode = _column_mapping_mode(_meta)
+    _check_write_protocol(
+        _latest_protocol(path, versions[-1]),
+        path,
+        extra_features=frozenset({"columnMapping"})
+        if cm_mode in ("name", "id")
+        else frozenset(),
+        meta=_meta,
+    )
     config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
             f"Delta table at {path} is delta.appendOnly=true: DELETE is blocked"
         )
+    cm = cm_mode in ("name", "id")
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     pred = F.coalesce(F.expr(condition), F.lit(False))
+    phys_prune = (
+        (phys_of.get(prune[0], prune[0]), prune[1], prune[2]) if prune else None
+    )
     cand = {
         rel: a
         for rel, a in active.items()
-        if prune is None or _may_satisfy(a, prune)
+        if phys_prune is None or _may_satisfy(a, phys_prune)
     }
     if not cand:
         return versions[-1]
@@ -2440,7 +2496,7 @@ def delete_delta(
     # are pure waste). `_metadata.file_path` instead of
     # input_file_name() because the DV anti-join sits between the scan
     # and the projection, and input_file_name is undefined after a join.
-    p1_reader = spark.read.schema(schema)
+    p1_reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         # partition columns materialize from the hive dir names so the
         # predicate may reference them (with _may_satisfy having already
@@ -2455,6 +2511,7 @@ def delete_delta(
         phase1 = _apply_deletion_vectors(
             spark, path, phase1, dv_cand, all_rels=list(cand)
         )
+    phase1 = _present_logical(phase1, schema, cm_mode, extras=("_f", "_ridx"))
     hit_rows = (
         phase1.filter(pred)
         .select("_f")
@@ -2483,7 +2540,7 @@ def delete_delta(
             return committed
         # fell through: too many matched rows for a bitmap — rewrite
 
-    keep_reader = spark.read.schema(schema)
+    keep_reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         keep_reader = keep_reader.option("basePath", path)
     keep = keep_reader.parquet(
@@ -2496,7 +2553,8 @@ def delete_delta(
         keep = _apply_deletion_vectors(
             spark, path, keep, dv_hit, all_rels=sorted(hit_files)
         )
-    keep = keep.filter(~pred).select(*schema.fieldNames())
+    keep = _present_logical(keep, schema, cm_mode).filter(~pred)
+    keep = _physical_frame(keep, schema, cm_mode)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
@@ -2504,7 +2562,9 @@ def delete_delta(
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     keep_writer = keep.write.mode("errorifexists")
     if partition_cols:
-        keep_writer = keep_writer.partitionBy(*partition_cols)
+        keep_writer = keep_writer.partitionBy(
+            *[phys_of[p] for p in partition_cols]
+        )
     keep_writer.parquet(staging)
     actions.extend(_move_staged_adds(staging, path, now_ms))
     actions.append(
@@ -2522,6 +2582,7 @@ def delete_delta(
         actions,
         depends_on=set(hit_files),
         read_metadata=True,  # delete enforced appendOnly/constraints from its snapshot
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
     )
 
 
@@ -2561,7 +2622,14 @@ def update_delta(
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
-    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
+    cm_mode = _column_mapping_mode(_meta)
+    cm = cm_mode in ("name", "id")
+    _check_write_protocol(
+        _latest_protocol(path, versions[-1]),
+        path,
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        meta=_meta,
+    )
     config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
@@ -2572,11 +2640,17 @@ def update_delta(
         raise ValueError(
             f"UPDATE SET targets not in table schema: {sorted(unknown)}"
         )
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     pred = F.coalesce(F.expr(condition), F.lit(False))
+    phys_prune = (
+        (phys_of.get(prune[0], prune[0]), prune[1], prune[2]) if prune else None
+    )
     cand = {
         rel: a
         for rel, a in active.items()
-        if prune is None or _may_satisfy(a, prune)
+        if phys_prune is None or _may_satisfy(a, phys_prune)
     }
     if not cand:
         return versions[-1]
@@ -2587,7 +2661,7 @@ def update_delta(
         for rel, a in cand.items()
         if a.get("deletionVector")
     }
-    p1_reader = spark.read.schema(schema)
+    p1_reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         p1_reader = p1_reader.option("basePath", path)
     phase1 = p1_reader.parquet(*cand_files).withColumn(
@@ -2597,6 +2671,7 @@ def update_delta(
         phase1 = _apply_deletion_vectors(
             spark, path, phase1, dv_cand, all_rels=list(cand)
         )
+    phase1 = _present_logical(phase1, schema, cm_mode, extras=("_f",))
     hit_rows = phase1.filter(pred).select("_f").distinct().collect()
     hit_files = {
         os.path.relpath(unquote(urlparse(r["_f"]).path), root) for r in hit_rows
@@ -2604,7 +2679,7 @@ def update_delta(
     if not hit_files:
         return versions[-1]
 
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         reader = reader.option("basePath", path)
     rows = reader.parquet(*[os.path.join(path, rel) for rel in sorted(hit_files)])
@@ -2613,6 +2688,7 @@ def update_delta(
         rows = _apply_deletion_vectors(
             spark, path, rows, dv_hit, all_rels=sorted(hit_files)
         )
+    rows = _present_logical(rows, schema, cm_mode)
     by_field = {f.name: f for f in schema.fields}
     rewritten = rows.select(
         *[
@@ -2624,6 +2700,7 @@ def update_delta(
             for c in schema.fieldNames()
         ]
     )
+    rewritten = _physical_frame(rewritten, schema, cm_mode)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
@@ -2631,9 +2708,9 @@ def update_delta(
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     writer = rewritten.write.mode("errorifexists")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
-    viol = _violated_constraint(spark, staging, schema, config)
+    viol = _violated_constraint(spark, staging, schema, config, cm_mode)
     if viol:
         import shutil
 
@@ -2661,6 +2738,7 @@ def update_delta(
         actions,
         depends_on=set(hit_files),
         read_metadata=True,  # update enforced appendOnly/constraints from its snapshot
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
     )
 
 
@@ -3065,7 +3143,17 @@ def optimize_delta(
     if not versions:
         return None
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
-    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
+    cm_mode = _column_mapping_mode(_meta)
+    cm = cm_mode in ("name", "id")
+    _check_write_protocol(
+        _latest_protocol(path, versions[-1]),
+        path,
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        meta=_meta,
+    )
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     groups: dict[tuple, dict[str, dict]] = {}
     for rel, a in active.items():
         gkey = tuple(sorted((a.get("partitionValues") or {}).items()))
@@ -3085,10 +3173,10 @@ def optimize_delta(
         for rel, a in rewrite.items()
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    reader = spark.read.schema(schema)
+    reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         reader = reader.option("basePath", path)
-    snapshot = reader.parquet(*files).select(*schema.fieldNames())
+    snapshot = reader.parquet(*files)
     dv_active = {
         rel: a["deletionVector"]
         for rel, a in rewrite.items()
@@ -3101,6 +3189,7 @@ def optimize_delta(
         snapshot = _apply_deletion_vectors(
             spark, path, snapshot, dv_active, all_rels=list(rewrite)
         )
+    snapshot = _present_logical(snapshot, schema, cm_mode)
     n_out = max(1, target_files) * len(work)
     if zorder_by:
         missing = set(zorder_by) - set(snapshot.columns)
@@ -3127,9 +3216,11 @@ def optimize_delta(
             clustered = snapshot.repartition(len(work), *partition_cols)
     else:
         clustered = snapshot.coalesce(target_files)
-    writer = clustered.write.mode("errorifexists")
+    writer = _physical_frame(clustered, schema, cm_mode).write.mode(
+        "errorifexists"
+    )
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
     actions.extend(_move_staged_adds(staging, path, now_ms, data_change=False))
     actions.append(
@@ -3148,7 +3239,11 @@ def optimize_delta(
     # them conflicts; rival appends (and rewrites of untouched
     # partitions) retry cleanly — their files simply stay un-compacted
     return _commit_with_retry(
-        path, versions[-1] + 1, actions, depends_on=set(rewrite)
+        path,
+        versions[-1] + 1,
+        actions,
+        depends_on=set(rewrite),
+        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
     )
 
 

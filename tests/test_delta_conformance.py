@@ -1282,18 +1282,49 @@ def test_cm_constraint_enforced_on_logical_names(spark, tmp_path):
     assert dl.read_delta(spark, path).count() == 3
 
 
-def test_cm_dml_and_evolution_still_refused(spark, tmp_path):
+def test_cm_evolution_still_refused(spark, tmp_path):
     path = _cm_copy(tmp_path, GOLDEN_CM)
-    with pytest.raises(dl.DeltaUnsupportedProtocol):
-        dl.delete_delta(spark, path, "id = 1")
-    with pytest.raises(dl.DeltaUnsupportedProtocol):
-        dl.optimize_delta(spark, path, target_files=1)
     with pytest.raises(ValueError, match="evolution|merge_schema|column mapping"):
         dl.write_delta(
             spark.createDataFrame([(5, 5.0, "x")], "id bigint, v double, s string"),
             path,
             merge_schema=True,
         )
+
+
+def test_cm_dml_full_cycle(spark, tmp_path):
+    """DELETE/UPDATE/MERGE/OPTIMIZE on a column-mapped table (round-9
+    late): predicates and keys are LOGICAL, rewrites land PHYSICAL."""
+    import pyarrow.parquet as pq
+
+    path = _cm_copy(tmp_path, GOLDEN_CM)
+    dl.write_delta(spark.createDataFrame([(3, 3.0)], "id bigint, v double"), path)
+    dl.update_delta(spark, path, "id = 2", {"v": "v * 10"})
+    dl.delete_delta(spark, path, "id = 1", prune=("id", "==", 1))
+    updates = spark.createDataFrame([(3, 33.0), (4, 4.0)], "id bigint, v double")
+    dl.merge_delta(spark, path, updates, key="id")
+    v = dl.optimize_delta(spark, path, target_files=1)
+    assert v is not None
+    got = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, path).collect())
+    assert got == [(2, 20.0), (3, 33.0), (4, 4.0)]
+    # every surviving data file carries PHYSICAL parquet names
+    active, _, _, _ = dl._replay(path, None)
+    for rel in active:
+        cols = pq.read_schema(os.path.join(path, rel)).names
+        assert cols == ["col-1a2b3c4d", "col-5e6f7a8b"], rel
+    # and stats keys are physical
+    for a in active.values():
+        assert set(json.loads(a["stats"])["minValues"]) <= {
+            "col-1a2b3c4d", "col-5e6f7a8b",
+        }
+
+
+def test_cmid_dml_delete_update(spark, tmp_path):
+    path = _cm_copy(tmp_path, GOLDEN_CMID, "cmidml")
+    dl.update_delta(spark, path, "id = 1", {"v": "100.0"})
+    dl.delete_delta(spark, path, "id = 2")
+    got = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, path).collect())
+    assert got == [(1, 100.0)]
 
 
 def test_cm_v5_generated_columns_still_refused(spark, tmp_path):
