@@ -258,6 +258,11 @@ def _checkpoint_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # rowTracking: baseRowId/defaultRowCommitVersion
+                        # must survive checkpointing or log cleanup would
+                        # corrupt every file's row-id assignment
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                         # DV descriptors must survive checkpointing — a
                         # checkpoint that drops them would resurrect
                         # every DV-deleted row after log cleanup
@@ -322,6 +327,18 @@ def _checkpoint_schema():
                     ]
                 ),
             ),
+            (
+                # rowTracking's high-water mark (and any other engine's
+                # named domain state) must survive log cleanup
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -362,7 +379,14 @@ def _read_checkpoint_actions(path: str, version: int) -> list[dict[str, Any]]:
                     # never surface the sidecar action itself
                     sidecars.append(sc["path"])
                     continue
-                for kind in ("protocol", "metaData", "txn", "add", "remove"):
+                for kind in (
+                    "protocol",
+                    "metaData",
+                    "txn",
+                    "add",
+                    "remove",
+                    "domainMetadata",
+                ):
                     payload = row.get(kind)
                     if payload is None:
                         continue
@@ -478,6 +502,16 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         }
         for app_id, txn_v in sorted(txns.items())
     )
+    rows.extend(
+        {
+            "domainMetadata": {
+                "domain": dm.get("domain"),
+                "configuration": dm.get("configuration"),
+                "removed": bool(dm.get("removed", False)),
+            }
+        }
+        for _domain, dm in sorted(_collect_domain_metadata(path, version).items())
+    )
     for rel in sorted(active):
         a = active[rel]
         dv = a.get("deletionVector")
@@ -490,6 +524,8 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": bool(a.get("dataChange", True)),
                     "stats": a.get("stats"),
+                    "baseRowId": a.get("baseRowId"),
+                    "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
                     "deletionVector": (
                         {
                             "storageType": dv.get("storageType"),
@@ -1103,6 +1139,42 @@ def _collect_txns(path: str, version: int) -> dict[str, int]:
     return txns
 
 
+def _collect_domain_metadata(path: str, version: int) -> dict[str, dict]:
+    """Latest ``domainMetadata`` action payload per domain at-or-below
+    ``version`` (checkpoint-accelerated, like ``_collect_txns``).
+    Removed tombstones are RETAINED in the map (callers treat
+    ``removed: true`` as absent) so checkpoints can persist them."""
+    domains: dict[str, dict] = {}
+    cp = _latest_checkpoint_version(path, at_or_below=version)
+    if cp is not None:
+        for action in _read_checkpoint_actions(path, cp):
+            dm = action.get("domainMetadata")
+            if dm and dm.get("domain"):
+                domains[dm["domain"]] = dm
+    for v in _list_versions(path):
+        if (cp is not None and v <= cp) or v > version:
+            continue
+        for action in _read_actions(path, v):
+            dm = action.get("domainMetadata")
+            if dm and dm.get("domain"):
+                domains[dm["domain"]] = dm
+    return domains
+
+
+def _row_id_high_water_mark(path: str, version: int) -> int | None:
+    """The rowTracking high-water mark at ``version``, or None when the
+    table carries no (live) delta.rowTracking domain."""
+    dm = _collect_domain_metadata(path, version).get("delta.rowTracking")
+    if not dm or dm.get("removed"):
+        return None
+    try:
+        return int(json.loads(dm.get("configuration") or "{}").get(
+            "rowIdHighWaterMark", -1
+        ))
+    except (ValueError, TypeError):
+        return None
+
+
 def _replay(
     path: str, version: int | None
 ) -> tuple[dict[str, dict], T.StructType, list[str], dict[str, Any]]:
@@ -1468,6 +1540,7 @@ def write_delta(
     evolved_meta: dict[str, Any] | None = None
     cm_mode = "none"
     cm_schema: T.StructType | None = None
+    row_tracking = False
     if version > 0:
         # Delta schema enforcement: an append/overwrite whose schema
         # drifts from the table's metaData is rejected, not silently
@@ -1483,6 +1556,9 @@ def write_delta(
         _, table_schema, table_pcols, meta = _replay(path, versions[-1])
         config = dict(meta.get("configuration", {}))
         cm_mode = _column_mapping_mode(meta)
+        row_tracking = "rowTracking" in set(
+            _latest_protocol(path, versions[-1]).get("writerFeatures") or []
+        )
         if mode == "overwrite" and config.get("delta.appendOnly") == "true":
             raise ValueError(
                 f"Delta table at {path} is delta.appendOnly=true: "
@@ -1595,9 +1671,8 @@ def write_delta(
         prior_active, _, _, _ = _replay(path, versions[-1])
         for rel, prior_add in prior_active.items():
             actions.append(_remove_action(rel, prior_add, now_ms))
-    actions.extend(adds)
-    actions.extend(extra_actions or [])  # e.g. the txn idempotence action
-    actions.append(
+    tail: list[dict[str, Any]] = list(extra_actions or [])
+    tail.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -1606,11 +1681,21 @@ def write_delta(
             }
         }
     )
-
+    extra_feats = set()
+    if cm_mode in ("name", "id"):
+        # this write renamed its columns to the table's physical names,
+        # so it upholds the columnMapping writer requirement (the DML
+        # verbs do NOT pass this — their rewrites stay gated)
+        extra_feats.add("columnMapping")
+    if row_tracking:
+        extra_feats.update({"rowTracking", "domainMetadata"})
+        return _commit_row_tracking(
+            path, actions, adds, tail, mode, max_retries, frozenset(extra_feats)
+        )
     return _commit_with_retry(
         path,
         version,
-        actions,
+        actions + adds + tail,
         max_retries=max_retries,
         # blind appends qualify for the append-only protocol relaxation
         # (deletionVectors tables accept them); everything else mutates
@@ -1619,13 +1704,95 @@ def write_delta(
         # CHECK constraints, and appendOnly gate — a rival metaData/
         # protocol commit invalidates that derivation
         read_metadata=version > 0,
-        # this write renamed its columns to the table's physical names,
-        # so it upholds the columnMapping writer requirement (the DML
-        # verbs do NOT pass this — their rewrites stay gated)
-        extra_features=frozenset({"columnMapping"})
-        if cm_mode in ("name", "id")
-        else frozenset(),
+        extra_features=frozenset(extra_feats),
     )
+
+
+def _commit_row_tracking(
+    path: str,
+    head: list[dict[str, Any]],
+    adds: list[dict[str, Any]],
+    tail: list[dict[str, Any]],
+    mode: str,
+    max_retries: int,
+    extra_feats: frozenset[str],
+) -> int:
+    """Commit a write into a rowTracking table (round-9 late — the
+    feature newer delta-spark runtimes enable BY DEFAULT): every add
+    gets fresh ``baseRowId``/``defaultRowCommitVersion`` and the commit
+    bumps the ``delta.rowTracking`` high-water mark domainMetadata.
+
+    Both stamps are functions of the COMMIT VERSION and the CURRENT
+    high-water mark, so a lost version race cannot re-commit verbatim
+    (reused row ids would collide, a stale defaultRowCommitVersion
+    would lie): this loop re-reads the mark and re-stamps per attempt,
+    with the rival analysis _commit_with_retry would have done —
+    metaData/protocol rivals and remove-set conflicts raise for
+    re-derivation, disjoint appends just re-stamp and land."""
+    our_removes = {a["remove"]["path"] for a in head if "remove" in a}
+    for attempt in range(max_retries + 1):
+        versions = _list_versions(path)
+        target = versions[-1] + 1
+        hwm = _row_id_high_water_mark(path, versions[-1])
+        next_base = (hwm if hwm is not None else -1) + 1
+        stamped: list[dict[str, Any]] = []
+        for act in adds:
+            a = dict(act["add"])
+            stats = a.get("stats")
+            n = json.loads(stats).get("numRecords") if stats else None
+            if n is None:
+                raise ValueError(
+                    f"cannot assign baseRowId for {a['path']}: staged "
+                    "file has no numRecords stats"
+                )
+            a["baseRowId"] = next_base
+            a["defaultRowCommitVersion"] = target
+            next_base += int(n)
+            stamped.append({"add": a})
+        dm = {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": next_base - 1}
+                ),
+                "removed": False,
+            }
+        }
+        try:
+            return _commit_with_retry(
+                path,
+                target,
+                head + stamped + [dm] + tail,
+                max_retries=0,
+                commit_operation="append" if mode == "append" else "mutate",
+                extra_features=extra_feats,
+            )
+        except FileExistsError:
+            if attempt == max_retries:
+                raise
+            latest = _list_versions(path)[-1]
+            for v in range(target, latest + 1):
+                try:
+                    rival = _read_actions(path, v)
+                except OSError:
+                    continue
+                for a in rival:
+                    if "metaData" in a or "protocol" in a:
+                        raise DeltaConcurrentModification(
+                            f"concurrent metaData/protocol commit at "
+                            f"version {v} invalidates this write's "
+                            "snapshot-derived schema/config — re-derive"
+                        ) from None
+                    if (
+                        "remove" in a
+                        and a["remove"]["path"] in our_removes
+                    ):
+                        raise DeltaConcurrentModification(
+                            f"concurrent commit at version {v} removed "
+                            "files this overwrite also removes — stale "
+                            "snapshot, re-derive"
+                        ) from None
+    raise AssertionError("unreachable")
 
 
 class DeltaConcurrentModification(Exception):
@@ -2935,8 +3102,18 @@ def vacuum_delta(
     # the feature exists to prevent), so refuse instead of deleting
     versions = _list_versions(path)
     if versions:
+        # VACUUM deletes only files NO snapshot references: column
+        # mapping (names), rowTracking (ids ride in adds) and the
+        # domainMetadata log vocabulary are all vacuous for it — allow
+        # those tables so routine maintenance works on modern defaults
         _check_write_protocol(
-            _latest_protocol(path, versions[-1]), path, "vacuum"
+            _latest_protocol(path, versions[-1]),
+            path,
+            "vacuum",
+            extra_features=frozenset(
+                {"columnMapping", "rowTracking", "domainMetadata"}
+            ),
+            meta=_latest_metadata(path, versions[-1]),
         )
     active, _, _, _ = _replay(path, None)
     keep = {os.path.normpath(rel) for rel in active}

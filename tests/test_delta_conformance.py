@@ -869,14 +869,14 @@ def test_sidecar_foreign_uri_refused(spark, tmp_path):
         dl.read_delta(spark, work)
 
 
-def test_row_tracking_table_reads_writes_refused(spark, tmp_path):
-    """rowTracking + domainMetadata are WRITER-only features (default-on
-    in newer delta-spark runtimes): reads pass the reader gate while
-    tolerating the vocabulary they add (add.baseRowId /
-    defaultRowCommitVersion, the domainMetadata high-water-mark
-    action); every write refuses — this writer cannot materialize
-    fresh baseRowIds, and an add committed without one would corrupt
-    the table's row-id assignment."""
+def test_row_tracking_reads_and_appends(spark, tmp_path):
+    """rowTracking + domainMetadata (default-on in newer delta-spark
+    runtimes): reads pass while tolerating the vocabulary they add, and
+    APPENDS work (round-9 late) — each new add carries fresh
+    baseRowId/defaultRowCommitVersion above the high-water mark, and
+    the commit bumps the delta.rowTracking domainMetadata. File-
+    REWRITING ops still refuse: without a materialized row-id column a
+    rewrite loses the stable ids."""
     import shutil
 
     df = dl.read_delta(spark, GOLDEN_ROWTRACK)
@@ -885,19 +885,61 @@ def test_row_tracking_table_reads_writes_refused(spark, tmp_path):
     ]
     work = str(tmp_path / "rowtrack")
     shutil.copytree(GOLDEN_ROWTRACK, work)
-    batch = spark.createDataFrame([(6, 6.0)], "id long, v double")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
-        dl.write_delta(batch, work, mode="append")
+    batch = spark.createDataFrame(
+        [(6, 6.0), (7, 7.0)], "id long, v double"
+    ).coalesce(1)
+    v = dl.write_delta(batch, work, mode="append")
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    assert len(adds) == 1
+    # fixture high-water mark is 4 → fresh ids start at 5
+    assert adds[0]["baseRowId"] == 5
+    assert adds[0]["defaultRowCommitVersion"] == v
+    dms = [
+        a["domainMetadata"]
+        for a in dl._read_actions(work, v)
+        if "domainMetadata" in a
+    ]
+    assert len(dms) == 1 and dms[0]["domain"] == "delta.rowTracking"
+    assert json.loads(dms[0]["configuration"]) == {"rowIdHighWaterMark": 6}
+    # a second append continues above the new mark
+    v2 = dl.write_delta(
+        spark.createDataFrame([(8, 8.0)], "id long, v double"), work
+    )
+    adds2 = [a["add"] for a in dl._read_actions(work, v2) if "add" in a]
+    assert adds2[0]["baseRowId"] == 7
+    assert dl._row_id_high_water_mark(work, v2) == 7
+    assert dl.read_delta(spark, work).count() == 8
+    # file-rewriting ops still refuse
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
         dl.delete_delta(spark, work, "id = 1")
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
         dl.merge_delta(spark, work, batch, "id")
-    # checkpointing is a log rewrite too: refusing is NOT required (it
-    # moves no row ids), but the snapshot it produces must keep reading
-    # identically with the domainMetadata action absent from our
-    # checkpoint schema — assert the conservative invariant instead:
-    # the table is untouched after the refused writes
-    assert dl.read_delta(spark, work).count() == 5
+
+
+def test_row_tracking_checkpoint_roundtrip(spark, tmp_path):
+    """Checkpoints must round-trip baseRowId/defaultRowCommitVersion on
+    adds AND the domainMetadata high-water mark — a checkpoint that
+    drops either corrupts row-id assignment after log cleanup."""
+    import shutil
+
+    work = str(tmp_path / "rowtrack")
+    shutil.copytree(GOLDEN_ROWTRACK, work)
+    dl.write_delta(
+        spark.createDataFrame([(6, 6.0)], "id long, v double"), work
+    )
+    cp_v = dl.write_checkpoint(work)
+    cp_actions = dl._read_checkpoint_actions(work, cp_v)
+    cp_adds = [a["add"] for a in cp_actions if "add" in a]
+    assert {a.get("baseRowId") for a in cp_adds} == {0, 3, 5}
+    cp_dms = [a["domainMetadata"] for a in cp_actions if "domainMetadata" in a]
+    assert len(cp_dms) == 1
+    assert json.loads(cp_dms[0]["configuration"]) == {"rowIdHighWaterMark": 5}
+    # an append AFTER the checkpoint resolves the mark THROUGH it
+    v = dl.write_delta(
+        spark.createDataFrame([(7, 7.0)], "id long, v double"), work
+    )
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    assert adds[0]["baseRowId"] == 6
 
 
 def test_vacuum_protocol_check_table_full_lifecycle(spark, tmp_path):
