@@ -537,8 +537,16 @@ def _writer_preflight(
     if not versions:
         opt = options.get("partitionby")
         return [c.strip() for c in opt.split(",") if c.strip()] if opt else []
-    _check_write_protocol(_latest_protocol(path, versions[-1]), path)
     _active, schema, pcols, meta = _replay(path, versions[-1])
+    # rowTracking is upheld: _commit_write routes through the same
+    # re-stamp loop write_delta uses (fresh baseRowIds + high-water
+    # mark), so the gate may accept it here
+    _check_write_protocol(
+        _latest_protocol(path, versions[-1]),
+        path,
+        extra_features=frozenset({"rowTracking", "domainMetadata"}),
+        meta=meta,
+    )
     if _column_mapping_mode(meta) in ("name", "id"):
         raise ValueError(
             f"Delta table at {path} uses column mapping — this data "
@@ -592,7 +600,9 @@ def _commit_write(
     import time as _time
 
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _commit_row_tracking,
         _commit_with_retry,
+        _latest_protocol,
         _list_versions,
         _remove_action,
         _replay,
@@ -627,6 +637,7 @@ def _commit_write(
         for rel, prior_add in prior_active.items():
             actions.append(_remove_action(rel, prior_add, now_ms))
         removed = set(prior_active)
+    adds: list[dict[str, Any]] = []
     for m in messages:
         if m is None:
             continue
@@ -640,9 +651,9 @@ def _commit_write(
             }
             if add.get("stats"):
                 a["stats"] = add["stats"]
-            actions.append({"add": a})
-    actions.extend(extra_actions or [])
-    actions.append(
+            adds.append({"add": a})
+    tail: list[dict[str, Any]] = list(extra_actions or [])
+    tail.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -651,10 +662,24 @@ def _commit_write(
             }
         }
     )
+    if version > 0 and "rowTracking" in set(
+        _latest_protocol(path, versions[-1]).get("writerFeatures") or []
+    ):
+        # same re-stamp loop write_delta uses: fresh baseRowIds +
+        # high-water-mark domainMetadata, race-safe
+        return _commit_row_tracking(
+            path,
+            actions,
+            adds,
+            tail,
+            "overwrite" if overwrite else "append",
+            5,
+            frozenset({"rowTracking", "domainMetadata"}),
+        )
     return _commit_with_retry(
         path,
         version,
-        actions,
+        actions + adds + tail,
         depends_on=removed,
         read_metadata=version > 0,
     )

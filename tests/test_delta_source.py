@@ -411,3 +411,22 @@ def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
     # default posture: plain reader, no pushFilters, default conf — works
     assert spark.read.format("deltalog").load(path).count() == 30
+
+
+def test_batch_writer_row_tracking_table(spark, tmp_path):
+    """The data source writer stamps fresh row ids into a rowTracking
+    table (same re-stamp machinery as write_delta)."""
+    import shutil as _sh
+
+    src = os.path.join(DATA, "golden_delta_rowtracking")
+    path = str(tmp_path / "rt")
+    _sh.copytree(src, path)
+    spark.createDataFrame([(6, 6.0)], "id bigint, v double").coalesce(
+        1
+    ).write.format("deltalog").mode("append").save(path)
+    v = dl._list_versions(path)[-1]
+    adds = [a["add"] for a in dl._read_actions(path, v) if "add" in a]
+    assert adds[0]["baseRowId"] == 5  # fixture high-water mark is 4
+    assert adds[0]["defaultRowCommitVersion"] == v
+    assert dl._row_id_high_water_mark(path, v) == 5
+    assert dl.read_delta(spark, path).count() == 6
