@@ -1727,9 +1727,12 @@ def _commit_row_tracking(
     (reused row ids would collide, a stale defaultRowCommitVersion
     would lie): this loop re-reads the mark and re-stamps per attempt,
     with the rival analysis _commit_with_retry would have done —
-    metaData/protocol rivals and remove-set conflicts raise for
-    re-derivation, disjoint appends just re-stamp and land."""
+    metaData/protocol rivals, remove-set conflicts and rival
+    SetTransactions for our own appId (the zombie-writer double-commit
+    guard) raise for re-derivation; disjoint appends just re-stamp and
+    land."""
     our_removes = {a["remove"]["path"] for a in head if "remove" in a}
+    own_txn_apps = {a["txn"]["appId"] for a in tail if "txn" in a}
     for attempt in range(max_retries + 1):
         versions = _list_versions(path)
         target = versions[-1] + 1
@@ -1791,6 +1794,13 @@ def _commit_row_tracking(
                             f"concurrent commit at version {v} removed "
                             "files this overwrite also removes — stale "
                             "snapshot, re-derive"
+                        ) from None
+                    if "txn" in a and a["txn"].get("appId") in own_txn_apps:
+                        raise DeltaConcurrentModification(
+                            f"concurrent txn commit for appId "
+                            f"{a['txn'].get('appId')!r} at version {v}: "
+                            "idempotence state is stale — re-check "
+                            "last_txn_version and retry"
                         ) from None
     raise AssertionError("unreachable")
 
