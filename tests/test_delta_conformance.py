@@ -1390,3 +1390,54 @@ def test_cm_v5_generated_columns_still_refused(spark, tmp_path):
         dl.write_delta(
             spark.createDataFrame([(3, 3.0)], "id bigint, v double"), path
         )
+
+
+def test_row_tracking_race_restamps_fresh_ids(spark, tmp_path, monkeypatch):
+    """A rival rowTracking append landing at our target version must NOT
+    make the loser re-commit verbatim (row-id collision): the loop
+    re-reads the rival's high-water mark and re-stamps above it."""
+    import shutil
+
+    work = str(tmp_path / "rowtrack")
+    shutil.copytree(GOLDEN_ROWTRACK, work)
+
+    real_commit = dl._commit
+    fired = {"n": 0}
+
+    def racing(path_, version_, actions_):
+        if fired["n"] == 0 and any("domainMetadata" in a for a in actions_):
+            fired["n"] += 1
+            # rival: a 2-row append claiming row ids 5..6 (mark 4 -> 6)
+            rival_rel = "part-00009-rival-c000.snappy.parquet"
+            shutil.copy(
+                os.path.join(work, "part-00000-aaaa1111-0000-4000-8000-"
+                             "000000000000-c000.snappy.parquet"),
+                os.path.join(work, rival_rel),
+            )
+            real_commit(path_, version_, [
+                {"add": {"path": rival_rel, "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True, "baseRowId": 5,
+                         "defaultRowCommitVersion": version_,
+                         "stats": json.dumps({"numRecords": 2,
+                                              "minValues": {}, "maxValues": {},
+                                              "nullCount": {}})}},
+                {"domainMetadata": {"domain": "delta.rowTracking",
+                                    "configuration": json.dumps(
+                                        {"rowIdHighWaterMark": 6}),
+                                    "removed": False}},
+                {"commitInfo": {"timestamp": 0, "operation": "WRITE",
+                                "operationParameters": {}}},
+            ])
+            # fall through: our commit of the SAME version now collides
+        return real_commit(path_, version_, actions_)
+
+    monkeypatch.setattr(dl, "_commit", racing)
+    batch = spark.createDataFrame([(6, 6.0)], "id long, v double").coalesce(1)
+    v = dl.write_delta(batch, work, mode="append")
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    # re-stamped ABOVE the rival's mark (6), not the stale 5
+    assert adds[0]["baseRowId"] == 7
+    assert adds[0]["defaultRowCommitVersion"] == v
+    assert dl._row_id_high_water_mark(work, v) == 7
