@@ -1441,3 +1441,78 @@ def test_row_tracking_race_restamps_fresh_ids(spark, tmp_path, monkeypatch):
     assert adds[0]["baseRowId"] == 7
     assert adds[0]["defaultRowCommitVersion"] == v
     assert dl._row_id_high_water_mark(work, v) == 7
+
+
+def test_cm_partitioned_dv_delete_composition(spark, tmp_path):
+    """The three modern-table features COMPOSED: a name-mode
+    column-mapped, hive-partitioned table whose file carries a deletion
+    vector must DELETE correctly — logical predicate, physical dirs,
+    DV applied before the rewrite (never resurrected)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import (
+        deletion_vectors as dvmod,
+    )
+
+    root = str(tmp_path / "cmpdv")
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-p1"}},
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-d1"}},
+        ],
+    })
+    rels = {}
+    for part, ids in (("en", [1, 2, 3]), ("fr", [4, 5])):
+        rel = f"col-p1={part}/part-0000-{part}-c000.snappy.parquet"
+        dest = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        pq.write_table(pa.table({"col-d1": pa.array(ids, pa.int64())}), dest)
+        rels[part] = (rel, os.path.getsize(dest))
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    # DV on the en file deletes index 0 (id=1)
+    dv_en = dvmod.inline_dv_descriptor(np.array([0]))
+    add_en = {"add": {"path": rels["en"][0],
+                      "partitionValues": {"col-p1": "en"},
+                      "size": rels["en"][1], "modificationTime": 0,
+                      "dataChange": True, "deletionVector": dv_en}}
+    add_fr = {"add": {"path": rels["fr"][0],
+                      "partitionValues": {"col-p1": "fr"},
+                      "size": rels["fr"][1], "modificationTime": 0,
+                      "dataChange": True}}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "columnMapping"],
+                      "writerFeatures": ["deletionVectors", "columnMapping"]}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": ["lang"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2",
+                              "delta.enableDeletionVectors": "true"},
+            "createdTime": 0}},
+        add_en, add_fr,
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    # sanity: the composed READ applies both mapping and the DV
+    before = sorted((r["lang"], r["id"])
+                    for r in dl.read_delta(spark, root).collect())
+    assert before == [("en", 2), ("en", 3), ("fr", 4), ("fr", 5)]
+    # DELETE with a LOGICAL predicate spanning both features
+    dl.delete_delta(spark, root, "id = 2 OR lang = 'fr'")
+    got = sorted((r["lang"], r["id"])
+                 for r in dl.read_delta(spark, root).collect())
+    # id=1 must NOT resurrect through the rewrite; fr fully gone
+    assert got == [("en", 3)]
+    active, _, _, _ = dl._replay(root, None)
+    assert all(not a.get("deletionVector") for a in active.values())
+    assert all(rel.startswith("col-p1=en/") for rel in active)
