@@ -14,6 +14,8 @@ Scale design — the whole point of these shapes at 100 TB:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -839,6 +841,17 @@ def embedding_near_duplicates(
 SEMDEDUP_BLOCK_FLOATS = 16_000_000
 
 
+def _semdedup_chunk(s: int, n: int, budget: int) -> int:
+    """Rows [s, s+chunk) of a cluster multiply against rows [0, s+chunk),
+    so the sims block is chunk×(s+chunk) floats. Solve
+    ``chunk*(s+chunk) <= budget`` — the positive root of
+    c² + s·c − budget = 0 — so the block honors the budget at EVERY
+    iteration, including the first (small s, mega cluster), where an
+    s-only divisor would have allowed a ~(budget/2)² block and an
+    executor OOM on a 100k-row cluster."""
+    return max(1, min(n - s, (math.isqrt(s * s + 4 * budget) - s) // 2))
+
+
 def semdedup_prune(
     df: DataFrame,
     threshold: float = 0.35,
@@ -954,7 +967,7 @@ def semdedup_prune(
         hit = np.zeros(n, dtype=bool)
         s = 1
         while s < n:
-            chunk = max(1, min(n - s, SEMDEDUP_BLOCK_FLOATS // max(s + 1, 1)))
+            chunk = _semdedup_chunk(s, n, SEMDEDUP_BLOCK_FLOATS)
             e = s + chunk
             sims = mat[s:e] @ mat[:e].T  # (chunk, e) <= budget floats
             block = sims >= threshold

@@ -744,11 +744,22 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
     across restarts: the commit then carries a ``txn`` action keyed by
     (appId, batchId) and a replayed batch is skipped (its re-written
     files stay orphaned until VACUUM — data is never duplicated).
-    Without txnAppId the sink is at-least-once under restarts."""
+    Without txnAppId the sink is at-least-once under restarts.
+
+    Append output mode ONLY: ``commit`` always appends, so a
+    ``complete``/``update`` sink (which Spark signals by
+    ``overwrite=True``) would silently re-append every micro-batch and
+    duplicate rows — refuse it up front instead."""
 
     def __init__(
         self, options: dict[str, str], schema: StructType, overwrite: bool
     ) -> None:
+        if overwrite:
+            raise ValueError(
+                "deltalog streaming sink supports outputMode('append') "
+                "only; complete/update would duplicate rows because "
+                "each micro-batch commits as an append"
+            )
         self._path = options["path"]
         self._schema = schema
         self._app_id = options.get("txnappid")

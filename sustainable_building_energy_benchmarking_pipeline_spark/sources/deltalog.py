@@ -1171,8 +1171,17 @@ def _row_id_high_water_mark(path: str, version: int) -> int | None:
         return int(json.loads(dm.get("configuration") or "{}").get(
             "rowIdHighWaterMark", -1
         ))
-    except (ValueError, TypeError):
-        return None
+    except (ValueError, TypeError) as exc:
+        # A LIVE domain whose configuration fails to parse is a corrupt
+        # table, not an absent mark: treating it as None would restart
+        # baseRowId assignment at 0 and silently REUSE row ids. Refuse
+        # rather than corrupt — same posture as every other gate here.
+        raise DeltaUnsupportedProtocol(
+            f"Delta table at {path} carries a delta.rowTracking domain "
+            f"whose configuration cannot be parsed "
+            f"({dm.get('configuration')!r}): refusing to assign row ids "
+            f"against a corrupt high-water mark"
+        ) from exc
 
 
 def _replay(
@@ -2485,10 +2494,15 @@ def _delete_emit_dv(
     condition: str,
     config: dict[str, str],
     proto: dict[str, Any],
+    extra_features: frozenset[str] = frozenset(),
 ) -> int | None:
     """DELETE as a copy-on-write deletion vector (see delete_delta's
     ``use_dv``). Returns the committed version, or None when the match
-    volume exceeds DV_WRITE_MAX and the caller should rewrite."""
+    volume exceeds DV_WRITE_MAX and the caller should rewrite.
+    ``extra_features`` forwards the caller's already-validated feature
+    grants (columnMapping on CM tables) so the commit-time write gate
+    agrees with the entry gate — without it a CM+DV table passed entry
+    but failed at commit, after the DV .bin was already written."""
     import numpy as np
     from urllib.parse import urlparse
 
@@ -2579,7 +2593,12 @@ def _delete_emit_dv(
         }
     )
     return _commit_with_retry(
-        path, latest + 1, actions, depends_on=set(rels), read_metadata=True
+        path,
+        latest + 1,
+        actions,
+        depends_on=set(rels),
+        read_metadata=True,
+        extra_features=extra_features,
     )
 
 
@@ -2712,6 +2731,7 @@ def delete_delta(
             condition,
             config,
             _latest_protocol(path, versions[-1]),
+            extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
         )
         if committed is not None:
             return committed

@@ -565,3 +565,32 @@ def test_semdedup_chunked_kernel_parity(embeddings, monkeypatch):
     }
     assert chunked == baseline
     assert 0 < len(chunked) < embeddings.count()
+
+
+def test_semdedup_chunk_honors_budget_at_every_iteration():
+    """ADVICE r9: the sims block is chunk*(s+chunk) floats, so the
+    schedule must solve that inequality — the old s-only divisor let the
+    FIRST iteration of a mega cluster allocate ~(budget/2)^2 floats.
+    Walk the whole schedule for adversarial (n, budget) combos and
+    assert the bound and full coverage."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        _semdedup_chunk,
+    )
+
+    for n, budget in [
+        (100_000, 16_000_000),  # the OOM case from the advice
+        (1_000, 64),            # tiny budget, chunk floor of 1 kicks in
+        (7, 16_000_000),        # budget dwarfs the cluster
+        (2, 1),
+    ]:
+        s = 1
+        while s < n:
+            chunk = _semdedup_chunk(s, n, budget)
+            e = s + chunk
+            assert chunk >= 1
+            assert e <= n
+            # the memory bound — floor-of-1 may exceed a sub-row budget,
+            # but never by more than one row's worth
+            assert chunk * e <= max(budget, 1 * e)
+            s = e
+        assert s == n  # every row visited exactly once

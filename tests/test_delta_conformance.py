@@ -1516,3 +1516,99 @@ def test_cm_partitioned_dv_delete_composition(spark, tmp_path):
     active, _, _, _ = dl._replay(root, None)
     assert all(not a.get("deletionVector") for a in active.values())
     assert all(rel.startswith("col-p1=en/") for rel in active)
+
+
+def test_cm_table_dv_delete_use_dv_emits_bitmap(spark, tmp_path):
+    """ADVICE r9: delete_delta(use_dv=True) on a table carrying BOTH
+    columnMapping and deletionVectors must commit — the DV-emitting
+    commit has to forward the columnMapping feature grant to the write
+    gate, or it fails AFTER the .bin is written (orphaned file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmdv")
+    os.makedirs(root)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-d1"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-d2"}},
+        ],
+    })
+    rel = "part-0000-cmdv-c000.snappy.parquet"
+    dest = os.path.join(root, rel)
+    pq.write_table(
+        pa.table({"col-d1": pa.array([1, 2, 3, 4], pa.int64()),
+                  "col-d2": pa.array([1.0, 2.0, 3.0, 4.0])}),
+        dest,
+    )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "columnMapping"],
+                      "writerFeatures": ["deletionVectors", "columnMapping"]}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2",
+                              "delta.enableDeletionVectors": "true"},
+            "createdTime": 0}},
+        {"add": {"path": rel, "partitionValues": {},
+                 "size": os.path.getsize(dest), "modificationTime": 0,
+                 "dataChange": True,
+                 "stats": json.dumps({"numRecords": 4})}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    v = dl.delete_delta(spark, root, "id = 2", use_dv=True)
+    # committed as a DV, not a rewrite: same path re-added with a bitmap
+    adds = [a["add"] for a in dl._read_actions(root, v) if "add" in a]
+    assert len(adds) == 1 and adds[0]["path"] == rel
+    assert adds[0]["deletionVector"]["cardinality"] == 1
+    got = sorted((r["id"], r["v"])
+                 for r in dl.read_delta(spark, root).collect())
+    assert got == [(1, 1.0), (3, 3.0), (4, 4.0)]
+
+
+def test_row_tracking_corrupt_high_water_mark_refuses(spark, tmp_path):
+    """ADVICE r9: a LIVE delta.rowTracking domain whose configuration
+    cannot be parsed must refuse (DeltaUnsupportedProtocol), not fall
+    back to 'no mark' and restart baseRowId at 0 — silent row-id reuse
+    on a corrupt-but-live table."""
+    import shutil
+
+    work = str(tmp_path / "rowtrack")
+    shutil.copytree(GOLDEN_ROWTRACK, work)
+    versions = dl._list_versions(work)
+    v = versions[-1] + 1
+    with open(os.path.join(
+            work, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": "not-json{{",
+            "removed": False}}) + "\n")
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 0, "operation": "CORRUPT"}}) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
+        dl._row_id_high_water_mark(work, v)
+    # the append path hits the same refusal instead of reusing ids
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
+        dl.write_delta(
+            spark.createDataFrame([(9, 9.0)], "id long, v double"), work
+        )
+    # a REMOVED corrupt domain is genuinely absent -> None, no raise
+    v2 = v + 1
+    with open(os.path.join(
+            work, "_delta_log", f"{v2:020d}.json"), "w") as f:
+        f.write(json.dumps({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": "not-json{{",
+            "removed": True}}) + "\n")
+    assert dl._row_id_high_water_mark(work, v2) is None

@@ -430,3 +430,20 @@ def test_batch_writer_row_tracking_table(spark, tmp_path):
     assert adds[0]["defaultRowCommitVersion"] == v
     assert dl._row_id_high_water_mark(path, v) == 5
     assert dl.read_delta(spark, path).count() == 6
+
+
+def test_stream_writer_refuses_non_append_output_mode(spark, tmp_path):
+    """ADVICE r9: commit() always appends, so a complete/update sink
+    (Spark signals it via overwrite=True) would silently duplicate rows
+    every micro-batch — the writer must refuse at construction."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        _DeltaStreamWriter,
+    )
+
+    path = str(tmp_path / "t")
+    schema = StructType.fromDDL("id bigint, v double")
+    with pytest.raises(ValueError, match="append"):
+        _DeltaStreamWriter({"path": path}, schema, overwrite=True)
