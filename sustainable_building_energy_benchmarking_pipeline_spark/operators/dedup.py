@@ -852,10 +852,20 @@ def _semdedup_chunk(s: int, n: int, budget: int) -> int:
     return max(1, min(n - s, (math.isqrt(s * s + 4 * budget) - s) // 2))
 
 
+def _semdedup_auto_k(n: int) -> int:
+    """The derived cluster count when the caller does not pass one:
+    K = max(8, ceil(n / 10⁴)) — the paper's ~10⁴-rows-per-cluster
+    regime, floored at 8 so tiny corpora keep useful granularity. This
+    bounds the per-cluster quadratic FLOP term AND the one-task
+    normalized-matrix footprint (O(n/K · dim)) as the corpus grows;
+    the triangular chunking bounds sims-block memory regardless."""
+    return max(8, -(-n // 10_000))
+
+
 def semdedup_prune(
     df: DataFrame,
     threshold: float = 0.35,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed_mod: int = 13,
@@ -891,10 +901,14 @@ def semdedup_prune(
     float budget (``SEMDEDUP_BLOCK_FLOATS``): per-task memory is
     O(cluster·dim) for the normalized matrix plus O(budget) for each
     sims block — never (cluster size)², so an adversarial mega-cluster
-    degrades to more matmul passes instead of an executor OOM. At
-    corpus scale ``n_clusters`` still grows with n to hold cluster
-    sizes near the paper's regime (K ~ n/10⁴) — that bounds the
-    QUADRATIC FLOP term; the chunking bounds memory regardless.
+    degrades to more matmul passes instead of an executor OOM.
+    ``n_clusters=None`` (default, round-10) AUTO-DERIVES
+    K = max(8, ceil(n/10⁴)) from one cheap count — the paper's
+    cluster-size regime — so a grown corpus cannot silently concentrate
+    into 8 mega-clusters; the derivation happens BEFORE seed selection,
+    so the centroid rule stays deterministic and oracle-replayable.
+    Passing an explicit ``n_clusters`` pins K (the caller owns the
+    cluster-size contract then).
 
     Returns the KEPT rows: (``id_col`` long, cluster int), one row per
     surviving item."""
@@ -904,6 +918,8 @@ def semdedup_prune(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
     )
+    if n_clusters is None:
+        n_clusters = _semdedup_auto_k(base.count())
     seeds = sorted(
         base.where(F.pmod(F.col("_id"), F.lit(seed_mod)) == seed_residue)
         .orderBy("_id")

@@ -2714,17 +2714,23 @@ def z15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return semdedup_prune(
-        emb, threshold=0.35, n_clusters=8, vec_col="embedding",
+        emb, threshold=0.35, n_clusters=None, vec_col="embedding",
         id_col="vec_id",
     ).orderBy("vec_id")
 
 
 Z15_SQL = """
-WITH seeds AS (
+WITH kk AS (
+  -- the auto-derived cluster count: max(8, ceil(n / 10000)), replayed
+  -- exactly as semdedup_prune derives it before seed selection
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 10000.0) AS INT)) AS k
+  FROM embeddings
+),
+seeds AS (
   SELECT vec_id, embedding,
          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
   FROM embeddings WHERE vec_id % 13 = 5
-  ORDER BY vec_id LIMIT 8
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
 ),
 vc AS (
   SELECT v.vec_id, s.cluster,

@@ -594,3 +594,39 @@ def test_semdedup_chunk_honors_budget_at_every_iteration():
             assert chunk * e <= max(budget, 1 * e)
             s = e
         assert s == n  # every row visited exactly once
+
+
+def test_semdedup_auto_k_derivation():
+    """Round-10: the default cluster count derives from corpus size
+    (K = max(8, ceil(n/10^4))) so a grown corpus cannot silently
+    concentrate into 8 mega-clusters."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        _semdedup_auto_k,
+    )
+
+    assert _semdedup_auto_k(0) == 8
+    assert _semdedup_auto_k(500) == 8
+    assert _semdedup_auto_k(80_000) == 8
+    assert _semdedup_auto_k(80_001) == 9
+    assert _semdedup_auto_k(10_000_000) == 1_000
+
+
+def test_semdedup_default_matches_explicit_k(embeddings):
+    """At this corpus size the auto K is 8, so the default must equal an
+    explicit n_clusters=8 run exactly — the oracle-stability contract
+    that lets Z15_SQL derive the same K from COUNT(*)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        semdedup_prune,
+    )
+
+    auto = {
+        (r["vec_id"], r["cluster"])
+        for r in semdedup_prune(embeddings, threshold=0.35).collect()
+    }
+    pinned = {
+        (r["vec_id"], r["cluster"])
+        for r in semdedup_prune(
+            embeddings, threshold=0.35, n_clusters=8
+        ).collect()
+    }
+    assert auto == pinned and auto

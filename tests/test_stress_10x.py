@@ -119,3 +119,37 @@ def test_z_tail_10x_bounded(spark, sf10x_dir, name, bound_sec):
     assert n >= 0
     assert elapsed < bound_sec, f"10x {name} took {elapsed:.0f}s (> {bound_sec}s)"
     spark.catalog.clearCache()  # z04/z10 register persists per pass
+
+
+def test_semdedup_mega_cluster_10x(spark, tmp_path_factory):
+    """Round-10 directive: ALL vectors in ONE cluster at 10× scale —
+    the adversarial shape the triangular chunking exists for. 20k
+    64-dim vectors in a single cluster is a 4·10⁸-float full sims
+    matrix (~3.2 GB); the chunked kernel must stay under the fixed
+    float budget (more passes, not more memory) and finish."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(10)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    path = str(tmp_path_factory.mktemp("stress") / "emb10x.parquet")
+    big.write.parquet(path)
+    big = spark.read.parquet(path)
+    n = big.count()
+    t0 = time.perf_counter()
+    kept = semdedup_prune(big, threshold=0.35, n_clusters=1).count()
+    elapsed = time.perf_counter() - t0
+    # replicas are exact duplicates of each other: at most one replica
+    # family survivor set remains, and the earliest copy always survives
+    assert 0 < kept <= n // 10
+    assert elapsed < 600, f"mega-cluster semdedup took {elapsed:.0f}s"
