@@ -1035,6 +1035,130 @@ def make_column_mapping_id_table() -> None:
     )
 
 
+def make_column_mapping_nested_table() -> None:
+    """Name-mode column mapping with NESTED renames (round-10): the
+    physicalName indirection applies at EVERY nesting level — struct
+    fields and array-of-struct element fields all carry col-xxxx names
+    on disk. Exercises read_delta's recursive _physical_type resolution
+    AND the data source's executor-side _to_logical_arrow rebuild."""
+    root = os.path.join(DATA_DIR, "golden_delta_cm_nested")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    rel = "part-00000-9999dddd-0000-4000-8000-000000000000-c000.snappy.parquet"
+    s_type = pa.struct(
+        [("col-na03", pa.int64()), ("col-nb04", pa.string())]
+    )
+    arr_type = pa.list_(pa.struct([("col-nc06", pa.float64())]))
+    table = pa.table(
+        {
+            "col-id01": pa.array([1, 2, 3], pa.int64()),
+            "col-st02": pa.array(
+                [
+                    {"col-na03": 10, "col-nb04": "x"},
+                    None,
+                    {"col-na03": 30, "col-nb04": None},
+                ],
+                s_type,
+            ),
+            "col-ar05": pa.array(
+                [[{"col-nc06": 1.5}, {"col-nc06": 2.5}], None, []],
+                arr_type,
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(root, rel), compression="snappy")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-id01",
+                    },
+                },
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "a",
+                                "type": "long",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 3,
+                                    "delta.columnMapping.physicalName": "col-na03",
+                                },
+                            },
+                            {
+                                "name": "b",
+                                "type": "string",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 4,
+                                    "delta.columnMapping.physicalName": "col-nb04",
+                                },
+                            },
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-st02",
+                    },
+                },
+                {
+                    "name": "arr",
+                    "type": {
+                        "type": "array",
+                        "elementType": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "c",
+                                    "type": "double",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.columnMapping.id": 6,
+                                        "delta.columnMapping.physicalName": "col-nc06",
+                                    },
+                                },
+                            ],
+                        },
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 5,
+                        "delta.columnMapping.physicalName": "col-ar05",
+                    },
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(
+                schema,
+                {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "6",
+                },
+            ),
+            _plain_add(rel, os.path.getsize(os.path.join(root, rel))),
+        ],
+    )
+
+
 def make_in_commit_timestamp_table() -> None:
     """minWriterVersion 7 + inCommitTimestamp (delta 4.x, default-on in
     newer runtimes): commitInfo carries the authoritative
@@ -1353,6 +1477,7 @@ def main_family() -> None:
     make_row_tracking_table()
     make_vacuum_protocol_check_table()
     make_column_mapping_id_table()
+    make_column_mapping_nested_table()
     make_in_commit_timestamp_table()
     make_type_widening_table()
     make_partitioned_dv_table()

@@ -30,9 +30,13 @@ Reads run on executors from pyarrow: each partition value carries the
 file path, its deletion-vector descriptor (applied by row index), the
 hive partitionValues to materialize, and the physical→logical column
 mapping — so DV tables and column-mapped (name or id mode) tables
-stream correctly. Nested column-mapping renames are out of scope here
-(``read_delta`` is the full-fidelity batch path); flat schemas — the
-overwhelmingly common streaming shape — are fully supported.
+stream correctly. NESTED column-mapping renames work too (round-10):
+struct fields and array-of-struct elements resolve their
+``delta.columnMapping.physicalName`` at every level via a recursive
+arrow rebuild (``_to_logical_arrow`` — the executor-side twin of
+deltalog's ``_to_logical_columns``). The one remaining refusal is a
+rename INSIDE a map's key/value type (rare; ``read_delta`` is the
+full-fidelity batch path for those).
 
 Reference precedent: Delta is the reference's declared storage plane
 (notebooks/benchmarking_medallion.py:98-104); this source makes its
@@ -121,6 +125,70 @@ def _file_task(
     }
 
 
+def _contains_struct(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+    return False
+
+
+def _to_logical_arrow(col, dt, where: str):
+    """Executor-side twin of deltalog's ``_to_logical_columns`` for
+    ARROW data (round-10, nested column mapping): rebuild struct /
+    array-of-struct arrays so every nesting level's field names follow
+    the LOGICAL schema, resolving ``delta.columnMapping.physicalName``
+    per field. The rebuild reuses the existing child buffers (struct
+    reassembly is metadata-level; values are never copied), so cost is
+    O(nesting), not O(rows). Value-type casts (e.g. int32→int64) stay
+    with the caller's final ``cast(target)`` — names are the only thing
+    fixed here, which is exactly what the by-name struct cast needs.
+    Renames INSIDE a map's key/value type refuse loudly (use
+    ``read_delta``); maps without renamed descendants pass through."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def convert(arr, dt):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if isinstance(dt, T.StructType):
+            kids, names = [], []
+            for sf in dt.fields:
+                phys = sf.metadata.get(
+                    "delta.columnMapping.physicalName", sf.name
+                )
+                idx = arr.type.get_field_index(phys)
+                if idx < 0:
+                    raise ValueError(
+                        f"column-mapped Delta file {where}: nested "
+                        f"struct has no physical field {phys!r} for "
+                        f"logical {sf.name!r} — refusing to guess"
+                    )
+                kids.append(convert(arr.field(idx), sf.dataType))
+                names.append(sf.name)
+            mask = arr.is_null() if arr.null_count else None
+            return pa.StructArray.from_arrays(kids, names=names, mask=mask)
+        if isinstance(dt, T.ArrayType) and _contains_struct(dt.elementType):
+            values = convert(arr.values, dt.elementType)
+            mask = arr.is_null() if arr.null_count else None
+            return type(arr).from_arrays(arr.offsets, values, mask=mask)
+        if isinstance(dt, T.MapType) and (
+            _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+        ):
+            raise ValueError(
+                f"column-mapped Delta file {where}: renamed fields "
+                "inside a MAP type are not supported by the deltalog "
+                "data source — read this table via read_delta"
+            )
+        return arr
+
+    return convert(col, dt) if _contains_struct(dt) else col
+
+
 def _read_file_batches(task: dict[str, Any]) -> Iterator[Any]:
     """Executor-side file read: pyarrow batches, deletion vector applied
     by global row index, hive partition columns materialized, physical
@@ -180,8 +248,11 @@ def _read_file_batches(task: dict[str, Any]) -> Iterator[Any]:
         if tbl.num_rows == 0:
             continue
         cols: dict[str, Any] = {}
+        dt_of = {f.name: f.dataType for f in schema.fields}
         for logical, src in fetch.items():
-            cols[logical] = tbl.column(src)
+            cols[logical] = _to_logical_arrow(
+                tbl.column(src), dt_of[logical], task["file"]
+            )
         for name in task["partition_cols"]:
             raw = task["pvals"].get(name)
             arrow_type = target.field(name).type
@@ -540,11 +611,29 @@ def _writer_preflight(
     _active, schema, pcols, meta = _replay(path, versions[-1])
     # rowTracking is upheld: _commit_write routes through the same
     # re-stamp loop write_delta uses (fresh baseRowIds + high-water
-    # mark), so the gate may accept it here
+    # mark), so the gate may accept it here. changeDataFeed is upheld
+    # for APPENDS only (add-only commits derive as inserts, no cdc
+    # action required); an overwrite into an ENABLED feed would need
+    # change rows this driver-side commit cannot produce — refuse with
+    # a pointer at write_delta, which emits them.
+    cdf_on = (
+        meta.get("configuration", {}).get("delta.enableChangeDataFeed")
+        == "true"
+    )
+    if overwrite and cdf_on:
+        raise ValueError(
+            f"Delta table at {path} has change data feed enabled: an "
+            "overwrite through this data source cannot emit the "
+            "required _change_data files — use write_delta"
+        )
     _check_write_protocol(
         _latest_protocol(path, versions[-1]),
         path,
-        extra_features=frozenset({"rowTracking", "domainMetadata"}),
+        extra_features=frozenset(
+            {"rowTracking", "domainMetadata", "changeDataFeed"}
+        )
+        if not overwrite or not cdf_on
+        else frozenset({"rowTracking", "domainMetadata"}),
         meta=meta,
     )
     if _column_mapping_mode(meta) in ("name", "id"):
@@ -662,6 +751,11 @@ def _commit_write(
             }
         }
     )
+    # same grants preflight validated: rowTracking/domainMetadata are
+    # upheld by the re-stamp routing below; changeDataFeed for appends
+    # (add-only commits need no cdc action — overwrite into an enabled
+    # feed was already refused in preflight)
+    grants = frozenset({"rowTracking", "domainMetadata", "changeDataFeed"})
     if version > 0 and "rowTracking" in set(
         _latest_protocol(path, versions[-1]).get("writerFeatures") or []
     ):
@@ -674,7 +768,7 @@ def _commit_write(
             tail,
             "overwrite" if overwrite else "append",
             5,
-            frozenset({"rowTracking", "domainMetadata"}),
+            grants,
         )
     return _commit_with_retry(
         path,
@@ -682,6 +776,7 @@ def _commit_write(
         actions + adds + tail,
         depends_on=removed,
         read_metadata=version > 0,
+        extra_features=grants if version > 0 else frozenset(),
     )
 
 

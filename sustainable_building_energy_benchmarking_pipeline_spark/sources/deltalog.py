@@ -811,17 +811,19 @@ def _present_logical(
 
 
 def _physical_frame(
-    df: DataFrame, schema: T.StructType, cm_mode: str
+    df: DataFrame, schema: T.StructType, cm_mode: str, extras: tuple = ()
 ) -> DataFrame:
     """The write-side twin of ``_present_logical``: rename a LOGICAL
     frame to the table's physical column names (nested struct fields by
     same-shape cast; id mode stamps ``parquet.field.id`` alias metadata
     so Spark's parquet writer emits real field ids). Identity (schema-
-    order select) without column mapping."""
+    order select) without column mapping. ``extras`` (e.g. the
+    ``_change_type`` column of a change-data-file write) ride along
+    untouched."""
     from pyspark.sql import functions as F
 
     if cm_mode not in ("name", "id"):
-        return df.select(*schema.fieldNames())
+        return df.select(*schema.fieldNames(), *extras)
     cols = []
     for f in schema.fields:
         c = F.col(f.name).cast(_physical_type(f.dataType))
@@ -835,7 +837,7 @@ def _physical_frame(
         else:
             c = c.alias(_physical_name(f))
         cols.append(c)
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(e) for e in extras])
 
 
 def _plain_type(dt: T.DataType) -> T.DataType:
@@ -1077,19 +1079,24 @@ def _check_write_protocol(
     resurrect deleted rows.
 
     ``extra_features`` names features the CALLER declares it upholds
-    for THIS operation — ``write_delta`` passes ``columnMapping`` (it
-    renames to physical columns, round-9 late) while the DML verbs do
-    not (their rewrite paths would misread physical parquet), so the
-    gate stays per-operation. Legacy ``minWriterVersion`` 4/5/6 tables
-    (pre-feature column mapping) are writable only when the caller
-    upholds columnMapping AND the table provably does not USE the other
-    capabilities those versions imply — generated columns /
-    identity columns (schemaString probes, same conservative substring
-    approach as ``_check_column_invariants_absent``) and an enabled
-    change data feed (a CDF writer must emit cdc actions; this one
-    does not) — which needs ``meta``. The ``operation`` tag still
-    rides on the error message so a refused commit names what it
-    attempted."""
+    for THIS operation — ``write_delta`` and (round-9) every DML verb
+    pass ``columnMapping`` (writes rename to physical columns; rewrite
+    paths read physical parquet and present logical); round-10 adds
+    ``rowTracking``/``domainMetadata`` (write_delta appends and the DML
+    verbs' fresh re-stamp via ``_commit_row_tracking``, guarded by
+    ``_guard_row_tracking_rewrite``) and ``changeDataFeed`` (appends
+    uphold it vacuously per the spec — add-only commits derive as
+    inserts — while overwrite/DELETE/UPDATE/MERGE emit ``cdc`` actions
+    and ``_change_data`` files when the feed is enabled), so the gate
+    stays per-operation. Legacy ``minWriterVersion`` 4/5/6 tables
+    (pre-feature capability versions) are writable only when every
+    capability the table provably USES is granted: column mapping needs
+    a ``columnMapping`` grant, an enabled change data feed a
+    ``changeDataFeed`` grant, and generated / identity columns always
+    refuse (schemaString probes, same conservative substring approach
+    as ``_check_column_invariants_absent``) — which needs ``meta``. The
+    ``operation`` tag still rides on the error message so a refused
+    commit names what it attempted."""
     v = int(proto.get("minWriterVersion", 2))
     feats = set(proto.get("writerFeatures") or [])
     allowed = _SUPPORTED_WRITER_FEATURES | set(extra_features)
@@ -1097,13 +1104,18 @@ def _check_write_protocol(
         return
     if v == 7 and feats <= allowed:
         return
-    if v in (4, 5, 6) and "columnMapping" in extra_features and meta is not None:
+    if v in (4, 5, 6) and meta is not None:
         schema_str = meta.get("schemaString", "")
         config = meta.get("configuration", {})
+        needed: set[str] = set()
+        if _column_mapping_mode(meta) != "none":
+            needed.add("columnMapping")
+        if config.get("delta.enableChangeDataFeed") == "true":
+            needed.add("changeDataFeed")
         if (
             "delta.generatedAlwaysAs" not in schema_str
             and "delta.identity." not in schema_str
-            and config.get("delta.enableChangeDataFeed") != "true"
+            and needed <= set(extra_features)
         ):
             return
     raise DeltaUnsupportedProtocol(
@@ -1182,6 +1194,73 @@ def _row_id_high_water_mark(path: str, version: int) -> int | None:
             f"({dm.get('configuration')!r}): refusing to assign row ids "
             f"against a corrupt high-water mark"
         ) from exc
+
+
+# Configuration keys delta-spark reserves at rowTracking enablement for
+# the hidden parquet columns that MATERIALIZE row ids / commit versions.
+# The keys merely reserve the names; whether a data file actually
+# carries the columns is a per-file parquet-footer fact.
+_MATERIALIZED_ROW_TRACKING_KEYS = (
+    "delta.rowTracking.materializedRowIdColumnName",
+    "delta.rowTracking.materializedRowCommitVersionColumnName",
+)
+
+
+def _row_tracking_dml_features(proto: dict[str, Any]) -> frozenset[str]:
+    """The feature grants a file-rewriting DML verb declares on a
+    rowTracking table (round-10): fresh ``baseRowId``/
+    ``defaultRowCommitVersion`` re-assignment via
+    ``_commit_row_tracking`` plus the ``delta.rowTracking``
+    domainMetadata high-water-mark bump. Empty when the protocol does
+    not list rowTracking (the grant would be meaningless noise in the
+    gate's error message). Callers that rewrite EXISTING rows must also
+    pass their rewrite set through ``_guard_row_tracking_rewrite``
+    before staging — re-assignment is only spec-valid while no file
+    materializes stable row ids."""
+    if "rowTracking" not in set(proto.get("writerFeatures") or []):
+        return frozenset()
+    return frozenset({"rowTracking", "domainMetadata"})
+
+
+def _guard_row_tracking_rewrite(
+    path: str,
+    config: dict[str, str],
+    rewrite_rels: list[str] | set[str],
+    operation: str,
+) -> None:
+    """Refuse a file rewrite that would CORRUPT stable row ids: when any
+    file about to be rewritten materializes row ids / commit versions
+    (the hidden columns named by the reserved configuration keys), the
+    spec demands the rewrite PRESERVE them — which this writer cannot
+    do. Tables whose files carry only derived (fresh) row ids have
+    nothing to preserve: no reader can reconstruct a stable identity
+    for a rewritten row, so fresh re-assignment plus a high-water-mark
+    bump is the spec-valid posture (rewritten rows are new rows).
+
+    Cost: one parquet footer read per rewritten file — the same order
+    as the rewrite itself, and only on rowTracking tables that reserve
+    materialized column names."""
+    mat_cols = {
+        config.get(k) for k in _MATERIALIZED_ROW_TRACKING_KEYS
+    } - {None}
+    if not mat_cols:
+        return
+    import pyarrow.parquet as pq
+
+    for rel in sorted(rewrite_rels):
+        try:
+            names = set(pq.read_schema(os.path.join(path, rel)).names)
+        except OSError:
+            continue  # unreadable footer refuses later, at the scan
+        hit = names & mat_cols
+        if hit:
+            raise DeltaUnsupportedProtocol(
+                f"Delta table at {path}: {operation} would rewrite "
+                f"{rel}, which materializes row tracking columns "
+                f"{sorted(hit)} — the spec requires preserving those "
+                "stable row ids across the rewrite, which this writer "
+                "cannot do; refusing rather than corrupt row identity"
+            )
 
 
 def _replay(
@@ -1508,6 +1587,86 @@ def _move_staged_adds(
     return adds
 
 
+def _cdf_enabled(config: dict[str, str]) -> bool:
+    return config.get("delta.enableChangeDataFeed") == "true"
+
+
+def _stage_cdc_actions(
+    path: str,
+    change_df: DataFrame,
+    schema: T.StructType,
+    partition_cols: list[str],
+    cm_mode: str,
+) -> list[dict[str, Any]]:
+    """Write ``change_df`` (the LOGICAL table columns plus a
+    ``_change_type`` string column) as change data files under
+    ``_change_data/`` and return the commit's ``cdc`` actions — the
+    spec's Change Data Feed write contract for commits whose changes
+    cannot be derived from add/remove actions alone (UPDATE/MERGE/
+    DELETE/overwrite). Data columns ride in the files under the table's
+    PHYSICAL names (column mapping applies to change data files too,
+    same as data files); ``_change_type`` is a metadata column and is
+    stored verbatim; partition values ride on each ``cdc`` action
+    (authoritative per the spec — hive dirs under ``_change_data/`` are
+    layout, not truth); ``dataChange`` is always false. Zero-row parts
+    are skipped like ``_move_staged_adds``. Cost ∝ the CHANGED rows
+    only — a DELETE touching 1% of a 100 TB table emits 1%-sized change
+    files, never a table copy.
+
+    Reference precedent: the reference repo's medallion notebook relies
+    on delta-spark's CDF (notebooks/benchmarking_medallion.py) — this
+    is the write half our ``table_changes`` reader already consumes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cm = cm_mode in ("name", "id")
+    phys_of = {
+        f.name: (_physical_name(f) if cm else f.name) for f in schema.fields
+    }
+    staging = os.path.join(path, f"_staging-cdc-{uuid.uuid4().hex}")
+    writer = _physical_frame(
+        change_df, schema, cm_mode, extras=("_change_type",)
+    ).write.mode("errorifexists")
+    if partition_cols:
+        writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
+    writer.parquet(staging)
+    actions: list[dict[str, Any]] = []
+    for root, _dirs, files_ in os.walk(staging):
+        for name in sorted(files_):
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            pvals = {
+                k: (None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw))
+                for k, raw in (
+                    part.split("=", 1)
+                    for part in rel.split(os.sep)[:-1]
+                    if "=" in part
+                )
+            }
+            src = os.path.join(root, name)
+            stats = _file_stats(src)
+            if stats and json.loads(stats).get("numRecords") == 0:
+                continue
+            dest = os.path.join(path, "_change_data", rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": "/".join(["_change_data"] + rel.split(os.sep)),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(staging)
+    return actions
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1676,11 +1835,41 @@ def write_delta(
         )
     if evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
+    cdc_actions: list[dict[str, Any]] = []
     if mode == "overwrite" and version > 0:
         prior_active, _, _, _ = _replay(path, versions[-1])
         for rel, prior_add in prior_active.items():
             actions.append(_remove_action(rel, prior_add, now_ms))
-    tail: list[dict[str, Any]] = list(extra_actions or [])
+        if _cdf_enabled(config):
+            # CDF write contract (round-10): an overwrite commit carries
+            # BOTH dataChange adds and removes, which no CDF reader can
+            # derive — the change rows (every prior row as delete, every
+            # new row as insert) must ride in _change_data files
+            # referenced by cdc actions. Costs one extra pass over old +
+            # new rows; appends stay cdc-free (derived as inserts).
+            from pyspark.sql import functions as F
+
+            out_schema = cm_schema if cm_schema is not None else df.schema
+            prior_rows = read_delta(df.sparkSession, path, version=versions[-1])
+            for f in out_schema.fields:
+                if f.name not in prior_rows.columns:
+                    prior_rows = prior_rows.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            names = [f.name for f in out_schema.fields]
+            change_df = (
+                prior_rows.select(*names)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    df.select(*names).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            )
+            cdc_actions = _stage_cdc_actions(
+                path, change_df, out_schema, list(partition_by or []), cm_mode
+            )
+    tail: list[dict[str, Any]] = list(extra_actions or []) + cdc_actions
     tail.append(
         {
             "commitInfo": {
@@ -1694,8 +1883,15 @@ def write_delta(
     if cm_mode in ("name", "id"):
         # this write renamed its columns to the table's physical names,
         # so it upholds the columnMapping writer requirement (the DML
-        # verbs do NOT pass this — their rewrites stay gated)
+        # verbs pass it too since round 9 — their rewrite paths read
+        # physical parquet and present logical)
         extra_feats.add("columnMapping")
+    if version > 0:
+        # changeDataFeed is upheld by construction: appends are add-only
+        # commits (CDF readers derive them as inserts, no cdc action
+        # required by the spec) and overwrites emitted cdc actions above
+        # when the feed is enabled
+        extra_feats.add("changeDataFeed")
     if row_tracking:
         extra_feats.update({"rowTracking", "domainMetadata"})
         return _commit_row_tracking(
@@ -1901,7 +2097,9 @@ def _commit_with_retry(
             path,
             commit_operation,
             extra_features,
-            _latest_metadata(path, version - 1) if extra_features else None,
+            # meta always rides along: the legacy v4-6 arm needs it to
+            # prove which capabilities the table actually USES
+            _latest_metadata(path, version - 1),
         )
         _check_column_invariants_absent(path, version - 1)
     for attempt in range(max_retries + 1):
@@ -1964,7 +2162,7 @@ def _commit_with_retry(
                     path,
                     commit_operation,
                     extra_features,
-                    _latest_metadata(path, latest) if extra_features else None,
+                    _latest_metadata(path, latest),
                 )
                 _check_column_invariants_absent(path, latest)
             version = latest + 1
@@ -2146,14 +2344,13 @@ def merge_delta(
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     cm_mode = _column_mapping_mode(_meta)
     cm = cm_mode in ("name", "id")
+    proto = _latest_protocol(path, versions[-1])
+    cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
+    rt_feats = _row_tracking_dml_features(proto)
+    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
     # fail fast: the commit gate re-checks after staging, but staging a
     # MERGE against a feature-gated table is pure wasted IO
-    _check_write_protocol(
-        _latest_protocol(path, versions[-1]),
-        path,
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
-        meta=_meta,
-    )
+    _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if cm_mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
@@ -2255,6 +2452,41 @@ def merge_delta(
     else:
         new_data = updates
 
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(config):
+        # CDF write contract: matched keys render as an update_preimage/
+        # update_postimage pair (every replaced target row is a
+        # preimage; the one source row its key maps to is the
+        # postimage), unmatched source rows as inserts — exactly the
+        # change classes delta-spark's MERGE emits; cost ∝ changed rows
+        names = schema.fieldNames()
+        if affected:
+            old_keys = old.select(key).distinct()
+            change_df = (
+                old.join(updates.select(key), on=key, how="left_semi")
+                .select(*names)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    updates.join(old_keys, on=key, how="left_semi")
+                    .select(*names)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                .unionByName(
+                    updates.join(old_keys, on=key, how="left_anti")
+                    .select(*names)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        else:
+            change_df = updates.select(*names).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        cdc_actions = _stage_cdc_actions(
+            path, change_df, schema, partition_cols, cm_mode
+        )
+    if rt_feats and affected:
+        _guard_row_tracking_rewrite(path, config, set(affected), "MERGE")
+
     # stage+move exactly like write_delta, then commit removes+adds in one
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     writer = _physical_frame(new_data, schema, cm_mode).write.mode(
@@ -2272,8 +2504,8 @@ def merge_delta(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
             f"into Delta table at {path}"
         )
-    actions.extend(_move_staged_adds(staging, path, now_ms))
-    actions.append(
+    adds = _move_staged_adds(staging, path, now_ms)
+    tail = cdc_actions + [
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -2281,7 +2513,14 @@ def merge_delta(
                 "operationParameters": {"key": key},
             }
         }
-    )
+    ]
+    if rt_feats:
+        # fresh re-assignment: rewritten + inserted rows land with fresh
+        # ids above the bumped high-water mark (guard above excludes
+        # tables whose files materialize stable ids)
+        return _commit_row_tracking(
+            path, actions, adds, tail, "mutate", 5, grants
+        )
     # depends_on = the files this merge READ (affected set): a rival
     # removing any of them means our rewrite was derived from a stale
     # snapshot → DeltaConcurrentModification; disjoint rivals (appends,
@@ -2289,10 +2528,10 @@ def merge_delta(
     return _commit_with_retry(
         path,
         versions[-1] + 1,
-        actions,
+        actions + adds + tail,
         depends_on=set(affected),
         read_metadata=True,  # merge derived schema + constraints from its snapshot
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        extra_features=grants,
     )
 
 
@@ -2367,14 +2606,24 @@ def set_table_properties(
         ]
         try:
             # max_retries=0: any race falls through to re-derivation.
-            # columnMapping is vacuous for a metadata-only commit (no
-            # data files), so ALTER works on CM tables.
+            # columnMapping, rowTracking/domainMetadata and
+            # changeDataFeed are all vacuous for a metadata-only commit
+            # (no files added or removed: nothing to rename, stamp, or
+            # render as change rows), so ALTER works on modern-defaults
+            # tables.
             return _commit_with_retry(
                 path,
                 versions[-1] + 1,
                 actions,
                 max_retries=0,
-                extra_features=frozenset({"columnMapping"}),
+                extra_features=frozenset(
+                    {
+                        "columnMapping",
+                        "rowTracking",
+                        "domainMetadata",
+                        "changeDataFeed",
+                    }
+                ),
             )
         except FileExistsError:
             continue
@@ -2495,6 +2744,7 @@ def _delete_emit_dv(
     config: dict[str, str],
     proto: dict[str, Any],
     extra_features: frozenset[str] = frozenset(),
+    cdc_actions: list[dict[str, Any]] | None = None,
 ) -> int | None:
     """DELETE as a copy-on-write deletion vector (see delete_delta's
     ``use_dv``). Returns the committed version, or None when the match
@@ -2502,7 +2752,14 @@ def _delete_emit_dv(
     ``extra_features`` forwards the caller's already-validated feature
     grants (columnMapping on CM tables) so the commit-time write gate
     agrees with the entry gate — without it a CM+DV table passed entry
-    but failed at commit, after the DV .bin was already written."""
+    but failed at commit, after the DV .bin was already written.
+    ``cdc_actions`` (round-10) are the caller's pre-staged change-data
+    actions on a CDF-enabled table — the deleted-row set is identical
+    for the DV and rewrite paths, so delete_delta stages once and both
+    commits carry them. rowTracking note: the re-add below copies the
+    prior add verbatim, so baseRowId/defaultRowCommitVersion (and any
+    materialized row-id columns in the untouched data file) are
+    PRESERVED — a DV delete never re-stamps ids or bumps the mark."""
     import numpy as np
     from urllib.parse import urlparse
 
@@ -2580,6 +2837,7 @@ def _delete_emit_dv(
         add["dataChange"] = True
         add["modificationTime"] = now_ms
         actions.append({"add": add})
+    actions.extend(cdc_actions or [])
     actions.append(
         {
             "commitInfo": {
@@ -2651,20 +2909,20 @@ def delete_delta(
         raise FileNotFoundError(f"no Delta log at {path}")
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     cm_mode = _column_mapping_mode(_meta)
-    _check_write_protocol(
-        _latest_protocol(path, versions[-1]),
-        path,
-        extra_features=frozenset({"columnMapping"})
-        if cm_mode in ("name", "id")
-        else frozenset(),
-        meta=_meta,
-    )
-    config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
+    cm = cm_mode in ("name", "id")
+    config = dict(_meta.get("configuration", {}))
+    proto = _latest_protocol(path, versions[-1])
+    cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
+    rt_feats = _row_tracking_dml_features(proto)
+    # changeDataFeed is upheld by construction: when the feed is enabled
+    # this DELETE emits cdc actions below; when merely listed but off,
+    # nothing is required of the writer
+    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
             f"Delta table at {path} is delta.appendOnly=true: DELETE is blocked"
         )
-    cm = cm_mode in ("name", "id")
     if cm_mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
@@ -2720,6 +2978,21 @@ def delete_delta(
     if not hit_files:
         return versions[-1]
 
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(config):
+        # CDF write contract: the deleted rows (identical for the DV and
+        # rewrite paths — phase1 already excludes rows prior DVs hide)
+        # ride in _change_data files; cost ∝ matched rows only
+        cdc_actions = _stage_cdc_actions(
+            path,
+            phase1.filter(pred)
+            .select(*schema.fieldNames())
+            .withColumn("_change_type", F.lit("delete")),
+            schema,
+            partition_cols,
+            cm_mode,
+        )
+
     if use_dv:
         committed = _delete_emit_dv(
             spark,
@@ -2730,13 +3003,18 @@ def delete_delta(
             pred,
             condition,
             config,
-            _latest_protocol(path, versions[-1]),
-            extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+            proto,
+            extra_features=grants,
+            cdc_actions=cdc_actions,
         )
         if committed is not None:
             return committed
         # fell through: too many matched rows for a bitmap — rewrite
 
+    if rt_feats:
+        # rewrite-path only: the DV path above preserves each re-added
+        # file's baseRowId verbatim, so materialized row ids survive it
+        _guard_row_tracking_rewrite(path, config, hit_files, "DELETE")
     keep_reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         keep_reader = keep_reader.option("basePath", path)
@@ -2753,7 +3031,7 @@ def delete_delta(
     keep = _present_logical(keep, schema, cm_mode).filter(~pred)
     keep = _physical_frame(keep, schema, cm_mode)
     now_ms = int(time.time() * 1000)
-    actions: list[dict[str, Any]] = [
+    removes: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -2763,8 +3041,8 @@ def delete_delta(
             *[phys_of[p] for p in partition_cols]
         )
     keep_writer.parquet(staging)
-    actions.extend(_move_staged_adds(staging, path, now_ms))
-    actions.append(
+    adds = _move_staged_adds(staging, path, now_ms)
+    tail = cdc_actions + [
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -2772,14 +3050,22 @@ def delete_delta(
                 "operationParameters": {"predicate": condition},
             }
         }
-    )
+    ]
+    if rt_feats:
+        # fresh re-assignment posture: surviving rows land in NEW files
+        # with fresh baseRowId/defaultRowCommitVersion and the high-water
+        # mark bumps — spec-valid while no file materializes stable ids
+        # (the guard above), and the retry loop re-stamps per attempt
+        return _commit_row_tracking(
+            path, removes, adds, tail, "mutate", 5, grants
+        )
     return _commit_with_retry(
         path,
         versions[-1] + 1,
-        actions,
+        removes + adds + tail,
         depends_on=set(hit_files),
         read_metadata=True,  # delete enforced appendOnly/constraints from its snapshot
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        extra_features=grants,
     )
 
 
@@ -2821,13 +3107,12 @@ def update_delta(
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     cm_mode = _column_mapping_mode(_meta)
     cm = cm_mode in ("name", "id")
-    _check_write_protocol(
-        _latest_protocol(path, versions[-1]),
-        path,
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
-        meta=_meta,
-    )
-    config = dict(_latest_metadata(path, versions[-1]).get("configuration", {}))
+    config = dict(_meta.get("configuration", {}))
+    proto = _latest_protocol(path, versions[-1])
+    cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
+    rt_feats = _row_tracking_dml_features(proto)
+    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
             f"Delta table at {path} is delta.appendOnly=true: UPDATE is blocked"
@@ -2897,9 +3182,36 @@ def update_delta(
             for c in schema.fieldNames()
         ]
     )
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(config):
+        # CDF write contract: the matched rows ride in _change_data as
+        # an update_preimage/update_postimage pair — the rendering a
+        # file-granular derivation cannot produce; cost ∝ matched rows
+        matched = rows.filter(pred)
+        post = matched.select(
+            *[
+                F.expr(set_exprs[c]).cast(by_field[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+        )
+        cdc_actions = _stage_cdc_actions(
+            path,
+            matched.select(*schema.fieldNames())
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            ),
+            schema,
+            partition_cols,
+            cm_mode,
+        )
+    if rt_feats:
+        _guard_row_tracking_rewrite(path, config, hit_files, "UPDATE")
     rewritten = _physical_frame(rewritten, schema, cm_mode)
     now_ms = int(time.time() * 1000)
-    actions: list[dict[str, Any]] = [
+    removes: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -2916,8 +3228,8 @@ def update_delta(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by UPDATE "
             f"of Delta table at {path}"
         )
-    actions.extend(_move_staged_adds(staging, path, now_ms))
-    actions.append(
+    adds = _move_staged_adds(staging, path, now_ms)
+    tail = cdc_actions + [
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -2928,14 +3240,20 @@ def update_delta(
                 },
             }
         }
-    )
+    ]
+    if rt_feats:
+        # fresh re-assignment: rewritten files get fresh ids above the
+        # bumped high-water mark (guard above excludes materialized ids)
+        return _commit_row_tracking(
+            path, removes, adds, tail, "mutate", 5, grants
+        )
     return _commit_with_retry(
         path,
         versions[-1] + 1,
-        actions,
+        removes + adds + tail,
         depends_on=set(hit_files),
         read_metadata=True,  # update enforced appendOnly/constraints from its snapshot
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        extra_features=grants,
     )
 
 
@@ -3025,6 +3343,34 @@ def restore_delta(path: str, to_version: int) -> int:
             }
         }
     )
+    grants = {"columnMapping"}
+    proto = _latest_protocol(path, current)
+    if "rowTracking" in set(proto.get("writerFeatures") or []):
+        # RESTORE re-activates old adds VERBATIM, so their baseRowId /
+        # defaultRowCommitVersion stamps (and any materialized row-id
+        # columns in the untouched files) are preserved and the
+        # high-water mark stays monotonic — unless a re-activated add
+        # predates rowTracking and has no stamp while the feed of ids is
+        # live, in which case the restored snapshot would violate the
+        # enabled-feature contract: refuse.
+        unstamped = sorted(
+            rel
+            for rel in old_active.keys() - cur_active.keys()
+            if old_active[rel].get("baseRowId") is None
+        )
+        if unstamped and config.get("delta.enableRowTracking") == "true":
+            raise DeltaUnsupportedProtocol(
+                f"cannot RESTORE {path} to version {to_version}: "
+                f"re-activated files {unstamped[:5]} carry no baseRowId "
+                "but delta.enableRowTracking=true — the restored "
+                "snapshot would break row-id derivation"
+            )
+        grants |= {"rowTracking", "domainMetadata"}
+    if not _cdf_enabled(config):
+        # with the feed OFF nothing is required of a writer; an ENABLED
+        # feed would demand change rows for this add+remove commit,
+        # which RESTORE does not emit — the gate refuses then
+        grants.add("changeDataFeed")
     return _commit_with_retry(
         path,
         current + 1,
@@ -3035,6 +3381,7 @@ def restore_delta(path: str, to_version: int) -> int:
         # restore (post-RESTORE state = target + rival's files) — any
         # race raises instead (round-5 advice finding)
         full_table=True,
+        extra_features=frozenset(grants),
     )
 
 
@@ -3133,15 +3480,22 @@ def vacuum_delta(
     versions = _list_versions(path)
     if versions:
         # VACUUM deletes only files NO snapshot references: column
-        # mapping (names), rowTracking (ids ride in adds) and the
-        # domainMetadata log vocabulary are all vacuous for it — allow
-        # those tables so routine maintenance works on modern defaults
+        # mapping (names), rowTracking (ids ride in adds), the
+        # domainMetadata log vocabulary and changeDataFeed (_change_data
+        # files age out under the same retention clock, delta-spark's
+        # own VACUUM behavior) are all vacuous for it — allow those
+        # tables so routine maintenance works on modern defaults
         _check_write_protocol(
             _latest_protocol(path, versions[-1]),
             path,
             "vacuum",
             extra_features=frozenset(
-                {"columnMapping", "rowTracking", "domainMetadata"}
+                {
+                    "columnMapping",
+                    "rowTracking",
+                    "domainMetadata",
+                    "changeDataFeed",
+                }
             ),
             meta=_latest_metadata(path, versions[-1]),
         )
@@ -3352,12 +3706,14 @@ def optimize_delta(
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     cm_mode = _column_mapping_mode(_meta)
     cm = cm_mode in ("name", "id")
-    _check_write_protocol(
-        _latest_protocol(path, versions[-1]),
-        path,
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
-        meta=_meta,
-    )
+    config = dict(_meta.get("configuration", {}))
+    proto = _latest_protocol(path, versions[-1])
+    cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
+    rt_feats = _row_tracking_dml_features(proto)
+    # changeDataFeed is vacuous for OPTIMIZE: its adds/removes carry
+    # dataChange=false, which CDF readers skip entirely (no cdc needed)
+    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if cm_mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
@@ -3373,6 +3729,8 @@ def optimize_delta(
     if not work:
         return None
     rewrite = {rel: a for g in work.values() for rel, a in g.items()}
+    if rt_feats:
+        _guard_row_tracking_rewrite(path, config, set(rewrite), "OPTIMIZE")
     files = [os.path.join(path, rel) for rel in sorted(rewrite)]
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
@@ -3429,8 +3787,8 @@ def optimize_delta(
     if partition_cols:
         writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
-    actions.extend(_move_staged_adds(staging, path, now_ms, data_change=False))
-    actions.append(
+    adds = _move_staged_adds(staging, path, now_ms, data_change=False)
+    tail = [
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -3441,16 +3799,24 @@ def optimize_delta(
                 },
             }
         }
-    )
+    ]
+    if rt_feats:
+        # compacted files get fresh ids (spec: fresh row ids are not
+        # preserved when rows are copied; the guard above refuses when
+        # any input file materializes STABLE ids); dataChange stays
+        # false on the stamped adds — _commit_row_tracking copies it
+        return _commit_row_tracking(
+            path, actions, adds, tail, "mutate", 5, grants
+        )
     # OPTIMIZE reads the files it rewrites, so a rival removing any of
     # them conflicts; rival appends (and rewrites of untouched
     # partitions) retry cleanly — their files simply stay un-compacted
     return _commit_with_retry(
         path,
         versions[-1] + 1,
-        actions,
+        actions + adds + tail,
         depends_on=set(rewrite),
-        extra_features=frozenset({"columnMapping"}) if cm else frozenset(),
+        extra_features=grants,
     )
 
 
@@ -3667,20 +4033,35 @@ def _load_cdc_files(
     cdc_actions: list[dict[str, Any]],
     schema: T.StructType,
     partition_cols: list[str],
+    cm_mode: str = "none",
 ) -> DataFrame:
     """Rows of a commit's ``cdc`` actions (delta-spark's ``_change_data``
     files): data columns + ``_change_type`` live in the files, partition
     values come from each action's ``partitionValues`` (authoritative
-    per the spec — the files are not required to sit in hive dirs)."""
+    per the spec — the files are not required to sit in hive dirs).
+    Column mapping applies to change data files exactly as to data
+    files (round-10): the files carry PHYSICAL names (and field ids in
+    id mode) and are presented logically; action partitionValues are
+    keyed by physical partition-column name, with a logical-key
+    fallback for lenient external writers."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    cm = cm_mode in ("name", "id")
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in partition_cols]
+    )
     file_schema = T.StructType(
-        data_fields + [T.StructField("_change_type", T.StringType(), True)]
+        list(_reader_schema(data_schema, cm_mode).fields)
+        + [T.StructField("_change_type", T.StringType(), True)]
     )
     by_field = {f.name: f for f in schema.fields}
+    phys_of = {
+        f.name: (_physical_name(f) if cm else f.name) for f in schema.fields
+    }
     groups: dict[tuple, list[str]] = {}
     for a in cdc_actions:
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
@@ -3688,7 +4069,12 @@ def _load_cdc_files(
     frames = []
     for key, files in sorted(groups.items()):
         df = spark.read.schema(file_schema).parquet(*sorted(files))
-        for col, raw in key:
+        df = _present_logical(
+            df, data_schema, cm_mode, extras=("_change_type",)
+        )
+        pv = dict(key)
+        for col in partition_cols:
+            raw = pv.get(phys_of[col], pv.get(col))
             df = df.withColumn(col, F.lit(raw).cast(by_field[col].dataType))
         frames.append(df.select(*schema.fieldNames(), "_change_type"))
     return reduce(lambda a, b: a.unionByName(b), frames)
@@ -3752,7 +4138,10 @@ def table_changes(
                 ts = None
         cdc_actions = [a["cdc"] for a in acts if "cdc" in a]
         if cdc_actions:
-            part = _load_cdc_files(spark, path, cdc_actions, schema, pcols)
+            part = _load_cdc_files(
+                spark, path, cdc_actions, schema, pcols,
+                _column_mapping_mode(_meta),
+            )
         else:
             added, removed = delta_changes(spark, path, v - 1, v)
             part = added.withColumn(

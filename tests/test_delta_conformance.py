@@ -613,7 +613,9 @@ def test_column_mapping_gate_not_widened(spark, tmp_path):
     batch = spark.createDataFrame([(3, 3.0)], "id long, v double")
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="identityColumns"):
         dl.write_delta(batch, work, mode="append")
-    # CDF-enabled CM table (legacy v5): refuses too
+    # CDF-enabled CM table (legacy v5): APPENDS land since round 10 —
+    # add-only commits need no cdc action (CDF readers derive them as
+    # inserts), so the write upholds the feed vacuously
     work2 = str(tmp_path / "cmcdf")
     shutil.copytree(GOLDEN_CM, work2)
     log0 = os.path.join(work2, "_delta_log", "00000000000000000000.json")
@@ -624,8 +626,13 @@ def test_column_mapping_gate_not_widened(spark, tmp_path):
     with open(log0, "w") as f:
         for a in acts:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(dl.DeltaUnsupportedProtocol):
-        dl.write_delta(batch, work2, mode="append")
+    v = dl.write_delta(batch, work2, mode="append")
+    appended = dl._read_actions(work2, v)
+    assert not any("cdc" in a for a in appended)  # add-only: no cdc
+    assert dl.read_delta(spark, work2).count() == 3
+    # and the feed renders the append as inserts
+    tc = dl.table_changes(spark, work2, v - 1, v)
+    assert {r["_change_type"] for r in tc.collect()} == {"insert"}
 
 
 def test_column_mapping_id_mode_reads(spark, tmp_path):
@@ -874,9 +881,7 @@ def test_row_tracking_reads_and_appends(spark, tmp_path):
     runtimes): reads pass while tolerating the vocabulary they add, and
     APPENDS work (round-9 late) — each new add carries fresh
     baseRowId/defaultRowCommitVersion above the high-water mark, and
-    the commit bumps the delta.rowTracking domainMetadata. File-
-    REWRITING ops still refuse: without a materialized row-id column a
-    rewrite loses the stable ids."""
+    the commit bumps the delta.rowTracking domainMetadata."""
     import shutil
 
     df = dl.read_delta(spark, GOLDEN_ROWTRACK)
@@ -909,11 +914,8 @@ def test_row_tracking_reads_and_appends(spark, tmp_path):
     assert adds2[0]["baseRowId"] == 7
     assert dl._row_id_high_water_mark(work, v2) == 7
     assert dl.read_delta(spark, work).count() == 8
-    # file-rewriting ops still refuse
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
-        dl.delete_delta(spark, work, "id = 1")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="rowTracking"):
-        dl.merge_delta(spark, work, batch, "id")
+    # file-rewriting ops re-stamp fresh ids since round 10 — covered by
+    # the test_row_tracking_dml_* battery below
 
 
 def test_row_tracking_checkpoint_roundtrip(spark, tmp_path):
@@ -1612,3 +1614,368 @@ def test_row_tracking_corrupt_high_water_mark_refuses(spark, tmp_path):
             "configuration": "not-json{{",
             "removed": True}}) + "\n")
     assert dl._row_id_high_water_mark(work, v2) is None
+
+
+# ---- round-10: rowTracking DML (fresh re-stamp) + CDF table writes ------
+#
+# rowTracking: DELETE/UPDATE/MERGE/OPTIMIZE route their staged adds
+# through _commit_row_tracking — fresh baseRowId/defaultRowCommitVersion
+# above the (bumped) high-water mark, spec-valid while no data file
+# materializes stable row ids; tables that DO materialize them refuse.
+# CDF: appends land cdc-free (derived as inserts per the spec);
+# overwrite/DELETE/UPDATE/MERGE emit cdc actions + _change_data files
+# that table_changes reads back exclusively, matching the snapshot diff.
+
+
+def _copy_fixture(tmp_path, src, name):
+    import shutil
+
+    work = str(tmp_path / name)
+    shutil.copytree(src, work)
+    return work
+
+
+def _snapshot_rows(spark, path, version=None):
+    return sorted(
+        (r["id"], r["v"]) for r in dl.read_delta(spark, path, version=version).collect()
+    )
+
+
+def test_row_tracking_delete_restamps(spark, tmp_path):
+    """DELETE on a rowTracking table: survivors land in NEW files with
+    fresh baseRowId above the prior high-water mark,
+    defaultRowCommitVersion = the committing version, and the
+    delta.rowTracking mark bumps past the new rows."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_del")
+    v = dl.delete_delta(spark, work, "id <= 2")
+    assert _snapshot_rows(spark, work) == [(3, 3.0), (4, 4.0), (5, 5.0)]
+    acts = dl._read_actions(work, v)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(adds) == 1
+    assert adds[0]["baseRowId"] == 5  # fixture mark 4 → fresh ids at 5
+    assert adds[0]["defaultRowCommitVersion"] == v
+    assert dl._row_id_high_water_mark(work, v) == 5  # one survivor row
+    # the untouched file keeps its original stamp
+    active, _, _, _ = dl._replay(work, v)
+    assert sorted(a.get("baseRowId") for a in active.values()) == [3, 5]
+
+
+def test_row_tracking_update_restamps(spark, tmp_path):
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_upd")
+    v = dl.update_delta(spark, work, "id = 4", {"v": "v * 10"})
+    assert _snapshot_rows(spark, work) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 40.0), (5, 5.0),
+    ]
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    assert len(adds) == 1 and adds[0]["baseRowId"] == 5
+    assert dl._row_id_high_water_mark(work, v) == 6  # two rewritten rows
+
+
+def test_row_tracking_merge_restamps(spark, tmp_path):
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mrg")
+    updates = spark.createDataFrame(
+        [(5, 50.0), (6, 6.0)], "id long, v double"
+    )
+    v = dl.merge_delta(spark, work, updates, "id")
+    assert _snapshot_rows(spark, work) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 50.0), (6, 6.0),
+    ]
+    # fixture adds carry no stats → every file is affected and rewritten,
+    # so every active add must carry a FRESH id ≥ 5 and the mark covers
+    # all six rows
+    active, _, _, _ = dl._replay(work, v)
+    assert all(a.get("baseRowId", -1) >= 5 for a in active.values())
+    assert dl._row_id_high_water_mark(work, v) == 10
+
+
+def test_row_tracking_optimize_restamps(spark, tmp_path):
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_opt")
+    v = dl.optimize_delta(spark, work, target_files=1)
+    assert _snapshot_rows(spark, work) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0),
+    ]
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    assert len(adds) == 1 and adds[0]["baseRowId"] == 5
+    assert adds[0]["dataChange"] is False  # stamping preserves the flag
+    assert dl._row_id_high_water_mark(work, v) == 9  # five compacted rows
+
+
+def test_row_tracking_materialized_rewrite_refuses(spark, tmp_path):
+    """A data file that MATERIALIZES row ids (the hidden column named by
+    delta.rowTracking.materializedRowIdColumnName) demands preservation
+    across rewrites — which this writer cannot do: every rewriting verb
+    must refuse rather than corrupt stable row identity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mat")
+    target = os.path.join(
+        work, "part-00000-aaaa1111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    )
+    tbl = pq.read_table(target)
+    tbl = tbl.append_column("_row-id-col-0", pa.array([0, 1, 2], pa.int64()))
+    pq.write_table(tbl, target)
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="materializ"):
+        dl.delete_delta(spark, work, "id = 1")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="materializ"):
+        dl.update_delta(spark, work, "id = 1", {"v": "0.0"})
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="materializ"):
+        dl.optimize_delta(spark, work, target_files=1)
+    # appends never rewrite existing files — still fine
+    v = dl.write_delta(
+        spark.createDataFrame([(6, 6.0)], "id long, v double"), work
+    )
+    assert dl.read_delta(spark, work).count() == 6
+    assert v > 0
+
+
+def test_row_tracking_dv_delete_preserves_ids(spark, tmp_path):
+    """delete_delta(use_dv=True) on a rowTracking table re-adds the SAME
+    physical file: baseRowId/defaultRowCommitVersion copy verbatim and
+    the high-water mark does not move — a DV delete never re-stamps."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_dv")
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": [
+                    "rowTracking", "domainMetadata", "deletionVectors",
+                ],
+            }
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableDeletionVectors"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    v = dl.delete_delta(spark, work, "id = 1", use_dv=True)
+    assert _snapshot_rows(spark, work) == [
+        (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0),
+    ]
+    acts_v = dl._read_actions(work, v)
+    adds = [a["add"] for a in acts_v if "add" in a]
+    assert len(adds) == 1
+    assert adds[0]["deletionVector"]["cardinality"] == 1
+    assert adds[0]["baseRowId"] == 0  # preserved, not re-stamped
+    assert adds[0]["defaultRowCommitVersion"] == 0
+    assert not any("domainMetadata" in a for a in acts_v)
+    assert dl._row_id_high_water_mark(work, v) == 4  # unmoved
+
+
+def test_row_tracking_restore_preserved(spark, tmp_path):
+    """RESTORE re-activates old adds verbatim (stamps preserved) — it
+    must pass the gate on rowTracking tables."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_rst")
+    dl.write_delta(
+        spark.createDataFrame([(6, 6.0)], "id long, v double"), work
+    )
+    dl.restore_delta(work, 0)
+    assert _snapshot_rows(spark, work) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0),
+    ]
+    active, _, _, _ = dl._replay(work, None)
+    assert sorted(a.get("baseRowId") for a in active.values()) == [0, 3]
+
+
+def _cdf_work(spark, tmp_path, name):
+    work = _copy_fixture(tmp_path, GOLDEN_CDF, name)
+    latest = dl._list_versions(work)[-1]
+    return work, latest
+
+
+def test_cdf_delete_round_trip(spark, tmp_path):
+    """Our rewrite DELETE on a CDF table emits cdc actions +
+    _change_data files; table_changes consumes them exclusively and the
+    rendered rows match the derived snapshot diff (the oracle)."""
+    work, latest = _cdf_work(spark, tmp_path, "cdf_del")
+    before = _snapshot_rows(spark, work)
+    v = dl.delete_delta(spark, work, "id = 1")
+    after = _snapshot_rows(spark, work)
+    acts = dl._read_actions(work, v)
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(c["dataChange"] is False for c in cdcs)
+    assert all(c["path"].startswith("_change_data/") for c in cdcs)
+    assert all(
+        os.path.exists(os.path.join(work, c["path"])) for c in cdcs
+    )
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    deletes = sorted(
+        (r["id"], r["v"]) for r in tc if r["_change_type"] == "delete"
+    )
+    inserts = [r for r in tc if r["_change_type"] == "insert"]
+    # derived-diff oracle: cdc content == snapshot diff
+    assert deletes == sorted(set(before) - set(after)) == [(1, 99.0)]
+    assert not inserts
+    assert {r["_commit_version"] for r in tc} == {v}
+
+
+def test_cdf_update_round_trip(spark, tmp_path):
+    work, latest = _cdf_work(spark, tmp_path, "cdf_upd")
+    before = _snapshot_rows(spark, work)
+    v = dl.update_delta(spark, work, "id = 2", {"v": "v * 10"})
+    after = _snapshot_rows(spark, work)
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    pre = sorted(
+        (r["id"], r["v"]) for r in tc if r["_change_type"] == "update_preimage"
+    )
+    post = sorted(
+        (r["id"], r["v"]) for r in tc if r["_change_type"] == "update_postimage"
+    )
+    assert pre == sorted(set(before) - set(after)) == [(2, 2.0)]
+    assert post == sorted(set(after) - set(before)) == [(2, 20.0)]
+    # the pre/post pair is exactly what file-granular derivation CANNOT
+    # produce — prove the reader used the cdc actions, not the fallback
+    assert {r["_change_type"] for r in tc} == {
+        "update_preimage", "update_postimage",
+    }
+
+
+def test_cdf_merge_round_trip(spark, tmp_path):
+    work, latest = _cdf_work(spark, tmp_path, "cdf_mrg")
+    updates = spark.createDataFrame(
+        [(3, 33.0), (9, 9.0)], "id long, v double"
+    )
+    v = dl.merge_delta(spark, work, updates, "id")
+    assert _snapshot_rows(spark, work) == [
+        (1, 99.0), (2, 2.0), (3, 33.0), (9, 9.0),
+    ]
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    by_type = {}
+    for r in tc:
+        by_type.setdefault(r["_change_type"], []).append((r["id"], r["v"]))
+    assert by_type["update_preimage"] == [(3, 3.0)]
+    assert by_type["update_postimage"] == [(3, 33.0)]
+    assert by_type["insert"] == [(9, 9.0)]
+    # unchanged rows rewritten for co-location must NOT appear as changes
+    assert len(tc) == 3
+
+
+def test_cdf_overwrite_round_trip(spark, tmp_path):
+    work, latest = _cdf_work(spark, tmp_path, "cdf_ovw")
+    before = _snapshot_rows(spark, work)
+    batch = spark.createDataFrame([(7, 7.0)], "id long, v double")
+    v = dl.write_delta(batch, work, mode="overwrite")
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    deletes = sorted(
+        (r["id"], r["v"]) for r in tc if r["_change_type"] == "delete"
+    )
+    inserts = sorted(
+        (r["id"], r["v"]) for r in tc if r["_change_type"] == "insert"
+    )
+    assert deletes == before
+    assert inserts == [(7, 7.0)]
+    # while a plain append stays cdc-free
+    v2 = dl.write_delta(batch, work, mode="append")
+    assert not any("cdc" in a for a in dl._read_actions(work, v2))
+    tc2 = dl.table_changes(spark, work, v2 - 1, v2).collect()
+    assert [(r["id"], r["v"], r["_change_type"]) for r in tc2] == [
+        (7, 7.0, "insert")
+    ]
+
+
+def test_cdf_dv_delete_round_trip(spark, tmp_path):
+    """DV DELETE on a CDF table: the commit is remove+re-add of the SAME
+    file (underivable) — the cdc actions carry the matched rows and the
+    feed renders them."""
+    work, latest = _cdf_work(spark, tmp_path, "cdf_dv")
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["changeDataFeed", "deletionVectors"],
+            }
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableDeletionVectors"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    v = dl.delete_delta(spark, work, "id = 2", use_dv=True)
+    acts_v = dl._read_actions(work, v)
+    assert any("cdc" in a for a in acts_v)
+    assert any(
+        a["add"].get("deletionVector") for a in acts_v if "add" in a
+    )
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    assert [(r["id"], r["v"], r["_change_type"]) for r in tc] == [
+        (2, 2.0, "delete")
+    ]
+
+
+def test_cdf_partitioned_dml_partition_values(spark, tmp_path):
+    """Partitioned CDF table: cdc actions carry the hive partition
+    values (authoritative per the spec) and table_changes re-attaches
+    the partition column."""
+    work = str(tmp_path / "cdf_part")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id long, p string, v double",
+    )
+    dl.write_delta(df.repartition(2, "p"), work, partition_by=["p"])
+    meta = dl._latest_metadata(work, 0)
+    meta["configuration"]["delta.enableChangeDataFeed"] = "true"
+    dl._commit(
+        work,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["changeDataFeed"],
+                }
+            },
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "timestamp": 1700000000000,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {},
+                }
+            },
+        ],
+    )
+    v = dl.delete_delta(spark, work, "id = 1")
+    cdcs = [a["cdc"] for a in dl._read_actions(work, v) if "cdc" in a]
+    assert cdcs and all(c["partitionValues"] == {"p": "a"} for c in cdcs)
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    assert [(r["id"], r["p"], r["v"], r["_change_type"]) for r in tc] == [
+        (1, "a", 1.0, "delete")
+    ]
+
+
+def test_cdf_column_mapping_physical_change_files(spark, tmp_path):
+    """CM + CDF (round-10): change data files carry PHYSICAL column
+    names exactly like data files; table_changes presents logical."""
+    import pyarrow.parquet as pq
+
+    work = _copy_fixture(tmp_path, GOLDEN_CM, "cm_cdf_dml")
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableChangeDataFeed"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    before = _snapshot_rows(spark, work)
+    v = dl.update_delta(spark, work, "id = 1", {"v": "v + 1"})
+    cdcs = [a["cdc"] for a in dl._read_actions(work, v) if "cdc" in a]
+    assert cdcs
+    names = set()
+    for c in cdcs:
+        names |= set(pq.read_schema(os.path.join(work, c["path"])).names)
+    assert "col-1a2b3c4d" in names and "col-5e6f7a8b" in names
+    assert "id" not in names and "v" not in names
+    assert "_change_type" in names
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    pre = [(r["id"], r["v"]) for r in tc if r["_change_type"] == "update_preimage"]
+    post = [(r["id"], r["v"]) for r in tc if r["_change_type"] == "update_postimage"]
+    assert pre == [(1, before[0][1])]
+    assert post == [(1, before[0][1] + 1)]

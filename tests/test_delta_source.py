@@ -30,7 +30,13 @@ def _rows(df):
 
 @pytest.mark.parametrize(
     "fixture",
-    ["golden_delta", "golden_delta_dv", "golden_delta_cm", "golden_delta_cmid"],
+    [
+        "golden_delta",
+        "golden_delta_dv",
+        "golden_delta_cm",
+        "golden_delta_cmid",
+        "golden_delta_cm_nested",
+    ],
 )
 def test_batch_source_matches_read_delta(spark, fixture):
     """One partition per active file; hive partition values, deletion
@@ -447,3 +453,65 @@ def test_stream_writer_refuses_non_append_output_mode(spark, tmp_path):
     schema = StructType.fromDDL("id bigint, v double")
     with pytest.raises(ValueError, match="append"):
         _DeltaStreamWriter({"path": path}, schema, overwrite=True)
+
+
+def test_batch_source_nested_column_mapping_values(spark):
+    """Round-10: nested renames resolve at EVERY level — struct fields
+    and array-of-struct element fields present logical names with nulls
+    (null struct, null array, null leaf, empty array) preserved."""
+    path = os.path.join(DATA, "golden_delta_cm_nested")
+    via = spark.read.format("deltalog").load(path)
+    assert via.schema["s"].dataType.fieldNames() == ["a", "b"]
+    assert via.schema["arr"].dataType.elementType.fieldNames() == ["c"]
+    rows = {r["id"]: r.asDict(recursive=True) for r in via.collect()}
+    assert rows[1]["s"] == {"a": 10, "b": "x"}
+    assert [e["c"] for e in rows[1]["arr"]] == [1.5, 2.5]
+    assert rows[2]["s"] is None and rows[2]["arr"] is None
+    assert rows[3]["s"] == {"a": 30, "b": None} and rows[3]["arr"] == []
+
+
+def test_stream_source_nested_column_mapping(spark, tmp_path):
+    """The nested rebuild runs on the STREAMING path too (same executor
+    kernel): the initial micro-batch must land the logical shape."""
+    import shutil
+
+    src = os.path.join(DATA, "golden_delta_cm_nested")
+    path = str(tmp_path / "ncm")
+    shutil.copytree(src, path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    native = dl.read_delta(spark, path)
+    q = (
+        spark.readStream.format("deltalog")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.schema(native.schema).parquet(out)
+    def by_id(df):
+        return {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    assert by_id(got) == by_id(native)
+
+
+def test_batch_writer_cdf_append_allowed_overwrite_refused(spark, tmp_path):
+    """Round-10: the data-source writer APPENDS into a CDF-enabled table
+    (add-only commits derive as inserts, no cdc action needed) but
+    refuses OVERWRITE (it cannot produce the required change rows —
+    write_delta can)."""
+    import shutil
+
+    path = str(tmp_path / "cdf")
+    shutil.copytree(os.path.join(DATA, "golden_delta_cdf"), path)
+    batch = spark.createDataFrame([(7, 7.0)], "id long, v double")
+    batch.write.format("deltalog").mode("append").save(path)
+    assert dl.read_delta(spark, path).count() == 4
+    v = dl._list_versions(path)[-1]
+    assert not any("cdc" in a for a in dl._read_actions(path, v))
+    tc = dl.table_changes(spark, path, v - 1, v).collect()
+    assert [(r["id"], r["_change_type"]) for r in tc] == [(7, "insert")]
+    with pytest.raises(Exception, match="change data feed|_change_data"):
+        batch.write.format("deltalog").mode("overwrite").save(path)
