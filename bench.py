@@ -128,6 +128,15 @@ def main() -> None:
         if spent >= BENCH_WALL_BUDGET and timings[name] < 1.0:
             continue
         spent += run_one(name)
+    # round-10 directive: min-of-N with N≥3 for the >1 s tail — a
+    # two-sample minimum still rests on ONE quiet sample when the other
+    # pass was contended; the third run costs ~a dozen seconds over
+    # budget at worst and makes the committed artifact defensible alone.
+    for name in sorted(timings, key=timings.get, reverse=True):
+        if timings[name] < 1.0:
+            break  # sorted descending: everything after is cheaper
+        while runs[name] < 3:
+            spent += run_one(name)
     # repeated sweeps until the budget is spent or a full sweep finds no
     # better minimum — the per-query min is monotone, so extra sweeps
     # only sharpen the steady-state estimate
@@ -144,6 +153,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # host-contention index (round-10 directive): median ratio of five
+    # FIXED trivial queries vs their committed quiet-host minima (the
+    # BENCH_FULL refresh at 47.5 s total). These queries haven't changed
+    # in rounds and are too small to regress from real code drift, so
+    # the ratio isolates the HOST: ~1.0 quiet, ~1.35 on the known
+    # contended driver swing. Consumers of the total normalize with it —
+    # or at least read the margin story with this number alongside.
+    # Only meaningful at sf0.1 (the reference values' scale).
+    HCI_REFS = {
+        "q01_pricing_summary": 0.3083,
+        "q07_case_bands": 0.1674,
+        "q13_semi_join": 0.2898,
+        "q17_rolling_events": 0.116,
+        "q23_hourly_profile": 0.2211,
+    }
+    ratios = sorted(
+        timings[n] / ref for n, ref in HCI_REFS.items() if n in timings
+    )
+    hci = (
+        round(ratios[len(ratios) // 2], 3)
+        if ratios and sf_val == 0.1
+        else None
+    )
     # committed per-query artifact: the driver's tail capture truncates
     # the full stdout line to ~58 queries, losing q01-q43 from
     # round-over-round comparison — write the complete map to a file the
@@ -154,7 +186,13 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_r{rnd}.json"
     )
+    if sf_val != 0.1:
+        # the committed artifact is the sf0.1 round-over-round
+        # comparator — a probe at another SF must not clobber it
+        full_path = None
     try:
+        if full_path is None:
+            raise OSError("non-sf0.1 run: artifact not written")
         with open(full_path, "w") as f:
             json.dump(
                 {
@@ -168,6 +206,7 @@ def main() -> None:
                     "queries": timings,
                     "runs": runs,
                     "sf": sf_val,
+                    "host_contention_index": hci,
                 },
                 f,
                 indent=1,
@@ -184,6 +223,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "host_contention_index": hci,
             }
         )
     )
@@ -199,6 +239,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "host_contention_index": hci,
             }
         )
     )
