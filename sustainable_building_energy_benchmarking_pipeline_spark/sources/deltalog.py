@@ -692,6 +692,18 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
 # VACUUM re-check the protocol gates before deleting files —
 # ``vacuum_delta`` does (both read and write gates), so the feature is
 # upheld, not merely tolerated.
+# ``timestampNtz`` (round-10) requires writers to store TIMESTAMP
+# WITHOUT TIME ZONE columns as isAdjustedToUTC=false parquet — Spark's
+# native TimestampNTZType writer shape, and schema enforcement pins
+# every write to the table's declared types, so the obligation holds on
+# every path; ``write_delta`` declares the feature (both protocol
+# sides) when CREATING a table whose schema carries an ntz column.
+# ``inCommitTimestamp`` (round-10, default-on in newer runtimes) is
+# upheld at the single commit choke point: ``_commit_with_retry``
+# re-stamps commitInfo with a strictly monotonic ``inCommitTimestamp``
+# and moves it to the FIRST action on every attempt whenever
+# delta.enableInCommitTimestamps=true — see
+# ``_stamp_in_commit_timestamp``.
 _SUPPORTED_WRITER_VERSION = 3
 _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {
@@ -700,6 +712,8 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         "checkConstraints",
         "deletionVectors",
         "vacuumProtocolCheck",
+        "timestampNtz",
+        "inCommitTimestamp",
     }
 )
 
@@ -838,6 +852,20 @@ def _physical_frame(
             c = c.alias(_physical_name(f))
         cols.append(c)
     return df.select(*cols, *[F.col(e) for e in extras])
+
+
+def _schema_has_ntz(dt: T.DataType) -> bool:
+    """True when the type carries TIMESTAMP WITHOUT TIME ZONE anywhere —
+    the trigger for declaring the ``timestampNtz`` protocol feature."""
+    if isinstance(dt, T.TimestampNTZType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_ntz(dt.keyType) or _schema_has_ntz(dt.valueType)
+    return False
 
 
 def _plain_type(dt: T.DataType) -> T.DataType:
@@ -1770,6 +1798,20 @@ def write_delta(
             if [(f.name, f.dataType) for f in merged_schema.fields] != [
                 (f.name, f.dataType) for f in table_schema.fields
             ]:
+                if _schema_has_ntz(merged_schema) and not _schema_has_ntz(
+                    table_schema
+                ):
+                    # a new ntz column demands the timestampNtz protocol
+                    # feature on BOTH sides — an implicit upgrade is
+                    # against this writer's posture; refuse
+                    raise ValueError(
+                        f"schema evolution on Delta table at {path} "
+                        "would add a TIMESTAMP WITHOUT TIME ZONE column, "
+                        "which requires the timestampNtz protocol "
+                        "feature — create the table with the ntz column "
+                        "instead (write_delta declares the feature at "
+                        "creation)"
+                    )
                 evolved_meta = dict(meta)
                 evolved_meta["schemaString"] = merged_schema.json()
         if partition_by is None:
@@ -1818,9 +1860,30 @@ def write_delta(
 
     actions: list[dict[str, Any]] = []
     if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if _schema_has_ntz(df.schema):
+            # TIMESTAMP WITHOUT TIME ZONE is a protocol feature on BOTH
+            # sides (reader v3 + writer v7): declaring it at creation is
+            # what lets external engines read the isAdjustedToUTC=false
+            # parquet correctly instead of shifting wall-clock values
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["timestampNtz"],
+                        "writerFeatures": [
+                            "appendOnly",
+                            "invariants",
+                            "checkConstraints",
+                            "timestampNtz",
+                        ],
+                    }
+                }
+            )
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
         actions.append(
             {
                 "metaData": {
@@ -2016,6 +2079,69 @@ class DeltaConcurrentModification(Exception):
     and re-derive its writes; a blind retry would lose the rival's work."""
 
 
+def _prev_commit_timestamp(path: str, version: int) -> int:
+    """The effective timestamp of commit ``version`` for ICT
+    monotonicity: its ``inCommitTimestamp`` when present, else
+    ``commitInfo.timestamp``, else the commit file's mtime (the spec's
+    fallback clock for pre-enablement commits). -1 when there is no
+    such commit (table creation)."""
+    if version < 0:
+        return -1
+    try:
+        acts = _read_actions(path, version)
+    except OSError:
+        return -1
+    info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+    ts = info.get("inCommitTimestamp") or info.get("timestamp")
+    if ts is None:
+        try:
+            ts = int(os.path.getmtime(_commit_file(path, version)) * 1000)
+        except OSError:
+            return -1
+    return int(ts)
+
+
+def _stamp_in_commit_timestamp(
+    path: str, version: int, actions: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """The inCommitTimestamp writer obligation (round-10, default-on in
+    newer delta-spark runtimes), applied at the commit choke point so
+    EVERY write path upholds it: when the table (or this commit's own
+    metaData) enables delta.enableInCommitTimestamps, commitInfo becomes
+    the FIRST action and carries a STRICTLY MONOTONIC
+    ``inCommitTimestamp`` = max(now, previous commit's timestamp + 1).
+    Re-invoked per retry attempt — after losing a version race the
+    previous commit changed, so the stamp must be recomputed (a verbatim
+    re-commit could go backwards in time). A caller-preset
+    ``inCommitTimestamp`` that is still monotonic is preserved (the
+    enablement commit pins its own value so the
+    delta.inCommitTimestampEnablement* keys can equal it exactly).
+    Identity when the feature is not enabled."""
+    meta = next((a["metaData"] for a in actions if "metaData" in a), None)
+    if meta is None:
+        if version == 0:
+            return actions
+        meta = _latest_metadata(path, version - 1)
+    config = meta.get("configuration", {})
+    if config.get("delta.enableInCommitTimestamps") != "true":
+        return actions
+    info_action = next((a for a in actions if "commitInfo" in a), None)
+    rest = [a for a in actions if "commitInfo" not in a]
+    info = dict(info_action["commitInfo"]) if info_action else {
+        "timestamp": int(time.time() * 1000),
+        "operation": "WRITE",
+        "operationParameters": {},
+    }
+    prev = _prev_commit_timestamp(path, version - 1)
+    preset = info.get("inCommitTimestamp")
+    if preset is not None and int(preset) > prev:
+        ict = int(preset)
+    else:
+        ict = max(int(time.time() * 1000), prev + 1)
+    info["inCommitTimestamp"] = ict
+    return [{"commitInfo": info}] + rest
+
+
 def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
     """Durability THEN visibility: the payload is fully written and
     fsynced to a temp file first, and os.link publishes it as an atomic
@@ -2104,7 +2230,11 @@ def _commit_with_retry(
         _check_column_invariants_absent(path, version - 1)
     for attempt in range(max_retries + 1):
         try:
-            _commit(path, version, actions)
+            _commit(
+                path,
+                version,
+                _stamp_in_commit_timestamp(path, version, actions),
+            )
             return version
         except FileExistsError:
             if attempt == max_retries:
@@ -2578,6 +2708,16 @@ def set_table_properties(
             "existing data and raises the writer-protocol gate); use "
             "drop_constraint to remove one"
         )
+    if props.get("delta.enableInCommitTimestamps") == "true":
+        # enabling ICT needs the protocol feature + the spec's
+        # enablement-version/-timestamp keys in the SAME commit — the
+        # dedicated helper does all three atomically
+        raise ValueError(
+            "cannot SET delta.enableInCommitTimestamps via table "
+            "properties: the spec requires the inCommitTimestamp writer "
+            "feature and the enablement keys to land in the same commit "
+            "— use enable_in_commit_timestamps(path)"
+        )
     for _attempt in range(6):
         versions = _list_versions(path)
         if not versions:
@@ -2629,6 +2769,77 @@ def set_table_properties(
             continue
     raise DeltaConcurrentModification(
         f"set_table_properties on {path}: lost {6} consecutive version races"
+    )
+
+
+def enable_in_commit_timestamps(path: str) -> int:
+    """ALTER TABLE ... SET delta.enableInCommitTimestamps=true, the
+    spec-complete way (round-10): ONE commit that (1) upgrades the
+    protocol to writer v7 + ``inCommitTimestamp`` (existing features and
+    reader version preserved — the explicit upgrade mechanism, like
+    ``add_constraint``'s v3 raise), (2) sets the config key, and (3)
+    records ``delta.inCommitTimestampEnablementVersion`` /
+    ``-Timestamp`` so external readers can map the pre-enablement clock.
+    The enablement commit pins its own ``inCommitTimestamp`` equal to
+    the enablement-timestamp key; later commits stamp monotonically at
+    the commit choke point. No-op if already enabled."""
+    for _attempt in range(6):
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        meta = dict(_latest_metadata(path, versions[-1]))
+        config = dict(meta.get("configuration", {}))
+        if config.get("delta.enableInCommitTimestamps") == "true":
+            return versions[-1]
+        target = versions[-1] + 1
+        ict = max(
+            int(time.time() * 1000),
+            _prev_commit_timestamp(path, versions[-1]) + 1,
+        )
+        config["delta.enableInCommitTimestamps"] = "true"
+        config["delta.inCommitTimestampEnablementVersion"] = str(target)
+        config["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        meta["configuration"] = config
+        proto = dict(_latest_protocol(path, versions[-1]))
+        feats = set(proto.get("writerFeatures") or [])
+        if int(proto.get("minWriterVersion", 2)) < 7:
+            # v7 requires every implied legacy capability to be spelled
+            # out; our own ≤3 tables imply at most appendOnly/invariants/
+            # checkConstraints, all in the supported set
+            legacy = {
+                2: {"appendOnly", "invariants"},
+                3: {"appendOnly", "invariants", "checkConstraints"},
+            }
+            feats |= legacy.get(
+                int(proto.get("minWriterVersion", 2)),
+                {"appendOnly", "invariants", "checkConstraints"},
+            )
+        feats.add("inCommitTimestamp")
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(feats)
+        actions: list[dict[str, Any]] = [
+            {"protocol": proto},
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "timestamp": ict,
+                    "inCommitTimestamp": ict,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": {
+                            "delta.enableInCommitTimestamps": "true"
+                        }
+                    },
+                }
+            },
+        ]
+        try:
+            return _commit_with_retry(path, target, actions, max_retries=0)
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentModification(
+        f"enable_in_commit_timestamps on {path}: lost 6 consecutive "
+        "version races"
     )
 
 

@@ -457,11 +457,12 @@ def test_deletion_vector_corruption_refused(spark, tmp_path):
         dl.read_delta(spark, work).collect()
 
 
-def test_timestamp_ntz_table_reads(spark, tmp_path):
+def test_timestamp_ntz_table_reads_and_writes(spark, tmp_path):
     """Reader-v3 + timestampNtz: the ntz column reads back as the
     wall-clock instants written (session timezone is UTC-pinned, but
-    NTZ semantics are timezone-free by definition); writes into the
-    v7 timestampNtz table keep refusing."""
+    NTZ semantics are timezone-free by definition); since round 10
+    WRITES land too — Spark's native TimestampNTZType parquet shape IS
+    the isAdjustedToUTC=false the feature demands."""
     import datetime
 
     df = dl.read_delta(spark, GOLDEN_NTZ)
@@ -481,8 +482,55 @@ def test_timestamp_ntz_table_reads(spark, tmp_path):
     batch = spark.createDataFrame(
         [(3, datetime.datetime(2025, 1, 1))], "id long, ts timestamp_ntz"
     )
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="timestampNtz"):
-        dl.write_delta(batch, work, mode="append")
+    dl.write_delta(batch, work, mode="append")
+    got = sorted((r["id"], r["ts"]) for r in dl.read_delta(spark, work).collect())
+    assert got[-1] == (3, datetime.datetime(2025, 1, 1))
+    # the appended parquet must be TIMESTAMP(isAdjustedToUTC=false)
+    import pyarrow.parquet as pq
+
+    adds = [
+        a["add"]["path"]
+        for a in dl._read_actions(work, dl._list_versions(work)[-1])
+        if "add" in a
+    ]
+    arrow_field = pq.read_schema(os.path.join(work, adds[0])).field("ts")
+    assert arrow_field.type.tz is None  # wall-clock, not UTC-adjusted
+    # DML works too (rewrite keeps the ntz shape)
+    dl.delete_delta(spark, work, "id = 1")
+    assert dl.read_delta(spark, work).count() == 2
+
+
+def test_timestamp_ntz_new_table_declares_feature(spark, tmp_path):
+    """Creating a table whose schema carries an ntz column must declare
+    timestampNtz on BOTH protocol sides — otherwise an external reader
+    would shift wall-clock values."""
+    import datetime
+
+    path = str(tmp_path / "ntz_new")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 1, 9, 0, 0))],
+        "id long, ts timestamp_ntz",
+    )
+    dl.write_delta(df, path)
+    proto = dl._latest_protocol(path, 0)
+    assert proto["minReaderVersion"] == 3
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    got = dl.read_delta(spark, path).first()
+    assert got["ts"] == datetime.datetime(2024, 3, 1, 9, 0, 0)
+    # evolution ADDING an ntz column to a plain table still refuses
+    # (it would demand an implicit protocol upgrade)
+    plain = str(tmp_path / "plain")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), plain)
+    with pytest.raises(ValueError, match="timestampNtz"):
+        dl.write_delta(
+            spark.createDataFrame(
+                [(2, datetime.datetime(2025, 1, 1))],
+                "id long, ts timestamp_ntz",
+            ),
+            plain,
+            merge_schema=True,
+        )
 
 
 def test_column_mapping_name_mode_reads(spark):
@@ -981,12 +1029,11 @@ def test_vacuum_refuses_unknown_writer_features(tmp_path):
         dl.vacuum_delta(work, retain_hours=0.0, force=True)
 
 
-def test_in_commit_timestamp_reads_writes_refused(spark, tmp_path):
-    """inCommitTimestamp (delta 4.x, default-on in newer runtimes) is
-    WRITER-only: reads pass (this engine does no timestamp time
-    travel, so the reader obligation is vacuous) and history surfaces
-    the commit; writes refuse — we would not emit the monotonic
-    in-commit timestamps the feature promises."""
+def test_in_commit_timestamp_reads_and_writes(spark, tmp_path):
+    """inCommitTimestamp (delta 4.x, default-on in newer runtimes):
+    reads pass, and since round 10 every WRITE stamps commitInfo as the
+    FIRST action with a strictly monotonic inCommitTimestamp — upheld at
+    the commit choke point, so appends and DML alike conform."""
     import shutil
 
     assert sorted(
@@ -996,9 +1043,61 @@ def test_in_commit_timestamp_reads_writes_refused(spark, tmp_path):
     work = str(tmp_path / "ict")
     shutil.copytree(GOLDEN_ICT, work)
     batch = spark.createDataFrame([(4, 4.0)], "id long, v double")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="inCommitTimestamp"):
-        dl.write_delta(batch, work, mode="append")
+    v = dl.write_delta(batch, work, mode="append")
+    acts = dl._read_actions(work, v)
+    assert "commitInfo" in acts[0]  # spec: FIRST action on ICT tables
+    ict1 = acts[0]["commitInfo"]["inCommitTimestamp"]
+    assert ict1 > 1700000000007  # fixture's enablement-era stamp
+    v2 = dl.delete_delta(spark, work, "id = 1")
+    acts2 = dl._read_actions(work, v2)
+    assert "commitInfo" in acts2[0]
+    assert acts2[0]["commitInfo"]["inCommitTimestamp"] > ict1  # monotone
     assert dl.read_delta(spark, work).count() == 3
+    # table_changes prefers the in-commit clock (session tz is UTC)
+    tc = dl.table_changes(spark, work, v - 1, v).collect()
+    import calendar
+
+    got_ms = (
+        calendar.timegm(tc[0]["_commit_timestamp"].timetuple()) * 1000
+        + tc[0]["_commit_timestamp"].microsecond // 1000
+    )
+    assert got_ms == ict1
+
+
+def test_enable_in_commit_timestamps_spec_complete(spark, tmp_path):
+    """Enabling ICT on an existing table must land feature + config +
+    enablement keys in ONE commit, with the enablement commit's own
+    inCommitTimestamp equal to the enablement-timestamp key; raw
+    set_table_properties refuses the config key."""
+    path = str(tmp_path / "ict_on")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path
+    )
+    with pytest.raises(ValueError, match="enable_in_commit_timestamps"):
+        dl.set_table_properties(
+            path, {"delta.enableInCommitTimestamps": "true"}
+        )
+    v = dl.enable_in_commit_timestamps(path)
+    proto = dl._latest_protocol(path, v)
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    config = dl.table_configuration(path)
+    assert config["delta.enableInCommitTimestamps"] == "true"
+    assert config["delta.inCommitTimestampEnablementVersion"] == str(v)
+    acts = dl._read_actions(path, v)
+    assert "commitInfo" in acts[0]
+    assert str(acts[0]["commitInfo"]["inCommitTimestamp"]) == config[
+        "delta.inCommitTimestampEnablementTimestamp"
+    ]
+    # idempotent no-op + later writes keep stamping monotonically
+    assert dl.enable_in_commit_timestamps(path) == v
+    v2 = dl.write_delta(
+        spark.createDataFrame([(2, 2.0)], "id long, v double"), path
+    )
+    acts2 = dl._read_actions(path, v2)
+    assert acts2[0]["commitInfo"]["inCommitTimestamp"] > int(
+        config["delta.inCommitTimestampEnablementTimestamp"]
+    )
 
 
 def test_type_widening_read_refused(spark):
