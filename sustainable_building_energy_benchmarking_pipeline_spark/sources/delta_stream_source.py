@@ -24,7 +24,14 @@ Semantics mirror delta-spark's streaming source:
 - ``option("startingVersion", N)`` begins at commit N instead of 0;
   ``option("startingVersion", "latest")`` streams only NEW commits;
 - a mid-stream ``metaData`` action (schema change) raises — restart
-  the stream to pick up the new schema, as with real Delta.
+  the stream to pick up the new schema, as with real Delta;
+- ``option("readChangeFeed", "true")`` (round-10) streams CHANGE ROWS
+  instead — table columns + _change_type/_commit_version/
+  _commit_timestamp, rendered per commit from cdc actions when present
+  (exclusively, per the spec) else derived insert/delete — so DML
+  commits flow as their row-level effects; the same option on a BATCH
+  read with startingVersion/endingVersion is the data-source twin of
+  ``deltalog.table_changes``.
 
 Reads run on executors from pyarrow: each partition value carries the
 file path, its deletion-vector descriptor (applied by row index), the
@@ -189,11 +196,42 @@ def _to_logical_arrow(col, dt, where: str):
     return convert(col, dt) if _contains_struct(dt) else col
 
 
+CDF_FIELDS = [
+    ("_change_type", "string"),
+    ("_commit_version", "long"),
+    ("_commit_timestamp", "timestamp"),
+]
+
+
+def _cdf_suffix_schema() -> StructType:
+    from pyspark.sql import types as T
+
+    return StructType(
+        [
+            T.StructField("_change_type", T.StringType(), True),
+            T.StructField("_commit_version", T.LongType(), True),
+            T.StructField("_commit_timestamp", T.TimestampType(), True),
+        ]
+    )
+
+
+def _with_cdf_columns(schema: StructType) -> StructType:
+    return StructType(
+        list(schema.fields) + list(_cdf_suffix_schema().fields)
+    )
+
+
 def _read_file_batches(task: dict[str, Any]) -> Iterator[Any]:
     """Executor-side file read: pyarrow batches, deletion vector applied
     by global row index, hive partition columns materialized, physical
     names mapped to logical, and the result cast to the table schema's
-    arrow shape (column order AND types)."""
+    arrow shape (column order AND types).
+
+    Change-feed tasks (round-10) carry ``task["change"]``: the batch
+    grows the three CDF columns — ``_change_type`` either constant
+    (derived insert/delete) or read from the cdc file itself
+    (``task["is_cdc"]``), plus the commit version and its
+    (ICT-preferring) timestamp as constants."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -234,6 +272,8 @@ def _read_file_batches(task: dict[str, Any]) -> Iterator[Any]:
         else:
             fetch[logical] = phys
     phys_cols = list(dict.fromkeys(fetch.values()))
+    if task.get("is_cdc"):
+        phys_cols.append("_change_type")
     offset = 0
     for batch in pf.iter_batches(columns=phys_cols or None):
         n = batch.num_rows
@@ -262,7 +302,130 @@ def _read_file_batches(task: dict[str, Any]) -> Iterator[Any]:
         out = pa.table(
             {f.name: cols[f.name] for f in schema.fields}
         ).cast(target)
+        change = task.get("change")
+        if change:
+            import numpy as _np
+
+            n_out = out.num_rows
+            cdf_target = to_arrow_schema(_cdf_suffix_schema())
+            if task.get("is_cdc"):
+                ct = tbl.column("_change_type")
+            else:
+                ct = pa.array([change["type"]] * n_out, pa.string())
+            ver = pa.array(
+                _np.full(n_out, int(change["version"]), dtype=_np.int64)
+            ).cast(cdf_target.field("_commit_version").type)
+            # int64 µs-since-epoch casts to the timestamp type exactly
+            ts = pa.array(
+                _np.full(n_out, int(change["ts_ms"]) * 1000, dtype=_np.int64)
+            ).cast(cdf_target.field("_commit_timestamp").type)
+            out = (
+                out.append_column(cdf_target.field("_change_type"), ct)
+                .append_column(cdf_target.field("_commit_version"), ver)
+                .append_column(cdf_target.field("_commit_timestamp"), ts)
+            )
         yield from out.to_batches()
+
+
+def _change_partitions(
+    path: str, lo: int, hi: int, bound: StructType
+) -> list[InputPartition]:
+    """One task per change-bearing file for commits in ``(lo, hi]`` —
+    the change-feed twin of the append-only window (round-10). Per the
+    CDF spec, a commit with ANY cdc action is rendered EXCLUSIVELY from
+    its cdc files; otherwise add-only commits derive as inserts and
+    removes as deletes (each removed file read with ITS deletion vector
+    so already-dead rows never re-report). A same-commit remove+re-add
+    of one path without cdc (an external DV dance) needs bitmap diffs —
+    the batch ``table_changes`` surface owns that; here it refuses.
+    dataChange=false commits (OPTIMIZE) contribute nothing. Cost ∝
+    changed files, never a snapshot."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _commit_file,
+        _read_actions,
+        _replay,
+    )
+
+    _active, schema, pcols, cm_mode = _replay_for_source(path, hi)
+    parts: list[InputPartition] = []
+    for v in range(lo + 1, hi + 1):
+        actions = _read_actions(path, v)
+        for a in actions:
+            if "metaData" in a and (
+                _strip_field_metadata(
+                    StructType.fromJson(
+                        json.loads(a["metaData"]["schemaString"])
+                    )
+                )
+                != bound
+            ):
+                raise ValueError(
+                    f"Delta change feed at {path}: schema changed at "
+                    f"version {v} — restart the stream to adopt it"
+                )
+        info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
+        ts = info.get("inCommitTimestamp") or info.get("timestamp")
+        if ts is None:
+            try:
+                ts = int(os.path.getmtime(_commit_file(path, v)) * 1000)
+            except OSError:
+                ts = 0
+        change_base = {"version": v, "ts_ms": int(ts)}
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            phys_of = {
+                f.name: f.metadata.get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if cm_mode in ("name", "id")
+                else f.name
+                for f in schema.fields
+            }
+            for c in cdcs:
+                t = _file_task(path, c["path"], c, schema, cm_mode, pcols)
+                # cdc partitionValues may be keyed physically (our own
+                # writer) or logically (lenient external) — re-resolve
+                pv = c.get("partitionValues") or {}
+                t["pvals"] = {
+                    f.name: pv.get(phys_of[f.name], pv.get(f.name))
+                    for f in schema.fields
+                    if f.name in pcols
+                }
+                t["is_cdc"] = True
+                t["change"] = dict(change_base, type=None)
+                parts.append(InputPartition(t))
+            continue
+        adds = [
+            a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        re_added = {a["path"] for a in adds} & {r["path"] for r in removes}
+        if re_added:
+            raise ValueError(
+                f"Delta change feed at {path}: version {v} re-adds "
+                f"{sorted(re_added)[:3]} with no cdc action (an external "
+                "deletion-vector rewrite) — row-level diffing needs the "
+                "batch surface; use deltalog.table_changes"
+            )
+        prev_active: dict[str, dict] | None = None
+        if removes:
+            prev_active, _, _, _ = _replay(path, v - 1)
+        for a in adds:
+            t = _file_task(path, a["path"], a, schema, cm_mode, pcols)
+            t["change"] = dict(change_base, type="insert")
+            parts.append(InputPartition(t))
+        for r in removes:
+            src = (prev_active or {}).get(r["path"], r)
+            t = _file_task(path, r["path"], src, schema, cm_mode, pcols)
+            t["change"] = dict(change_base, type="delete")
+            parts.append(InputPartition(t))
+    return parts
 
 
 def _replay_for_source(path: str, version: int | None = None):
@@ -459,6 +622,71 @@ class _CommitStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress is tracked by the query's own checkpoint
+
+
+def _data_schema_of(schema: StructType) -> StructType:
+    """The table schema under a CDF-extended reader schema (drop the
+    three metadata columns Spark bound the query to)."""
+    cdf_names = {n for n, _t in CDF_FIELDS}
+    return StructType([f for f in schema.fields if f.name not in cdf_names])
+
+
+class _ChangeFeedStreamReader(_CommitStreamReader):
+    """``option("readChangeFeed", "true")`` (round-10): micro-batches
+    carry CHANGE ROWS — the table columns plus
+    _change_type/_commit_version/_commit_timestamp — so UPDATE/DELETE/
+    MERGE commits stream as their row-level effects instead of raising
+    the append-only error. Rendering rules live in
+    ``_change_partitions`` (cdc actions exclusive per commit; derived
+    insert/delete otherwise; dataChange=false commits contribute
+    nothing). delta-spark's same-named streaming option."""
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        return _change_partitions(
+            self._path, lo, hi, _strip_field_metadata(_data_schema_of(self._schema))
+        )
+
+
+class _ChangesBatchReader(DataSourceReader):
+    """Batch CDF (round-10): ``option("readChangeFeed", "true")`` +
+    ``startingVersion`` (required) / ``endingVersion`` (default latest)
+    — the data-source twin of ``deltalog.table_changes``, rendered by
+    the same per-commit rules as the streaming form."""
+
+    def __init__(self, options: dict[str, str], schema: StructType) -> None:
+        self._path = options["path"]
+        start = options.get("startingversion")
+        if start is None:
+            raise ValueError(
+                "readChangeFeed batch reads require "
+                "option('startingVersion', N) — the first commit whose "
+                "changes to include"
+            )
+        self._lo = int(start) - 1
+        end = options.get("endingversion")
+        self._hi = int(end) if end is not None else None
+        self._schema = schema
+
+    def partitions(self):
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+            _list_versions,
+        )
+
+        hi = (
+            self._hi
+            if self._hi is not None
+            else _list_versions(self._path)[-1]
+        )
+        return _change_partitions(
+            self._path,
+            self._lo,
+            hi,
+            _strip_field_metadata(_data_schema_of(self._schema)),
+        )
+
+    def read(self, partition: InputPartition):
+        yield from _read_file_batches(partition.value)
 
 
 # ---------------------------------------------------------------------------
@@ -908,6 +1136,12 @@ class DeltaLogDataSource(DataSource):
     def name(cls) -> str:
         return "deltalog"
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
         _active, schema, _pcols, _cm = _replay_for_source(
             self.options["path"],
@@ -915,14 +1149,19 @@ class DeltaLogDataSource(DataSource):
             if self.options.get("versionasof") is not None
             else None,
         )
-        return _strip_field_metadata(schema)
+        out = _strip_field_metadata(schema)
+        return _with_cdf_columns(out) if self._cdf() else out
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf():
+            return _ChangesBatchReader(self.options, schema)
         if str(self.options.get("filterpushdown", "false")).lower() == "true":
             return _PruningSnapshotReader(self.options, schema)
         return _SnapshotReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf():
+            return _ChangeFeedStreamReader(self.options, schema)
         return _CommitStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):

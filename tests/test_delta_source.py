@@ -515,3 +515,128 @@ def test_batch_writer_cdf_append_allowed_overwrite_refused(spark, tmp_path):
     assert [(r["id"], r["_change_type"]) for r in tc] == [(7, "insert")]
     with pytest.raises(Exception, match="change data feed|_change_data"):
         batch.write.format("deltalog").mode("overwrite").save(path)
+
+
+def test_batch_read_change_feed_matches_table_changes(spark, tmp_path):
+    """Round-10: option('readChangeFeed','true') + startingVersion turns
+    a batch read into the CDF surface — same rows as table_changes,
+    including cdc-action exclusivity on the fixture's UPDATE commit."""
+    import shutil
+
+    path = str(tmp_path / "cdf")
+    shutil.copytree(os.path.join(DATA, "golden_delta_cdf"), path)
+    got = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+    )
+    assert got.columns[-3:] == [
+        "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+    want = dl.table_changes(spark, path, 0)
+
+    def norm(df):
+        return sorted(
+            (
+                r["id"], r["v"], r["_change_type"], r["_commit_version"],
+                r["_commit_timestamp"],
+            )
+            for r in df.collect()
+        )
+
+    assert norm(got) == norm(want)
+    # endingVersion bounds the window
+    only1 = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 1)
+        .load(path)
+    )
+    assert {r["_change_type"] for r in only1.collect()} == {
+        "update_preimage", "update_postimage",
+    }
+    # startingVersion is required for batch CDF
+    with pytest.raises(Exception, match="startingVersion"):
+        spark.read.format("deltalog").option(
+            "readChangeFeed", "true"
+        ).load(path).collect()
+
+
+def test_stream_read_change_feed(spark, tmp_path):
+    """Streaming CDF: the replay batch renders history (cdc commits via
+    their cdc files), and a mid-stream UPDATE lands as its
+    preimage/postimage pair instead of raising the append-only error."""
+    import shutil
+
+    path = str(tmp_path / "cdf")
+    shutil.copytree(os.path.join(DATA, "golden_delta_cdf"), path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, v double, _change_type string, _commit_version long, _commit_timestamp timestamp"
+
+    def _start():
+        return (
+            spark.readStream.format("deltalog")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+    hist = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.schema(schema).parquet(out).collect()
+    }
+    assert (1, 1.0, "update_preimage", 1) in hist
+    assert (1, 99.0, "update_postimage", 1) in hist
+    assert (3, 3.0, "insert", 2) in hist
+    v = dl.update_delta(spark, path, "id = 3", {"v": "v * 2"})
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+    now = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.schema(schema).parquet(out).collect()
+    }
+    assert (3, 3.0, "update_preimage", v) in now
+    assert (3, 6.0, "update_postimage", v) in now
+
+
+def test_batch_change_feed_derived_and_dv_refusal(spark, tmp_path):
+    """Non-cdc commits derive: appends render as inserts, a rewrite
+    DELETE as whole-file delete+insert (the honest file-granular form);
+    an external DV re-add without cdc refuses toward table_changes."""
+    path = str(tmp_path / "plain")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        .coalesce(1),
+        path,
+    )
+    dl.delete_delta(spark, path, "id = 1")
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+        .collect()
+    )
+    assert got == [
+        (1, 1.0, "delete", 1),
+        (2, 2.0, "delete", 1),
+        (2, 2.0, "insert", 1),
+    ]
+    # DV re-add of the same path without cdc → refuse, point at batch
+    with pytest.raises(Exception, match="table_changes"):
+        spark.read.format("deltalog").option(
+            "readChangeFeed", "true"
+        ).option("startingVersion", 1).load(
+            os.path.join(DATA, "golden_delta_dv")
+        ).collect()
