@@ -238,11 +238,36 @@ def _latest_checkpoint_version(path: str, at_or_below: int | None = None) -> int
     return None
 
 
-def _checkpoint_schema():
+def _checkpoint_schema(v2: bool = False, sidecar_only: bool = False):
+    """The parquet schema of a checkpoint file this engine writes.
+    ``v2=True`` (delta.checkpointPolicy=v2, round-10) appends the
+    spec-required ``checkpointMetadata`` column plus the ``sidecar``
+    reference column; ``sidecar_only=True`` is the narrow schema of a
+    ``_sidecars/`` file (file actions only). Classic checkpoints keep
+    the exact historical column set — external readers of our classic
+    files see no vocabulary drift."""
     import pyarrow as pa
 
     str_map = pa.map_(pa.string(), pa.string())
-    return pa.schema(
+    extra = []
+    if v2:
+        extra = [
+            (
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64()), ("tags", str_map)]),
+            ),
+            (
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    base = pa.schema(
         [
             (
                 "txn",
@@ -340,7 +365,11 @@ def _checkpoint_schema():
                 ),
             ),
         ]
+        + extra
     )
+    if sidecar_only:
+        return pa.schema([base.field("add"), base.field("remove")])
+    return base
 
 
 def _as_tuples(d: dict | None) -> list | None:
@@ -512,10 +541,11 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         }
         for _domain, dm in sorted(_collect_domain_metadata(path, version).items())
     )
+    add_rows: list[dict[str, Any]] = []
     for rel in sorted(active):
         a = active[rel]
         dv = a.get("deletionVector")
-        rows.append(
+        add_rows.append(
             {
                 "add": {
                     "path": a["path"],
@@ -540,6 +570,61 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
                 }
             }
         )
+    if meta.get("configuration", {}).get("delta.checkpointPolicy") == "v2":
+        # v2 checkpoint (round-10, delta.checkpointPolicy=v2): ONE
+        # uuid-named file carrying the spec-required checkpointMetadata
+        # action; above the per-file action cap the FILE actions move to
+        # _sidecars/ parquets referenced by sidecar actions (the spec's
+        # own scale valve), keeping every parquet write memory-bounded.
+        # The same durability dance: sidecars and the checkpoint land
+        # fully before the _last_checkpoint pointer flips.
+        n = len(rows) + len(add_rows)
+        head = [
+            {"checkpointMetadata": {"version": version, "tags": None}}
+        ] + rows
+        if len(add_rows) > CHECKPOINT_MAX_ACTIONS_PER_PART:
+            side_dir = os.path.join(_log_dir(path), "_sidecars")
+            os.makedirs(side_dir, exist_ok=True)
+            now_ms = int(time.time() * 1000)
+            for i in range(
+                0, len(add_rows), CHECKPOINT_MAX_ACTIONS_PER_PART
+            ):
+                chunk_rows = add_rows[i : i + CHECKPOINT_MAX_ACTIONS_PER_PART]
+                side_tbl = pa.Table.from_pylist(
+                    chunk_rows, schema=_checkpoint_schema(sidecar_only=True)
+                )
+                side_name = f"{uuid.uuid4().hex}.parquet"
+                dest = os.path.join(side_dir, side_name)
+                tmp = dest + f".{uuid.uuid4().hex}.tmp"
+                pq.write_table(side_tbl, tmp)
+                os.replace(tmp, dest)
+                head.append(
+                    {
+                        "sidecar": {
+                            "path": side_name,
+                            "sizeInBytes": os.path.getsize(dest),
+                            "modificationTime": now_ms,
+                        }
+                    }
+                )
+        else:
+            head.extend(add_rows)
+        table = pa.Table.from_pylist(head, schema=_checkpoint_schema(v2=True))
+        cp = os.path.join(
+            _log_dir(path),
+            f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+        )
+        tmp = cp + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, cp)
+        ptr = json.dumps({"version": version, "size": n})
+        ptr_tmp = _last_checkpoint_file(path) + f".{uuid.uuid4().hex}.tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(ptr)
+        os.replace(ptr_tmp, _last_checkpoint_file(path))
+        return version
+
+    rows.extend(add_rows)
     table = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
     # same durability-then-visibility dance as commits: the pointer must
     # never name a checkpoint that is not fully on disk. Above
@@ -704,6 +789,12 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
 # and moves it to the FIRST action on every attempt whenever
 # delta.enableInCommitTimestamps=true — see
 # ``_stamp_in_commit_timestamp``.
+# ``v2Checkpoint`` (round-10) obliges a writer to write V2-format
+# checkpoints when delta.checkpointPolicy=v2 — ``write_checkpoint``
+# does (uuid-named file + checkpointMetadata action, file actions
+# spilling to _sidecars/ above the per-file cap); classic-policy
+# tables that merely LIST the feature keep getting classic checkpoints,
+# both of which ``_checkpoint_parts`` discovers.
 _SUPPORTED_WRITER_VERSION = 3
 _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {
@@ -714,6 +805,7 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         "vacuumProtocolCheck",
         "timestampNtz",
         "inCommitTimestamp",
+        "v2Checkpoint",
     }
 )
 
@@ -3783,11 +3875,19 @@ def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
     # version in [boundary, next checkpoint) raise the truncation guard
     # even though it sits inside the retention window.
     d = _log_dir(path)
+
+    def _cp_version(name: str) -> int | None:
+        m = _CP_NAME_RE.match(name)  # single-file AND multi-part forms
+        if m:
+            return int(m.group(1))
+        m = _CP_V2_NAME_RE.match(name)  # uuid-named v2 form (round-10)
+        return int(m.group(1)) if m else None
+
     cp_versions = sorted(
         {
-            int(m.group(1))
+            v
             for name in os.listdir(d)
-            if (m := _CP_NAME_RE.match(name))
+            if (v := _cp_version(name)) is not None
         }
     )
     bases = [v for v in cp_versions if v <= boundary]
@@ -3803,13 +3903,49 @@ def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
         if v <= base and v < boundary:
             os.remove(_commit_file(path, v))
             deleted.append(os.path.basename(_commit_file(path, v)))
+
+    def _sidecar_refs(fpath: str) -> set[str]:
+        """Bare names of the _sidecars/ files a v2 checkpoint references
+        (empty for classic files, whose schema has no sidecar column)."""
+        import pyarrow.parquet as pq
+
+        try:
+            if "sidecar" not in set(pq.read_schema(fpath).names):
+                return set()
+            col = pq.read_table(fpath, columns=["sidecar"]).to_pylist()
+        except OSError:
+            return set()
+        return {
+            os.path.basename(r["sidecar"]["path"])
+            for r in col
+            if r.get("sidecar") and r["sidecar"].get("path")
+        }
+
+    # superseded checkpoint files (classic parts AND v2 uuid files) go;
+    # a _sidecars/ parquet goes only when EVERY checkpoint referencing
+    # it is being deleted — the spec allows checkpoints to SHARE
+    # sidecars, and a concurrent checkpointer's fresh (not-yet-
+    # referenced) sidecars are never touched.
+    dead_refs: set[str] = set()
+    live_refs: set[str] = set()
     for name in sorted(os.listdir(d)):
-        m = _CP_NAME_RE.match(name)  # single-file AND multi-part forms
-        if not m:
+        v = _cp_version(name)
+        if v is None:
             continue
-        if int(m.group(1)) < base:
+        if v < base:
+            dead_refs |= _sidecar_refs(os.path.join(d, name))
             os.remove(os.path.join(d, name))
             deleted.append(name)
+        else:
+            live_refs |= _sidecar_refs(os.path.join(d, name))
+    side_dir = os.path.join(d, "_sidecars")
+    if os.path.isdir(side_dir):
+        for name in sorted(dead_refs - live_refs):
+            try:
+                os.remove(os.path.join(side_dir, name))
+                deleted.append(os.path.join("_sidecars", name))
+            except OSError:
+                pass
     return deleted
 
 

@@ -842,7 +842,9 @@ def test_v2_checkpoint_sidecar_replay(spark, tmp_path):
     add/remove actions live in two _sidecars/ files, with the early
     JSON commits cleaned — the snapshot reconstructs only through the
     v2 checkpoint + one retained JSON. The removed file's rows must not
-    appear; txn watermark survives; writes refuse."""
+    appear; txn watermark survives; writes land (round-10: the feature's
+    obligation — V2-format checkpoints under checkpointPolicy=v2 — is
+    upheld by write_checkpoint, and this fixture's policy is classic)."""
     df = dl.read_delta(spark, GOLDEN_V2CP)
     ids = sorted(r["id"] for r in df.collect())
     assert ids == [1, 2, 3, 4]  # 99 removed via the sidecar tombstone
@@ -854,8 +856,12 @@ def test_v2_checkpoint_sidecar_replay(spark, tmp_path):
     work = str(tmp_path / "v2cp")
     shutil.copytree(GOLDEN_V2CP, work)
     batch = spark.createDataFrame([(5, 5.0)], "id long, v double")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="v2Checkpoint"):
-        dl.write_delta(batch, work, mode="append")
+    dl.write_delta(batch, work, mode="append")
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+    shutil.rmtree(work)
+    shutil.copytree(GOLDEN_V2CP, work)
     # a torn/missing _last_checkpoint pointer: discovery falls back to
     # the listdir scan, which must see uuid-named checkpoints too
     os.remove(os.path.join(work, "_delta_log", "_last_checkpoint"))
@@ -2078,3 +2084,94 @@ def test_cdf_column_mapping_physical_change_files(spark, tmp_path):
     post = [(r["id"], r["v"]) for r in tc if r["_change_type"] == "update_postimage"]
     assert pre == [(1, before[0][1])]
     assert post == [(1, before[0][1] + 1)]
+
+
+def test_v2_checkpoint_policy_writes_v2_format(spark, tmp_path, monkeypatch):
+    """Round-10: delta.checkpointPolicy=v2 makes write_checkpoint emit
+    the V2 format — uuid-named single file carrying the spec-required
+    checkpointMetadata action — and above the per-file cap the FILE
+    actions spill to _sidecars/ parquets referenced by sidecar actions.
+    Replay through our own v2 checkpoint must be exact."""
+    import glob
+    import shutil
+
+    work = str(tmp_path / "v2cp")
+    shutil.copytree(GOLDEN_V2CP, work)
+    dl.set_table_properties(work, {"delta.checkpointPolicy": "v2"})
+    dl.write_delta(
+        spark.createDataFrame([(5, 5.0)], "id long, v double"), work
+    )
+    cp_v = dl.write_checkpoint(work)
+    cps = glob.glob(
+        os.path.join(work, "_delta_log", f"{cp_v:020d}.checkpoint.*.parquet")
+    )
+    assert len(cps) == 1
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(cps[0]).to_pylist()
+    cms = [r["checkpointMetadata"] for r in rows if r.get("checkpointMetadata")]
+    assert len(cms) == 1 and cms[0]["version"] == cp_v
+    # replay THROUGH our own v2 checkpoint: the post-checkpoint read
+    # must use it (drop the retained JSONs' cache-independence by
+    # checking _read_checkpoint_actions directly)
+    acts = dl._read_checkpoint_actions(work, cp_v)
+    assert any("protocol" in a for a in acts)
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+    # sidecar spill above the cap: every add moves to _sidecars/, replay
+    # still exact
+    monkeypatch.setattr(dl, "CHECKPOINT_MAX_ACTIONS_PER_PART", 1)
+    dl.write_delta(
+        spark.createDataFrame([(6, 6.0)], "id long, v double"), work
+    )
+    cp_v2 = dl.write_checkpoint(work)
+    cps2 = [
+        p
+        for p in glob.glob(
+            os.path.join(
+                work, "_delta_log", f"{cp_v2:020d}.checkpoint.*.parquet"
+            )
+        )
+    ]
+    assert len(cps2) == 1
+    rows2 = pq.read_table(cps2[0]).to_pylist()
+    sidecars = [r["sidecar"] for r in rows2 if r.get("sidecar")]
+    assert len(sidecars) >= 2  # one add per sidecar under cap=1
+    assert not any(r.get("add") for r in rows2)  # adds live in sidecars
+    acts2 = dl._read_checkpoint_actions(work, cp_v2)
+    assert sum(1 for a in acts2 if "add" in a) == len(sidecars)
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        1, 2, 3, 4, 5, 6,
+    ]
+
+
+def test_cleanup_log_reclaims_superseded_v2_checkpoints(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10: log retention sees uuid-named v2 checkpoints — a newer
+    v2 checkpoint supersedes older ones AND the _sidecars/ files only
+    they referenced, while sidecars shared with retained checkpoints
+    survive."""
+    import glob
+    import shutil
+
+    work = str(tmp_path / "v2cp")
+    shutil.copytree(GOLDEN_V2CP, work)
+    dl.set_table_properties(work, {"delta.checkpointPolicy": "v2"})
+    monkeypatch.setattr(dl, "CHECKPOINT_MAX_ACTIONS_PER_PART", 1)
+    for i in range(5, 9):
+        dl.write_delta(
+            spark.createDataFrame([(i, float(i))], "id long, v double"), work
+        )
+        dl.write_checkpoint(work)
+    side = os.path.join(work, "_delta_log", "_sidecars")
+    n_sidecars_before = len(os.listdir(side))
+    deleted = dl.cleanup_log(work, retain_versions=1)
+    assert any(".checkpoint." in n for n in deleted)  # old v2 cps gone
+    assert any(n.startswith("_sidecars") for n in deleted)
+    # the newest checkpoint's sidecars survive and the table still reads
+    assert len(os.listdir(side)) < n_sidecars_before
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        1, 2, 3, 4, 5, 6, 7, 8,
+    ]
