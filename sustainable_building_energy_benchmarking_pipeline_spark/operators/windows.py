@@ -546,3 +546,65 @@ def deterministic_shuffle(
     if ranked is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     return ranked.withColumn(out_col, F.col("_rn0")).drop("_sk", "_rn0")
+
+
+def sequence_pack(
+    df: DataFrame,
+    group_col: str | Sequence[str],
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy sequence packing (round-10): assign each row of a group,
+    in ``order_col`` order, to consecutive token bins of capacity
+    ``budget`` — the fill step of an LLM pretraining pipeline that packs
+    documents into fixed-length training sequences (next-fit: a row
+    that would overflow the open bin starts the next one; an oversize
+    row occupies its own bin). Returns the input columns plus
+    ``bin_col`` (1-based, per group).
+
+    Scale shape (100 TB): packing is inherently SEQUENTIAL within a
+    stream, so the parallel unit is the group — exactly how production
+    packers shard (pack within a shard/source, never globally). One
+    hash shuffle on ``group_col``, then an O(n) integer pass per group
+    inside an Arrow kernel; per-task memory is ONE GROUP's rows, so at
+    corpus scale the caller must shard finely enough — ``group_col``
+    takes a list (e.g. ``["source", "date_shard"]``) precisely so a
+    mega-source splits into bounded packing streams, the same contract
+    as production packers. The greedy
+    next-fit rule is deterministic and order-free of float state, so a
+    SQL engine can replay it exactly (sequential recursion) — unlike
+    first-fit-decreasing, whose bin search resists set logic.
+    Reference precedent: none (the pandas reference has no packing);
+    this is part of the round-4+ LLM-data-pipeline surface."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(bin_col, T.LongType(), False)]
+    )
+    if bin_col in df.columns:
+        raise ValueError(f"column {bin_col!r} already exists")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy()
+        bins = []
+        bin_id, fill = 1, 0
+        for t in toks:
+            t = int(t)
+            if fill and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            fill += t
+            bins.append(bin_id)
+        pdf[bin_col] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    return df.groupBy(*groups).applyInPandas(_pack, out_schema)

@@ -2774,6 +2774,65 @@ ORDER BY a.vec_id
 """
 
 
+Z16_BUDGET = 256  # tokens per packed training sequence
+
+
+def z16_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM pretraining (round-10): per
+    source, documents in doc_id order fill fixed 256-token bins
+    (next-fit — overflow starts the next bin), the step that turns a
+    curated corpus into fixed-length training sequences. Output: one
+    row per document with its whitespace token count and 1-based bin
+    id. The DuckDB oracle replays the sequential fill exactly with a
+    recursive CTE — packing is the rare pipeline op whose semantics ARE
+    sequential, so the parallel unit is the source shard (see
+    operators/windows.sequence_pack for the 100 TB shape)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        sequence_pack,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.lit(1), F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("n_tokens"),
+    )
+    return (
+        sequence_pack(
+            docs, "source", "doc_id", "n_tokens", budget=Z16_BUDGET
+        )
+        .select("doc_id", "source", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    )
+
+
+Z16_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         GREATEST(1, LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')))
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT doc_id, source, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         CASE WHEN r.fill + t.n_tokens <= 256
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + t.n_tokens <= 256
+              THEN r.fill + t.n_tokens ELSE t.n_tokens END
+  FROM rec r JOIN toks t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens, bin_id
+FROM rec
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2820,4 +2879,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z13_dsir_importance": QuerySpec(z13_dsir_importance, Z13_SQL),
     "z14_ngram_novelty": QuerySpec(z14_ngram_novelty, Z14_SQL),
     "z15_semdedup": QuerySpec(z15_semdedup, Z15_SQL),
+    "z16_sequence_pack": QuerySpec(z16_sequence_pack, Z16_SQL),
 }

@@ -1379,3 +1379,34 @@ FROM assign a
 WHERE NOT EXISTS (SELECT 1 FROM pruned p WHERE p.id_b = a.vec_id)
 ORDER BY a.vec_id
 """
+
+# z16: the greedy fill is a LINEAR recursion (row rn+1 folds into the
+# state at rn), which Spark 4's recursive CTE runs directly — unlike
+# q50's cyclic closure, no unrolling is needed; depth = rows per source.
+SPARK_SQL["z16_sequence_pack"] = r"""
+WITH RECURSIVE rec AS (
+  SELECT doc_id, source, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM (
+    SELECT doc_id, source,
+           GREATEST(1, size(split(trim(text), '\\s+'))) AS n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         CASE WHEN r.fill + t.n_tokens <= 256
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + t.n_tokens <= 256
+              THEN r.fill + t.n_tokens ELSE t.n_tokens END
+  FROM rec r JOIN (
+    SELECT doc_id, source,
+           GREATEST(1, size(split(trim(text), '\\s+'))) AS n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+  ) t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, bin_id
+FROM rec
+ORDER BY doc_id
+"""

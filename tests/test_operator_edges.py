@@ -502,3 +502,42 @@ def test_optimize_commits_no_empty_files(spark, tmp_path):
         stats = add.get("stats")
         assert stats and _json.loads(stats)["numRecords"] > 0
     assert dl.read_delta(spark, path).count() == 50
+
+
+def test_sequence_pack_greedy_semantics(spark):
+    """Round-10 sequence packing: next-fit fill in order, overflow opens
+    the next bin, an oversize row owns its bin, bins are per-group and
+    1-based, and the result is deterministic across repartitionings."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.windows import (
+        sequence_pack,
+    )
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 30), ("a", 3, 20),   # 60+30 fit; +20 overflows
+        ("a", 4, 500),                                # oversize: own bin
+        ("a", 5, 10),
+        ("b", 1, 100),                                # fresh numbering per group
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, t long")
+    got = {
+        (r["g"], r["i"]): r["bin_id"]
+        for r in sequence_pack(df, "g", "i", "t", budget=100).collect()
+    }
+    assert got == {
+        ("a", 1): 1, ("a", 2): 1, ("a", 3): 2, ("a", 4): 3, ("a", 5): 4,
+        ("b", 1): 1,
+    }
+    again = {
+        (r["g"], r["i"]): r["bin_id"]
+        for r in sequence_pack(
+            df.repartition(7), "g", "i", "t", budget=100
+        ).collect()
+    }
+    assert again == got
+    # composite group key = the finer-sharding lever for mega groups
+    two = sequence_pack(df, ["g", "i"], "i", "t", budget=100)
+    assert all(r["bin_id"] == 1 for r in two.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        sequence_pack(df, "g", "i", "t", budget=0)
