@@ -795,6 +795,16 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
 # spilling to _sidecars/ above the per-file cap); classic-policy
 # tables that merely LIST the feature keep getting classic checkpoints,
 # both of which ``_checkpoint_parts`` discovers.
+# ``domainMetadata`` (round-10) asks a writer to (a) persist domain
+# actions through checkpoints (``write_checkpoint`` round-trips them,
+# tombstones included) and (b) never emit actions for domains it does
+# not own — this engine writes only ``delta.rowTracking`` and only on
+# rowTracking tables; foreign domains replay through untouched.
+# ``clustering`` (round-10, the liquid-clustering marker default-on in
+# newer DBR): its writer obligation is preserving the
+# ``delta.clustering`` domain metadata — upheld by the domainMetadata
+# machinery above; clustering itself is best-effort physical layout
+# (``optimize_delta(zorder_by=...)`` is the re-clustering lever).
 _SUPPORTED_WRITER_VERSION = 3
 _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
     {
@@ -806,6 +816,8 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         "timestampNtz",
         "inCommitTimestamp",
         "v2Checkpoint",
+        "domainMetadata",
+        "clustering",
     }
 )
 
@@ -1232,9 +1244,14 @@ def _check_write_protocol(
             needed.add("columnMapping")
         if config.get("delta.enableChangeDataFeed") == "true":
             needed.add("changeDataFeed")
+        if "delta.generatedAlwaysAs" in schema_str:
+            # generated columns are grantable (round-10): write paths
+            # that VALIDATE staged data against the generation
+            # expressions pass the grant; identity columns (below) stay
+            # hard-refused — they demand monotonic allocation state
+            needed.add("generatedColumns")
         if (
-            "delta.generatedAlwaysAs" not in schema_str
-            and "delta.identity." not in schema_str
+            "delta.identity." not in schema_str
             and needed <= set(extra_features)
         ):
             return
@@ -1616,6 +1633,52 @@ def _violated_constraint(
     return None
 
 
+def _generated_exprs(schema: T.StructType) -> list[tuple[str, str]]:
+    """(column, generation expression) pairs from the schema's
+    ``delta.generatedAlwaysAs`` field metadata — Spark SQL dialect, as
+    delta-spark stores them (top-level columns only, per the spec)."""
+    return sorted(
+        (f.name, f.metadata["delta.generatedAlwaysAs"])
+        for f in schema.fields
+        if "delta.generatedAlwaysAs" in f.metadata
+    )
+
+
+def _violated_generated(
+    spark: SparkSession,
+    staging: str,
+    read_schema: T.StructType,
+    cm_mode: str,
+    gens: list[tuple[str, str]],
+) -> tuple[str, str] | None:
+    """First generated column whose staged values DIVERGE from the
+    generation expression, or None — the writer obligation of the
+    generatedColumns capability (round-10): this engine never computes
+    the values, it enforces that supplied data satisfies them, with
+    NULL-SAFE equality (a generated value must equal the expression
+    even when both are null — unlike CHECK's null-pass)."""
+    from pyspark.sql import functions as F
+
+    if not gens:
+        return None
+    staged = (
+        spark.read.schema(_reader_schema(read_schema, cm_mode))
+        .option("basePath", staging)
+        .parquet(staging)
+    )
+    if cm_mode in ("name", "id"):
+        staged = _to_logical_columns(staged, read_schema)
+    for name, expr in gens:
+        bad = (
+            staged.filter(~F.expr(f"`{name}` <=> ({expr})"))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            return name, expr
+    return None
+
+
 def _dv_key(desc: dict[str, Any] | None) -> tuple | None:
     """The identity of a deletion vector for change detection — the
     spec's uniqueId fields (storageType + pathOrInlineDv + offset).
@@ -1828,6 +1891,7 @@ def write_delta(
     evolved_meta: dict[str, Any] | None = None
     cm_mode = "none"
     cm_schema: T.StructType | None = None
+    gens_schema = df.schema
     row_tracking = False
     if version > 0:
         # Delta schema enforcement: an append/overwrite whose schema
@@ -1842,6 +1906,7 @@ def write_delta(
         # createDataFrame yields nullable) and a nullable/non-null flip
         # is not a data-incompatibility here.
         _, table_schema, table_pcols, meta = _replay(path, versions[-1])
+        gens_schema = table_schema
         config = dict(meta.get("configuration", {}))
         cm_mode = _column_mapping_mode(meta)
         row_tracking = "rowTracking" in set(
@@ -1887,6 +1952,7 @@ def write_delta(
                     "(pass merge_schema=True to evolve)"
                 )
             df, merged_schema = _evolve_schema(df, table_schema)
+            gens_schema = merged_schema
             if [(f.name, f.dataType) for f in merged_schema.fields] != [
                 (f.name, f.dataType) for f in table_schema.fields
             ]:
@@ -1946,6 +2012,22 @@ def write_delta(
         raise ValueError(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by write "
             f"to Delta table at {path}"
+        )
+    gviol = _violated_generated(
+        df.sparkSession,
+        staging,
+        cm_schema if cm_schema is not None else df.schema,
+        cm_mode,
+        _generated_exprs(gens_schema),
+    )
+    if gviol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"generated column {gviol[0]} must equal ({gviol[1]}) on "
+            f"every row written to Delta table at {path} — supplied "
+            "values diverge"
         )
     now_ms = int(time.time() * 1000)
     adds = _move_staged_adds(staging, path, now_ms)
@@ -2047,6 +2129,8 @@ def write_delta(
         # required by the spec) and overwrites emitted cdc actions above
         # when the feed is enabled
         extra_feats.add("changeDataFeed")
+        # generatedColumns is upheld by the staged-data validation above
+        extra_feats.add("generatedColumns")
     if row_tracking:
         extra_feats.update({"rowTracking", "domainMetadata"})
         return _commit_row_tracking(
@@ -2448,17 +2532,59 @@ def _may_satisfy(add: dict, where: tuple[str, str, Any]) -> bool:
         return True
 
 
+def _ts_ms(ts: int | float | str) -> int:
+    """Epoch milliseconds from an int/float (already ms) or an ISO-8601
+    string (naive = UTC, Delta's convention)."""
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(ts))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def version_at_timestamp(path: str, ts: int | float | str) -> int:
+    """Delta's ``timestampAsOf`` resolution (round-10): the LATEST
+    retained version whose commit clock is ≤ the target — per commit,
+    ``inCommitTimestamp`` > ``commitInfo.timestamp`` > commit-file
+    mtime, the same precedence ``table_changes`` uses. Raises when the
+    target predates the first retained commit (delta-spark's
+    before-earliest error)."""
+    target = _ts_ms(ts)
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    best: int | None = None
+    for v in versions:
+        t = _prev_commit_timestamp(path, v)
+        if 0 <= t <= target:
+            best = v
+    if best is None:
+        first = _prev_commit_timestamp(path, versions[0])
+        raise ValueError(
+            f"timestamp {target} predates the first retained commit of "
+            f"{path} (version {versions[0]} at {first}) — nothing to read"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     partition_filter: dict[str, Any] | None = None,
     where: tuple[str, str, Any] | None = None,
+    timestamp_as_of: int | float | str | None = None,
 ) -> DataFrame:
     """Snapshot read as of ``version`` (default latest). The file list
     comes from the log, never from directory listing — uncommitted
     part files (a crashed writer's leftovers) are invisible, exactly
-    Delta's isolation guarantee.
+    Delta's isolation guarantee. ``timestamp_as_of`` (round-10,
+    delta-spark's timestampAsOf: epoch ms or ISO-8601 string, mutually
+    exclusive with ``version``) pins the snapshot to the latest commit
+    at-or-before that instant via ``version_at_timestamp``.
 
     Two log-level pruning levers, applied before Spark sees a single
     path (the 100 TB read shape — the scan plan only ever contains the
@@ -2471,6 +2597,13 @@ def read_delta(
       should still be applied to the returned DataFrame; pruning bounds
       IO, it does not implement the filter.
     """
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR timestamp_as_of, not both (delta-spark "
+                "raises the same way)"
+            )
+        version = version_at_timestamp(path, timestamp_as_of)
     active, schema, partition_cols, meta = _replay(path, version)
     # column mapping (reader v2/v3): the log's partitionValues keys,
     # per-file stats keys and hive dir names are all PHYSICAL; the
@@ -2569,7 +2702,12 @@ def merge_delta(
     proto = _latest_protocol(path, versions[-1])
     cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
     rt_feats = _row_tracking_dml_features(proto)
-    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    # generatedColumns: the staged output (kept rows verbatim + update
+    # rows supplied whole) is validated against the generation
+    # expressions before commit
+    grants = cm_feats | rt_feats | frozenset(
+        {"changeDataFeed", "generatedColumns"}
+    )
     # fail fast: the commit gate re-checks after staging, but staging a
     # MERGE against a feature-gated table is pure wasted IO
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
@@ -2726,6 +2864,17 @@ def merge_delta(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
             f"into Delta table at {path}"
         )
+    gviol = _violated_generated(
+        spark, staging, schema, cm_mode, _generated_exprs(schema)
+    )
+    if gviol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"generated column {gviol[0]} must equal ({gviol[1]}) on "
+            f"every row MERGEd into Delta table at {path}"
+        )
     adds = _move_staged_adds(staging, path, now_ms)
     tail = cdc_actions + [
         {
@@ -2854,6 +3003,7 @@ def set_table_properties(
                         "rowTracking",
                         "domainMetadata",
                         "changeDataFeed",
+                        "generatedColumns",
                     }
                 ),
             )
@@ -3219,8 +3369,12 @@ def delete_delta(
     rt_feats = _row_tracking_dml_features(proto)
     # changeDataFeed is upheld by construction: when the feed is enabled
     # this DELETE emits cdc actions below; when merely listed but off,
-    # nothing is required of the writer
-    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    # nothing is required of the writer. generatedColumns is vacuous
+    # for DELETE: surviving rows are copied verbatim, so values that
+    # satisfied the generation expressions still do.
+    grants = cm_feats | rt_feats | frozenset(
+        {"changeDataFeed", "generatedColumns"}
+    )
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
@@ -3414,7 +3568,12 @@ def update_delta(
     proto = _latest_protocol(path, versions[-1])
     cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
     rt_feats = _row_tracking_dml_features(proto)
-    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    # generatedColumns: UPDATE recomputes generated columns the SET list
+    # leaves untouched (delta-spark behavior) and validates the staged
+    # output, so the grant is earned, not assumed
+    grants = cm_feats | rt_feats | frozenset(
+        {"changeDataFeed", "generatedColumns"}
+    )
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if config.get("delta.appendOnly") == "true":
         raise ValueError(
@@ -3485,19 +3644,41 @@ def update_delta(
             for c in schema.fieldNames()
         ]
     )
+    # generated columns the SET list leaves untouched recompute from the
+    # POST-SET values (delta-spark behavior) — identity for unmatched
+    # rows, whose bases did not change
+    regen = {
+        g: e for g, e in _generated_exprs(schema) if g not in set_exprs
+    }
+
+    def _apply_regen(frame: DataFrame) -> DataFrame:
+        if not regen:
+            return frame
+        return frame.select(
+            *[
+                F.expr(regen[c]).cast(by_field[c].dataType).alias(c)
+                if c in regen
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+        )
+
+    rewritten = _apply_regen(rewritten)
     cdc_actions: list[dict[str, Any]] = []
     if _cdf_enabled(config):
         # CDF write contract: the matched rows ride in _change_data as
         # an update_preimage/update_postimage pair — the rendering a
         # file-granular derivation cannot produce; cost ∝ matched rows
         matched = rows.filter(pred)
-        post = matched.select(
-            *[
-                F.expr(set_exprs[c]).cast(by_field[c].dataType).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in schema.fieldNames()
-            ]
+        post = _apply_regen(
+            matched.select(
+                *[
+                    F.expr(set_exprs[c]).cast(by_field[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in schema.fieldNames()
+                ]
+            )
         )
         cdc_actions = _stage_cdc_actions(
             path,
@@ -3531,6 +3712,17 @@ def update_delta(
             f"CHECK constraint {viol[0]} ({viol[1]}) violated by UPDATE "
             f"of Delta table at {path}"
         )
+    gviol = _violated_generated(
+        spark, staging, schema, cm_mode, _generated_exprs(schema)
+    )
+    if gviol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"generated column {gviol[0]} must equal ({gviol[1]}): the "
+            f"UPDATE's SET list breaks it on Delta table at {path}"
+        )
     adds = _move_staged_adds(staging, path, now_ms)
     tail = cdc_actions + [
         {
@@ -3560,8 +3752,14 @@ def update_delta(
     )
 
 
-def restore_delta(path: str, to_version: int) -> int:
-    """RESTORE TABLE TO VERSION AS OF ``to_version`` — a new commit that
+def restore_delta(
+    path: str,
+    to_version: int | None = None,
+    to_timestamp: int | float | str | None = None,
+) -> int:
+    """RESTORE TABLE TO VERSION AS OF ``to_version`` (or TO TIMESTAMP
+    AS OF ``to_timestamp`` — epoch ms or ISO-8601, resolved through
+    ``version_at_timestamp``, round-10) — a new commit that
     re-activates the old snapshot's files and removes the ones added
     since, so the restore is itself versioned history (time travel to
     the pre-restore state still works; nothing is rewritten, only log
@@ -3572,6 +3770,10 @@ def restore_delta(path: str, to_version: int) -> int:
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
+    if (to_version is None) == (to_timestamp is None):
+        raise ValueError("pass exactly one of to_version / to_timestamp")
+    if to_timestamp is not None:
+        to_version = version_at_timestamp(path, to_timestamp)
     current = versions[-1]
     old_active, _old_schema, old_pcols, _ = _replay(path, to_version)
     cur_active, _cur_schema, cur_pcols, _ = _replay(path, current)
@@ -3646,7 +3848,9 @@ def restore_delta(path: str, to_version: int) -> int:
             }
         }
     )
-    grants = {"columnMapping"}
+    # generatedColumns is vacuous for RESTORE: every re-activated file
+    # satisfied the expressions when it was committed
+    grants = {"columnMapping", "generatedColumns"}
     proto = _latest_protocol(path, current)
     if "rowTracking" in set(proto.get("writerFeatures") or []):
         # RESTORE re-activates old adds VERBATIM, so their baseRowId /
@@ -3798,6 +4002,7 @@ def vacuum_delta(
                     "rowTracking",
                     "domainMetadata",
                     "changeDataFeed",
+                    "generatedColumns",
                 }
             ),
             meta=_latest_metadata(path, versions[-1]),
@@ -4057,9 +4262,12 @@ def optimize_delta(
     proto = _latest_protocol(path, versions[-1])
     cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
     rt_feats = _row_tracking_dml_features(proto)
-    # changeDataFeed is vacuous for OPTIMIZE: its adds/removes carry
-    # dataChange=false, which CDF readers skip entirely (no cdc needed)
-    grants = cm_feats | rt_feats | frozenset({"changeDataFeed"})
+    # changeDataFeed is vacuous for OPTIMIZE (dataChange=false commits
+    # are skipped by CDF readers), and so is generatedColumns (pure copy
+    # — values that satisfied the expressions still do)
+    grants = cm_feats | rt_feats | frozenset(
+        {"changeDataFeed", "generatedColumns"}
+    )
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if cm_mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -4430,8 +4638,10 @@ def _load_cdc_files(
 def table_changes(
     spark: SparkSession,
     path: str,
-    since_version: int,
+    since_version: int | None = None,
     to_version: int | None = None,
+    since_timestamp: int | float | str | None = None,
+    to_timestamp: int | float | str | None = None,
 ) -> DataFrame:
     """delta-spark's ``table_changes`` surface: ONE frame of row-level
     changes across versions in ``(since_version, to_version]``, each row
@@ -4461,6 +4671,25 @@ def table_changes(
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
+    if (since_version is None) == (since_timestamp is None):
+        raise ValueError(
+            "pass exactly one of since_version / since_timestamp"
+        )
+    if since_timestamp is not None:
+        # delta-spark's startingTimestamp: the window STARTS at the
+        # first commit whose clock is >= the target — i.e. everything
+        # AFTER the latest commit strictly before it
+        target = _ts_ms(since_timestamp)
+        prior = [
+            v
+            for v in versions
+            if 0 <= _prev_commit_timestamp(path, v) < target
+        ]
+        since_version = prior[-1] if prior else versions[0] - 1
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp, not both")
+        to_version = version_at_timestamp(path, to_timestamp)
     if to_version is None:
         to_version = versions[-1]
     if since_version + 1 < versions[0] and since_version != to_version:

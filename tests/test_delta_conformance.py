@@ -1476,11 +1476,11 @@ def test_cmid_dml_delete_update(spark, tmp_path):
     assert got == [(1, 100.0)]
 
 
-def test_cm_v5_generated_columns_still_refused(spark, tmp_path):
-    """minWriterVersion 5 implies v4 capabilities too: a table DECLARING
-    generated columns must refuse even though we uphold columnMapping."""
-    import shutil as _sh
-
+def test_cm_v5_generated_columns_enforced(spark, tmp_path):
+    """minWriterVersion 5 implies v4 capabilities too: a CM table
+    DECLARING generated columns now accepts writes whose values SATISFY
+    the expression (round-10 enforcement posture) and refuses divergent
+    ones with the generated-column error, never a silent land."""
     path = _cm_copy(tmp_path, GOLDEN_CM, "cmgen")
     # inject a generated-column marker into the schemaString
     log0 = os.path.join(path, "_delta_log", "00000000000000000000.json")
@@ -1493,10 +1493,14 @@ def test_cm_v5_generated_columns_still_refused(spark, tmp_path):
     with open(log0, "w") as f:
         for a in acts:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(dl.DeltaUnsupportedProtocol):
+    with pytest.raises(ValueError, match="generated column v"):
         dl.write_delta(
             spark.createDataFrame([(3, 3.0)], "id bigint, v double"), path
         )
+    dl.write_delta(
+        spark.createDataFrame([(3, 6.0)], "id bigint, v double"), path
+    )
+    assert dl.read_delta(spark, path).count() == 3
 
 
 def test_row_tracking_race_restamps_fresh_ids(spark, tmp_path, monkeypatch):
@@ -2175,3 +2179,227 @@ def test_cleanup_log_reclaims_superseded_v2_checkpoints(
     assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
         1, 2, 3, 4, 5, 6, 7, 8,
     ]
+
+
+def _make_generated_table(spark, path: str, v7: bool = False) -> None:
+    """A table whose v2 column is GENERATED ALWAYS AS (v * 2) — schema
+    field metadata delta.generatedAlwaysAs, protocol writer v4 (legacy
+    generated-columns capability) or v7 + generatedColumns feature."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0)], "id long, v double, v2 double"
+    )
+    dl.write_delta(df.coalesce(1), path)
+    log0 = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = (
+                {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["generatedColumns"],
+                }
+                if v7
+                else {"minReaderVersion": 1, "minWriterVersion": 4}
+            )
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "v2":
+                    f["metadata"]["delta.generatedAlwaysAs"] = "v * 2"
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+
+
+@pytest.mark.parametrize("v7", [False, True], ids=["writer-v4", "v7-feature"])
+def test_generated_columns_enforced_on_append(spark, tmp_path, v7):
+    """Round-10: generated-column tables accept writes whose supplied
+    values SATISFY the generation expressions and refuse divergent ones
+    — the enforcement posture of the generatedColumns capability, on
+    both the legacy v4 form and the v7 feature form."""
+    path = str(tmp_path / "gen")
+    _make_generated_table(spark, path, v7=v7)
+    ok = spark.createDataFrame([(2, 3.0, 6.0)], "id long, v double, v2 double")
+    dl.write_delta(ok, path, mode="append")
+    assert dl.read_delta(spark, path).count() == 2
+    bad = spark.createDataFrame([(3, 3.0, 7.0)], "id long, v double, v2 double")
+    with pytest.raises(ValueError, match="generated column v2"):
+        dl.write_delta(bad, path, mode="append")
+    assert dl.read_delta(spark, path).count() == 2  # no spurious version
+    with pytest.raises(ValueError, match="generated column v2"):
+        dl.merge_delta(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 5.0, 11.0)], "id long, v double, v2 double"
+            ),
+            "id",
+        )
+    v = dl.merge_delta(
+        spark,
+        path,
+        spark.createDataFrame([(1, 5.0, 10.0)], "id long, v double, v2 double"),
+        "id",
+    )
+    assert v > 0
+    rows = {r["id"]: (r["v"], r["v2"]) for r in dl.read_delta(spark, path).collect()}
+    assert rows[1] == (5.0, 10.0)
+
+
+def test_generated_columns_update_recomputes(spark, tmp_path):
+    """UPDATE recomputes generated columns its SET list leaves untouched
+    (delta-spark behavior) and refuses a SET that breaks one."""
+    path = str(tmp_path / "gen")
+    _make_generated_table(spark, path)
+    dl.update_delta(spark, path, "id = 1", {"v": "v + 1"})
+    row = dl.read_delta(spark, path).first()
+    assert (row["v"], row["v2"]) == (11.0, 22.0)  # v2 followed v
+    with pytest.raises(ValueError, match="generated column v2"):
+        dl.update_delta(spark, path, "id = 1", {"v2": "0.0D"})
+    # explicitly SETTING the generated column CONSISTENTLY is fine
+    dl.update_delta(spark, path, "id = 1", {"v": "1.0D", "v2": "2.0D"})
+    row = dl.read_delta(spark, path).first()
+    assert (row["v"], row["v2"]) == (1.0, 2.0)
+    # DELETE and OPTIMIZE are pure copies — allowed
+    dl.write_delta(
+        spark.createDataFrame([(9, 2.0, 4.0)], "id long, v double, v2 double"),
+        path,
+        mode="append",
+    )
+    assert dl.optimize_delta(spark, path, target_files=1) is not None
+    dl.delete_delta(spark, path, "id = 9")
+    assert dl.read_delta(spark, path).count() == 1
+
+
+def test_generated_columns_data_source_writer_refuses(spark, tmp_path):
+    """The registered data-source writer does NOT validate generation
+    expressions — it must keep refusing these tables."""
+    path = str(tmp_path / "gen")
+    _make_generated_table(spark, path)
+    batch = spark.createDataFrame([(5, 1.0, 2.0)], "id long, v double, v2 double")
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        DeltaLogDataSource,
+    )
+
+    spark.dataSource.register(DeltaLogDataSource)
+    with pytest.raises(Exception, match="generatedColumns|minWriterVersion"):
+        batch.write.format("deltalog").mode("append").save(path)
+
+
+def test_clustered_table_writes_preserve_domain(spark, tmp_path):
+    """Round-10: liquid-clustering tables (writer v7 + clustering +
+    domainMetadata, default-on in newer DBR) accept the full write
+    surface; the delta.clustering domain metadata survives every
+    commit, replay and checkpoint — the feature's actual writer
+    obligation. OPTIMIZE ZORDER BY the clustering columns is the
+    re-clustering lever."""
+    path = str(tmp_path / "clust")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, v double"
+        ).coalesce(1),
+        path,
+    )
+    dl._commit(
+        path,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["clustering", "domainMetadata"],
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [["v"]]}
+                    ),
+                    "removed": False,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": 1700000000000,
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {},
+                }
+            },
+        ],
+    )
+    v = dl.write_delta(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"), path
+    )
+    v = dl.delete_delta(spark, path, "id = 1")
+    v = dl.optimize_delta(spark, path, target_files=1, zorder_by=["v"])
+    assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) == [
+        2, 3,
+    ]
+    dm = dl._collect_domain_metadata(path, v)["delta.clustering"]
+    assert not dm.get("removed")
+    assert "clusteringColumns" in dm["configuration"]
+    cp = dl.write_checkpoint(path)
+    cp_domains = {
+        a["domainMetadata"]["domain"]
+        for a in dl._read_checkpoint_actions(path, cp)
+        if "domainMetadata" in a
+    }
+    assert "delta.clustering" in cp_domains
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Round-10 timestampAsOf: reads/RESTORE/CDF windows resolve epoch-ms
+    or ISO timestamps to the latest commit at-or-before the instant,
+    with the ICT-preferring per-commit clock; before-first-commit
+    raises; version+timestamp together raises."""
+    path = str(tmp_path / "tt")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path
+    )
+    ts0 = dl._prev_commit_timestamp(path, 0)
+    dl.write_delta(
+        spark.createDataFrame([(2, 2.0)], "id long, v double"), path
+    )
+    ts1 = dl._prev_commit_timestamp(path, 1)
+    assert ts1 >= ts0
+    assert dl.read_delta(spark, path, timestamp_as_of=ts0).count() == 1
+    assert dl.read_delta(spark, path, timestamp_as_of=ts1).count() == 2
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        ts0 / 1000.0, datetime.timezone.utc
+    ).isoformat()
+    assert dl.read_delta(spark, path, timestamp_as_of=iso).count() == 1
+    with pytest.raises(ValueError, match="predates"):
+        dl.read_delta(spark, path, timestamp_as_of=ts0 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_delta(spark, path, version=0, timestamp_as_of=ts0)
+    # CDF window by timestamp: only the second commit's insert
+    tc = dl.table_changes(spark, path, since_timestamp=ts0 + 1)
+    assert [(r["id"], r["_change_type"]) for r in tc.collect()] == [
+        (2, "insert")
+    ]
+    # RESTORE TO TIMESTAMP
+    dl.restore_delta(path, to_timestamp=ts0)
+    assert dl.read_delta(spark, path).count() == 1
+    with pytest.raises(ValueError, match="exactly one"):
+        dl.restore_delta(path)
+
+
+def test_timestamp_as_of_prefers_in_commit_timestamp(spark, tmp_path):
+    """On an ICT table the authoritative clock is inCommitTimestamp: a
+    target between commitInfo.timestamp (1700000000000) and the ICT
+    (1700000000007) must NOT see the commit."""
+    import shutil
+
+    work = str(tmp_path / "ict")
+    shutil.copytree(GOLDEN_ICT, work)
+    with pytest.raises(ValueError, match="predates"):
+        dl.read_delta(spark, work, timestamp_as_of=1700000000003)
+    assert dl.read_delta(
+        spark, work, timestamp_as_of=1700000000007
+    ).count() == 3
