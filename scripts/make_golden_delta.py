@@ -1418,31 +1418,35 @@ def make_cdf_table() -> None:
 
 def make_type_widening_table() -> None:
     """Reader v3 + typeWidening (delta 4.x): the schema's field metadata
-    records widenings (e.g. int→long) that the READER must apply when
-    older files carry the narrower parquet type — ignoring it would
-    misread bytes, so our gate must REFUSE this table by feature name,
-    never return plausible-but-wrong columns."""
+    records widenings the READER must apply when older files carry the
+    narrower parquet type. Round-10 posture: Spark promotes every
+    spec-allowed conversion natively, so this is a POSITIVE fixture —
+    one genuinely NARROW pre-widening file (int32 id, float32 v) plus a
+    post-widening wide file; a faithful read returns every row at the
+    widened types."""
     root = os.path.join(DATA_DIR, "golden_delta_tw")
     if os.path.isdir(root):
         shutil.rmtree(root)
-    rel1 = "part-00000-dddd4444-0000-4000-8000-000000000000-c000.snappy.parquet"
-    size1 = _write_plain_parquet(root, rel1, [(1, 1.0)])
-    schema = json.dumps(
+    os.makedirs(root)
+    # v0: NARROW file written before the widening
+    rel0 = "part-00000-dddd4444-0000-4000-8000-000000000000-c000.snappy.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int32()),
+                "v": pa.array([1.5, 2.5], pa.float32()),
+            }
+        ),
+        os.path.join(root, rel0),
+        compression="snappy",
+    )
+    narrow_schema = json.dumps(
         {
             "type": "struct",
             "fields": [
-                {
-                    "name": "id",
-                    "type": "long",
-                    "nullable": True,
-                    "metadata": {
-                        "delta.typeChanges": [
-                            {"fromType": "integer", "toType": "long",
-                             "tableVersion": 1}
-                        ]
-                    },
-                },
-                {"name": "v", "type": "double", "nullable": True,
+                {"name": "id", "type": "integer", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "float", "nullable": True,
                  "metadata": {}},
             ],
         },
@@ -1460,8 +1464,60 @@ def make_type_widening_table() -> None:
                     "writerFeatures": ["typeWidening"],
                 }
             },
-            _meta(schema),
-            _plain_add(rel1, size1),
+            _meta(narrow_schema),
+            _plain_add(rel0, os.path.getsize(os.path.join(root, rel0))),
+        ],
+    )
+    # v1: ALTER widens id->long, v->double (typeChanges recorded), and a
+    # WIDE file lands
+    rel1 = "part-00001-dddd4444-0000-4000-8000-000000000001-c000.snappy.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "v": pa.array([3.5], pa.float64()),
+            }
+        ),
+        os.path.join(root, rel1),
+        compression="snappy",
+    )
+    wide_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.typeChanges": [
+                            {"fromType": "integer", "toType": "long",
+                             "tableVersion": 1}
+                        ]
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.typeChanges": [
+                            {"fromType": "float", "toType": "double",
+                             "tableVersion": 1}
+                        ]
+                    },
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        1,
+        [
+            _meta(wide_schema),
+            _plain_add(rel1, os.path.getsize(os.path.join(root, rel1)),
+                       T0 + 60000),
         ],
     )
 

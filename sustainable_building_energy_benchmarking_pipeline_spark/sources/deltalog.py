@@ -745,6 +745,16 @@ class DeltaUnsupportedProtocol(Exception):
 #   ``vacuum_delta``), so declaring support is the spec-correct move:
 #   refusing would lock out tables that are byte-identical to readable
 #   ones.
+# - typeWidening (reader v3 + ``typeWidening``/-preview, round-10):
+#   the schemaString carries the WIDENED type while pre-widening files
+#   keep the narrow physical type; Spark's parquet reader promotes
+#   every spec-allowed conversion natively (int-family upcasts,
+#   float→double, int→double, date→timestampNtz, decimal
+#   precision/scale growth, int→decimal — all empirically verified), so
+#   reading with the current schema is already faithful. The per-field
+#   ``delta.typeChanges`` records are still VALIDATED against that
+#   allowlist (``_check_type_changes``) — an unknown future conversion
+#   refuses instead of mis-promoting.
 # Any remaining reader features change
 # what bytes mean on disk and are refused. Per spec, minReaderVersion 3
 # tables list their requirements in ``readerFeatures`` and MAY be
@@ -758,6 +768,8 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
         "timestampNtz",
         "v2Checkpoint",
         "vacuumProtocolCheck",
+        "typeWidening",
+        "typeWidening-preview",
     }
 )
 
@@ -818,6 +830,12 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         "v2Checkpoint",
         "domainMetadata",
         "clustering",
+        # typeWidening's writer duties: never narrow a type (schema
+        # evolution refuses type changes outright) and write new files
+        # at the CURRENT schema's types (schema enforcement pins every
+        # write to the declared types) — both held by construction
+        "typeWidening",
+        "typeWidening-preview",
     }
 )
 
@@ -1400,6 +1418,70 @@ def _guard_row_tracking_rewrite(
             )
 
 
+_INT_FAMILY = ("byte", "short", "integer", "long")
+_WIDENINGS: frozenset[tuple[str, str]] = frozenset(
+    [
+        (f, t)
+        for i, f in enumerate(_INT_FAMILY)
+        for t in _INT_FAMILY[i + 1 :]
+    ]
+    + [("float", "double"), ("date", "timestampNtz")]
+    + [(f, "double") for f in ("byte", "short", "integer")]
+)
+
+
+def _decimal_ps(t: str) -> tuple[int, int] | None:
+    m = re.match(r"decimal\((\d+),\s*(-?\d+)\)", str(t))
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _type_change_ok(frm: str, to: str) -> bool:
+    """Whether a recorded delta.typeChanges conversion is one Spark's
+    parquet reader promotes natively (the verified allowlist behind the
+    typeWidening reader support) — anything else refuses."""
+    if (frm, to) in _WIDENINGS:
+        return True
+    to_ps = _decimal_ps(to)
+    if to_ps is None:
+        return False
+    if frm in _INT_FAMILY:
+        return True
+    frm_ps = _decimal_ps(frm)
+    # decimal widening only: integer digits and scale both grow-or-hold
+    return frm_ps is not None and (
+        to_ps[1] >= frm_ps[1]
+        and to_ps[0] - to_ps[1] >= frm_ps[0] - frm_ps[1]
+    )
+
+
+def _check_type_changes(schema: T.StructType, path: str) -> None:
+    """Validate every ``delta.typeChanges`` record (typeWidening tables,
+    round-10) against the natively-promotable allowlist — an unknown
+    future conversion must refuse, never mis-promote bytes."""
+
+    def walk(dt: T.DataType) -> None:
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                for ch in f.metadata.get("delta.typeChanges") or []:
+                    frm, to = ch.get("fromType"), ch.get("toType")
+                    if not _type_change_ok(str(frm), str(to)):
+                        raise DeltaUnsupportedProtocol(
+                            f"Delta table at {path} records a type "
+                            f"widening {frm!r} -> {to!r} on column "
+                            f"{f.name!r} that this reader cannot "
+                            "promote — refusing rather than misread "
+                            "pre-widening files"
+                        )
+                walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    walk(schema)
+
+
 def _replay(
     path: str, version: int | None
 ) -> tuple[dict[str, dict], T.StructType, list[str], dict[str, Any]]:
@@ -1472,6 +1554,7 @@ def _replay(
     _check_read_protocol(proto, path, _column_mapping_mode(meta))
     if schema is None:
         raise ValueError(f"Delta log at {path} has no metaData action")
+    _check_type_changes(schema, path)
     return active, schema, partition_cols, meta
 
 

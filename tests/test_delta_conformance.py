@@ -1106,13 +1106,72 @@ def test_enable_in_commit_timestamps_spec_complete(spark, tmp_path):
     )
 
 
-def test_type_widening_read_refused(spark):
-    """typeWidening is a READER feature: the schema records widenings
-    older files need applied at read time — ignoring it would misread
-    bytes, so the gate must refuse BY NAME, never return
-    plausible-but-wrong columns."""
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="typeWidening"):
-        dl.read_delta(spark, GOLDEN_TW)
+def test_type_widening_reads_and_writes(spark, tmp_path):
+    """typeWidening (round-10): pre-widening NARROW files (int32/float32)
+    read back at the WIDENED schema types — Spark's parquet reader
+    promotes every spec-allowed conversion natively, and the recorded
+    delta.typeChanges are validated against that allowlist. Writes land
+    at the current (wide) types."""
+    df = dl.read_delta(spark, GOLDEN_TW)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "double",
+    ]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+        (1, 1.5), (2, 2.5), (3, 3.5),
+    ]
+    import shutil
+
+    work = str(tmp_path / "tw")
+    shutil.copytree(GOLDEN_TW, work)
+    dl.write_delta(
+        spark.createDataFrame([(4, 4.5)], "id long, v double"), work
+    )
+    assert dl.read_delta(spark, work).count() == 4
+    dl.delete_delta(spark, work, "id = 1")  # rewrite crosses file widths
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        2, 3, 4,
+    ]
+
+
+def test_type_widening_unknown_conversion_refuses(spark, tmp_path):
+    """A recorded conversion OUTSIDE the natively-promotable allowlist
+    (a future spec addition, or a corrupt record) must refuse by name —
+    never mis-promote bytes."""
+    import shutil
+
+    work = str(tmp_path / "tw")
+    shutil.copytree(GOLDEN_TW, work)
+    log1 = os.path.join(work, "_delta_log", "00000000000000000001.json")
+    acts = [json.loads(line) for line in open(log1)]
+    for a in acts:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"]["delta.typeChanges"] = [
+                {"fromType": "string", "toType": "long", "tableVersion": 1}
+            ]
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(log1, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="widening"):
+        dl.read_delta(spark, work)
+    # decimal NARROWING recorded as a "widening" refuses too
+    for a in acts:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"]["delta.typeChanges"] = [
+                {
+                    "fromType": "decimal(10,4)",
+                    "toType": "decimal(10,2)",
+                    "tableVersion": 1,
+                }
+            ]
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(log1, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="widening"):
+        dl.read_delta(spark, work)
 
 
 def test_our_own_tables_stay_below_the_gate(spark, tmp_path):

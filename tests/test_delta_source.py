@@ -36,6 +36,7 @@ def _rows(df):
         "golden_delta_cm",
         "golden_delta_cmid",
         "golden_delta_cm_nested",
+        "golden_delta_tw",
     ],
 )
 def test_batch_source_matches_read_delta(spark, fixture):
@@ -45,7 +46,13 @@ def test_batch_source_matches_read_delta(spark, fixture):
     path = os.path.join(DATA, fixture)
     via_source = spark.read.format("deltalog").load(path)
     native = dl.read_delta(spark, path)
-    assert via_source.schema == native.schema
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        _strip_field_metadata,
+    )
+
+    # the source strips Delta bookkeeping (typeChanges etc.) from field
+    # metadata; names+types must agree exactly
+    assert via_source.schema == _strip_field_metadata(native.schema)
     assert _rows(via_source) == _rows(native)
 
 
