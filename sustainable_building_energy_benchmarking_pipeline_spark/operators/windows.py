@@ -576,6 +576,8 @@ def sequence_pack(
     next-fit rule is deterministic and order-free of float state, so a
     SQL engine can replay it exactly (sequential recursion) — unlike
     first-fit-decreasing, whose bin search resists set logic.
+    ``order_col`` must be UNIQUE within each group (enforced): ties
+    would pack in nondeterministic arrival order.
     Reference precedent: none (the pandas reference has no packing);
     this is part of the round-4+ LLM-data-pipeline surface."""
     import pandas as pd
@@ -593,6 +595,15 @@ def sequence_pack(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable").reset_index(drop=True)
+        if pdf[order_col].duplicated().any():
+            # ties would pack in ARRIVAL order, which Spark does not fix
+            # across runs — the deterministic/oracle-replayable contract
+            # demands a total order within each group
+            raise ValueError(
+                f"sequence_pack: order column {order_col!r} has duplicate "
+                "values within a group — packing would be "
+                "nondeterministic; order by a unique key"
+            )
         toks = pdf[tokens_col].to_numpy()
         bins = []
         bin_id, fill = 1, 0

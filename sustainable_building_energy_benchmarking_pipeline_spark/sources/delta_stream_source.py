@@ -341,7 +341,7 @@ def _change_partitions(
     dataChange=false commits (OPTIMIZE) contribute nothing. Cost ∝
     changed files, never a snapshot."""
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
-        _commit_file,
+        _prev_commit_timestamp,
         _read_actions,
         _replay,
     )
@@ -363,14 +363,11 @@ def _change_partitions(
                     f"Delta change feed at {path}: schema changed at "
                     f"version {v} — restart the stream to adopt it"
                 )
-        info = next((a["commitInfo"] for a in actions if "commitInfo" in a), {})
-        ts = info.get("inCommitTimestamp") or info.get("timestamp")
-        if ts is None:
-            try:
-                ts = int(os.path.getmtime(_commit_file(path, v)) * 1000)
-            except OSError:
-                ts = 0
-        change_base = {"version": v, "ts_ms": int(ts)}
+        # the shared commit clock (ICT > commitInfo.timestamp > mtime) —
+        # same helper table_changes and timestampAsOf resolve with, so
+        # the streaming and batch CDF surfaces can never disagree
+        t = _prev_commit_timestamp(path, v)
+        change_base = {"version": v, "ts_ms": max(t, 0)}
         cdcs = [a["cdc"] for a in actions if "cdc" in a]
         if cdcs:
             phys_of = {
@@ -854,14 +851,15 @@ def _writer_preflight(
             "overwrite through this data source cannot emit the "
             "required _change_data files — use write_delta"
         )
+    # (overwrite+enabled-feed already raised above, so the grant is
+    # unconditional here: appends uphold CDF vacuously, disabled feeds
+    # ask nothing)
     _check_write_protocol(
         _latest_protocol(path, versions[-1]),
         path,
         extra_features=frozenset(
             {"rowTracking", "domainMetadata", "changeDataFeed"}
-        )
-        if not overwrite or not cdf_on
-        else frozenset({"rowTracking", "domainMetadata"}),
+        ),
         meta=meta,
     )
     if _column_mapping_mode(meta) in ("name", "id"):

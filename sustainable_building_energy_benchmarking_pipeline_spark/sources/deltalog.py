@@ -578,7 +578,6 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         # own scale valve), keeping every parquet write memory-bounded.
         # The same durability dance: sidecars and the checkpoint land
         # fully before the _last_checkpoint pointer flips.
-        n = len(rows) + len(add_rows)
         head = [
             {"checkpointMetadata": {"version": version, "tags": None}}
         ] + rows
@@ -617,6 +616,14 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         tmp = cp + f".{uuid.uuid4().hex}.tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, cp)
+        # the pointer's "size" = the number of actions the checkpoint
+        # STORES (main file + sidecar contents) — head already holds
+        # the adds inline when they did not spill
+        n = len(head) + (
+            len(add_rows)
+            if len(add_rows) > CHECKPOINT_MAX_ACTIONS_PER_PART
+            else 0
+        )
         ptr = json.dumps({"version": version, "size": n})
         ptr_tmp = _last_checkpoint_file(path) + f".{uuid.uuid4().hex}.tmp"
         with open(ptr_tmp, "w") as f:
@@ -1390,7 +1397,18 @@ def _guard_row_tracking_rewrite(
     do. Tables whose files carry only derived (fresh) row ids have
     nothing to preserve: no reader can reconstruct a stable identity
     for a rewritten row, so fresh re-assignment plus a high-water-mark
-    bump is the spec-valid posture (rewritten rows are new rows).
+    bump is the adopted posture (rewritten rows are new rows).
+
+    Honest spec note: on a delta.enableRowTracking=true table the spec
+    asks writers to preserve ids by MATERIALIZING them on rewrite —
+    delta-spark does exactly that, writing the hidden columns this
+    engine refuses on. Until non-materialized ids are rewritten here,
+    they were only ever FRESH (derivable solely from the live adds), so
+    re-assignment changes identities that no consumer could have relied
+    on as stable; once any file materializes them the guard refuses
+    rather than break a consumer that could. A future materializing
+    rewrite (stamping base+index into the reserved columns) would close
+    the gap fully.
 
     Cost: one parquet footer read per rewritten file — the same order
     as the rewrite itself, and only on rowTracking tables that reserve
@@ -1445,7 +1463,11 @@ def _type_change_ok(frm: str, to: str) -> bool:
     if to_ps is None:
         return False
     if frm in _INT_FAMILY:
-        return True
+        # the decimal must actually HOLD the integer type: the spec's
+        # minimum integer digits (10 for byte/short/int, 20 for long) —
+        # accepting long→decimal(5,0) would overflow mid-scan
+        need = 20 if frm == "long" else 10
+        return to_ps[0] - to_ps[1] >= need
     frm_ps = _decimal_ps(frm)
     # decimal widening only: integer digits and scale both grow-or-hold
     return frm_ps is not None and (
@@ -1933,6 +1955,21 @@ def _stage_cdc_actions(
     return actions
 
 
+def _discard_cdc_files(
+    path: str, cdc_actions: list[dict[str, Any]]
+) -> None:
+    """Best-effort removal of staged _change_data files after a FAILED
+    operation — without it every post-staging validation failure
+    orphans change files until vacuum's retention clock reclaims them.
+    (Commit-retry exhaustion keeps the shared orphan posture data files
+    have: invisible to readers, vacuum-reclaimable.)"""
+    for a in cdc_actions:
+        try:
+            os.remove(os.path.join(path, a["cdc"]["path"]))
+        except OSError:
+            pass
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -2351,7 +2388,9 @@ def _prev_commit_timestamp(path: str, version: int) -> int:
     except OSError:
         return -1
     info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
-    ts = info.get("inCommitTimestamp") or info.get("timestamp")
+    ts = info.get("inCommitTimestamp")
+    if ts is None:  # explicit None check: a legitimate clock of 0 counts
+        ts = info.get("timestamp")
     if ts is None:
         try:
             ts = int(os.path.getmtime(_commit_file(path, version)) * 1000)
@@ -2375,15 +2414,9 @@ def _stamp_in_commit_timestamp(
     ``inCommitTimestamp`` that is still monotonic is preserved (the
     enablement commit pins its own value so the
     delta.inCommitTimestampEnablement* keys can equal it exactly).
-    Identity when the feature is not enabled."""
-    meta = next((a["metaData"] for a in actions if "metaData" in a), None)
-    if meta is None:
-        if version == 0:
-            return actions
-        meta = _latest_metadata(path, version - 1)
-    config = meta.get("configuration", {})
-    if config.get("delta.enableInCommitTimestamps") != "true":
-        return actions
+    The CALLER decides enablement (one metadata probe shared with the
+    write gate — see _commit_with_retry's ict_on) so plain tables pay
+    zero extra log scans per commit."""
     info_action = next((a for a in actions if "commitInfo" in a), None)
     rest = [a for a in actions if "commitInfo" not in a]
     info = dict(info_action["commitInfo"]) if info_action else {
@@ -2472,19 +2505,38 @@ def _commit_with_retry(
     own_meta = any("metaData" in a or "protocol" in a for a in actions)
     own_txn_apps = {a["txn"]["appId"] for a in actions if "txn" in a}
     read_set = set(depends_on) | our_removes
+    # inCommitTimestamp enablement: the commit's OWN metaData (creation /
+    # ALTER / enablement commits) wins, else the snapshot's — probed
+    # below only when the protocol can possibly carry the feature, so
+    # plain tables pay no extra log scan per commit
+    own_meta_payload = next(
+        (a["metaData"] for a in actions if "metaData" in a), None
+    )
+    ict_on = (own_meta_payload or {}).get("configuration", {}).get(
+        "delta.enableInCommitTimestamps"
+    ) == "true"
     if version > 0 and not any("protocol" in a for a in actions):
         # spec-mandated writer gate: refuse to commit into a table whose
         # protocol demands capabilities this writer lacks. Transactions
         # that carry their own protocol action (constraint installs,
         # table creation) are the upgrade mechanism itself and exempt.
+        proto_now = _latest_protocol(path, version - 1)
+        need_meta = int(proto_now.get("minWriterVersion", 2)) in (
+            4, 5, 6,
+        ) or "inCommitTimestamp" in set(
+            proto_now.get("writerFeatures") or []
+        )
+        # metadata rides along only when something consumes it: the
+        # legacy v4-6 capability arm or the ICT stamp (v7 feature)
+        snap_meta = (
+            _latest_metadata(path, version - 1) if need_meta else None
+        )
+        if not ict_on and snap_meta is not None:
+            ict_on = snap_meta.get("configuration", {}).get(
+                "delta.enableInCommitTimestamps"
+            ) == "true"
         _check_write_protocol(
-            _latest_protocol(path, version - 1),
-            path,
-            commit_operation,
-            extra_features,
-            # meta always rides along: the legacy v4-6 arm needs it to
-            # prove which capabilities the table actually USES
-            _latest_metadata(path, version - 1),
+            proto_now, path, commit_operation, extra_features, snap_meta
         )
         _check_column_invariants_absent(path, version - 1)
     for attempt in range(max_retries + 1):
@@ -2492,7 +2544,9 @@ def _commit_with_retry(
             _commit(
                 path,
                 version,
-                _stamp_in_commit_timestamp(path, version, actions),
+                _stamp_in_commit_timestamp(path, version, actions)
+                if ict_on
+                else actions,
             )
             return version
         except FileExistsError:
@@ -2546,14 +2600,19 @@ def _commit_with_retry(
                 # a rival may have UPGRADED the protocol mid-retry — a
                 # blind append must re-gate before re-committing, or it
                 # would write into a table it no longer understands
+                # (and may have ENABLED inCommitTimestamps: re-probe)
+                latest_meta = _latest_metadata(path, latest)
                 _check_write_protocol(
                     _latest_protocol(path, latest),
                     path,
                     commit_operation,
                     extra_features,
-                    _latest_metadata(path, latest),
+                    latest_meta,
                 )
                 _check_column_invariants_absent(path, latest)
+                ict_on = ict_on or latest_meta.get("configuration", {}).get(
+                    "delta.enableInCommitTimestamps"
+                ) == "true"
             version = latest + 1
     raise AssertionError("unreachable")
 
@@ -2895,6 +2954,37 @@ def merge_delta(
     else:
         new_data = updates
 
+    if rt_feats and affected:
+        _guard_row_tracking_rewrite(path, config, set(affected), "MERGE")
+
+    # stage+move exactly like write_delta, then commit removes+adds in one
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    writer = _physical_frame(new_data, schema, cm_mode).write.mode(
+        "errorifexists"
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
+    writer.parquet(staging)
+    viol = _violated_constraint(spark, staging, schema, config, cm_mode)
+    if viol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
+            f"into Delta table at {path}"
+        )
+    gviol = _violated_generated(
+        spark, staging, schema, cm_mode, _generated_exprs(schema)
+    )
+    if gviol:
+        import shutil
+
+        shutil.rmtree(staging)
+        raise ValueError(
+            f"generated column {gviol[0]} must equal ({gviol[1]}) on "
+            f"every row MERGEd into Delta table at {path}"
+        )
     cdc_actions: list[dict[str, Any]] = []
     if _cdf_enabled(config):
         # CDF write contract: matched keys render as an update_preimage/
@@ -2926,37 +3016,6 @@ def merge_delta(
             )
         cdc_actions = _stage_cdc_actions(
             path, change_df, schema, partition_cols, cm_mode
-        )
-    if rt_feats and affected:
-        _guard_row_tracking_rewrite(path, config, set(affected), "MERGE")
-
-    # stage+move exactly like write_delta, then commit removes+adds in one
-    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    writer = _physical_frame(new_data, schema, cm_mode).write.mode(
-        "errorifexists"
-    )
-    if partition_cols:
-        writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
-    writer.parquet(staging)
-    viol = _violated_constraint(spark, staging, schema, config, cm_mode)
-    if viol:
-        import shutil
-
-        shutil.rmtree(staging)
-        raise ValueError(
-            f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
-            f"into Delta table at {path}"
-        )
-    gviol = _violated_generated(
-        spark, staging, schema, cm_mode, _generated_exprs(schema)
-    )
-    if gviol:
-        import shutil
-
-        shutil.rmtree(staging)
-        raise ValueError(
-            f"generated column {gviol[0]} must equal ({gviol[1]}) on "
-            f"every row MERGEd into Delta table at {path}"
         )
     adds = _move_staged_adds(staging, path, now_ms)
     tail = cdc_actions + [
@@ -3127,18 +3186,22 @@ def enable_in_commit_timestamps(path: str) -> int:
         meta["configuration"] = config
         proto = dict(_latest_protocol(path, versions[-1]))
         feats = set(proto.get("writerFeatures") or [])
-        if int(proto.get("minWriterVersion", 2)) < 7:
-            # v7 requires every implied legacy capability to be spelled
-            # out; our own ≤3 tables imply at most appendOnly/invariants/
-            # checkConstraints, all in the supported set
-            legacy = {
-                2: {"appendOnly", "invariants"},
-                3: {"appendOnly", "invariants", "checkConstraints"},
-            }
-            feats |= legacy.get(
-                int(proto.get("minWriterVersion", 2)),
-                {"appendOnly", "invariants", "checkConstraints"},
-            )
+        v_now = int(proto.get("minWriterVersion", 2))
+        if v_now < 7:
+            # v7 requires EVERY capability the legacy version implied to
+            # be spelled out, cumulatively (spec's legacy→feature map) —
+            # dropping, say, a v5 table's columnMapping from the new
+            # writerFeatures would let a feature-aware writer corrupt it
+            legacy_by_version = [
+                (2, {"appendOnly", "invariants"}),
+                (3, {"checkConstraints"}),
+                (4, {"changeDataFeed", "generatedColumns"}),
+                (5, {"columnMapping"}),
+                (6, {"identityColumns"}),
+            ]
+            for lv, lf in legacy_by_version:
+                if v_now >= lv:
+                    feats |= lf
         feats.add("inCommitTimestamp")
         proto["minWriterVersion"] = 7
         proto["writerFeatures"] = sorted(feats)
@@ -3534,19 +3597,23 @@ def delete_delta(
         )
 
     if use_dv:
-        committed = _delete_emit_dv(
-            spark,
-            path,
-            versions[-1],
-            cand,
-            phase1,
-            pred,
-            condition,
-            config,
-            proto,
-            extra_features=grants,
-            cdc_actions=cdc_actions,
-        )
+        try:
+            committed = _delete_emit_dv(
+                spark,
+                path,
+                versions[-1],
+                cand,
+                phase1,
+                pred,
+                condition,
+                config,
+                proto,
+                extra_features=grants,
+                cdc_actions=cdc_actions,
+            )
+        except Exception:
+            _discard_cdc_files(path, cdc_actions)
+            raise
         if committed is not None:
             return committed
         # fell through: too many matched rows for a bitmap — rewrite
@@ -3554,7 +3621,11 @@ def delete_delta(
     if rt_feats:
         # rewrite-path only: the DV path above preserves each re-added
         # file's baseRowId verbatim, so materialized row ids survive it
-        _guard_row_tracking_rewrite(path, config, hit_files, "DELETE")
+        try:
+            _guard_row_tracking_rewrite(path, config, hit_files, "DELETE")
+        except Exception:
+            _discard_cdc_files(path, cdc_actions)
+            raise
     keep_reader = spark.read.schema(_reader_schema(schema, cm_mode))
     if partition_cols:
         keep_reader = keep_reader.option("basePath", path)
@@ -3747,33 +3818,6 @@ def update_delta(
         )
 
     rewritten = _apply_regen(rewritten)
-    cdc_actions: list[dict[str, Any]] = []
-    if _cdf_enabled(config):
-        # CDF write contract: the matched rows ride in _change_data as
-        # an update_preimage/update_postimage pair — the rendering a
-        # file-granular derivation cannot produce; cost ∝ matched rows
-        matched = rows.filter(pred)
-        post = _apply_regen(
-            matched.select(
-                *[
-                    F.expr(set_exprs[c]).cast(by_field[c].dataType).alias(c)
-                    if c in set_exprs
-                    else F.col(c)
-                    for c in schema.fieldNames()
-                ]
-            )
-        )
-        cdc_actions = _stage_cdc_actions(
-            path,
-            matched.select(*schema.fieldNames())
-            .withColumn("_change_type", F.lit("update_preimage"))
-            .unionByName(
-                post.withColumn("_change_type", F.lit("update_postimage"))
-            ),
-            schema,
-            partition_cols,
-            cm_mode,
-        )
     if rt_feats:
         _guard_row_tracking_rewrite(path, config, hit_files, "UPDATE")
     rewritten = _physical_frame(rewritten, schema, cm_mode)
@@ -3805,6 +3849,33 @@ def update_delta(
         raise ValueError(
             f"generated column {gviol[0]} must equal ({gviol[1]}): the "
             f"UPDATE's SET list breaks it on Delta table at {path}"
+        )
+    cdc_actions: list[dict[str, Any]] = []
+    if _cdf_enabled(config):
+        # CDF write contract: the matched rows ride in _change_data as
+        # an update_preimage/update_postimage pair — the rendering a
+        # file-granular derivation cannot produce; cost ∝ matched rows
+        matched = rows.filter(pred)
+        post = _apply_regen(
+            matched.select(
+                *[
+                    F.expr(set_exprs[c]).cast(by_field[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in schema.fieldNames()
+                ]
+            )
+        )
+        cdc_actions = _stage_cdc_actions(
+            path,
+            matched.select(*schema.fieldNames())
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            ),
+            schema,
+            partition_cols,
+            cm_mode,
         )
     adds = _move_staged_adds(staging, path, now_ms)
     tail = cdc_actions + [
@@ -4761,8 +4832,17 @@ def table_changes(
     if since_timestamp is not None:
         # delta-spark's startingTimestamp: the window STARTS at the
         # first commit whose clock is >= the target — i.e. everything
-        # AFTER the latest commit strictly before it
+        # AFTER the latest commit strictly before it. A target past the
+        # LATEST commit raises like delta-spark ("startingTimestamp is
+        # after the latest commit") — an empty frame would read as "no
+        # changes" and let a mistyped cursor silently skip real ones.
         target = _ts_ms(since_timestamp)
+        latest_clock = _prev_commit_timestamp(path, versions[-1])
+        if latest_clock >= 0 and target > latest_clock:
+            raise ValueError(
+                f"since_timestamp {target} is after the latest commit "
+                f"of {path} (version {versions[-1]} at {latest_clock})"
+            )
         prior = [
             v
             for v in versions
@@ -4786,15 +4866,11 @@ def table_changes(
         if v <= since_version or v > to_version:
             continue
         acts = _read_actions(path, v)
-        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
-        ts = info.get("inCommitTimestamp") or info.get("timestamp")
-        if ts is None:
-            # commitInfo is OPTIONAL in the spec; delta-spark's own
-            # fallback clock is the commit file's modification time
-            try:
-                ts = int(os.path.getmtime(_commit_file(path, v)) * 1000)
-            except OSError:
-                ts = None
+        # one shared clock (ICT > commitInfo.timestamp > file mtime):
+        # _prev_commit_timestamp, the same precedence timestampAsOf and
+        # the streaming CDF source resolve with; -1 = unavailable
+        t = _prev_commit_timestamp(path, v)
+        ts = t if t >= 0 else None
         cdc_actions = [a["cdc"] for a in acts if "cdc" in a]
         if cdc_actions:
             part = _load_cdc_files(

@@ -2462,3 +2462,104 @@ def test_timestamp_as_of_prefers_in_commit_timestamp(spark, tmp_path):
     assert dl.read_delta(
         spark, work, timestamp_as_of=1700000000007
     ).count() == 3
+
+
+def test_enable_ict_preserves_legacy_implied_features(spark, tmp_path):
+    """Review r10: upgrading a legacy v4-6 table to writer v7 for ICT
+    must spell out EVERY capability the legacy version implied —
+    dropping columnMapping from a v5 table's new writerFeatures would
+    let a feature-aware external writer corrupt it."""
+    import shutil
+
+    work = str(tmp_path / "cm_ict")
+    shutil.copytree(GOLDEN_CM, work)  # minWriterVersion 5 (legacy CM)
+    v = dl.enable_in_commit_timestamps(work)
+    proto = dl._latest_protocol(work, v)
+    feats = set(proto["writerFeatures"])
+    assert {
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "inCommitTimestamp",
+    } <= feats
+    # and the upgraded CM table still takes stamped appends
+    v2 = dl.write_delta(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"), work
+    )
+    acts = dl._read_actions(work, v2)
+    assert "commitInfo" in acts[0]
+    assert acts[0]["commitInfo"]["inCommitTimestamp"] > 0
+
+
+def test_type_widening_decimal_precision_floor(spark, tmp_path):
+    """Review r10: long→decimal demands >= 20 integer digits — a
+    recorded long→decimal(5,0) would overflow mid-scan and must refuse;
+    long→decimal(20,0) passes."""
+    import shutil
+
+    work = str(tmp_path / "tw")
+    shutil.copytree(GOLDEN_TW, work)
+    log1 = os.path.join(work, "_delta_log", "00000000000000000001.json")
+    acts = [json.loads(line) for line in open(log1)]
+
+    def _set_change(frm, to):
+        for a in acts:
+            if "metaData" in a:
+                sch = json.loads(a["metaData"]["schemaString"])
+                sch["fields"][0]["metadata"]["delta.typeChanges"] = [
+                    {"fromType": frm, "toType": to, "tableVersion": 1}
+                ]
+                a["metaData"]["schemaString"] = json.dumps(sch)
+        with open(log1, "w") as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+
+    _set_change("long", "decimal(5,0)")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="widening"):
+        dl.read_delta(spark, work)
+    _set_change("integer", "decimal(10,0)")
+    assert dl._type_change_ok("long", "decimal(20,0)")
+    assert not dl._type_change_ok("long", "decimal(21,2)")
+    assert dl._type_change_ok("integer", "decimal(12,2)")
+
+
+def test_table_changes_future_since_timestamp_raises(spark, tmp_path):
+    """Review r10: a since_timestamp past the latest commit raises
+    (delta-spark parity) — an empty frame would let a mistyped cursor
+    silently skip real changes."""
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path
+    )
+    latest = dl._prev_commit_timestamp(path, 0)
+    with pytest.raises(ValueError, match="after the latest commit"):
+        dl.table_changes(spark, path, since_timestamp=latest + 60_000)
+
+
+def test_failed_update_leaves_no_change_data_orphans(spark, tmp_path):
+    """Review r10: cdc files stage only AFTER every validation on a
+    CDF table, so a refused UPDATE (generated-column break) leaves
+    _change_data empty instead of orphaning change files."""
+    path = str(tmp_path / "gen_cdf")
+    _make_generated_table(spark, path, v7=True)
+    log0 = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"]["writerFeatures"] = [
+                "generatedColumns", "changeDataFeed",
+            ]
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableChangeDataFeed"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="generated column v2"):
+        dl.update_delta(spark, path, "id = 1", {"v2": "0.0D"})
+    cd = os.path.join(path, "_change_data")
+    assert not os.path.isdir(cd) or not os.listdir(cd)
+    # a SUCCEEDING update on the same table emits its pair
+    v = dl.update_delta(spark, path, "id = 1", {"v": "v + 1"})
+    tc = dl.table_changes(spark, path, v - 1, v).collect()
+    assert {r["_change_type"] for r in tc} == {
+        "update_preimage", "update_postimage",
+    }

@@ -541,3 +541,10 @@ def test_sequence_pack_greedy_semantics(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         sequence_pack(df, "g", "i", "t", budget=0)
+    # review r10: duplicate order keys would pack in nondeterministic
+    # arrival order — must refuse, not silently wobble
+    dup = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20)], "g string, i long, t long"
+    )
+    with _pytest.raises(Exception, match="duplicate"):
+        sequence_pack(dup, "g", "i", "t", budget=100).collect()
