@@ -2719,6 +2719,7 @@ def read_delta(
     partition_filter: dict[str, Any] | None = None,
     where: tuple[str, str, Any] | None = None,
     timestamp_as_of: int | float | str | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read as of ``version`` (default latest). The file list
     comes from the log, never from directory listing — uncommitted
@@ -2738,6 +2739,14 @@ def read_delta(
       files without the needed metadata are kept. The same predicate
       should still be applied to the returned DataFrame; pruning bounds
       IO, it does not implement the filter.
+
+    ``with_row_ids=True`` (round-10, rowTracking READ surface —
+    delta-spark's ``_metadata.row_id``): appends a ``_row_id`` long
+    column — the file's MATERIALIZED row-id value when the reserved
+    hidden column exists, else the spec's fresh derivation
+    ``baseRowId + row_index``. One broadcast map join (≤ one row per
+    file) over the scan; refuses when any active file lacks a
+    baseRowId stamp (not a rowTracking table, or partial enablement).
     """
     if timestamp_as_of is not None:
         if version is not None:
@@ -2786,15 +2795,42 @@ def read_delta(
         active = {
             rel: a for rel, a in active.items() if _may_satisfy(a, phys_where)
         }
+    from pyspark.sql import functions as F
+
     if not active:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if with_row_ids:
+            empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+        return empty
     files = [os.path.join(path, rel) for rel in sorted(active)]
     dv_by_rel = {
         rel: a["deletionVector"]
         for rel, a in active.items()
         if a.get("deletionVector")
     }
-    reader = spark.read.schema(_reader_schema(schema, cm_mode))
+    read_schema = _reader_schema(schema, cm_mode)
+    mat_col = None
+    if with_row_ids:
+        missing = sorted(
+            rel for rel, a in active.items() if a.get("baseRowId") is None
+        )
+        if missing:
+            raise ValueError(
+                f"with_row_ids: active files of {path} carry no "
+                f"baseRowId stamp ({missing[:5]}) — not a rowTracking "
+                "table, or enablement never backfilled them"
+            )
+        mat_col = dict(meta.get("configuration", {})).get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        )
+        if mat_col:
+            # the hidden column may exist in SOME files: request it,
+            # absent files fill with null and fall back to derivation
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [T.StructField(mat_col, T.LongType(), True)]
+            )
+    reader = spark.read.schema(read_schema)
     if partition_cols:
         # hive-layout partition columns materialize from the dir names;
         # basePath anchors inference when an explicit file list is given.
@@ -2804,10 +2840,47 @@ def read_delta(
         # commonly declare partition columns first)
         reader = reader.option("basePath", path)
     df = reader.parquet(*files)
+    if with_row_ids:
+        # materialize the file key + physical row index BEFORE any join
+        # (the _metadata pseudo-column is undefined after one); same
+        # suffix-keyed matching the DV machinery uses
+        rels = sorted(active)
+        depth = _dv_suffix_depth(rels)
+        if depth is None:
+            depth = 1
+            basenames = [os.path.basename(r) for r in rels]
+            if len(set(basenames)) != len(basenames):
+                raise ValueError(
+                    f"files of {path} share a basename across mixed-"
+                    "depth directories — row-id attachment would be "
+                    "ambiguous"
+                )
+        df = df.withColumn("_rt_fname", _dv_file_key_col(depth)).withColumn(
+            "_rt_ridx", F.col("_metadata.row_index")
+        )
     if dv_by_rel:
         df = _apply_deletion_vectors(
             spark, path, df, dv_by_rel, all_rels=list(active)
         )
+    if with_row_ids:
+        base_map = spark.createDataFrame(
+            [
+                (
+                    "/".join(rel.split(os.sep)[-depth:]),
+                    int(active[rel]["baseRowId"]),
+                )
+                for rel in rels
+            ],
+            "_rt_fname string, _rt_base long",
+        )
+        df = df.join(F.broadcast(base_map), "_rt_fname")
+        derived = F.col("_rt_base") + F.col("_rt_ridx")
+        df = df.withColumn(
+            "_row_id",
+            F.coalesce(F.col(mat_col), derived) if mat_col else derived,
+        )
+        out = _present_logical(df, schema, cm_mode, extras=("_row_id",))
+        return out
     if cm:
         return _to_logical_columns(df, schema)
     return df.select(*schema.fieldNames())

@@ -2563,3 +2563,84 @@ def test_failed_update_leaves_no_change_data_orphans(spark, tmp_path):
     assert {r["_change_type"] for r in tc} == {
         "update_preimage", "update_postimage",
     }
+
+
+def test_read_with_row_ids(spark, tmp_path):
+    """Round-10 rowTracking READ surface: _row_id = materialized value
+    when the hidden column exists, else baseRowId + row_index; DV
+    deletes keep survivors' ids; plain tables refuse."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_read")
+    got = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, work, with_row_ids=True).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # materialized ids in file1 override the derivation
+    target = os.path.join(
+        work, "part-00000-aaaa1111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    )
+    tbl = pq.read_table(target)
+    tbl = tbl.append_column(
+        "_row-id-col-0", pa.array([100, 101, 102], pa.int64())
+    )
+    pq.write_table(tbl, target)
+    got2 = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, work, with_row_ids=True).collect()
+    }
+    assert got2 == {1: 100, 2: 101, 3: 102, 4: 3, 5: 4}
+    # an append keeps fresh derivation above the mark
+    dl.write_delta(
+        spark.createDataFrame([(6, 6.0)], "id long, v double"), work
+    )
+    got3 = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, work, with_row_ids=True).collect()
+    }
+    assert got3[6] == 5
+    # plain tables refuse
+    plain = str(tmp_path / "plain")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), plain
+    )
+    with pytest.raises(ValueError, match="baseRowId"):
+        dl.read_delta(spark, plain, with_row_ids=True)
+
+
+def test_read_with_row_ids_dv_survivors(spark, tmp_path):
+    """A DV delete keeps surviving rows' _row_id stable — the property
+    the DV path's verbatim re-add exists to protect."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_read_dv")
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": [
+                    "rowTracking", "domainMetadata", "deletionVectors",
+                ],
+            }
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableDeletionVectors"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    before = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, work, with_row_ids=True).collect()
+    }
+    dl.delete_delta(spark, work, "id = 2", use_dv=True)
+    after = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, work, with_row_ids=True).collect()
+    }
+    assert 2 not in after
+    assert after == {k: v for k, v in before.items() if k != 2}
