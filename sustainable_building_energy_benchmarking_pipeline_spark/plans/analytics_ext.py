@@ -16,6 +16,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import (
+    Q50_SQL as _Q50_SQL,
+)
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QuerySpec, _t
 
 
@@ -2833,6 +2836,47 @@ ORDER BY doc_id
 """
 
 
+def z17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split (round-10): the failure mode a
+    dedup pipeline exists to prevent is a near-duplicate of a training
+    document landing in the holdout — so the SPLIT UNIT must be the
+    near-dup CLUSTER, never the document. Reuses q50's verified
+    MinHash-LSH + connected-components machinery, then assigns each
+    cluster (and every doc in it) by its representative's doc_id:
+    rep % 10 < 8 → train (80%), else holdout — pure integer arithmetic,
+    so the DuckDB oracle replays the split bit-for-bit on top of the
+    same recursive-closure cluster oracle. Scale shape: inherits q50's
+    bucketed LSH + pointer-jumping (no all-pairs anywhere); the split
+    itself is a free projection."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, threshold=0.5, num_hashes=32, bands=16)
+    return (
+        clusters.select(
+            "doc_id",
+            "cluster_rep",
+            F.when(F.pmod(F.col("cluster_rep"), F.lit(10)) < 8, "train")
+            .otherwise("holdout")
+            .alias("split"),
+        ).orderBy("doc_id")
+    )
+
+
+Z17_SQL = f"""
+WITH q50 AS (
+{_Q50_SQL}
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN cluster_rep % 10 < 8 THEN 'train' ELSE 'holdout' END
+         AS split
+FROM q50
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2880,4 +2924,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z14_ngram_novelty": QuerySpec(z14_ngram_novelty, Z14_SQL),
     "z15_semdedup": QuerySpec(z15_semdedup, Z15_SQL),
     "z16_sequence_pack": QuerySpec(z16_sequence_pack, Z16_SQL),
+    "z17_leakage_safe_split": QuerySpec(z17_leakage_safe_split, Z17_SQL),
 }

@@ -1410,3 +1410,16 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, bin_id
 FROM rec
 ORDER BY doc_id
 """
+
+# z17: the split rides on q50's cluster labels — same unrolled
+# propagation, one CASE on the representative's integer parity
+SPARK_SQL["z17_leakage_safe_split"] = f"""
+WITH q50 AS (
+{SPARK_SQL["q50_dedup_clusters"]}
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN cluster_rep % 10 < 8 THEN 'train' ELSE 'holdout' END
+         AS split
+FROM q50
+ORDER BY doc_id
+"""

@@ -630,3 +630,30 @@ def test_semdedup_default_matches_explicit_k(embeddings):
         ).collect()
     }
     assert auto == pinned and auto
+
+
+def test_z17_no_near_dup_straddles_split(spark, oracle_sf_dir):
+    """The leakage property itself: every MinHash-verified near-dup pair
+    lands entirely in train or entirely in holdout, and the cluster-
+    level assignment is ~80/20."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    split = QUERIES["z17_leakage_safe_split"].fn(spark, oracle_sf_dir)
+    by_doc = {r["doc_id"]: r["split"] for r in split.collect()}
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=32, bands=16
+    ).collect()
+    assert pairs  # the fixture corpus is duplicate-bearing by design
+    for r in pairs:
+        assert by_doc[r["id_a"]] == by_doc[r["id_b"]], (
+            r["id_a"], r["id_b"],
+        )
+    reps = {r["cluster_rep"] for r in split.collect()}
+    train_reps = sum(1 for rep in reps if rep % 10 < 8)
+    assert 0.6 < train_reps / len(reps) < 0.95
