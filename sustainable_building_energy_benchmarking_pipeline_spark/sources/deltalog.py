@@ -1240,8 +1240,9 @@ def _check_write_protocol(
     pass ``columnMapping`` (writes rename to physical columns; rewrite
     paths read physical parquet and present logical); round-10 adds
     ``rowTracking``/``domainMetadata`` (write_delta appends and the DML
-    verbs' fresh re-stamp via ``_commit_row_tracking``, guarded by
-    ``_guard_row_tracking_rewrite``) and ``changeDataFeed`` (appends
+    verbs' re-stamp via ``_commit_row_tracking``, with rewrites
+    preserving materialized ids per ``_row_tracking_rewrite_mode``)
+    and ``changeDataFeed`` (appends
     uphold it vacuously per the spec — add-only commits derive as
     inserts — while overwrite/DELETE/UPDATE/MERGE emit ``cdc`` actions
     and ``_change_data`` files when the feed is enabled), so the gate
@@ -1376,64 +1377,162 @@ def _row_tracking_dml_features(proto: dict[str, Any]) -> frozenset[str]:
     domainMetadata high-water-mark bump. Empty when the protocol does
     not list rowTracking (the grant would be meaningless noise in the
     gate's error message). Callers that rewrite EXISTING rows must also
-    pass their rewrite set through ``_guard_row_tracking_rewrite``
-    before staging — re-assignment is only spec-valid while no file
-    materializes stable row ids."""
+    consult ``_row_tracking_rewrite_mode`` before staging — when the
+    table reserves materialized column names the rewrite must PRESERVE
+    stable ids by stamping them into those columns."""
     if "rowTracking" not in set(proto.get("writerFeatures") or []):
         return frozenset()
     return frozenset({"rowTracking", "domainMetadata"})
 
 
-def _guard_row_tracking_rewrite(
+def _row_tracking_rewrite_mode(
     path: str,
     config: dict[str, str],
     rewrite_rels: list[str] | set[str],
     operation: str,
-) -> None:
-    """Refuse a file rewrite that would CORRUPT stable row ids: when any
-    file about to be rewritten materializes row ids / commit versions
-    (the hidden columns named by the reserved configuration keys), the
-    spec demands the rewrite PRESERVE them — which this writer cannot
-    do. Tables whose files carry only derived (fresh) row ids have
-    nothing to preserve: no reader can reconstruct a stable identity
-    for a rewritten row, so fresh re-assignment plus a high-water-mark
-    bump is the adopted posture (rewritten rows are new rows).
+) -> tuple[str, str] | None:
+    """How a file-rewriting DML verb upholds rowTracking (round-11,
+    the MATERIALIZING rewrite — closes the last rowTracking write wall):
 
-    Honest spec note: on a delta.enableRowTracking=true table the spec
-    asks writers to preserve ids by MATERIALIZING them on rewrite —
-    delta-spark does exactly that, writing the hidden columns this
-    engine refuses on. Until non-materialized ids are rewritten here,
-    they were only ever FRESH (derivable solely from the live adds), so
-    re-assignment changes identities that no consumer could have relied
-    on as stable; once any file materializes them the guard refuses
-    rather than break a consumer that could. A future materializing
-    rewrite (stamping base+index into the reserved columns) would close
-    the gap fully.
+    - ``(mid, mcv)``: the table reserves BOTH hidden column names
+      (``delta.rowTracking.materialized*ColumnName`` — delta-spark sets
+      them at enablement), so the rewrite PRESERVES row identity by
+      stamping each surviving row's stable row id — and, for rows copied
+      without modification, its stable commit version — into those
+      columns of the rewritten files. Exactly the writer obligation the
+      spec states for enabled tables, and what delta-spark itself does
+      on its rewrites: stable value = coalesce(materialized, derived
+      from baseRowId/defaultRowCommitVersion), so a table that has been
+      through any mix of delta-spark and this engine's DML keeps one
+      consistent identity per row.
+    - ``None``: rowTracking is NOT enabled and nothing materializes ids
+      — every id was only ever FRESH (derivable solely from the live
+      adds), so fresh re-assignment plus a high-water-mark bump is
+      spec-valid (rewritten rows are new rows).
+    - raises ``DeltaUnsupportedProtocol`` when preservation is required
+      but impossible: ``delta.enableRowTracking=true`` with the
+      reserved names absent (nowhere to stamp — a state delta-spark
+      never produces), or a file materializing ids under a
+      half-reserved configuration.
 
-    Cost: one parquet footer read per rewritten file — the same order
-    as the rewrite itself, and only on rowTracking tables that reserve
-    materialized column names."""
-    mat_cols = {
-        config.get(k) for k in _MATERIALIZED_ROW_TRACKING_KEYS
-    } - {None}
+    Cost of the refusal probe: one parquet footer read per rewritten
+    file, only in the half-reserved corner; the materializing path
+    itself decides from configuration alone."""
+    names = [config.get(k) for k in _MATERIALIZED_ROW_TRACKING_KEYS]
+    if all(names):
+        return names[0], names[1]
+    if config.get("delta.enableRowTracking") == "true":
+        raise DeltaUnsupportedProtocol(
+            f"Delta table at {path}: {operation} must preserve stable "
+            "row ids across the rewrite (delta.enableRowTracking=true) "
+            "but the table reserves no materialized row-tracking column "
+            "names to stamp them into — refusing rather than corrupt "
+            "row identity"
+        )
+    mat_cols = set(names) - {None}
     if not mat_cols:
-        return
+        return None
     import pyarrow.parquet as pq
 
     for rel in sorted(rewrite_rels):
         try:
-            names = set(pq.read_schema(os.path.join(path, rel)).names)
+            fnames = set(pq.read_schema(os.path.join(path, rel)).names)
         except OSError:
             continue  # unreadable footer refuses later, at the scan
-        hit = names & mat_cols
+        hit = fnames & mat_cols
         if hit:
             raise DeltaUnsupportedProtocol(
                 f"Delta table at {path}: {operation} would rewrite "
                 f"{rel}, which materializes row tracking columns "
-                f"{sorted(hit)} — the spec requires preserving those "
-                "stable row ids across the rewrite, which this writer "
-                "cannot do; refusing rather than corrupt row identity"
+                f"{sorted(hit)} under a half-reserved configuration — "
+                "cannot preserve both stable row ids and commit "
+                "versions; refusing rather than corrupt row identity"
             )
+    return None
+
+
+def _rt_read_schema(
+    read_schema: T.StructType, mat: tuple[str, str]
+) -> T.StructType:
+    """The reader schema extended with the two reserved materialized
+    row-tracking columns (nullable longs): files that carry them yield
+    the stable values, files that don't fill with null and fall back to
+    the fresh derivation."""
+    return T.StructType(
+        list(read_schema.fields)
+        + [
+            T.StructField(mat[0], T.LongType(), True),
+            T.StructField(mat[1], T.LongType(), True),
+        ]
+    )
+
+
+def _rt_suffix_depth(rels, path: str) -> int:
+    """Uniform path depth for suffix-keyed per-file joins (the DV
+    machinery's key), falling back to basename with a loud ambiguity
+    refusal on mixed-depth external layouts."""
+    depth = _dv_suffix_depth(rels)
+    if depth is not None:
+        return depth
+    basenames = [os.path.basename(r) for r in rels]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError(
+            f"files of {path} share a basename across mixed-depth "
+            "directories — per-file row-id attachment would be ambiguous"
+        )
+    return 1
+
+
+def _rt_capture(df: DataFrame, depth: int) -> DataFrame:
+    """Stamp the per-row file key + physical row index a stable-row-id
+    computation needs — must run on the RAW reader output, before any
+    join/projection drops the ``_metadata`` pseudo-column."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_rt_fname", _dv_file_key_col(depth)).withColumn(
+        "_rt_ridx", F.col("_metadata.row_index")
+    )
+
+
+def _rt_stamp_stable(
+    spark: SparkSession,
+    df: DataFrame,
+    rels,
+    actions_by_rel: dict[str, dict],
+    mat: tuple[str, str],
+    depth: int,
+) -> DataFrame:
+    """Overwrite the materialized row-tracking columns of a captured
+    read with each row's STABLE values: ``coalesce(materialized,
+    baseRowId + row_index)`` for the row id and ``coalesce(materialized,
+    defaultRowCommitVersion)`` for the commit version — the read-side
+    rule, applied at rewrite time so the rewritten files PRESERVE it.
+    One broadcast map join (≤ one row per file); adds that were never
+    stamped (no baseRowId) contribute null, honestly marking their rows
+    as having no stable identity."""
+    from pyspark.sql import functions as F
+
+    mid, mcv = mat
+    base_map = spark.createDataFrame(
+        [
+            (
+                "/".join(rel.split(os.sep)[-depth:]),
+                actions_by_rel[rel].get("baseRowId"),
+                actions_by_rel[rel].get("defaultRowCommitVersion"),
+            )
+            for rel in rels
+        ],
+        "_rt_fname string, _rt_base long, _rt_dcv long",
+    )
+    return (
+        df.join(F.broadcast(base_map), "_rt_fname")
+        .withColumn(
+            mid,
+            F.coalesce(F.col(f"`{mid}`"), F.col("_rt_base") + F.col("_rt_ridx")),
+        )
+        .withColumn(mcv, F.coalesce(F.col(f"`{mcv}`"), F.col("_rt_dcv")))
+        .drop("_rt_fname", "_rt_ridx", "_rt_base", "_rt_dcv")
+    )
 
 
 _INT_FAMILY = ("byte", "short", "integer", "long")
@@ -2845,19 +2944,8 @@ def read_delta(
         # (the _metadata pseudo-column is undefined after one); same
         # suffix-keyed matching the DV machinery uses
         rels = sorted(active)
-        depth = _dv_suffix_depth(rels)
-        if depth is None:
-            depth = 1
-            basenames = [os.path.basename(r) for r in rels]
-            if len(set(basenames)) != len(basenames):
-                raise ValueError(
-                    f"files of {path} share a basename across mixed-"
-                    "depth directories — row-id attachment would be "
-                    "ambiguous"
-                )
-        df = df.withColumn("_rt_fname", _dv_file_key_col(depth)).withColumn(
-            "_rt_ridx", F.col("_metadata.row_index")
-        )
+        depth = _rt_suffix_depth(rels, path)
+        df = _rt_capture(df, depth)
     if dv_by_rel:
         df = _apply_deletion_vectors(
             spark, path, df, dv_by_rel, all_rels=list(active)
@@ -3002,13 +3090,26 @@ def merge_delta(
     actions: list[dict[str, Any]] = [
         _remove_action(rel, a, now_ms) for rel, a in affected.items()
     ]
+    rt_mat = (
+        _row_tracking_rewrite_mode(path, config, set(affected), "MERGE")
+        if (rt_feats and affected)
+        else None
+    )
+    rt_extras: tuple = ()
     if affected:
-        files = [os.path.join(path, rel) for rel in sorted(affected)]
-        reader = spark.read.schema(_reader_schema(schema, cm_mode))
+        rels_sorted = sorted(affected)
+        files = [os.path.join(path, rel) for rel in rels_sorted]
+        old_schema = _reader_schema(schema, cm_mode)
+        if rt_mat:
+            old_schema = _rt_read_schema(old_schema, rt_mat)
+        reader = spark.read.schema(old_schema)
         if partition_cols:
             # partition columns materialize from the hive dir names
             reader = reader.option("basePath", path)
         old = reader.parquet(*files)
+        if rt_mat:
+            rt_depth = _rt_suffix_depth(rels_sorted, path)
+            old = _rt_capture(old, rt_depth)
         # apply-and-rewrite: a DV-bearing affected file is read WITHOUT
         # its deleted rows and rewritten DV-free — rewriting the raw
         # parquet would resurrect them
@@ -3021,20 +3122,46 @@ def merge_delta(
             old = _apply_deletion_vectors(
                 spark, path, old, dv_affected, all_rels=sorted(affected)
             )
-        old = _present_logical(old, schema, cm_mode)
+        if rt_mat:
+            old = _rt_stamp_stable(
+                spark, old, rels_sorted, affected, rt_mat, rt_depth
+            )
+            rt_extras = rt_mat
+        old = _present_logical(old, schema, cm_mode, extras=rt_extras)
         kept = old.join(updates.select(key), on=key, how="left_anti")
-        new_data = kept.unionByName(updates.select(*schema.fieldNames()))
+        if rt_mat:
+            # identity across the upsert: a matched source row REPLACES
+            # its target row(s) and inherits the stable row id (min() of
+            # the replaced set — deterministic when a key legally repeats
+            # in the target); its commit version nulls out so the new
+            # add's defaultRowCommitVersion (this commit) applies.
+            # Unmatched source rows are true inserts: both null → fresh.
+            mid_c, mcv_c = rt_mat
+            surv_ids = old.groupBy(key).agg(
+                F.min(F.col(f"`{mid_c}`")).alias(mid_c)
+            )
+            upd = (
+                updates.select(*schema.fieldNames())
+                .join(surv_ids, on=key, how="left")
+                .withColumn(mcv_c, F.lit(None).cast("long"))
+            )
+            new_data = kept.unionByName(
+                upd.select(
+                    *schema.fieldNames(),
+                    F.col(f"`{mid_c}`"),
+                    F.col(f"`{mcv_c}`"),
+                )
+            )
+        else:
+            new_data = kept.unionByName(updates.select(*schema.fieldNames()))
     else:
         new_data = updates
 
-    if rt_feats and affected:
-        _guard_row_tracking_rewrite(path, config, set(affected), "MERGE")
-
     # stage+move exactly like write_delta, then commit removes+adds in one
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    writer = _physical_frame(new_data, schema, cm_mode).write.mode(
-        "errorifexists"
-    )
+    writer = _physical_frame(
+        new_data, schema, cm_mode, extras=rt_extras
+    ).write.mode("errorifexists")
     if partition_cols:
         writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
@@ -3101,9 +3228,10 @@ def merge_delta(
         }
     ]
     if rt_feats:
-        # fresh re-assignment: rewritten + inserted rows land with fresh
-        # ids above the bumped high-water mark (guard above excludes
-        # tables whose files materialize stable ids)
+        # adds get fresh baseRowId/defaultRowCommitVersion above the
+        # bumped high-water mark; with materialized columns reserved,
+        # kept rows carry preserved id+version, updated rows a preserved
+        # id (version defaults to this commit), inserts derive fresh
         return _commit_row_tracking(
             path, actions, adds, tail, "mutate", 5, grants
         )
@@ -3691,20 +3819,30 @@ def delete_delta(
             return committed
         # fell through: too many matched rows for a bitmap — rewrite
 
+    rt_mat: tuple[str, str] | None = None
     if rt_feats:
         # rewrite-path only: the DV path above preserves each re-added
         # file's baseRowId verbatim, so materialized row ids survive it
         try:
-            _guard_row_tracking_rewrite(path, config, hit_files, "DELETE")
+            rt_mat = _row_tracking_rewrite_mode(
+                path, config, hit_files, "DELETE"
+            )
         except Exception:
             _discard_cdc_files(path, cdc_actions)
             raise
-    keep_reader = spark.read.schema(_reader_schema(schema, cm_mode))
+    rels_sorted = sorted(hit_files)
+    keep_schema = _reader_schema(schema, cm_mode)
+    if rt_mat:
+        keep_schema = _rt_read_schema(keep_schema, rt_mat)
+    keep_reader = spark.read.schema(keep_schema)
     if partition_cols:
         keep_reader = keep_reader.option("basePath", path)
     keep = keep_reader.parquet(
-        *[os.path.join(path, rel) for rel in sorted(hit_files)]
+        *[os.path.join(path, rel) for rel in rels_sorted]
     )
+    if rt_mat:
+        rt_depth = _rt_suffix_depth(rels_sorted, path)
+        keep = _rt_capture(keep, rt_depth)
     dv_hit = {rel: dv_cand[rel] for rel in hit_files if rel in dv_cand}
     if dv_hit:
         # apply-and-rewrite: survivors of a DV-bearing file exclude its
@@ -3712,8 +3850,18 @@ def delete_delta(
         keep = _apply_deletion_vectors(
             spark, path, keep, dv_hit, all_rels=sorted(hit_files)
         )
-    keep = _present_logical(keep, schema, cm_mode).filter(~pred)
-    keep = _physical_frame(keep, schema, cm_mode)
+    rt_extras: tuple = ()
+    if rt_mat:
+        # DELETE survivors are unmodified copies: preserve BOTH the
+        # stable row id and the stable commit version
+        keep = _rt_stamp_stable(
+            spark, keep, rels_sorted, cand, rt_mat, rt_depth
+        )
+        rt_extras = rt_mat
+    keep = _present_logical(
+        keep, schema, cm_mode, extras=rt_extras
+    ).filter(~pred)
+    keep = _physical_frame(keep, schema, cm_mode, extras=rt_extras)
     now_ms = int(time.time() * 1000)
     removes: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
@@ -3736,10 +3884,10 @@ def delete_delta(
         }
     ]
     if rt_feats:
-        # fresh re-assignment posture: surviving rows land in NEW files
-        # with fresh baseRowId/defaultRowCommitVersion and the high-water
-        # mark bumps — spec-valid while no file materializes stable ids
-        # (the guard above), and the retry loop re-stamps per attempt
+        # the new files still get fresh baseRowId/defaultRowCommitVersion
+        # (delta-spark does the same) — but when the table reserves the
+        # materialized columns, every surviving row carries its PRESERVED
+        # stable id/commit version in them, which coalesce-wins on read
         return _commit_row_tracking(
             path, removes, adds, tail, "mutate", 5, grants
         )
@@ -3850,17 +3998,47 @@ def update_delta(
     if not hit_files:
         return versions[-1]
 
-    reader = spark.read.schema(_reader_schema(schema, cm_mode))
+    rt_mat = (
+        _row_tracking_rewrite_mode(path, config, hit_files, "UPDATE")
+        if rt_feats
+        else None
+    )
+    rels_sorted = sorted(hit_files)
+    rows_schema = _reader_schema(schema, cm_mode)
+    if rt_mat:
+        rows_schema = _rt_read_schema(rows_schema, rt_mat)
+    reader = spark.read.schema(rows_schema)
     if partition_cols:
         reader = reader.option("basePath", path)
-    rows = reader.parquet(*[os.path.join(path, rel) for rel in sorted(hit_files)])
+    rows = reader.parquet(*[os.path.join(path, rel) for rel in rels_sorted])
+    if rt_mat:
+        rt_depth = _rt_suffix_depth(rels_sorted, path)
+        rows = _rt_capture(rows, rt_depth)
     dv_hit = {rel: dv_cand[rel] for rel in hit_files if rel in dv_cand}
     if dv_hit:
         rows = _apply_deletion_vectors(
             spark, path, rows, dv_hit, all_rels=sorted(hit_files)
         )
-    rows = _present_logical(rows, schema, cm_mode)
+    rt_extras: tuple = ()
+    if rt_mat:
+        rows = _rt_stamp_stable(spark, rows, rels_sorted, cand, rt_mat, rt_depth)
+        rt_extras = rt_mat
+    rows = _present_logical(rows, schema, cm_mode, extras=rt_extras)
     by_field = {f.name: f for f in schema.fields}
+    rt_cols = []
+    if rt_mat:
+        # preservation split: EVERY surviving row keeps its stable row
+        # id; only unmodified copies keep the stable commit version —
+        # updated rows null it out so the new add's
+        # defaultRowCommitVersion (the updating commit) applies, exactly
+        # delta-spark's rewrite semantics
+        mid_c, mcv_c = rt_mat
+        rt_cols = [
+            F.col(f"`{mid_c}`").alias(mid_c),
+            F.when(pred, F.lit(None).cast("long"))
+            .otherwise(F.col(f"`{mcv_c}`"))
+            .alias(mcv_c),
+        ]
     rewritten = rows.select(
         *[
             F.when(pred, F.expr(set_exprs[c]).cast(by_field[c].dataType))
@@ -3869,7 +4047,8 @@ def update_delta(
             if c in set_exprs
             else F.col(c)
             for c in schema.fieldNames()
-        ]
+        ],
+        *rt_cols,
     )
     # generated columns the SET list leaves untouched recompute from the
     # POST-SET values (delta-spark behavior) — identity for unmatched
@@ -3878,7 +4057,7 @@ def update_delta(
         g: e for g, e in _generated_exprs(schema) if g not in set_exprs
     }
 
-    def _apply_regen(frame: DataFrame) -> DataFrame:
+    def _apply_regen(frame: DataFrame, extras: tuple = ()) -> DataFrame:
         if not regen:
             return frame
         return frame.select(
@@ -3887,13 +4066,12 @@ def update_delta(
                 if c in regen
                 else F.col(c)
                 for c in schema.fieldNames()
-            ]
+            ],
+            *[F.col(f"`{e}`") for e in extras],
         )
 
-    rewritten = _apply_regen(rewritten)
-    if rt_feats:
-        _guard_row_tracking_rewrite(path, config, hit_files, "UPDATE")
-    rewritten = _physical_frame(rewritten, schema, cm_mode)
+    rewritten = _apply_regen(rewritten, extras=rt_extras)
+    rewritten = _physical_frame(rewritten, schema, cm_mode, extras=rt_extras)
     now_ms = int(time.time() * 1000)
     removes: list[dict[str, Any]] = [
         _remove_action(rel, cand[rel], now_ms) for rel in sorted(hit_files)
@@ -3964,8 +4142,10 @@ def update_delta(
         }
     ]
     if rt_feats:
-        # fresh re-assignment: rewritten files get fresh ids above the
-        # bumped high-water mark (guard above excludes materialized ids)
+        # new adds get fresh baseRowId/defaultRowCommitVersion; when the
+        # table reserves materialized columns the rows carry PRESERVED
+        # ids (and, for unmodified copies, commit versions) that
+        # coalesce-win over the fresh defaults on read
         return _commit_row_tracking(
             path, removes, adds, tail, "mutate", 5, grants
         )
@@ -4511,19 +4691,29 @@ def optimize_delta(
     if not work:
         return None
     rewrite = {rel: a for g in work.values() for rel, a in g.items()}
-    if rt_feats:
-        _guard_row_tracking_rewrite(path, config, set(rewrite), "OPTIMIZE")
-    files = [os.path.join(path, rel) for rel in sorted(rewrite)]
+    rt_mat = (
+        _row_tracking_rewrite_mode(path, config, set(rewrite), "OPTIMIZE")
+        if rt_feats
+        else None
+    )
+    rels_sorted = sorted(rewrite)
+    files = [os.path.join(path, rel) for rel in rels_sorted]
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(rel, a, now_ms, data_change=False)
         for rel, a in rewrite.items()
     ]
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    reader = spark.read.schema(_reader_schema(schema, cm_mode))
+    snap_schema = _reader_schema(schema, cm_mode)
+    if rt_mat:
+        snap_schema = _rt_read_schema(snap_schema, rt_mat)
+    reader = spark.read.schema(snap_schema)
     if partition_cols:
         reader = reader.option("basePath", path)
     snapshot = reader.parquet(*files)
+    if rt_mat:
+        rt_depth = _rt_suffix_depth(rels_sorted, path)
+        snapshot = _rt_capture(snapshot, rt_depth)
     dv_active = {
         rel: a["deletionVector"]
         for rel, a in rewrite.items()
@@ -4536,7 +4726,16 @@ def optimize_delta(
         snapshot = _apply_deletion_vectors(
             spark, path, snapshot, dv_active, all_rels=list(rewrite)
         )
-    snapshot = _present_logical(snapshot, schema, cm_mode)
+    rt_extras: tuple = ()
+    if rt_mat:
+        # compaction copies every row unmodified: preserve BOTH stable
+        # values — the spec's core rowTracking promise (OPTIMIZE must
+        # never change row identity)
+        snapshot = _rt_stamp_stable(
+            spark, snapshot, rels_sorted, rewrite, rt_mat, rt_depth
+        )
+        rt_extras = rt_mat
+    snapshot = _present_logical(snapshot, schema, cm_mode, extras=rt_extras)
     n_out = max(1, target_files) * len(work)
     if zorder_by:
         missing = set(zorder_by) - set(snapshot.columns)
@@ -4563,9 +4762,9 @@ def optimize_delta(
             clustered = snapshot.repartition(len(work), *partition_cols)
     else:
         clustered = snapshot.coalesce(target_files)
-    writer = _physical_frame(clustered, schema, cm_mode).write.mode(
-        "errorifexists"
-    )
+    writer = _physical_frame(
+        clustered, schema, cm_mode, extras=rt_extras
+    ).write.mode("errorifexists")
     if partition_cols:
         writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
@@ -4583,9 +4782,9 @@ def optimize_delta(
         }
     ]
     if rt_feats:
-        # compacted files get fresh ids (spec: fresh row ids are not
-        # preserved when rows are copied; the guard above refuses when
-        # any input file materializes STABLE ids); dataChange stays
+        # compacted adds get fresh defaults, but with materialized
+        # columns reserved every copied row carries its PRESERVED stable
+        # id+commit version (coalesce-wins on read); dataChange stays
         # false on the stamped adds — _commit_row_tracking copies it
         return _commit_row_tracking(
             path, actions, adds, tail, "mutate", 5, grants

@@ -1868,28 +1868,127 @@ def test_row_tracking_optimize_restamps(spark, tmp_path):
     assert dl._row_id_high_water_mark(work, v) == 9  # five compacted rows
 
 
-def test_row_tracking_materialized_rewrite_refuses(spark, tmp_path):
-    """A data file that MATERIALIZES row ids (the hidden column named by
-    delta.rowTracking.materializedRowIdColumnName) demands preservation
-    across rewrites — which this writer cannot do: every rewriting verb
-    must refuse rather than corrupt stable row identity."""
+def _row_ids(spark, work):
+    return {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, work, with_row_ids=True).collect()
+    }
+
+
+def test_row_tracking_delete_preserves_materialized_ids(spark, tmp_path):
+    """Round-11 materializing rewrite: DELETE on a table that reserves
+    the materialized row-tracking column names stamps every surviving
+    row's STABLE row id into the reserved hidden column — the pre/post
+    ``with_row_ids=True`` reads agree on every surviving row, including
+    rows whose OLD file already materialized ids (the delta-spark-
+    rewritten steady state the round-10 guard refused on)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mat")
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mat_del")
+    # simulate a delta-spark rewrite: file0 materializes ids 100..102
     target = os.path.join(
         work, "part-00000-aaaa1111-0000-4000-8000-000000000000-c000.snappy.parquet"
     )
     tbl = pq.read_table(target)
-    tbl = tbl.append_column("_row-id-col-0", pa.array([0, 1, 2], pa.int64()))
+    tbl = tbl.append_column(
+        "_row-id-col-0", pa.array([100, 101, 102], pa.int64())
+    )
     pq.write_table(tbl, target)
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="materializ"):
+    before = _row_ids(spark, work)
+    assert before == {1: 100, 2: 101, 3: 102, 4: 3, 5: 4}
+    v = dl.delete_delta(spark, work, "id in (1, 4)")
+    after = _row_ids(spark, work)
+    assert after == {2: 101, 3: 102, 5: 4}
+    # the rewritten files carry the materialized columns physically
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    for a in adds:
+        names = set(pq.read_schema(os.path.join(work, a["path"])).names)
+        assert {"_row-id-col-0", "_row-commit-version-col-0"} <= names
+    # unmodified copies also preserve their stable COMMIT VERSION
+    # (fixture defaultRowCommitVersion = 0, no prior materialization)
+    for a in adds:
+        t = pq.read_table(os.path.join(work, a["path"]))
+        assert set(t.column("_row-commit-version-col-0").to_pylist()) == {0}
+
+
+def test_row_tracking_update_preserves_ids_bumps_version(spark, tmp_path):
+    """UPDATE preserves every row's stable id; the UPDATED row's commit
+    version moves to the updating commit (materialized null → the new
+    add's defaultRowCommitVersion) while copied rows keep theirs."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mat_upd")
+    before = _row_ids(spark, work)
+    v = dl.update_delta(spark, work, "id = 4", {"v": "v * 10"})
+    after = _row_ids(spark, work)
+    assert after == before  # identity survives the rewrite verbatim
+    rows = {
+        r["id"]: r
+        for r in dl.read_delta(spark, work).collect()
+    }
+    assert rows[4]["v"] == 40.0
+    # commit versions: copied row 5 keeps 0, updated row 4 reads as v
+    import pyarrow.parquet as pq
+
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    assert len(adds) == 1
+    t = pq.read_table(os.path.join(work, adds[0]["path"]))
+    by_id = dict(
+        zip(t.column("id").to_pylist(),
+            t.column("_row-commit-version-col-0").to_pylist())
+    )
+    assert by_id[5] == 0  # unmodified copy: stable version preserved
+    assert by_id[4] is None  # updated: defaults to the committing version
+
+
+def test_row_tracking_merge_preserves_and_inserts_fresh(spark, tmp_path):
+    """MERGE: kept rows and matched-updated rows keep their stable ids
+    (the update inherits the replaced row's identity); NOT-MATCHED
+    inserts derive fresh ids above the bumped high-water mark."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mat_mrg")
+    before = _row_ids(spark, work)
+    updates = spark.createDataFrame(
+        [(5, 50.0), (6, 6.0)], "id long, v double"
+    )
+    dl.merge_delta(spark, work, updates, "id")
+    after = _row_ids(spark, work)
+    assert {k: after[k] for k in before} == before  # 1..5 all preserved
+    assert after[6] >= 5  # fresh id for the insert, above the old mark
+    assert len(set(after.values())) == 6  # no id collisions
+
+
+def test_row_tracking_optimize_preserves_ids(spark, tmp_path):
+    """OPTIMIZE never changes row identity: the compacted file carries
+    every row's stable id+commit version materialized."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_mat_opt")
+    before = _row_ids(spark, work)
+    dl.optimize_delta(spark, work, target_files=1)
+    assert _row_ids(spark, work) == before
+
+
+def test_row_tracking_enabled_without_reserved_names_refuses(spark, tmp_path):
+    """delta.enableRowTracking=true with NO reserved materialized column
+    names (a state delta-spark never produces): preservation is required
+    but there is nowhere to stamp it — rewriting verbs refuse; appends
+    still land."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_noname")
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            for k in (
+                "delta.rowTracking.materializedRowIdColumnName",
+                "delta.rowTracking.materializedRowCommitVersionColumnName",
+            ):
+                a["metaData"]["configuration"].pop(k, None)
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="reserve"):
         dl.delete_delta(spark, work, "id = 1")
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="materializ"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="reserve"):
         dl.update_delta(spark, work, "id = 1", {"v": "0.0"})
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="materializ"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="reserve"):
         dl.optimize_delta(spark, work, target_files=1)
-    # appends never rewrite existing files — still fine
     v = dl.write_delta(
         spark.createDataFrame([(6, 6.0)], "id long, v double"), work
     )
