@@ -570,7 +570,12 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
                 }
             }
         )
-    if meta.get("configuration", {}).get("delta.checkpointPolicy") == "v2":
+    if meta.get("configuration", {}).get(
+        "delta.checkpointPolicy"
+    ) == "v2" and "v2Checkpoint" in (
+        set(proto.get("readerFeatures") or [])
+        & set(proto.get("writerFeatures") or [])
+    ):
         # v2 checkpoint (round-10, delta.checkpointPolicy=v2): ONE
         # uuid-named file carrying the spec-required checkpointMetadata
         # action; above the per-file action cap the FILE actions move to
@@ -578,6 +583,11 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         # own scale valve), keeping every parquet write memory-bounded.
         # The same durability dance: sidecars and the checkpoint land
         # fully before the _last_checkpoint pointer flips.
+        # Emitted ONLY when the protocol lists v2Checkpoint on BOTH
+        # sides (ADVICE r10): a classic reader following _last_checkpoint
+        # cannot resolve a uuid-named file, and once cleanup_log drops
+        # the commits below it the table would become unreadable to it —
+        # a config key without the feature falls back to classic format.
         head = [
             {"checkpointMetadata": {"version": version, "tags": None}}
         ] + rows
@@ -617,13 +627,15 @@ def write_checkpoint(path: str, version: int | None = None) -> int:
         pq.write_table(table, tmp)
         os.replace(tmp, cp)
         # the pointer's "size" = the number of actions the checkpoint
-        # STORES (main file + sidecar contents) — head already holds
-        # the adds inline when they did not spill
-        n = len(head) + (
-            len(add_rows)
-            if len(add_rows) > CHECKPOINT_MAX_ACTIONS_PER_PART
-            else 0
-        )
+        # STORES — when spilled, that is the head's NON-sidecar actions
+        # plus the file actions living in the sidecars: counting the
+        # sidecar reference actions on top of the adds they reference
+        # would inflate the figure external consumers see (ADVICE r10)
+        if len(add_rows) > CHECKPOINT_MAX_ACTIONS_PER_PART:
+            n_sidecars = sum(1 for a in head if "sidecar" in a)
+            n = (len(head) - n_sidecars) + len(add_rows)
+        else:
+            n = len(head)
         ptr = json.dumps({"version": version, "size": n})
         ptr_tmp = _last_checkpoint_file(path) + f".{uuid.uuid4().hex}.tmp"
         with open(ptr_tmp, "w") as f:
@@ -2638,6 +2650,22 @@ def _commit_with_retry(
             proto_now, path, commit_operation, extra_features, snap_meta
         )
         _check_column_invariants_absent(path, version - 1)
+    elif version > 0 and not ict_on and own_meta_payload is None:
+        # ADVICE r10: a commit carrying a protocol action but NO
+        # metaData on an ICT-enabled table must still stamp an
+        # inCommitTimestamp (every-commit-after-enablement obligation) —
+        # probe the snapshot's configuration whenever any relevant
+        # protocol (prior or carried) lists the feature
+        feats = set(
+            _latest_protocol(path, version - 1).get("writerFeatures") or []
+        )
+        for a in actions:
+            if "protocol" in a:
+                feats |= set(a["protocol"].get("writerFeatures") or [])
+        if "inCommitTimestamp" in feats:
+            ict_on = _latest_metadata(path, version - 1).get(
+                "configuration", {}
+            ).get("delta.enableInCommitTimestamps") == "true"
     for attempt in range(max_retries + 1):
         try:
             _commit(
@@ -2786,27 +2814,52 @@ def _ts_ms(ts: int | float | str) -> int:
     return int(dt.timestamp() * 1000)
 
 
+def _adjusted_commit_timestamps(
+    path: str, versions: list[int]
+) -> dict[int, int]:
+    """delta-spark's MONOTONIZED commit clocks (round-11, ADVICE r10):
+    per version, ``max(own clock, predecessor's adjusted clock + 1)``.
+    Pre-ICT clocks can regress (multi-writer wall-clock skew, the
+    commit-file-mtime fallback); searching raw clocks could then resolve
+    a timestamp PAST a commit newer than the target, or make a
+    since_timestamp window silently skip commits. delta-spark adjusts
+    before every timestamp search — match it. A version with no
+    resolvable clock at all (-1) inherits predecessor+1 once any
+    predecessor had one."""
+    adj: dict[int, int] = {}
+    prev = -1
+    for v in versions:
+        t = _prev_commit_timestamp(path, v)
+        if prev >= 0:
+            t = max(t, prev + 1)
+        adj[v] = t
+        if t >= 0:
+            prev = t
+    return adj
+
+
 def version_at_timestamp(path: str, ts: int | float | str) -> int:
     """Delta's ``timestampAsOf`` resolution (round-10): the LATEST
     retained version whose commit clock is ≤ the target — per commit,
     ``inCommitTimestamp`` > ``commitInfo.timestamp`` > commit-file
-    mtime, the same precedence ``table_changes`` uses. Raises when the
-    target predates the first retained commit (delta-spark's
-    before-earliest error)."""
+    mtime, the same precedence ``table_changes`` uses, monotonized
+    across versions exactly like delta-spark (see
+    ``_adjusted_commit_timestamps``). Raises when the target predates
+    the first retained commit (delta-spark's before-earliest error)."""
     target = _ts_ms(ts)
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
+    adj = _adjusted_commit_timestamps(path, versions)
     best: int | None = None
     for v in versions:
-        t = _prev_commit_timestamp(path, v)
-        if 0 <= t <= target:
+        if 0 <= adj[v] <= target:
             best = v
     if best is None:
-        first = _prev_commit_timestamp(path, versions[0])
         raise ValueError(
             f"timestamp {target} predates the first retained commit of "
-            f"{path} (version {versions[0]} at {first}) — nothing to read"
+            f"{path} (version {versions[0]} at {adj[versions[0]]}) — "
+            "nothing to read"
         )
     return best
 
@@ -3302,6 +3355,25 @@ def set_table_properties(
             "feature and the enablement keys to land in the same commit "
             "— use enable_in_commit_timestamps(path)"
         )
+    if props.get("delta.checkpointPolicy") == "v2":
+        # V2-format checkpoints are only legal once the protocol lists
+        # the v2Checkpoint feature on BOTH sides (ADVICE r10): the key
+        # alone would make write_checkpoint fall back to classic, but
+        # accepting it here would leave the table claiming a policy its
+        # protocol cannot honor — the dedicated helper lands the
+        # protocol upgrade and the key in one commit
+        vs = _list_versions(path)
+        proto = _latest_protocol(path, vs[-1]) if vs else {}
+        if "v2Checkpoint" not in (
+            set(proto.get("readerFeatures") or [])
+            & set(proto.get("writerFeatures") or [])
+        ):
+            raise ValueError(
+                "cannot SET delta.checkpointPolicy=v2 via table "
+                "properties: the spec requires the v2Checkpoint reader+"
+                "writer feature before V2-format checkpoints are "
+                "written — use enable_v2_checkpoints(path)"
+            )
     for _attempt in range(6):
         versions = _list_versions(path)
         if not versions:
@@ -3429,6 +3501,75 @@ def enable_in_commit_timestamps(path: str) -> int:
     raise DeltaConcurrentModification(
         f"enable_in_commit_timestamps on {path}: lost 6 consecutive "
         "version races"
+    )
+
+
+def enable_v2_checkpoints(path: str) -> int:
+    """ALTER TABLE ... SET delta.checkpointPolicy=v2 the spec-complete
+    way (round-11, ADVICE r10): ONE commit that (1) upgrades the
+    protocol to reader v3 / writer v7 with ``v2Checkpoint`` in BOTH
+    feature lists (legacy-implied capabilities spelled out cumulatively,
+    same map as ``enable_in_commit_timestamps``) and (2) sets the
+    config key — so ``write_checkpoint`` starts emitting uuid-named
+    V2-format checkpoints only once every reader is guaranteed to
+    understand them. No-op if already enabled."""
+    for _attempt in range(6):
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        meta = dict(_latest_metadata(path, versions[-1]))
+        config = dict(meta.get("configuration", {}))
+        proto = dict(_latest_protocol(path, versions[-1]))
+        rfeats = set(proto.get("readerFeatures") or [])
+        wfeats = set(proto.get("writerFeatures") or [])
+        if (
+            config.get("delta.checkpointPolicy") == "v2"
+            and "v2Checkpoint" in (rfeats & wfeats)
+        ):
+            return versions[-1]
+        config["delta.checkpointPolicy"] = "v2"
+        meta["configuration"] = config
+        r_now = int(proto.get("minReaderVersion", 1))
+        w_now = int(proto.get("minWriterVersion", 2))
+        if r_now < 3 and r_now >= 2:
+            # legacy reader v2 implied columnMapping — spell it out
+            rfeats.add("columnMapping")
+        if w_now < 7:
+            legacy_by_version = [
+                (2, {"appendOnly", "invariants"}),
+                (3, {"checkConstraints"}),
+                (4, {"changeDataFeed", "generatedColumns"}),
+                (5, {"columnMapping"}),
+                (6, {"identityColumns"}),
+            ]
+            for lv, lf in legacy_by_version:
+                if w_now >= lv:
+                    wfeats |= lf
+        rfeats.add("v2Checkpoint")
+        wfeats.add("v2Checkpoint")
+        proto["minReaderVersion"] = 3
+        proto["minWriterVersion"] = 7
+        proto["readerFeatures"] = sorted(rfeats)
+        proto["writerFeatures"] = sorted(wfeats)
+        actions: list[dict[str, Any]] = [
+            {"protocol": proto},
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": {"delta.checkpointPolicy": "v2"}
+                    },
+                }
+            },
+        ]
+        try:
+            return _commit_with_retry(path, versions[-1] + 1, actions, max_retries=0)
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentModification(
+        f"enable_v2_checkpoints on {path}: lost 6 consecutive version races"
     )
 
 
@@ -5109,17 +5250,14 @@ def table_changes(
         # after the latest commit") — an empty frame would read as "no
         # changes" and let a mistyped cursor silently skip real ones.
         target = _ts_ms(since_timestamp)
-        latest_clock = _prev_commit_timestamp(path, versions[-1])
+        adj = _adjusted_commit_timestamps(path, versions)
+        latest_clock = adj[versions[-1]]
         if latest_clock >= 0 and target > latest_clock:
             raise ValueError(
                 f"since_timestamp {target} is after the latest commit "
                 f"of {path} (version {versions[-1]} at {latest_clock})"
             )
-        prior = [
-            v
-            for v in versions
-            if 0 <= _prev_commit_timestamp(path, v) < target
-        ]
+        prior = [v for v in versions if 0 <= adj[v] < target]
         since_version = prior[-1] if prior else versions[0] - 1
     if to_timestamp is not None:
         if to_version is not None:

@@ -2743,3 +2743,168 @@ def test_read_with_row_ids_dv_survivors(spark, tmp_path):
     }
     assert 2 not in after
     assert after == {k: v for k, v in before.items() if k != 2}
+
+
+# ---- round-11: ADVICE r10 fixes — v2-checkpoint gating, monotonized ----
+# timestamps, unconditional ICT probe, sidecar-aware pointer size
+
+
+def test_checkpoint_policy_v2_requires_feature(spark, tmp_path):
+    """delta.checkpointPolicy=v2 without the v2Checkpoint protocol
+    feature: set_table_properties refuses (pointing at the enable
+    helper), and a hand-injected key makes write_checkpoint FALL BACK
+    to the classic format — a classic reader following _last_checkpoint
+    must always be able to resolve the file it names."""
+    import glob
+
+    work = str(tmp_path / "plaincp")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        work,
+    )
+    with pytest.raises(ValueError, match="enable_v2_checkpoints"):
+        dl.set_table_properties(work, {"delta.checkpointPolicy": "v2"})
+    # hand-inject the key (an external writer could): classic fallback
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"].setdefault("configuration", {})[
+                "delta.checkpointPolicy"
+            ] = "v2"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    cp_v = dl.write_checkpoint(work)
+    assert os.path.exists(dl._checkpoint_file(work, cp_v))  # classic name
+    assert not glob.glob(
+        os.path.join(work, "_delta_log", f"{cp_v:020d}.checkpoint.*-*.parquet")
+    )
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [1, 2]
+
+
+def test_enable_v2_checkpoints_upgrades_protocol_atomically(spark, tmp_path):
+    """enable_v2_checkpoints lands the reader/writer feature AND the
+    policy key in ONE commit; write_checkpoint then emits the uuid-named
+    V2 format and the table still replays exactly."""
+    import glob
+
+    work = str(tmp_path / "upv2")
+    dl.write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), work
+    )
+    v = dl.enable_v2_checkpoints(work)
+    proto = dl._latest_protocol(work, v)
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    cfg = dl.table_configuration(work)
+    assert cfg["delta.checkpointPolicy"] == "v2"
+    assert dl.enable_v2_checkpoints(work) == v  # idempotent no-op
+    dl.write_delta(
+        spark.createDataFrame([(2, 2.0)], "id long, v double"), work
+    )
+    cp_v = dl.write_checkpoint(work)
+    cps = glob.glob(
+        os.path.join(work, "_delta_log", f"{cp_v:020d}.checkpoint.*.parquet")
+    )
+    assert len(cps) == 1 and not os.path.exists(dl._checkpoint_file(work, cp_v))
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [1, 2]
+
+
+def test_v2_checkpoint_pointer_size_counts_actions_once(
+    spark, tmp_path, monkeypatch
+):
+    """A spilled v2 checkpoint's _last_checkpoint 'size' counts non-file
+    head actions plus file actions ONCE — sidecar reference actions are
+    no longer double-counted on top of the adds they reference."""
+    import shutil
+
+    work = str(tmp_path / "v2size")
+    shutil.copytree(GOLDEN_V2CP, work)
+    dl.set_table_properties(work, {"delta.checkpointPolicy": "v2"})
+    monkeypatch.setattr(dl, "CHECKPOINT_MAX_ACTIONS_PER_PART", 1)
+    dl.write_delta(
+        spark.createDataFrame([(5, 5.0)], "id long, v double"), work
+    )
+    cp_v = dl.write_checkpoint(work)
+    ptr = json.load(open(os.path.join(work, "_delta_log", "_last_checkpoint")))
+    assert ptr["version"] == cp_v
+    stored = dl._read_checkpoint_actions(work, cp_v)
+    # stored actions = what an external consumer can enumerate from the
+    # checkpoint (head non-file actions + sidecar file actions), plus
+    # the checkpointMetadata action itself (stored but never surfaced
+    # by replay) — the sidecar REFERENCE actions are counted no more
+    assert ptr["size"] == len(stored) + 1
+
+
+def test_version_at_timestamp_monotonizes_clock_regressions(spark, tmp_path):
+    """Pre-ICT commit clocks can regress (multi-writer skew / mtime
+    fallback). delta-spark monotonizes before the timestampAsOf search;
+    so do we: a regressed commit reads as predecessor+1, so a target
+    between the true clocks can never resolve PAST a newer commit."""
+    work = str(tmp_path / "skew")
+    for i in range(3):
+        dl.write_delta(
+            spark.createDataFrame([(i, float(i))], "id long, v double"),
+            work,
+            mode="append",
+        )
+    logd = os.path.join(work, "_delta_log")
+    clocks = {0: 1_000_000, 1: 2_000_000, 2: 1_500_000}  # v2 regresses
+    for v, ts in clocks.items():
+        f = os.path.join(logd, f"{v:020d}.json")
+        acts = [json.loads(line) for line in open(f)]
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(f, "w") as fh:
+            for a in acts:
+                fh.write(json.dumps(a) + "\n")
+    adj = dl._adjusted_commit_timestamps(work, [0, 1, 2])
+    assert adj == {0: 1_000_000, 1: 2_000_000, 2: 2_000_001}
+    # raw search would have returned v2 (clock 1.5M <= 1.9M target),
+    # resolving a snapshot PAST commit v1 (2.0M > target); adjusted
+    # search stops at v0 — no commit newer than the target leaks in
+    assert dl.version_at_timestamp(work, 1_900_000) == 0
+    assert dl.read_delta(
+        spark, work, timestamp_as_of=1_900_000
+    ).count() == 1
+    assert dl.version_at_timestamp(work, 2_000_000) == 1
+    assert dl.version_at_timestamp(work, 2_000_001) == 2
+    # since_timestamp windows use the same adjusted clocks: a window
+    # opening at 1.9M must include the regressed v2 commit
+    tc = dl.table_changes(spark, work, since_timestamp=1_900_000)
+    assert sorted(r["_commit_version"] for r in tc.collect()) == [1, 2]
+
+
+def test_ict_stamped_on_protocol_only_commit(spark, tmp_path):
+    """ADVICE r10 (latent): a commit carrying a protocol action but NO
+    metaData on an ICT-enabled table must still land with an
+    inCommitTimestamp — the probe no longer hides inside the
+    no-protocol branch."""
+    import shutil
+
+    work = str(tmp_path / "ict_proto")
+    shutil.copytree(GOLDEN_ICT, work)
+    proto = dict(dl._latest_protocol(work, dl._list_versions(work)[-1]))
+    feats = set(proto.get("writerFeatures") or [])
+    feats.add("domainMetadata")
+    proto["writerFeatures"] = sorted(feats)
+    v = dl._commit_with_retry(
+        work,
+        dl._list_versions(work)[-1] + 1,
+        [
+            {"protocol": proto},
+            {
+                "commitInfo": {
+                    "timestamp": int(1e12),
+                    "operation": "UPGRADE PROTOCOL",
+                }
+            },
+        ],
+    )
+    acts = dl._read_actions(work, v)
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert ci.get("inCommitTimestamp") is not None
+    assert ci["inCommitTimestamp"] > 0
