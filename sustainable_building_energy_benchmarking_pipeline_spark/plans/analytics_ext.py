@@ -2847,22 +2847,19 @@ def z17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle replays the split bit-for-bit on top of the
     same recursive-closure cluster oracle. Scale shape: inherits q50's
     bucketed LSH + pointer-jumping (no all-pairs anywhere); the split
-    itself is a free projection."""
+    itself is a free projection. Round-11: the split lives in
+    ``operators.dedup.leakage_safe_split``, which accepts PRECOMPUTED
+    cluster labels so a pipeline that already ran q50 never pays for
+    the LSH twice (``plans.curation.curate_and_split`` is that
+    composition)."""
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
-        dedup_clusters,
+        leakage_safe_split,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    clusters = dedup_clusters(docs, threshold=0.5, num_hashes=32, bands=16)
-    return (
-        clusters.select(
-            "doc_id",
-            "cluster_rep",
-            F.when(F.pmod(F.col("cluster_rep"), F.lit(10)) < 8, "train")
-            .otherwise("holdout")
-            .alias("split"),
-        ).orderBy("doc_id")
-    )
+    return leakage_safe_split(
+        docs, threshold=0.5, num_hashes=32, bands=16
+    ).orderBy("doc_id")
 
 
 Z17_SQL = f"""

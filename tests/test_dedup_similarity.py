@@ -657,3 +657,70 @@ def test_z17_no_near_dup_straddles_split(spark, oracle_sf_dir):
     reps = {r["cluster_rep"] for r in split.collect()}
     train_reps = sum(1 for rep in reps if rep % 10 < 8)
     assert 0.6 < train_reps / len(reps) < 0.95
+
+
+def test_leakage_safe_split_precomputed_equals_recomputed(corpus, monkeypatch):
+    """Round-11 (VERDICT r10 #2): leakage_safe_split(clusters=...) with
+    precomputed labels is identical to the recomputing form — and with
+    clusters supplied the MinHash-LSH pipeline never runs."""
+    clusters = dedup.dedup_clusters(
+        corpus, threshold=0.4, num_hashes=32, bands=16
+    )
+    recomputed = {
+        tuple(r)
+        for r in dedup.leakage_safe_split(
+            corpus, threshold=0.4, num_hashes=32, bands=16
+        ).collect()
+    }
+    calls = {"n": 0}
+    real = dedup.minhash_near_duplicates
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_near_duplicates", counting)
+    precomputed = {
+        tuple(r)
+        for r in dedup.leakage_safe_split(corpus, clusters=clusters).collect()
+    }
+    assert precomputed == recomputed and recomputed
+    assert calls["n"] == 0  # supplied clusters → zero LSH work
+
+
+def test_curate_and_split_runs_lsh_once(corpus, monkeypatch):
+    """plans.curation.curate_and_split drives the representative filter
+    AND the leakage-safe split off ONE dedup_clusters pass — the LSH
+    pipeline runs exactly once end-to-end."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans import curation
+
+    docs = corpus.withColumn(
+        "source",
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    calls = {"n": 0}
+    real = dedup.minhash_near_duplicates
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_near_duplicates", counting)
+    out = curation.curate_and_split(
+        docs, threshold=0.4, num_hashes=32, bands=16, source_cap=100
+    )
+    rows = out.collect()
+    assert calls["n"] == 1  # one LSH pass feeds both consumers
+    assert rows and set(out.columns) == {"doc_id", "text", "source", "split"}
+    # every surviving doc is a cluster REPRESENTATIVE and its split
+    # follows rep % 10 (the leakage-safe rule)
+    labels = {
+        r["doc_id"]: (r["cluster_rep"], r["is_rep"])
+        for r in dedup.dedup_clusters(
+            docs, threshold=0.4, num_hashes=32, bands=16
+        ).collect()
+    }
+    for r in rows:
+        rep, is_rep = labels[r["doc_id"]]
+        assert is_rep
+        assert r["split"] == ("train" if rep % 10 < 8 else "holdout")
