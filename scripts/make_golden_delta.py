@@ -1050,6 +1050,7 @@ def make_column_mapping_nested_table() -> None:
         [("col-na03", pa.int64()), ("col-nb04", pa.string())]
     )
     arr_type = pa.list_(pa.struct([("col-nc06", pa.float64())]))
+    map_type = pa.map_(pa.string(), pa.struct([("col-nd08", pa.int64())]))
     table = pa.table(
         {
             "col-id01": pa.array([1, 2, 3], pa.int64()),
@@ -1064,6 +1065,16 @@ def make_column_mapping_nested_table() -> None:
             "col-ar05": pa.array(
                 [[{"col-nc06": 1.5}, {"col-nc06": 2.5}], None, []],
                 arr_type,
+            ),
+            # round-11: renames INSIDE a map's value type — the last
+            # nested-CM shape the data source refused
+            "col-mp07": pa.array(
+                [
+                    [("k1", {"col-nd08": 7}), ("k2", {"col-nd08": 8})],
+                    None,
+                    [],
+                ],
+                map_type,
             ),
         }
     )
@@ -1138,6 +1149,33 @@ def make_column_mapping_nested_table() -> None:
                         "delta.columnMapping.physicalName": "col-ar05",
                     },
                 },
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "map",
+                        "keyType": "string",
+                        "valueType": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "d",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.columnMapping.id": 8,
+                                        "delta.columnMapping.physicalName": "col-nd08",
+                                    },
+                                },
+                            ],
+                        },
+                        "valueContainsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 7,
+                        "delta.columnMapping.physicalName": "col-mp07",
+                    },
+                },
             ],
         },
         separators=(",", ":"),
@@ -1151,7 +1189,7 @@ def make_column_mapping_nested_table() -> None:
                 schema,
                 {
                     "delta.columnMapping.mode": "name",
-                    "delta.columnMapping.maxColumnId": "6",
+                    "delta.columnMapping.maxColumnId": "8",
                 },
             ),
             _plain_add(rel, os.path.getsize(os.path.join(root, rel))),

@@ -154,8 +154,9 @@ def _to_logical_arrow(col, dt, where: str):
     O(nesting), not O(rows). Value-type casts (e.g. int32→int64) stay
     with the caller's final ``cast(target)`` — names are the only thing
     fixed here, which is exactly what the by-name struct cast needs.
-    Renames INSIDE a map's key/value type refuse loudly (use
-    ``read_delta``); maps without renamed descendants pass through."""
+    Maps with renamed descendants rebuild the same way (round-11):
+    keys/items convert recursively and the MapArray reassembles over
+    the original offsets, nulls preserved."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -186,11 +187,23 @@ def _to_logical_arrow(col, dt, where: str):
         if isinstance(dt, T.MapType) and (
             _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
         ):
-            raise ValueError(
-                f"column-mapped Delta file {where}: renamed fields "
-                "inside a MAP type are not supported by the deltalog "
-                "data source — read this table via read_delta"
-            )
+            # round-11: maps rebuild like lists — keys/items convert
+            # recursively, the MapArray reassembles over the original
+            # offsets. MapArray.from_arrays has no mask parameter, so
+            # nulls survive via offsets whose null slots mark null rows
+            # (pyarrow's documented null encoding for list-likes).
+            keys = convert(arr.keys, dt.keyType)
+            items = convert(arr.items, dt.valueType)
+            offsets = arr.offsets
+            if arr.null_count:
+                import numpy as np
+
+                off = offsets.to_numpy(zero_copy_only=False)
+                null_rows = np.concatenate(
+                    [np.asarray(arr.is_null()), [False]]
+                )
+                offsets = pa.array(off, mask=null_rows)
+            return pa.MapArray.from_arrays(offsets, keys, items)
         return arr
 
     return convert(col, dt) if _contains_struct(dt) else col
@@ -837,23 +850,10 @@ def _writer_preflight(
     # rowTracking is upheld: _commit_write routes through the same
     # re-stamp loop write_delta uses (fresh baseRowIds + high-water
     # mark), so the gate may accept it here. changeDataFeed is upheld
-    # for APPENDS only (add-only commits derive as inserts, no cdc
-    # action required); an overwrite into an ENABLED feed would need
-    # change rows this driver-side commit cannot produce — refuse with
-    # a pointer at write_delta, which emits them.
-    cdf_on = (
-        meta.get("configuration", {}).get("delta.enableChangeDataFeed")
-        == "true"
-    )
-    if overwrite and cdf_on:
-        raise ValueError(
-            f"Delta table at {path} has change data feed enabled: an "
-            "overwrite through this data source cannot emit the "
-            "required _change_data files — use write_delta"
-        )
-    # (overwrite+enabled-feed already raised above, so the grant is
-    # unconditional here: appends uphold CDF vacuously, disabled feeds
-    # ask nothing)
+    # for appends vacuously (add-only commits derive as inserts, no
+    # cdc action required) and for OVERWRITES by _commit_write's
+    # driver-side pyarrow cdc staging (round-11 — old rows render as
+    # deletes, new rows as inserts, spec cdc actions on the commit).
     _check_write_protocol(
         _latest_protocol(path, versions[-1]),
         path,
@@ -898,6 +898,88 @@ def _writer_preflight(
     return list(pcols)
 
 
+def _stage_cdc_overwrite_arrow(
+    path: str,
+    prior_active: dict[str, dict],
+    new_adds: list[dict[str, Any]],
+) -> list[dict[str, Any]]:
+    """Driver-side (pure pyarrow, no SparkSession — this writer's commit
+    runs in the data-source Python runner) staging of an OVERWRITE's
+    change rows into ``_change_data/`` (round-11, closes the data
+    source's CDF-overwrite refusal): per the CDF spec the commit must
+    describe its changes exclusively through cdc actions, so every
+    prior snapshot row renders as ``delete`` and every new row as
+    ``insert`` — exactly what ``write_delta``'s Spark-side staging
+    emits. One cdc file per source file keeps partition values exact
+    (they ride on each action, authoritative per the spec) and the
+    memory bound at one file. Prior files' deletion vectors are applied
+    (a DV-hidden row was never logically present, so it must not render
+    as deleted). Cost ∝ old + new rows — the same extra pass
+    ``write_delta`` pays for a CDF overwrite."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+        deleted_row_indexes,
+    )
+
+    cdc: list[dict[str, Any]] = []
+    out_dir = os.path.join(path, "_change_data")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(rel: str, pvals: dict, change_type: str, dv) -> None:
+        tbl = pq.read_table(os.path.join(path, rel))
+        if dv:
+            idx = deleted_row_indexes(path, dv)
+            if len(idx):
+                keep = np.ones(tbl.num_rows, dtype=bool)
+                keep[idx] = False
+                tbl = tbl.filter(pa.array(keep))
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.append_column(
+            "_change_type",
+            pa.array([change_type] * tbl.num_rows, pa.string()),
+        )
+        name = f"cdc-{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(out_dir, name)
+        pq.write_table(tbl, dest, compression="snappy")
+        cdc.append(
+            {
+                "cdc": {
+                    "path": f"_change_data/{name}",
+                    "partitionValues": dict(pvals or {}),
+                    "size": os.path.getsize(dest),
+                    "dataChange": False,
+                }
+            }
+        )
+
+    try:
+        for rel in sorted(prior_active):
+            a = prior_active[rel]
+            emit(
+                rel,
+                a.get("partitionValues"),
+                "delete",
+                a.get("deletionVector"),
+            )
+        for act in new_adds:
+            a = act["add"]
+            emit(a["path"], a.get("partitionValues"), "insert", None)
+    except Exception:
+        for a in cdc:
+            try:
+                os.remove(os.path.join(path, a["cdc"]["path"]))
+            except OSError:
+                pass
+        raise
+    return cdc
+
+
 def _commit_write(
     path: str,
     df_schema: StructType,
@@ -917,6 +999,8 @@ def _commit_write(
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
         _commit_row_tracking,
         _commit_with_retry,
+        _discard_cdc_files,
+        _latest_metadata,
         _latest_protocol,
         _list_versions,
         _remove_action,
@@ -947,6 +1031,7 @@ def _commit_write(
             }
         )
     removed: set[str] = set()
+    prior_active: dict[str, dict] = {}
     if overwrite and version > 0:
         prior_active, _, _, _ = _replay(path, versions[-1])
         for rel, prior_add in prior_active.items():
@@ -967,7 +1052,22 @@ def _commit_write(
             if add.get("stats"):
                 a["stats"] = add["stats"]
             adds.append({"add": a})
-    tail: list[dict[str, Any]] = list(extra_actions or [])
+    cdc_actions: list[dict[str, Any]] = []
+    if overwrite and version > 0:
+        meta_now = _latest_metadata(path, versions[-1])
+        if (
+            meta_now.get("configuration", {}).get(
+                "delta.enableChangeDataFeed"
+            )
+            == "true"
+        ):
+            # round-11: the CDF write contract for overwrite — old rows
+            # as deletes, new rows as inserts, staged driver-side with
+            # pyarrow (no SparkSession in the data-source runner)
+            cdc_actions = _stage_cdc_overwrite_arrow(
+                path, prior_active, adds
+            )
+    tail: list[dict[str, Any]] = cdc_actions + list(extra_actions or [])
     tail.append(
         {
             "commitInfo": {
@@ -978,32 +1078,36 @@ def _commit_write(
         }
     )
     # same grants preflight validated: rowTracking/domainMetadata are
-    # upheld by the re-stamp routing below; changeDataFeed for appends
-    # (add-only commits need no cdc action — overwrite into an enabled
-    # feed was already refused in preflight)
+    # upheld by the re-stamp routing below; changeDataFeed by the
+    # cdc staging above (appends stay cdc-free — add-only commits
+    # derive as inserts per the spec)
     grants = frozenset({"rowTracking", "domainMetadata", "changeDataFeed"})
-    if version > 0 and "rowTracking" in set(
-        _latest_protocol(path, versions[-1]).get("writerFeatures") or []
-    ):
-        # same re-stamp loop write_delta uses: fresh baseRowIds +
-        # high-water-mark domainMetadata, race-safe
-        return _commit_row_tracking(
+    try:
+        if version > 0 and "rowTracking" in set(
+            _latest_protocol(path, versions[-1]).get("writerFeatures") or []
+        ):
+            # same re-stamp loop write_delta uses: fresh baseRowIds +
+            # high-water-mark domainMetadata, race-safe
+            return _commit_row_tracking(
+                path,
+                actions,
+                adds,
+                tail,
+                "overwrite" if overwrite else "append",
+                5,
+                grants,
+            )
+        return _commit_with_retry(
             path,
-            actions,
-            adds,
-            tail,
-            "overwrite" if overwrite else "append",
-            5,
-            grants,
+            version,
+            actions + adds + tail,
+            depends_on=removed,
+            read_metadata=version > 0,
+            extra_features=grants if version > 0 else frozenset(),
         )
-    return _commit_with_retry(
-        path,
-        version,
-        actions + adds + tail,
-        depends_on=removed,
-        read_metadata=version > 0,
-        extra_features=grants if version > 0 else frozenset(),
-    )
+    except Exception:
+        _discard_cdc_files(path, cdc_actions)
+        raise
 
 
 def _abort_write(path: str, messages) -> None:

@@ -465,16 +465,28 @@ def test_stream_writer_refuses_non_append_output_mode(spark, tmp_path):
 def test_batch_source_nested_column_mapping_values(spark):
     """Round-10: nested renames resolve at EVERY level — struct fields
     and array-of-struct element fields present logical names with nulls
-    (null struct, null array, null leaf, empty array) preserved."""
+    (null struct, null array, null leaf, empty array) preserved.
+    Round-11: renames inside a MAP's value type rebuild too (the last
+    refused nested-CM shape) — null map and empty map preserved."""
     path = os.path.join(DATA, "golden_delta_cm_nested")
     via = spark.read.format("deltalog").load(path)
     assert via.schema["s"].dataType.fieldNames() == ["a", "b"]
     assert via.schema["arr"].dataType.elementType.fieldNames() == ["c"]
+    assert via.schema["m"].dataType.valueType.fieldNames() == ["d"]
     rows = {r["id"]: r.asDict(recursive=True) for r in via.collect()}
     assert rows[1]["s"] == {"a": 10, "b": "x"}
     assert [e["c"] for e in rows[1]["arr"]] == [1.5, 2.5]
+    assert rows[1]["m"] == {"k1": {"d": 7}, "k2": {"d": 8}}
     assert rows[2]["s"] is None and rows[2]["arr"] is None
+    assert rows[2]["m"] is None
     assert rows[3]["s"] == {"a": 30, "b": None} and rows[3]["arr"] == []
+    assert rows[3]["m"] == {}
+    # parity with the log-layer reader on the same fixture
+    native = {
+        r["id"]: r.asDict(recursive=True)
+        for r in dl.read_delta(spark, path).collect()
+    }
+    assert rows == native
 
 
 def test_stream_source_nested_column_mapping(spark, tmp_path):
@@ -504,11 +516,12 @@ def test_stream_source_nested_column_mapping(spark, tmp_path):
     assert by_id(got) == by_id(native)
 
 
-def test_batch_writer_cdf_append_allowed_overwrite_refused(spark, tmp_path):
+def test_batch_writer_cdf_append_and_overwrite(spark, tmp_path):
     """Round-10: the data-source writer APPENDS into a CDF-enabled table
-    (add-only commits derive as inserts, no cdc action needed) but
-    refuses OVERWRITE (it cannot produce the required change rows —
-    write_delta can)."""
+    cdc-free (add-only commits derive as inserts). Round-11: OVERWRITE
+    lands too — the driver stages spec cdc actions + _change_data files
+    with pyarrow (old rows → delete, new rows → insert), and
+    table_changes' rendering matches the snapshot diff exactly."""
     import shutil
 
     path = str(tmp_path / "cdf")
@@ -520,8 +533,29 @@ def test_batch_writer_cdf_append_allowed_overwrite_refused(spark, tmp_path):
     assert not any("cdc" in a for a in dl._read_actions(path, v))
     tc = dl.table_changes(spark, path, v - 1, v).collect()
     assert [(r["id"], r["_change_type"]) for r in tc] == [(7, "insert")]
-    with pytest.raises(Exception, match="change data feed|_change_data"):
-        batch.write.format("deltalog").mode("overwrite").save(path)
+    # overwrite: snapshot-diff oracle BEFORE the write
+    old_rows = sorted(
+        (r["id"], r["v"]) for r in dl.read_delta(spark, path).collect()
+    )
+    ow = spark.createDataFrame([(8, 8.0), (9, 9.0)], "id long, v double")
+    ow.write.format("deltalog").mode("overwrite").save(path)
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [8, 9]
+    v2 = dl._list_versions(path)[-1]
+    acts = dl._read_actions(path, v2)
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(not c["dataChange"] for c in cdcs)
+    assert all(c["path"].startswith("_change_data/") for c in cdcs)
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in dl.table_changes(spark, path, v2 - 1, v2).collect()
+    )
+    want = sorted(
+        [(i, x, "delete") for i, x in old_rows]
+        + [(8, 8.0, "insert"), (9, 9.0, "insert")]
+    )
+    assert got == want
 
 
 def test_batch_read_change_feed_matches_table_changes(spark, tmp_path):
