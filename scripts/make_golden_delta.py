@@ -1197,6 +1197,61 @@ def make_column_mapping_nested_table() -> None:
     )
 
 
+def make_identity_table() -> None:
+    """Writer v7 + identityColumns (round-11): ``ident`` is GENERATED
+    ALWAYS AS IDENTITY (start 1, step 1, high-water mark 3 after the
+    seed rows). Reads must surface the stored values; appends must
+    ASSIGN fresh values above the mark and advance it in the same
+    commit; explicit values must refuse (allowExplicitInsert=false)."""
+    root = os.path.join(DATA_DIR, "golden_delta_identity")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    rel = "part-00000-1de41111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    table = pa.table(
+        {
+            "ident": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(root, rel), compression="snappy")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "ident",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.identity.start": 1,
+                        "delta.identity.step": 1,
+                        "delta.identity.highWaterMark": 3,
+                        "delta.identity.allowExplicitInsert": False,
+                    },
+                },
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["identityColumns"],
+                }
+            },
+            _meta(schema),
+            _plain_add(rel, os.path.getsize(os.path.join(root, rel))),
+        ],
+    )
+
+
 def make_in_commit_timestamp_table() -> None:
     """minWriterVersion 7 + inCommitTimestamp (delta 4.x, default-on in
     newer runtimes): commitInfo carries the authoritative
@@ -1573,6 +1628,7 @@ def main_family() -> None:
     make_column_mapping_id_table()
     make_column_mapping_nested_table()
     make_in_commit_timestamp_table()
+    make_identity_table()
     make_type_widening_table()
     make_partitioned_dv_table()
     make_cdf_table()

@@ -1262,9 +1262,10 @@ def _check_write_protocol(
     (pre-feature capability versions) are writable only when every
     capability the table provably USES is granted: column mapping needs
     a ``columnMapping`` grant, an enabled change data feed a
-    ``changeDataFeed`` grant, and generated / identity columns always
-    refuse (schemaString probes, same conservative substring approach
-    as ``_check_column_invariants_absent``) — which needs ``meta``. The
+    ``changeDataFeed`` grant, and generated / identity columns their
+    respective grants (schemaString probes, same conservative substring
+    approach as ``_check_column_invariants_absent``) — which needs
+    ``meta``. The
     ``operation`` tag still rides on the error message so a refused
     commit names what it attempted."""
     v = int(proto.get("minWriterVersion", 2))
@@ -1285,13 +1286,16 @@ def _check_write_protocol(
         if "delta.generatedAlwaysAs" in schema_str:
             # generated columns are grantable (round-10): write paths
             # that VALIDATE staged data against the generation
-            # expressions pass the grant; identity columns (below) stay
-            # hard-refused — they demand monotonic allocation state
+            # expressions pass the grant
             needed.add("generatedColumns")
-        if (
-            "delta.identity." not in schema_str
-            and needed <= set(extra_features)
-        ):
+        if "delta.identity." in schema_str:
+            # identity columns are grantable too (round-11): write_delta
+            # ASSIGNS values from the schema's high-water mark and bumps
+            # it in the same commit; copy-only rewrites (DELETE/OPTIMIZE)
+            # and UPDATEs that never touch an identity column uphold the
+            # obligation vacuously
+            needed.add("identityColumns")
+        if needed <= set(extra_features):
             return
     raise DeltaUnsupportedProtocol(
         f"Delta table at {path} requires minWriterVersion={v}"
@@ -1860,6 +1864,105 @@ def _generated_exprs(schema: T.StructType) -> list[tuple[str, str]]:
     )
 
 
+def _identity_fields(
+    schema: T.StructType,
+) -> list[tuple[str, int, int, int | None, bool]]:
+    """(name, start, step, highWaterMark|None, allowExplicitInsert) per
+    IDENTITY column in the schema — the ``delta.identity.*`` field
+    metadata delta-spark stores (writer v6 legacy / ``identityColumns``
+    v7 feature). The high-water mark is absent until the first
+    value-assigning write."""
+    out = []
+    for f in schema.fields:
+        md = f.metadata
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            out.append(
+                (
+                    f.name,
+                    int(md.get("delta.identity.start", 1)),
+                    int(md.get("delta.identity.step", 1)),
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None,
+                    (lambda a: a if isinstance(a, bool) else str(a).lower() == "true")(
+                        md.get("delta.identity.allowExplicitInsert", False)
+                    ),
+                )
+            )
+    return out
+
+
+def _identity_next(start: int, step: int, hwm: int | None) -> int:
+    """First value on the identity lattice ``start + k·step`` (k ≥ 0)
+    STRICTLY beyond the high-water mark in the step's direction — the
+    spec's assignment rule. Explicit inserts may park the mark off the
+    lattice; the ceil/floor aligns the next assigned value back onto
+    it."""
+    if hwm is None:
+        return start
+    if step > 0:
+        if hwm < start:
+            return start
+        k = (hwm - start) // step + 1
+    else:
+        if hwm > start:
+            return start
+        k = (start - hwm) // (-step) + 1
+    return start + k * step
+
+
+def _identity_stamped_meta(
+    meta: dict[str, Any], marks: dict[str, int]
+) -> dict[str, Any]:
+    """A copy of ``meta`` whose schemaString carries the advanced
+    ``delta.identity.highWaterMark`` per column in ``marks`` — identity
+    allocation state lives in the schema field metadata (unlike
+    rowTracking's domainMetadata), so every assigning commit ships a
+    metaData action."""
+    out = dict(meta)
+    schema_doc = json.loads(meta["schemaString"])
+    for f in schema_doc.get("fields", []):
+        if f.get("name") in marks:
+            f.setdefault("metadata", {})["delta.identity.highWaterMark"] = (
+                marks[f["name"]]
+            )
+    out["schemaString"] = json.dumps(schema_doc, separators=(",", ":"))
+    return out
+
+
+def _identity_marks_from_adds(
+    adds: list[dict[str, Any]],
+    idents: list[tuple[str, int, int, int | None, bool]],
+) -> dict[str, int]:
+    """New high-water mark per identity column, read off the staged
+    adds' footer stats (free — no extra job): the furthest written
+    value in the step's direction, carried over the prior mark. Raises
+    when a column's stats are missing (the mark would silently stall
+    and a later write would re-assign the same values)."""
+    marks: dict[str, int] = {}
+    for name, _start, step, hwm, _explicit in idents:
+        best = hwm
+        for act in adds:
+            stats = act["add"].get("stats")
+            vals = json.loads(stats) if stats else {}
+            if json.loads(stats or "{}").get("numRecords") == 0:
+                continue
+            key = "maxValues" if step > 0 else "minValues"
+            v = vals.get(key, {}).get(name)
+            if v is None:
+                raise ValueError(
+                    f"cannot advance identity high-water mark for "
+                    f"{name!r}: staged file {act['add']['path']} carries "
+                    "no footer stats for it"
+                )
+            v = int(v)
+            if best is None or (v > best if step > 0 else v < best):
+                best = v
+        if best is not None and best != hwm:
+            marks[name] = best
+    return marks
+
+
 def _violated_generated(
     spark: SparkSession,
     staging: str,
@@ -2124,6 +2227,7 @@ def write_delta(
     cm_schema: T.StructType | None = None
     gens_schema = df.schema
     row_tracking = False
+    idents: list[tuple[str, int, int, int | None, bool]] = []
     if version > 0:
         # Delta schema enforcement: an append/overwrite whose schema
         # drifts from the table's metaData is rejected, not silently
@@ -2172,6 +2276,44 @@ def write_delta(
                     "not supported"
                 )
             cm_schema = table_schema
+        idents = _identity_fields(table_schema)
+        if idents:
+            # identity columns (round-11, writer v6 / identityColumns
+            # feature): absent columns get ASSIGNED values from the
+            # schema's high-water mark — base + step·monotonic-id, the
+            # same per-partition block allocation delta-spark uses
+            # (unique, lattice-aligned, gaps legal) with zero extra
+            # jobs; the mark advances from the staged files' footer
+            # stats at commit time. GENERATED ALWAYS refuses explicit
+            # values; BY DEFAULT accepts them and still advances the
+            # mark past them.
+            from pyspark.sql import functions as F
+
+            by_field = {f.name: f for f in table_schema.fields}
+            df_cols = set(df.columns)
+            for name, start, step, hwm, allow_explicit in idents:
+                if name in df_cols:
+                    if not allow_explicit:
+                        raise ValueError(
+                            f"column {name!r} of Delta table at {path} "
+                            "is GENERATED ALWAYS AS IDENTITY: explicit "
+                            "values are not allowed — omit the column "
+                            "and the writer assigns them"
+                        )
+                    continue
+                base = _identity_next(start, step, hwm)
+                df = df.withColumn(
+                    name,
+                    (
+                        F.lit(base)
+                        + F.lit(step) * F.monotonically_increasing_id()
+                    ).cast(by_field[name].dataType),
+                )
+            in_table = [c for c in table_schema.fieldNames() if c in set(df.columns)]
+            df = df.select(
+                *in_table,
+                *[c for c in df.columns if c not in set(in_table)],
+            )
         if [(f.name, _plain_type(f.dataType)) for f in df.schema.fields] != [
             (f.name, _plain_type(f.dataType)) for f in table_schema.fields
         ]:
@@ -2301,8 +2443,19 @@ def write_delta(
                 }
             }
         )
-    if evolved_meta is not None:
-        actions.append({"metaData": evolved_meta})
+    meta_to_ship = evolved_meta
+    if idents:
+        # identity allocation state lives in the schema field metadata:
+        # an assigning (or mark-advancing explicit) write ships a
+        # metaData action with the bumped highWaterMark in this commit
+        ident_marks = _identity_marks_from_adds(adds, idents)
+        if ident_marks:
+            meta_to_ship = _identity_stamped_meta(
+                meta_to_ship if meta_to_ship is not None else meta,
+                ident_marks,
+            )
+    if meta_to_ship is not None:
+        actions.append({"metaData": meta_to_ship})
     cdc_actions: list[dict[str, Any]] = []
     if mode == "overwrite" and version > 0:
         prior_active, _, _, _ = _replay(path, versions[-1])
@@ -2362,6 +2515,10 @@ def write_delta(
         extra_feats.add("changeDataFeed")
         # generatedColumns is upheld by the staged-data validation above
         extra_feats.add("generatedColumns")
+    if idents:
+        # upheld: values assigned from (and mark advanced past) the
+        # schema's high-water mark in this very commit
+        extra_feats.add("identityColumns")
     if row_tracking:
         extra_feats.update({"rowTracking", "domainMetadata"})
         return _commit_row_tracking(
@@ -3064,6 +3221,18 @@ def merge_delta(
     grants = cm_feats | rt_feats | frozenset(
         {"changeDataFeed", "generatedColumns"}
     )
+    if _identity_fields(schema):
+        # MERGE supplies whole rows, which for an identity column means
+        # EXPLICIT values on both the updated and inserted side — this
+        # engine assigns identity values only through write_delta, and
+        # silently accepting them here would stall the high-water mark;
+        # refuse with the workaround spelled out
+        raise ValueError(
+            f"Delta table at {path} declares identity column(s): MERGE "
+            "is not supported — delete the matched keys and append "
+            "through write_delta (which assigns identity values and "
+            "advances the high-water mark)"
+        )
     # fail fast: the commit gate re-checks after staging, but staging a
     # MERGE against a feature-gated table is pure wasted IO
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
@@ -3857,11 +4026,12 @@ def delete_delta(
     rt_feats = _row_tracking_dml_features(proto)
     # changeDataFeed is upheld by construction: when the feed is enabled
     # this DELETE emits cdc actions below; when merely listed but off,
-    # nothing is required of the writer. generatedColumns is vacuous
-    # for DELETE: surviving rows are copied verbatim, so values that
-    # satisfied the generation expressions still do.
+    # nothing is required of the writer. generatedColumns and
+    # identityColumns are vacuous for DELETE: surviving rows are copied
+    # verbatim, so generated values still satisfy their expressions and
+    # identity values (and the high-water mark) are untouched.
     grants = cm_feats | rt_feats | frozenset(
-        {"changeDataFeed", "generatedColumns"}
+        {"changeDataFeed", "generatedColumns", "identityColumns"}
     )
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if config.get("delta.appendOnly") == "true":
@@ -4086,9 +4256,11 @@ def update_delta(
     rt_feats = _row_tracking_dml_features(proto)
     # generatedColumns: UPDATE recomputes generated columns the SET list
     # leaves untouched (delta-spark behavior) and validates the staged
-    # output, so the grant is earned, not assumed
+    # output, so the grant is earned, not assumed. identityColumns: the
+    # SET-target check below refuses assignments to identity columns,
+    # so surviving values copy verbatim and the mark is untouched.
     grants = cm_feats | rt_feats | frozenset(
-        {"changeDataFeed", "generatedColumns"}
+        {"changeDataFeed", "generatedColumns", "identityColumns"}
     )
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if config.get("delta.appendOnly") == "true":
@@ -4099,6 +4271,13 @@ def update_delta(
     if unknown:
         raise ValueError(
             f"UPDATE SET targets not in table schema: {sorted(unknown)}"
+        )
+    ident_targets = {n for n, *_ in _identity_fields(schema)} & set(set_exprs)
+    if ident_targets:
+        raise ValueError(
+            f"UPDATE cannot SET identity column(s) {sorted(ident_targets)} "
+            "— identity values are writer-assigned (delta-spark raises "
+            "the same way)"
         )
     if cm_mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -4811,10 +4990,11 @@ def optimize_delta(
     cm_feats = frozenset({"columnMapping"}) if cm else frozenset()
     rt_feats = _row_tracking_dml_features(proto)
     # changeDataFeed is vacuous for OPTIMIZE (dataChange=false commits
-    # are skipped by CDF readers), and so is generatedColumns (pure copy
-    # — values that satisfied the expressions still do)
+    # are skipped by CDF readers), and so are generatedColumns and
+    # identityColumns (pure copy — values and the identity high-water
+    # mark are untouched)
     grants = cm_feats | rt_feats | frozenset(
-        {"changeDataFeed", "generatedColumns"}
+        {"changeDataFeed", "generatedColumns", "identityColumns"}
     )
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
     if cm_mode == "id":

@@ -2908,3 +2908,141 @@ def test_ict_stamped_on_protocol_only_commit(spark, tmp_path):
     ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
     assert ci.get("inCommitTimestamp") is not None
     assert ci["inCommitTimestamp"] > 0
+
+
+# ---- round-11: identityColumns write support -----------------------------
+
+GOLDEN_IDENT = os.path.join(
+    os.path.dirname(__file__), "data", "golden_delta_identity"
+)
+
+
+def _ident_hwm(path):
+    meta = dl._latest_metadata(path, dl._list_versions(path)[-1])
+    fields = json.loads(meta["schemaString"])["fields"]
+    return next(
+        f["metadata"].get("delta.identity.highWaterMark")
+        for f in fields
+        if f["name"] == "ident"
+    )
+
+
+def test_identity_append_assigns_and_advances(spark, tmp_path):
+    """write_delta into an identity table ASSIGNS values for the absent
+    column — unique, above the high-water mark, on the start+k·step
+    lattice — and advances the mark in the same commit's metaData; a
+    second append continues above the new mark."""
+    import shutil
+
+    work = str(tmp_path / "ident")
+    shutil.copytree(GOLDEN_IDENT, work)
+    assert sorted(
+        r["ident"] for r in dl.read_delta(spark, work).collect()
+    ) == [1, 2, 3]
+    dl.write_delta(
+        spark.createDataFrame([(4.0,), (5.0,)], "v double").coalesce(1), work
+    )
+    rows = {r["ident"]: r["v"] for r in dl.read_delta(spark, work).collect()}
+    new_ids = sorted(set(rows) - {1, 2, 3})
+    assert len(new_ids) == 2 and all(i > 3 for i in new_ids)
+    assert sorted(rows[i] for i in new_ids) == [4.0, 5.0]
+    hwm1 = _ident_hwm(work)
+    assert hwm1 == max(new_ids)  # mark advanced to the furthest value
+    # second append: strictly above the NEW mark, no collisions
+    dl.write_delta(
+        spark.createDataFrame([(6.0,)], "v double").coalesce(1), work
+    )
+    all_ids = [r["ident"] for r in dl.read_delta(spark, work).collect()]
+    assert len(all_ids) == len(set(all_ids)) == 6
+    assert _ident_hwm(work) > hwm1
+    # multi-partition batches stay unique (gaps are legal identity
+    # semantics — per-partition block allocation)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(float(i),) for i in range(7, 12)], "v double"
+        ).repartition(3),
+        work,
+    )
+    all_ids = [r["ident"] for r in dl.read_delta(spark, work).collect()]
+    assert len(all_ids) == len(set(all_ids)) == 11
+    assert _ident_hwm(work) == max(all_ids)
+
+
+def test_identity_explicit_values_refuse_on_always(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY (allowExplicitInsert=false): a batch
+    that supplies the column refuses per spec; nothing commits."""
+    import shutil
+
+    work = str(tmp_path / "ident_exp")
+    shutil.copytree(GOLDEN_IDENT, work)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        dl.write_delta(
+            spark.createDataFrame([(99, 9.0)], "ident long, v double"), work
+        )
+    assert dl.read_delta(spark, work).count() == 3  # untouched
+
+
+def test_identity_by_default_explicit_allowed_advances_mark(spark, tmp_path):
+    """allowExplicitInsert=true (GENERATED BY DEFAULT): explicit values
+    land verbatim and the mark still advances past them, so a later
+    ASSIGNING append cannot collide."""
+    import shutil
+
+    work = str(tmp_path / "ident_dflt")
+    shutil.copytree(GOLDEN_IDENT, work)
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            doc = json.loads(a["metaData"]["schemaString"])
+            for f in doc["fields"]:
+                if f["name"] == "ident":
+                    f["metadata"]["delta.identity.allowExplicitInsert"] = True
+            a["metaData"]["schemaString"] = json.dumps(doc)
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    dl.write_delta(
+        spark.createDataFrame([(10, 10.0)], "ident long, v double"), work
+    )
+    assert _ident_hwm(work) == 10
+    dl.write_delta(
+        spark.createDataFrame([(11.0,)], "v double").coalesce(1), work
+    )
+    ids = sorted(r["ident"] for r in dl.read_delta(spark, work).collect())
+    assert ids == sorted(set(ids)) and max(ids) > 10
+    assert 11 in ids  # next lattice value after the explicit 10
+
+
+def test_identity_dml_copy_guards(spark, tmp_path):
+    """DELETE/OPTIMIZE copy identity values verbatim (mark untouched);
+    UPDATE may not SET an identity column; MERGE refuses with the
+    workaround named."""
+    import shutil
+
+    work = str(tmp_path / "ident_dml")
+    shutil.copytree(GOLDEN_IDENT, work)
+    dl.delete_delta(spark, work, "ident = 2")
+    assert sorted(
+        r["ident"] for r in dl.read_delta(spark, work).collect()
+    ) == [1, 3]
+    assert _ident_hwm(work) == 3
+    dl.update_delta(spark, work, "ident = 3", {"v": "v * 10"})
+    rows = {r["ident"]: r["v"] for r in dl.read_delta(spark, work).collect()}
+    assert rows == {1: 1.0, 3: 30.0}
+    with pytest.raises(ValueError, match="identity"):
+        dl.update_delta(spark, work, "ident = 3", {"ident": "99"})
+    with pytest.raises(ValueError, match="identity"):
+        dl.merge_delta(
+            spark,
+            work,
+            spark.createDataFrame([(1, 5.0)], "ident long, v double"),
+            "ident",
+        )
+    # zorder forces the rewrite even at one file — values copy verbatim
+    v = dl.optimize_delta(spark, work, target_files=1, zorder_by=["ident"])
+    assert v is not None
+    assert sorted(
+        r["ident"] for r in dl.read_delta(spark, work).collect()
+    ) == [1, 3]
+    assert _ident_hwm(work) == 3
