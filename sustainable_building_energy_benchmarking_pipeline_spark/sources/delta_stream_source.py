@@ -38,12 +38,10 @@ file path, its deletion-vector descriptor (applied by row index), the
 hive partitionValues to materialize, and the physical→logical column
 mapping — so DV tables and column-mapped (name or id mode) tables
 stream correctly. NESTED column-mapping renames work too (round-10):
-struct fields and array-of-struct elements resolve their
-``delta.columnMapping.physicalName`` at every level via a recursive
-arrow rebuild (``_to_logical_arrow`` — the executor-side twin of
-deltalog's ``_to_logical_columns``). The one remaining refusal is a
-rename INSIDE a map's key/value type (rare; ``read_delta`` is the
-full-fidelity batch path for those).
+struct fields, array-of-struct elements and (round-11) map-interior
+fields all resolve their ``delta.columnMapping.physicalName`` at every
+level via a recursive arrow rebuild (``_to_logical_arrow`` — the
+executor-side twin of deltalog's ``_to_logical_columns``).
 
 Reference precedent: Delta is the reference's declared storage plane
 (notebooks/benchmarking_medallion.py:98-104); this source makes its
