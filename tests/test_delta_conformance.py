@@ -2248,6 +2248,62 @@ def test_cdf_column_mapping_physical_change_files(spark, tmp_path):
     assert post == [(1, before[0][1] + 1)]
 
 
+def test_cdf_row_tracking_update_composition(spark, tmp_path):
+    """rowTracking × CDF on the SAME table (round-11): an UPDATE must
+    simultaneously (a) preserve every surviving row's stable row id
+    through the materializing rewrite and (b) emit a clean
+    pre/post-image change feed whose files carry ONLY the logical data
+    schema — the reserved materialized columns must never leak into
+    ``_change_data`` (delta-spark keeps CDF output at the table's
+    logical schema regardless of hidden row-tracking columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_cdf_upd")
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"]["writerFeatures"].append("changeDataFeed")
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.enableChangeDataFeed"] = "true"
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    # steady state: file0 already materializes ids (delta-spark rewrote it)
+    target = os.path.join(
+        work, "part-00000-aaaa1111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    )
+    tbl = pq.read_table(target)
+    tbl = tbl.append_column(
+        "_row-id-col-0", pa.array([100, 101, 102], pa.int64())
+    )
+    pq.write_table(tbl, target)
+    before_ids = _row_ids(spark, work)
+    assert before_ids == {1: 100, 2: 101, 3: 102, 4: 3, 5: 4}
+    v = dl.update_delta(spark, work, "id = 2", {"v": "v * 10"})
+    # (a) identity survives the CDF-emitting rewrite verbatim
+    assert _row_ids(spark, work) == before_ids
+    # (b) the feed renders exactly the pre/post pair, nothing hidden
+    tc = dl.table_changes(spark, work, v - 1, v)
+    assert set(tc.columns) == {
+        "id", "v", "_change_type", "_commit_version", "_commit_timestamp",
+    }
+    rows = tc.collect()
+    pre = [(r["id"], r["v"]) for r in rows if r["_change_type"] == "update_preimage"]
+    post = [(r["id"], r["v"]) for r in rows if r["_change_type"] == "update_postimage"]
+    assert pre == [(2, 2.0)] and post == [(2, 20.0)]
+    assert len(rows) == 2  # copied rows never appear as changes
+    # the _change_data parquet itself is free of reserved columns
+    cdcs = [a["cdc"] for a in dl._read_actions(work, v) if "cdc" in a]
+    assert cdcs
+    for c in cdcs:
+        names = set(pq.read_schema(os.path.join(work, c["path"])).names)
+        assert "_row-id-col-0" not in names
+        assert "_row-commit-version-col-0" not in names
+        assert {"id", "v", "_change_type"} <= names
+
+
 def test_v2_checkpoint_policy_writes_v2_format(spark, tmp_path, monkeypatch):
     """Round-10: delta.checkpointPolicy=v2 makes write_checkpoint emit
     the V2 format — uuid-named single file carrying the spec-required
