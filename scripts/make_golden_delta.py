@@ -1252,6 +1252,70 @@ def make_identity_table() -> None:
     )
 
 
+def make_variant_table() -> None:
+    """Reader v3 + variantType (round-11): ``v`` is a VARIANT column.
+    Physical layout per the Delta protocol / parquet VariantEncoding.md:
+    a group with binary ``value`` + ``metadata`` fields holding the
+    Variant binary encoding. Written UNANNOTATED (no parquet VARIANT
+    logical type) — the shape pre-annotation writers emit and the
+    harder read case; Spark-written appends produce the annotated form.
+
+    The committed bytes are the spec encoding for these JSON values
+    (captured from Spark's own parse_json, deterministic):
+      id 1 → {"a": 1, "s": "x"}   id 2 → {"a": 2, "s": "y"}
+      id 3 → null (JSON null, not SQL NULL)
+    metadata 01 02 0001 02 "as" = version-1 dictionary ["a","s"];
+    value 02 ... = object{a: int8, s: short-string}."""
+    root = os.path.join(DATA_DIR, "golden_delta_variant")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    rel = "part-00000-7a81a111-0000-4000-8000-000000000000-c000.snappy.parquet"
+    rows = [
+        (1, bytes.fromhex("020200010002040c010578"), bytes.fromhex("01020001026173")),
+        (2, bytes.fromhex("020200010002040c020579"), bytes.fromhex("01020001026173")),
+        (3, bytes.fromhex("00"), bytes.fromhex("010000")),
+    ]
+    struct = pa.struct(
+        [pa.field("value", pa.binary()), pa.field("metadata", pa.binary())]
+    )
+    table = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array(
+                [{"value": r[1], "metadata": r[2]} for r in rows], struct
+            ),
+        }
+    )
+    pq.write_table(table, os.path.join(root, rel), compression="snappy")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "variant", "nullable": True, "metadata": {}},
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": ["variantType"],
+                }
+            },
+            _meta(schema),
+            _plain_add(rel, os.path.getsize(os.path.join(root, rel))),
+        ],
+    )
+
+
 def make_in_commit_timestamp_table() -> None:
     """minWriterVersion 7 + inCommitTimestamp (delta 4.x, default-on in
     newer runtimes): commitInfo carries the authoritative
@@ -1629,6 +1693,7 @@ def main_family() -> None:
     make_column_mapping_nested_table()
     make_in_commit_timestamp_table()
     make_identity_table()
+    make_variant_table()
     make_type_widening_table()
     make_partitioned_dv_table()
     make_cdf_table()

@@ -440,9 +440,22 @@ def _replay_for_source(path: str, version: int | None = None):
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
         _column_mapping_mode,
         _replay,
+        _schema_has_variant,
     )
 
     active, schema, partition_cols, meta = _replay(path, version)
+    if _schema_has_variant(schema):
+        # this source reads parquet on executors through pyarrow, which
+        # cannot open footers carrying the parquet VARIANT logical type
+        # (Spark-written variant files) — refuse with the working path
+        # named rather than fail opaquely mid-scan. read_delta goes
+        # through Spark's own parquet reader and handles variant fully.
+        raise ValueError(
+            f"Delta table at {path} carries a VARIANT column, which the "
+            "registered data source cannot read (executor-side pyarrow "
+            "lacks the parquet VARIANT logical type) — use read_delta "
+            "for variant tables"
+        )
     return active, schema, partition_cols, _column_mapping_mode(meta)
 
 

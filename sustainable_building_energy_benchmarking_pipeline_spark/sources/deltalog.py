@@ -774,6 +774,18 @@ class DeltaUnsupportedProtocol(Exception):
 #   ``delta.typeChanges`` records are still VALIDATED against that
 #   allowlist (``_check_type_changes``) — an unknown future conversion
 #   refuses instead of mis-promoting.
+# - variantType (reader v3 + ``variantType``/-preview, round-11):
+#   schemaString type ``"variant"`` parses to Spark's native
+#   VariantType; on disk a variant column is a parquet group with two
+#   binary fields ``value`` + ``metadata`` holding the spec's Variant
+#   binary encoding (parquet-format VariantEncoding.md). Spark 4.x
+#   reads BOTH physical spellings natively under a VariantType read
+#   schema — the modern annotated parquet VARIANT logical type and the
+#   bare unannotated struct older writers emit (empirically verified,
+#   test-asserted on a hand-built unannotated golden fixture), so
+#   support is declarative. ``variantShredding-preview`` (typed_value
+#   shredded columns) stays OUTSIDE the set and refuses — shredded
+#   files change what bytes mean.
 # Any remaining reader features change
 # what bytes mean on disk and are refused. Per spec, minReaderVersion 3
 # tables list their requirements in ``readerFeatures`` and MAY be
@@ -789,6 +801,8 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
         "vacuumProtocolCheck",
         "typeWidening",
         "typeWidening-preview",
+        "variantType",
+        "variantType-preview",
     }
 )
 
@@ -855,6 +869,18 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         # write to the declared types) — both held by construction
         "typeWidening",
         "typeWidening-preview",
+        # variantType's writer duty is storing variant values in the
+        # spec's binary encoding — Spark's native VariantType parquet
+        # writer IS that encoding (annotated group<value, metadata>),
+        # and schema enforcement pins writes to the declared type.
+        # write_delta declares the feature (both protocol sides) when
+        # CREATING a table whose schema carries a variant column; the
+        # one knowing trade-off is stats: pyarrow cannot open VARIANT-
+        # annotated footers, so adds of variant-bearing files land
+        # stats-less (legal — stats are optional) until the footer
+        # library catches up (see _file_stats).
+        "variantType",
+        "variantType-preview",
     }
 )
 
@@ -1006,6 +1032,24 @@ def _schema_has_ntz(dt: T.DataType) -> bool:
         return _schema_has_ntz(dt.elementType)
     if isinstance(dt, T.MapType):
         return _schema_has_ntz(dt.keyType) or _schema_has_ntz(dt.valueType)
+    return False
+
+
+def _schema_has_variant(dt: T.DataType) -> bool:
+    """True when the type carries VARIANT anywhere — the trigger for
+    declaring the ``variantType`` protocol feature (reader v3 + writer
+    v7, like ntz: the bytes are meaningless to a reader that does not
+    know the Variant binary encoding)."""
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_variant(dt.keyType) or _schema_has_variant(
+            dt.valueType
+        )
     return False
 
 
@@ -1700,7 +1744,13 @@ def _file_stats(file_path: str) -> str | None:
     nullCount — the delta-spark field set) from the parquet footer via
     pyarrow — zero data read. These power log-level data skipping: a
     reader with a predicate drops files whose [min, max] cannot satisfy
-    it before Spark ever lists them."""
+    it before Spark ever lists them.
+
+    Known gap: pyarrow (as shipped) cannot open footers carrying the
+    parquet VARIANT logical type, so files Spark writes for
+    variant-bearing tables land stats-less (the except below) — legal
+    per the spec (stats are optional) and self-healing once the footer
+    library learns the annotation."""
     try:
         import pyarrow.parquet as pq
 
@@ -2343,6 +2393,17 @@ def write_delta(
                         "instead (write_delta declares the feature at "
                         "creation)"
                     )
+                if _schema_has_variant(
+                    merged_schema
+                ) and not _schema_has_variant(table_schema):
+                    # same posture for VARIANT (round-11)
+                    raise ValueError(
+                        f"schema evolution on Delta table at {path} "
+                        "would add a VARIANT column, which requires the "
+                        "variantType protocol feature — create the "
+                        "table with the variant column instead "
+                        "(write_delta declares the feature at creation)"
+                    )
                 evolved_meta = dict(meta)
                 evolved_meta["schemaString"] = merged_schema.json()
         if partition_by is None:
@@ -2407,23 +2468,30 @@ def write_delta(
 
     actions: list[dict[str, Any]] = []
     if version == 0:
+        # type-triggered protocol features, declared on BOTH sides at
+        # creation: timestampNtz (reader v3 + writer v7) so external
+        # engines read the isAdjustedToUTC=false parquet correctly
+        # instead of shifting wall-clock values, and variantType
+        # (round-11, same shape) so they decode the Variant binary
+        # encoding instead of surfacing raw struct bytes
+        typed_feats = []
         if _schema_has_ntz(df.schema):
-            # TIMESTAMP WITHOUT TIME ZONE is a protocol feature on BOTH
-            # sides (reader v3 + writer v7): declaring it at creation is
-            # what lets external engines read the isAdjustedToUTC=false
-            # parquet correctly instead of shifting wall-clock values
+            typed_feats.append("timestampNtz")
+        if _schema_has_variant(df.schema):
+            typed_feats.append("variantType")
+        if typed_feats:
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["timestampNtz"],
+                        "readerFeatures": list(typed_feats),
                         "writerFeatures": [
                             "appendOnly",
                             "invariants",
                             "checkConstraints",
-                            "timestampNtz",
-                        ],
+                        ]
+                        + typed_feats,
                     }
                 }
             )

@@ -202,6 +202,9 @@ GOLDEN_ROWTRACK = os.path.join(
     os.path.dirname(__file__), "data", "golden_delta_rowtracking"
 )
 GOLDEN_VPC = os.path.join(os.path.dirname(__file__), "data", "golden_delta_vpc")
+GOLDEN_VARIANT = os.path.join(
+    os.path.dirname(__file__), "data", "golden_delta_variant"
+)
 GOLDEN_ICT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ict")
 GOLDEN_TW = os.path.join(os.path.dirname(__file__), "data", "golden_delta_tw")
 
@@ -531,6 +534,114 @@ def test_timestamp_ntz_new_table_declares_feature(spark, tmp_path):
             plain,
             merge_schema=True,
         )
+
+
+def test_variant_table_reads_and_writes(spark, tmp_path):
+    """Reader-v3 + variantType (round-11): the fixture's UNANNOTATED
+    group<value,metadata> physical layout (pre-annotation writers)
+    reads back as Spark VariantType; appends land Spark's annotated
+    form; DML predicates can reach inside the variant."""
+    from pyspark.sql import functions as F
+
+    df = dl.read_delta(spark, GOLDEN_VARIANT)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "variant",
+    ]
+    got = sorted(
+        (r["id"], r["j"])
+        for r in df.select("id", F.to_json("v").alias("j")).collect()
+    )
+    assert got == [
+        (1, '{"a":1,"s":"x"}'),
+        (2, '{"a":2,"s":"y"}'),
+        (3, "null"),
+    ]
+    import shutil
+
+    work = str(tmp_path / "var")
+    shutil.copytree(GOLDEN_VARIANT, work)
+    batch = spark.createDataFrame([(4, '{"a": 4}')], "id long, j string").select(
+        "id", F.parse_json("j").alias("v")
+    )
+    dl.write_delta(batch, work, mode="append")
+    back = dl.read_delta(spark, work).select(
+        "id", F.to_json("v").alias("j")
+    )
+    assert sorted((r["id"], r["j"]) for r in back.collect()) == [
+        (1, '{"a":1,"s":"x"}'),
+        (2, '{"a":2,"s":"y"}'),
+        (3, "null"),
+        (4, '{"a":4}'),
+    ]
+    # DML: the predicate dereferences the variant (spec encoding read
+    # across BOTH physical spellings in the same scan)
+    dl.delete_delta(spark, work, "variant_get(v, '$.a', 'long') = 1")
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, work).collect()
+    ) == [2, 3, 4]
+    # checkpoint round-trips the variant schemaString
+    cp_v = dl.write_checkpoint(work)
+    assert cp_v == dl._list_versions(work)[-1]
+    again = dl.read_delta(spark, work).select(
+        "id", F.to_json("v").alias("j")
+    )
+    assert sorted((r["id"], r["j"]) for r in again.collect()) == [
+        (2, '{"a":2,"s":"y"}'),
+        (3, "null"),
+        (4, '{"a":4}'),
+    ]
+
+
+def test_variant_new_table_declares_feature(spark, tmp_path):
+    """Creating a table whose schema carries a variant column must
+    declare variantType on BOTH protocol sides — the Variant binary
+    encoding is meaningless to a reader that does not know it."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "var_new")
+    df = spark.createDataFrame(
+        [(1, '{"k": [1, 2]}')], "id long, j string"
+    ).select("id", F.parse_json("j").alias("v"))
+    dl.write_delta(df, path)
+    proto = dl._latest_protocol(path, 0)
+    assert proto["minReaderVersion"] == 3
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    got = dl.read_delta(spark, path).select(F.to_json("v").alias("j")).first()
+    assert got["j"] == '{"k":[1,2]}'
+    # evolution ADDING a variant column to a plain table refuses (it
+    # would demand an implicit protocol upgrade)
+    plain = str(tmp_path / "plain_v")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), plain)
+    with pytest.raises(ValueError, match="variantType"):
+        dl.write_delta(
+            spark.createDataFrame([(2, '{"x": 1}')], "id long, j string")
+            .select("id", F.parse_json("j").alias("v")),
+            plain,
+            merge_schema=True,
+        )
+
+
+def test_variant_shredding_refuses(spark, tmp_path):
+    """variantShredding-preview moves typed values OUT of the value
+    binary into shredded typed_value columns — bytes this reader would
+    misinterpret; the reader feature gate must refuse."""
+    import shutil
+
+    work = str(tmp_path / "var_shred")
+    shutil.copytree(GOLDEN_VARIANT, work)
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"].append("variantShredding-preview")
+            a["protocol"]["writerFeatures"].append("variantShredding-preview")
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="variantShredding"):
+        dl.read_delta(spark, work).collect()
 
 
 def test_column_mapping_name_mode_reads(spark):

@@ -681,3 +681,13 @@ def test_batch_change_feed_derived_and_dv_refusal(spark, tmp_path):
         ).option("startingVersion", 1).load(
             os.path.join(DATA, "golden_delta_dv")
         ).collect()
+
+
+def test_batch_source_variant_refuses_with_pointer(spark):
+    """Variant tables refuse through the registered source (executor
+    pyarrow lacks the parquet VARIANT logical type) with read_delta
+    named as the working path — schema() raises, never an opaque
+    mid-scan failure."""
+    path = os.path.join(DATA, "golden_delta_variant")
+    with pytest.raises(Exception, match="read_delta"):
+        spark.read.format("deltalog").load(path).collect()
