@@ -1316,6 +1316,81 @@ def make_variant_table() -> None:
     )
 
 
+def make_collations_table() -> None:
+    """Writer v7 + collations-preview (round-11): ``s`` is a collated
+    string (ICU UNICODE_CI) via the spec's ``__COLLATIONS`` field-
+    metadata sidecar — string BYTES stay plain UTF-8 (reader v1).
+    The adds carry BINARY-order min/max stats on ``s`` exactly as a
+    collation-unaware external writer would have left them — the trap
+    case: pruning ``s = 'apple'`` against file0's binary
+    ['APPLE','Banana'] range would wrongly skip the file even though
+    'APPLE' == 'apple' under UNICODE_CI."""
+    root = os.path.join(DATA_DIR, "golden_delta_collations")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    files = {
+        "part-00000-c011a111-0000-4000-8000-000000000000-c000.snappy.parquet": [
+            (1, "APPLE"),
+            (2, "Banana"),
+        ],
+        "part-00001-c011a111-0000-4000-8000-000000000001-c000.snappy.parquet": [
+            (3, "apple"),
+        ],
+    }
+    adds = []
+    for rel, rows in files.items():
+        table = pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "s": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(root, rel), compression="snappy")
+        ss = [r[1] for r in rows]
+        add = _plain_add(rel, os.path.getsize(os.path.join(root, rel)))
+        add["add"]["stats"] = json.dumps(
+            {
+                "numRecords": len(rows),
+                "minValues": {"id": min(r[0] for r in rows), "s": min(ss)},
+                "maxValues": {"id": max(r[0] for r in rows), "s": max(ss)},
+                "nullCount": {"id": 0, "s": 0},
+            },
+            separators=(",", ":"),
+        )
+        adds.append(add)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {
+                    "name": "s",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {"__COLLATIONS": {"s": "icu.UNICODE_CI"}},
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    _commit_json(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["collations-preview"],
+                }
+            },
+            _meta(schema),
+        ]
+        + adds,
+    )
+
+
 def make_in_commit_timestamp_table() -> None:
     """minWriterVersion 7 + inCommitTimestamp (delta 4.x, default-on in
     newer runtimes): commitInfo carries the authoritative
@@ -1694,6 +1769,7 @@ def main_family() -> None:
     make_in_commit_timestamp_table()
     make_identity_table()
     make_variant_table()
+    make_collations_table()
     make_type_widening_table()
     make_partitioned_dv_table()
     make_cdf_table()

@@ -881,6 +881,17 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         # library catches up (see _file_stats).
         "variantType",
         "variantType-preview",
+        # collations (round-11, writer-only: string BYTES are plain
+        # UTF-8, so readers without the feature still read correctly —
+        # Spark 4.x parses the spec's __COLLATIONS field metadata into
+        # collated StringTypes natively, making our reads comparison-
+        # faithful for free). Writer duties upheld: (a) the schemaString
+        # (with __COLLATIONS) ships verbatim on appends and DML; (b) no
+        # binary-order min/max is ever emitted for a collated column
+        # (_collated_top_columns → _file_stats skip_minmax), and stats/
+        # partition pruning on collated columns is disabled — binary
+        # bounds cannot answer collated comparisons.
+        "collations-preview",
     }
 )
 
@@ -1053,10 +1064,52 @@ def _schema_has_variant(dt: T.DataType) -> bool:
     return False
 
 
+def _is_collated_string(dt: T.DataType) -> bool:
+    """True for a StringType carrying a non-default collation (Spark
+    4.x parses the spec's ``__COLLATIONS`` field-metadata sidecar into
+    collated StringTypes natively)."""
+    return isinstance(dt, T.StringType) and dt != T.StringType()
+
+
+def _collated_top_columns(schema: T.StructType, cm_mode: str) -> frozenset[str]:
+    """PHYSICAL names of top-level collated string columns — the
+    columns whose footer min/max must never reach the log (binary
+    parquet order is not collated order: a reader data-skipping with
+    collated comparisons against binary bounds would wrongly drop
+    files) and whose stats/partition pruning must stay off."""
+    return frozenset(
+        (_physical_name(f) if cm_mode in ("name", "id") else f.name)
+        for f in schema.fields
+        if _is_collated_string(f.dataType)
+    )
+
+
+def _schema_has_collation(dt: T.DataType) -> bool:
+    """True when the type carries a collated string anywhere — the
+    trigger for declaring the ``collations-preview`` writer feature."""
+    if _is_collated_string(dt):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_collation(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_collation(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_collation(dt.keyType) or _schema_has_collation(
+            dt.valueType
+        )
+    return False
+
+
 def _plain_type(dt: T.DataType) -> T.DataType:
     """``dt`` with all struct-field metadata stripped, recursively —
     schema compatibility compares names+types; field metadata (column-
-    mapping bookkeeping, comments) is not a data incompatibility."""
+    mapping bookkeeping, comments) is not a data incompatibility.
+    Collated strings normalize to plain StringType for the same reason:
+    collation changes COMPARISON semantics, not the bytes on disk, so a
+    plain-string batch appends into a collated column verbatim
+    (delta-spark accepts the same write)."""
+    if _is_collated_string(dt):
+        return T.StringType()
     if isinstance(dt, T.StructType):
         return T.StructType(
             [
@@ -1739,7 +1792,9 @@ def _replay(
     return active, schema, partition_cols, meta
 
 
-def _file_stats(file_path: str) -> str | None:
+def _file_stats(
+    file_path: str, skip_minmax: frozenset[str] = frozenset()
+) -> str | None:
     """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues /
     nullCount — the delta-spark field set) from the parquet footer via
     pyarrow — zero data read. These power log-level data skipping: a
@@ -1790,7 +1845,11 @@ def _file_stats(file_path: str) -> str | None:
                     mins[name] = mn
                 if name not in maxs or mx > maxs[name]:
                     maxs[name] = mx
-        full = {c for c, n in covered.items() if n == md.num_row_groups}
+        full = {
+            c
+            for c, n in covered.items()
+            if n == md.num_row_groups and c not in skip_minmax
+        }
         mins = {c: v for c, v in mins.items() if c in full}
         maxs = {c: v for c, v in maxs.items() if c in full}
         nulls = {
@@ -2087,7 +2146,11 @@ def _remove_action(
 
 
 def _move_staged_adds(
-    staging: str, path: str, now_ms: int, data_change: bool = True
+    staging: str,
+    path: str,
+    now_ms: int,
+    data_change: bool = True,
+    skip_minmax: frozenset[str] = frozenset(),
 ) -> list[dict[str, Any]]:
     """Move every staged parquet out of ``staging`` into the table root
     (preserving hive partition subdirectories) and return their add
@@ -2119,7 +2182,7 @@ def _move_staged_adds(
                 )
             }
             src = os.path.join(root, name)
-            stats = _file_stats(src)
+            stats = _file_stats(src, skip_minmax=skip_minmax)
             if stats and json.loads(stats).get("numRecords") == 0:
                 continue
             dest = os.path.join(path, rel)
@@ -2464,7 +2527,12 @@ def write_delta(
             "values diverge"
         )
     now_ms = int(time.time() * 1000)
-    adds = _move_staged_adds(staging, path, now_ms)
+    adds = _move_staged_adds(
+        staging,
+        path,
+        now_ms,
+        skip_minmax=_collated_top_columns(gens_schema, cm_mode),
+    )
 
     actions: list[dict[str, Any]] = []
     if version == 0:
@@ -2479,22 +2547,26 @@ def write_delta(
             typed_feats.append("timestampNtz")
         if _schema_has_variant(df.schema):
             typed_feats.append("variantType")
-        if typed_feats:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": list(typed_feats),
-                        "writerFeatures": [
-                            "appendOnly",
-                            "invariants",
-                            "checkConstraints",
-                        ]
-                        + typed_feats,
-                    }
-                }
-            )
+        # collations are writer-only (plain UTF-8 bytes read fine
+        # everywhere) — declared in writerFeatures, never readerFeatures
+        writer_only_feats = (
+            ["collations-preview"] if _schema_has_collation(df.schema) else []
+        )
+        if typed_feats or writer_only_feats:
+            proto: dict[str, Any] = {
+                "minReaderVersion": 3 if typed_feats else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": [
+                    "appendOnly",
+                    "invariants",
+                    "checkConstraints",
+                ]
+                + typed_feats
+                + writer_only_feats,
+            }
+            if typed_feats:
+                proto["readerFeatures"] = list(typed_feats)
+            actions.append({"protocol": proto})
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -3133,6 +3205,22 @@ def read_delta(
             )
         version = version_at_timestamp(path, timestamp_as_of)
     active, schema, partition_cols, meta = _replay(path, version)
+    collated_parts = sorted(
+        f.name
+        for f in schema.fields
+        if f.name in set(partition_cols) and _is_collated_string(f.dataType)
+    )
+    if collated_parts:
+        # Spark cannot cast hive partition-dir values to a collated
+        # string type (INVALID_PARTITION_VALUE), and binary matching of
+        # the stored values would be wrong anyway — refuse the whole
+        # read. Spark/delta-spark refuse to CREATE such tables, so this
+        # only fires on a hand-built external log.
+        raise DeltaUnsupportedProtocol(
+            f"Delta table at {path} partitions by collated column(s) "
+            f"{collated_parts} — unreadable: hive partition values "
+            "cannot carry a collation"
+        )
     # column mapping (reader v2/v3): the log's partitionValues keys,
     # per-file stats keys and hive dir names are all PHYSICAL; the
     # logical names live only in the schemaString. Resolve at the log
@@ -3168,10 +3256,20 @@ def read_delta(
         }
     if where:
         col, op, val = where
-        phys_where = (phys_of.get(col, col), op, val)
-        active = {
-            rel: a for rel, a in active.items() if _may_satisfy(a, phys_where)
-        }
+        by_name = {f.name: f for f in schema.fields}
+        if col in by_name and _is_collated_string(by_name[col].dataType):
+            # binary footer bounds cannot prune collated comparisons
+            # (e.g. 'A' == 'a' under UNICODE_CI falls outside a file's
+            # binary ['a','m'] range) — keep every file; the row filter
+            # the caller applies is collation-aware through Spark
+            pass
+        else:
+            phys_where = (phys_of.get(col, col), op, val)
+            active = {
+                rel: a
+                for rel, a in active.items()
+                if _may_satisfy(a, phys_where)
+            }
     from pyspark.sql import functions as F
 
     if not active:
@@ -3323,6 +3421,16 @@ def merge_delta(
             "(MERGE enforces the table schema; evolve via "
             "write_delta(merge_schema=True) first)"
         )
+    if any(_is_collated_string(f.dataType) for f in schema.fields):
+        # cast the source to the table's declared (collated) types —
+        # joining a plain string against a collated column is an
+        # INDETERMINATE_COLLATION analysis error; delta-spark casts the
+        # source to the target schema the same way
+        from pyspark.sql import functions as F
+
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     from pyspark.sql import functions as F
 
@@ -3357,6 +3465,15 @@ def merge_delta(
         # union below — or make _may_satisfy's TypeError handler mark
         # every file affected.)
         affected: dict[str, dict] = {}
+    elif any(
+        f.name == key and _is_collated_string(f.dataType)
+        for f in schema.fields
+    ):
+        # a collated merge key: binary [lo, hi] bounds cannot target
+        # files (collated equality crosses binary ranges) — every file
+        # is a candidate; the collation-aware equi-join below still
+        # rewrites only true matches' files
+        affected = dict(active)
     else:
         phys_key = phys_of.get(key, key)
         affected = {
@@ -3507,7 +3624,9 @@ def merge_delta(
         cdc_actions = _stage_cdc_actions(
             path, change_df, schema, partition_cols, cm_mode
         )
-    adds = _move_staged_adds(staging, path, now_ms)
+    adds = _move_staged_adds(
+        staging, path, now_ms, skip_minmax=_collated_top_columns(schema, cm_mode)
+    )
     tail = cdc_actions + [
         {
             "commitInfo": {
@@ -4110,6 +4229,13 @@ def delete_delta(
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     pred = F.coalesce(F.expr(condition), F.lit(False))
+    if prune and any(
+        f.name == prune[0] and _is_collated_string(f.dataType)
+        for f in schema.fields
+    ):
+        # binary footer bounds cannot prune collated comparisons —
+        # scan all candidates; the row predicate stays collation-aware
+        prune = None
     phys_prune = (
         (phys_of.get(prune[0], prune[0]), prune[1], prune[2]) if prune else None
     )
@@ -4252,7 +4378,9 @@ def delete_delta(
             *[phys_of[p] for p in partition_cols]
         )
     keep_writer.parquet(staging)
-    adds = _move_staged_adds(staging, path, now_ms)
+    adds = _move_staged_adds(
+        staging, path, now_ms, skip_minmax=_collated_top_columns(schema, cm_mode)
+    )
     tail = cdc_actions + [
         {
             "commitInfo": {
@@ -4351,6 +4479,13 @@ def update_delta(
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_of = {f.name: (_physical_name(f) if cm else f.name) for f in schema.fields}
     pred = F.coalesce(F.expr(condition), F.lit(False))
+    if prune and any(
+        f.name == prune[0] and _is_collated_string(f.dataType)
+        for f in schema.fields
+    ):
+        # binary footer bounds cannot prune collated comparisons —
+        # scan all candidates; the row predicate stays collation-aware
+        prune = None
     phys_prune = (
         (phys_of.get(prune[0], prune[0]), prune[1], prune[2]) if prune else None
     )
@@ -4516,7 +4651,9 @@ def update_delta(
             partition_cols,
             cm_mode,
         )
-    adds = _move_staged_adds(staging, path, now_ms)
+    adds = _move_staged_adds(
+        staging, path, now_ms, skip_minmax=_collated_top_columns(schema, cm_mode)
+    )
     tail = cdc_actions + [
         {
             "commitInfo": {
@@ -5157,7 +5294,13 @@ def optimize_delta(
     if partition_cols:
         writer = writer.partitionBy(*[phys_of[p] for p in partition_cols])
     writer.parquet(staging)
-    adds = _move_staged_adds(staging, path, now_ms, data_change=False)
+    adds = _move_staged_adds(
+        staging,
+        path,
+        now_ms,
+        data_change=False,
+        skip_minmax=_collated_top_columns(schema, cm_mode),
+    )
     tail = [
         {
             "commitInfo": {

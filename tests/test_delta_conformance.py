@@ -205,6 +205,9 @@ GOLDEN_VPC = os.path.join(os.path.dirname(__file__), "data", "golden_delta_vpc")
 GOLDEN_VARIANT = os.path.join(
     os.path.dirname(__file__), "data", "golden_delta_variant"
 )
+GOLDEN_COLLATIONS = os.path.join(
+    os.path.dirname(__file__), "data", "golden_delta_collations"
+)
 GOLDEN_ICT = os.path.join(os.path.dirname(__file__), "data", "golden_delta_ict")
 GOLDEN_TW = os.path.join(os.path.dirname(__file__), "data", "golden_delta_tw")
 
@@ -621,6 +624,126 @@ def test_variant_new_table_declares_feature(spark, tmp_path):
             plain,
             merge_schema=True,
         )
+
+
+def test_collations_read_write_and_prune_guard(spark, tmp_path):
+    """Writer v7 + collations-preview (round-11): the __COLLATIONS
+    field metadata parses to a collated StringType (Spark-native), so
+    engine comparisons are collation-aware; data skipping must IGNORE
+    the fixture's binary-order stats on the collated column (pruning
+    's = apple' against file0's binary ['APPLE','Banana'] range would
+    wrongly skip the collation-equal 'APPLE'); appends preserve the
+    collation metadata and never emit binary min/max for it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = dl.read_delta(spark, GOLDEN_COLLATIONS)
+    assert df.schema["s"].dataType == T.StringType("UNICODE_CI")
+    # collation-aware equality: 'apple' matches APPLE + apple, not Banana
+    assert sorted(
+        r["id"] for r in df.filter(F.col("s") == "apple").collect()
+    ) == [1, 3]
+    # the prune path must NOT trust binary bounds: where= keeps file0
+    pruned = dl.read_delta(spark, GOLDEN_COLLATIONS, where=("s", "=", "apple"))
+    assert sorted(
+        r["id"] for r in pruned.filter(F.col("s") == "apple").collect()
+    ) == [1, 3]
+    import shutil
+
+    work = str(tmp_path / "coll")
+    shutil.copytree(GOLDEN_COLLATIONS, work)
+    # append a PLAIN-string batch (delta-spark accepts the same write)
+    v = dl.write_delta(
+        spark.createDataFrame([(4, "bAnAnA")], "id long, s string"),
+        work,
+        mode="append",
+    )
+    meta = dl._latest_metadata(work, v)
+    assert '"__COLLATIONS":{"s":"icu.UNICODE_CI"}' in meta["schemaString"]
+    adds = [a["add"] for a in dl._read_actions(work, v) if "add" in a]
+    stats = json.loads(adds[0]["stats"])
+    assert "s" not in stats["minValues"]  # binary order is not collated order
+    assert "id" in stats["minValues"]  # other columns keep skipping stats
+    assert stats["nullCount"].get("s") == 0  # collation-independent, kept
+    # collation-aware DML: DELETE 'banana' removes Banana AND bAnAnA
+    dl.delete_delta(spark, work, "s = 'banana'")
+    assert sorted(r["id"] for r in dl.read_delta(spark, work).collect()) == [
+        1,
+        3,
+    ]
+
+
+def test_collations_new_table_declares_feature(spark, tmp_path):
+    """Creating a table whose schema carries a collated column declares
+    collations-preview in writerFeatures ONLY — string bytes are plain
+    UTF-8, readable by any reader (minReaderVersion stays 1)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "coll_new")
+    df = spark.createDataFrame(
+        [(1, "Mixed"), (2, "mixed")], "id long, s string"
+    ).select("id", F.collate("s", "UNICODE_CI").alias("s"))
+    dl.write_delta(df, path)
+    proto = dl._latest_protocol(path, 0)
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert "collations-preview" in proto["writerFeatures"]
+    assert "readerFeatures" not in proto
+    back = dl.read_delta(spark, path)
+    assert back.filter(F.col("s") == "MIXED").count() == 2
+    # the created adds never carry binary min/max for the collated col
+    adds = [a["add"] for a in dl._read_actions(path, 0) if "add" in a]
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert "s" not in st["minValues"]
+
+
+def test_collations_merge_and_partition_filter_guards(spark, tmp_path):
+    """MERGE on a collated key skips binary range-targeting (every file
+    is a candidate; the equi-join itself is collation-aware), and
+    partition_filter on a collated partition column refuses instead of
+    binary-matching hive values."""
+    import shutil
+
+    work = str(tmp_path / "coll_mrg")
+    shutil.copytree(GOLDEN_COLLATIONS, work)
+    updates = spark.createDataFrame(
+        [("APPLE", 100), ("cherry", 5)], "s string, id long"
+    ).select("id", "s")
+    dl.merge_delta(spark, work, updates, "s")
+    got = sorted(
+        (r["id"], r["s"]) for r in dl.read_delta(spark, work).collect()
+    )
+    # 'APPLE' matches BOTH apple-case rows under UNICODE_CI (ids 1, 3
+    # replaced by the single update row keyed 'APPLE'); Banana copies;
+    # cherry inserts. delta-spark would raise on multi-match — our
+    # merge is last-write-wins upsert; what matters here is that file1
+    # ('apple', OUTSIDE the binary range of 'APPLE') was found+rewritten
+    assert (100, "APPLE") in got
+    assert (5, "cherry") in got
+    assert not any(s in ("apple",) for _, s in got)
+    # collated PARTITION columns refuse wholesale: Spark cannot cast
+    # hive dir values to a collated type (INVALID_PARTITION_VALUE) and
+    # refuses to CREATE such tables — but an external log could declare
+    # one; simulate by stamping __COLLATIONS onto a plain partitioned
+    # table's schemaString.
+    pdir = str(tmp_path / "coll_part")
+    pdf = spark.createDataFrame([(1, "a"), (2, "A")], "id long, p string")
+    dl.write_delta(pdf, pdir, partition_by=["p"])
+    log0 = os.path.join(pdir, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            doc = json.loads(a["metaData"]["schemaString"])
+            for f in doc["fields"]:
+                if f["name"] == "p":
+                    f["metadata"]["__COLLATIONS"] = {"p": "icu.UNICODE_CI"}
+            a["metaData"]["schemaString"] = json.dumps(doc)
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="collated"):
+        dl.read_delta(spark, pdir)
 
 
 def test_variant_shredding_refuses(spark, tmp_path):

@@ -691,3 +691,17 @@ def test_batch_source_variant_refuses_with_pointer(spark):
     path = os.path.join(DATA, "golden_delta_variant")
     with pytest.raises(Exception, match="read_delta"):
         spark.read.format("deltalog").load(path).collect()
+
+
+def test_batch_source_collated_table(spark):
+    """Collated tables flow through the registered source: pyarrow
+    reads the plain UTF-8 bytes, the schema presents the collated
+    StringType, and engine comparisons are collation-aware."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.format("deltalog").load(
+        os.path.join(DATA, "golden_delta_collations")
+    )
+    assert df.schema["s"].dataType == T.StringType("UNICODE_CI")
+    assert df.filter(F.col("s") == "apple").count() == 2
