@@ -881,6 +881,12 @@ _SUPPORTED_WRITER_FEATURES: frozenset[str] = frozenset(
         # library catches up (see _file_stats).
         "variantType",
         "variantType-preview",
+        # NOT here, deliberately: icebergCompatV1/V2 (UniForm). Reads
+        # pass (writer-only feature; the parquet is ordinary Delta,
+        # test-asserted) but writes refuse — conforming writes must
+        # materialize partition values into data files, stamp nested
+        # parquet field ids, and keep DVs off, and a half-held
+        # obligation would silently corrupt the table's Iceberg mirror.
         # collations (round-11, writer-only: string BYTES are plain
         # UTF-8, so readers without the feature still read correctly —
         # Spark 4.x parses the spec's __COLLATIONS field metadata into

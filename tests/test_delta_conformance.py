@@ -746,6 +746,39 @@ def test_collations_merge_and_partition_filter_guards(spark, tmp_path):
         dl.read_delta(spark, pdir)
 
 
+def test_iceberg_compat_reads_pass_writes_refuse(spark, tmp_path):
+    """icebergCompatV1/V2 (UniForm) are WRITER features — the parquet
+    bytes are ordinary Delta, so reads must pass untouched; writes must
+    refuse (the compat obligations — materialized partition values,
+    nested field ids, DV bans — are not implemented, and a
+    non-conforming commit would corrupt the table's Iceberg mirror)."""
+    import shutil
+
+    for feat in ("icebergCompatV1", "icebergCompatV2"):
+        work = str(tmp_path / feat)
+        shutil.copytree(GOLDEN_CM, work)
+        log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+        acts = [json.loads(line) for line in open(log0)]
+        for a in acts:
+            if "protocol" in a:
+                a["protocol"]["minWriterVersion"] = 7
+                a["protocol"]["writerFeatures"] = ["columnMapping", feat]
+            if "metaData" in a:
+                a["metaData"]["configuration"][
+                    f"delta.enable{feat[0].upper()}{feat[1:]}"
+                ] = "true"
+        with open(log0, "w") as f:
+            for a in acts:
+                f.write(json.dumps(a) + "\n")
+        assert dl.read_delta(spark, work).count() == 2
+        with pytest.raises(dl.DeltaUnsupportedProtocol, match=feat):
+            dl.write_delta(
+                spark.createDataFrame([(9, 9.0)], "id long, v double"),
+                work,
+                mode="append",
+            )
+
+
 def test_variant_shredding_refuses(spark, tmp_path):
     """variantShredding-preview moves typed values OUT of the value
     binary into shredded typed_value columns — bytes this reader would
