@@ -1355,3 +1355,92 @@ def ngram_decontaminate(
         .agg(F.count_distinct("g").alias("n_shared"))
         .withColumn("contaminated", F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def dup_ngram_spans(
+    corpus: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated n-gram SPANS — the substring-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): find every maximal run of words that some
+    OTHER document also contains as a k-gram, the spans an ExactSubstr
+    pass would cut before training. Suffix arrays are the single-node
+    exact tool; hashed k-gram inversion is the practical distributed
+    equivalent (same recall for runs ≥ k).
+
+    Output: one row per maximal span — (doc_id, span_start, span_end,
+    span_tokens), 0-based word positions, spans merged when their
+    k-gram hits overlap.
+
+    Plan shape (100 TB posture):
+    1. tokenize + explode one k-gram hash per word position — O(corpus
+       tokens) rows but each only (id, pos, 16-byte md5); documents
+       shorter than k words never explode.
+    2. groupBy hash → docs-per-gram ≥ ``min_docs`` (map-side partial
+       agg shrinks this to distinct grams per partition first); the
+       dup-gram set joins back on the hash — a shuffle equi-join at
+       corpus scale, broadcastable only for small corpora, so no
+       broadcast hint is forced.
+    3. interval-merge per document: two windows partitioned by the
+       high-cardinality doc id (running max-end → island break flags →
+       running island id) and one groupBy — no skewed keys anywhere.
+    The hash is md5 (16 bytes) rather than sha2-256 to halve the
+    dominant stage-2 shuffle bytes; at ~10¹¹ grams the 2⁻⁶⁴ birthday
+    mass stays negligible for a ≥2-docs threshold.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = corpus.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"), w.alias("w")
+    )
+    grams = (
+        words.where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - k)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("p") + 1, k))).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    occ = grams.join(dup, "h").select(
+        "doc_id", F.col("p").alias("s"), (F.col("p") + k - 1).alias("e")
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = occ.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    return (
+        marked.withColumn("island", F.sum("brk").over(run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
+        )
+        .drop("island", "brk")
+    )

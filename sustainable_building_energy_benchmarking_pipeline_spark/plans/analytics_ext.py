@@ -2874,6 +2874,67 @@ ORDER BY doc_id
 """
 
 
+def z18_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated n-gram spans (round-11) — the
+    substring-level dedup signal of Lee et al. 2022: every maximal run
+    of words that at least one OTHER document also contains as a
+    13-gram, i.e. the spans an ExactSubstr pass would cut before
+    training. Document-level dedup (q26/q33) misses these partial
+    overlaps; this is the operator that catches boilerplate and quoted
+    blocks INSIDE otherwise-unique documents. Scale shape (see
+    operators/dedup.dup_ngram_spans): one O(corpus-tokens) gram
+    explode shuffling 16-byte md5s, a docs-per-gram aggregate, a hash
+    equi-join back, then doc-partitioned interval-merge windows — no
+    all-pairs, no skewed keys."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        dup_ngram_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_spans(docs, k=13).orderBy("doc_id", "span_start")
+
+
+Z18_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE LEN(trim(text)) > 0
+),
+pos AS (
+  SELECT doc_id, w, UNNEST(range(0, GREATEST(LEN(w) - 13 + 1, 0))) AS p
+  FROM words
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(w[p+1:p+13], ' ')) AS h FROM pos
+),
+dup AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT g.doc_id, g.p AS s, g.p + 12 AS e FROM grams g JOIN dup USING (h)
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM occ
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2922,4 +2983,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z15_semdedup": QuerySpec(z15_semdedup, Z15_SQL),
     "z16_sequence_pack": QuerySpec(z16_sequence_pack, Z16_SQL),
     "z17_leakage_safe_split": QuerySpec(z17_leakage_safe_split, Z17_SQL),
+    "z18_dup_ngram_spans": QuerySpec(z18_dup_ngram_spans, Z18_SQL),
 }

@@ -1423,3 +1423,46 @@ SELECT doc_id, cluster_rep,
 FROM q50
 ORDER BY doc_id
 """
+
+# z18: the DuckDB oracle's list machinery (regexp_split_to_array,
+# UNNEST(range), end-inclusive slices) maps to Spark's split /
+# explode(sequence) / slice(arr, start, LENGTH); md5 spells identically
+SPARK_SQL["z18_dup_ngram_spans"] = r"""
+WITH words AS (
+  SELECT doc_id, split(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, p, md5(concat_ws(' ', slice(w, p + 1, 13))) AS h
+  FROM (
+    SELECT doc_id, w, explode(sequence(0, size(w) - 13)) AS p
+    FROM words WHERE size(w) >= 13
+  )
+),
+dup AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT g.doc_id, g.p AS s, g.p + 12 AS e FROM grams g JOIN dup USING (h)
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM occ
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
