@@ -1357,6 +1357,35 @@ def ngram_decontaminate(
     )
 
 
+def _ws_words(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w: array<string>) — whitespace word arrays of non-blank
+    documents, the shared tokenization of the substring-dedup family
+    (matches the DuckDB oracles' regexp_split_to_array exactly)."""
+    return corpus.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    )
+
+
+def _pos_gram_hashes(words: DataFrame, k: int) -> DataFrame:
+    """(doc_id, p, h) — one 16-byte-md5 k-gram hash per word position;
+    documents shorter than k words never explode. O(corpus tokens) rows
+    of fixed width, the inversion input of the substring-dedup family."""
+    return (
+        words.where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.size("w") - k)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("p") + 1, k))).alias("h"),
+        )
+    )
+
+
 def dup_ngram_spans(
     corpus: DataFrame,
     k: int = 13,
@@ -1392,23 +1421,8 @@ def dup_ngram_spans(
     dominant stage-2 shuffle bytes; at ~10¹¹ grams the 2⁻⁶⁴ birthday
     mass stays negligible for a ≥2-docs threshold.
     """
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
-    words = corpus.where(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col).alias("doc_id"), w.alias("w")
-    )
-    grams = (
-        words.where(F.size("w") >= k)
-        .select(
-            "doc_id",
-            "w",
-            F.explode(F.sequence(F.lit(0), F.size("w") - k)).alias("p"),
-        )
-        .select(
-            "doc_id",
-            "p",
-            F.md5(F.concat_ws(" ", F.slice("w", F.col("p") + 1, k))).alias("h"),
-        )
-    )
+    words = _ws_words(corpus, text_col, id_col)
+    grams = _pos_gram_hashes(words, k)
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("_nd"))
@@ -1443,4 +1457,89 @@ def dup_ngram_spans(
             (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
         )
         .drop("island", "brk")
+    )
+
+
+def exact_substr_cut(
+    corpus: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY half of ``dup_ngram_spans`` — ExactSubstr removal
+    (Lee et al. 2022): cut every word covered by a k-gram that an
+    EARLIER document (smaller id — the deterministic keep-first rule)
+    also contains, and rebuild the surviving text. Keep-first means the
+    corpus retains exactly one copy of every duplicated run; later
+    copies lose it, turning boilerplate-heavy documents into their
+    unique residue (possibly empty — the caller decides whether an
+    emptied document survives).
+
+    Output (only documents that lost at least one word): doc_id,
+    n_tokens (original), n_cut, clean_text.
+
+    Plan shape on top of the shared gram stage: a min/count aggregate
+    per hash, the hash equi-join back, a DISTINCT covered-position
+    explode (O(cut words), not O(corpus)), one anti-join of the
+    corpus's (doc, position) tokens against it, and a sort_array-of-
+    structs rebuild per document — every shuffle keys on the
+    high-cardinality doc id or gram hash."""
+    words = _ws_words(corpus, text_col, id_col)
+    grams = _pos_gram_hashes(words, k)
+    keeper = (
+        grams.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("_keep"),
+            F.count_distinct("doc_id").alias("_nd"),
+        )
+        .where(F.col("_nd") >= 2)
+        .select("h", "_keep")
+    )
+    cover = (
+        grams.join(keeper, "h")
+        .where(F.col("doc_id") > F.col("_keep"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + k - 1)
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    toks = words.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.posexplode("w").alias("p", "tok"),
+    )
+    kept = toks.join(
+        cover,
+        (toks["doc_id"] == cover["doc_id"]) & (toks["p"] == cover["cp"]),
+        "left_anti",
+    )
+    cut_docs = cover.select("doc_id").distinct()
+    n_all = words.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        cut_docs.join(n_all, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_cut"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
     )

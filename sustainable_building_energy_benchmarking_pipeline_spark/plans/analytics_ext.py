@@ -2935,6 +2935,69 @@ ORDER BY doc_id, span_start
 """
 
 
+def z19_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (round-11) — the APPLY half of z18: cut
+    every word covered by a 13-gram an EARLIER document also contains
+    (deterministic keep-first), rebuild the surviving text, and report
+    the surgery per affected document. The corpus keeps exactly one
+    copy of every duplicated run — Lee et al. 2022's dedup transform,
+    not just its detector. Scale shape: the shared gram stage plus a
+    min-per-hash aggregate, a DISTINCT covered-position explode bounded
+    by CUT words (not corpus words), one anti-join, and a per-doc
+    sort_array rebuild (see operators/dedup.exact_substr_cut)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        exact_substr_cut,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substr_cut(docs, k=13).orderBy("doc_id")
+
+
+Z19_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE LEN(trim(text)) > 0
+),
+pos AS (
+  SELECT doc_id, w, UNNEST(range(0, GREATEST(LEN(w) - 13 + 1, 0))) AS p
+  FROM words
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(w[p+1:p+13], ' ')) AS h FROM pos
+),
+keeper AS (
+  SELECT h, MIN(doc_id) AS keep_doc
+  FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cut_occ AS (
+  SELECT g.doc_id, g.p AS s, g.p + 12 AS e
+  FROM grams g JOIN keeper k USING (h)
+  WHERE g.doc_id > k.keep_doc
+),
+cover AS (
+  SELECT DISTINCT doc_id, UNNEST(range(s, e + 1)) AS cp FROM cut_occ
+),
+toks AS (
+  SELECT w.doc_id, UNNEST(range(0, LEN(w.w))) AS p, w.w AS w FROM words w
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.w[t.p + 1] AS tok
+  FROM toks t
+  LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.cp = t.p
+  WHERE c.doc_id IS NULL
+)
+SELECT d.doc_id,
+       CAST(LEN(w.w) AS BIGINT) AS n_tokens,
+       CAST(LEN(w.w) - COUNT(k.p) AS BIGINT) AS n_cut,
+       COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM cover) d
+JOIN words w ON w.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id, LEN(w.w)
+ORDER BY d.doc_id
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -2984,4 +3047,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z16_sequence_pack": QuerySpec(z16_sequence_pack, Z16_SQL),
     "z17_leakage_safe_split": QuerySpec(z17_leakage_safe_split, Z17_SQL),
     "z18_dup_ngram_spans": QuerySpec(z18_dup_ngram_spans, Z18_SQL),
+    "z19_exact_substr_cut": QuerySpec(z19_exact_substr_cut, Z19_SQL),
 }

@@ -1466,3 +1466,56 @@ FROM isl
 GROUP BY doc_id, island
 ORDER BY doc_id, span_start
 """
+
+# z19: same list-machinery mapping as z18, plus DuckDB's ordered
+# STRING_AGG → Spark's sort_array(collect_list(struct)) + transform
+# rebuild, and 1-based element_at for the token lookup
+SPARK_SQL["z19_exact_substr_cut"] = r"""
+WITH words AS (
+  SELECT doc_id, split(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, p, md5(concat_ws(' ', slice(w, p + 1, 13))) AS h
+  FROM (
+    SELECT doc_id, w, explode(sequence(0, size(w) - 13)) AS p
+    FROM words WHERE size(w) >= 13
+  )
+),
+keeper AS (
+  SELECT h, MIN(doc_id) AS keep_doc
+  FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cut_occ AS (
+  SELECT g.doc_id, g.p AS s, g.p + 12 AS e
+  FROM grams g JOIN keeper k USING (h)
+  WHERE g.doc_id > k.keep_doc
+),
+cover AS (
+  SELECT DISTINCT doc_id, explode(sequence(s, e)) AS cp FROM cut_occ
+),
+toks AS (
+  SELECT doc_id, posexplode(w) AS (p, tok) FROM words
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t
+  LEFT ANTI JOIN cover c ON c.doc_id = t.doc_id AND c.cp = t.p
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(1) AS BIGINT) AS n_kept,
+         concat_ws(' ', transform(
+           sort_array(collect_list(struct(p, tok))), x -> x.tok
+         )) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(size(w.w) AS BIGINT) AS n_tokens,
+       CAST(size(w.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_cut,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM cover) d
+JOIN words w ON w.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

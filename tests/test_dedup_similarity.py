@@ -724,3 +724,65 @@ def test_curate_and_split_runs_lsh_once(corpus, monkeypatch):
         rep, is_rep = labels[r["doc_id"]]
         assert is_rep
         assert r["split"] == ("train" if rep % 10 < 8 else "holdout")
+
+
+# ---- round-11: substring-level dedup (z18 detect / z19 cut) ----------
+
+
+def _substr_corpus(spark):
+    shared = " ".join(f"s{i}" for i in range(15))  # 15-word shared run
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    intra = " ".join(f"r{i % 13}" for i in range(26))  # SAME 13-gram twice
+    return spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {shared}"),
+            (2, f"{shared} {uniq_b}"),
+            (3, intra),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dup_ngram_spans_detects_cross_doc_runs_only(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import dup_ngram_spans
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dup_ngram_spans(_substr_corpus(spark), k=13).collect()
+    }
+    # the 15 shared words sit at positions 10..24 in doc 1, 0..14 in 2;
+    # every 13-gram inside merges into ONE maximal span per doc
+    assert spans[1] == (10, 24, 15)
+    assert spans[2] == (0, 14, 15)
+    # intra-doc repetition is NOT cross-doc duplication; short docs
+    # never explode
+    assert 3 not in spans and 4 not in spans
+
+
+def test_exact_substr_cut_keep_first(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import exact_substr_cut
+
+    out = {
+        r["doc_id"]: r for r in exact_substr_cut(_substr_corpus(spark), k=13).collect()
+    }
+    # keep-first: doc 1 (smaller id) keeps the run untouched — it is
+    # not even in the output; doc 2 loses exactly the 15 shared words
+    assert set(out) == {2}
+    assert out[2]["n_tokens"] == 25
+    assert out[2]["n_cut"] == 15
+    assert out[2]["clean_text"] == " ".join(f"b{i}" for i in range(10))
+
+
+def test_exact_substr_cut_can_empty_a_document(spark):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import exact_substr_cut
+
+    text = " ".join(f"w{i}" for i in range(13))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_substr_cut(df, k=13).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_cut"] == 13
+    assert out[2]["clean_text"] == ""
