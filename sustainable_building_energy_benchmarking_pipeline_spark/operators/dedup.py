@@ -1506,9 +1506,14 @@ def exact_substr_cut(
         )
         .distinct()
     )
-    toks = words.select(
+    cut_docs = cover.select("doc_id").distinct()
+    # restrict BEFORE exploding/anti-joining/rebuilding: only cut
+    # documents pay the token explode and the sort_array rebuild — at
+    # corpus scale the cut set is a sliver, and without this semi-join
+    # the collect_list below would aggregate every token of every
+    # document only to have the outer join discard almost all of it
+    toks = words.join(cut_docs, "doc_id", "left_semi").select(
         "doc_id",
-        F.size("w").alias("n_tokens"),
         F.posexplode("w").alias("p", "tok"),
     )
     kept = toks.join(
@@ -1516,7 +1521,6 @@ def exact_substr_cut(
         (toks["doc_id"] == cover["doc_id"]) & (toks["p"] == cover["cp"]),
         "left_anti",
     )
-    cut_docs = cover.select("doc_id").distinct()
     n_all = words.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
     rebuilt = (
         kept.groupBy("doc_id")

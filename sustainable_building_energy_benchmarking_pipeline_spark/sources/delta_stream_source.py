@@ -747,10 +747,15 @@ def _write_task(iterator, schema_json: str, partition_cols: list[str], table_pat
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _collated_top_columns,
         _file_stats,
     )
 
     schema = StructType.fromJson(json.loads(schema_json))
+    # collations-preview writer duty: binary-order min/max must never
+    # land for collated columns (this writer refuses CM tables, so the
+    # stats keys are the logical names)
+    skip_minmax = _collated_top_columns(schema, "none")
     target = to_arrow_schema(schema)
     data_fields = [f for f in target if f.name not in partition_cols]
     data_schema = pa.schema(data_fields)
@@ -821,7 +826,7 @@ def _write_task(iterator, schema_json: str, partition_cols: list[str], table_pat
     for pvals, (writer, rel) in writers.items():
         writer.close()
         dest = os.path.join(table_path, rel)
-        stats = _file_stats(dest)
+        stats = _file_stats(dest, skip_minmax=skip_minmax)
         adds.append(
             {
                 "path": rel,

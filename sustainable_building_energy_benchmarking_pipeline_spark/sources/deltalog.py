@@ -2048,22 +2048,28 @@ def _identity_stamped_meta(
 def _identity_marks_from_adds(
     adds: list[dict[str, Any]],
     idents: list[tuple[str, int, int, int | None, bool]],
+    phys_of: dict[str, str] | None = None,
 ) -> dict[str, int]:
     """New high-water mark per identity column, read off the staged
     adds' footer stats (free — no extra job): the furthest written
     value in the step's direction, carried over the prior mark. Raises
     when a column's stats are missing (the mark would silently stall
-    and a later write would re-assign the same values)."""
+    and a later write would re-assign the same values). ``phys_of``
+    maps logical → physical column names — footer stats of
+    column-mapped tables key by the PHYSICAL name."""
+    parsed = [
+        (act, json.loads(act["add"]["stats"]) if act["add"].get("stats") else {})
+        for act in adds
+    ]
     marks: dict[str, int] = {}
     for name, _start, step, hwm, _explicit in idents:
+        stat_key = (phys_of or {}).get(name, name)
         best = hwm
-        for act in adds:
-            stats = act["add"].get("stats")
-            vals = json.loads(stats) if stats else {}
-            if json.loads(stats or "{}").get("numRecords") == 0:
+        for act, vals in parsed:
+            if vals.get("numRecords") == 0:
                 continue
             key = "maxValues" if step > 0 else "minValues"
-            v = vals.get(key, {}).get(name)
+            v = vals.get(key, {}).get(stat_key)
             if v is None:
                 raise ValueError(
                     f"cannot advance identity high-water mark for "
@@ -2594,7 +2600,15 @@ def write_delta(
         # identity allocation state lives in the schema field metadata:
         # an assigning (or mark-advancing explicit) write ships a
         # metaData action with the bumped highWaterMark in this commit
-        ident_marks = _identity_marks_from_adds(adds, idents)
+        ident_marks = _identity_marks_from_adds(
+            adds,
+            idents,
+            phys_of=(
+                {f.name: _physical_name(f) for f in cm_schema.fields}
+                if cm_schema is not None
+                else None
+            ),
+        )
         if ident_marks:
             meta_to_ship = _identity_stamped_meta(
                 meta_to_ship if meta_to_ship is not None else meta,

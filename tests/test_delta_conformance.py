@@ -3369,3 +3369,52 @@ def test_identity_dml_copy_guards(spark, tmp_path):
         r["ident"] for r in dl.read_delta(spark, work).collect()
     ) == [1, 3]
     assert _ident_hwm(work) == 3
+
+
+def test_identity_append_on_column_mapped_table(spark, tmp_path):
+    """CM × identity (round-11 review fix): footer stats of a
+    column-mapped table key by PHYSICAL names — the high-water-mark
+    read must translate the identity column's logical name, or every
+    append raises 'carries no footer stats'."""
+    import shutil
+
+    work = str(tmp_path / "cm_ident")
+    shutil.copytree(GOLDEN_CM, work)
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 2,
+                "minWriterVersion": 7,
+                "writerFeatures": ["columnMapping", "identityColumns"],
+            }
+        if "metaData" in a:
+            doc = json.loads(a["metaData"]["schemaString"])
+            for f in doc["fields"]:
+                if f["name"] == "id":
+                    f["metadata"].update(
+                        {
+                            "delta.identity.start": 1,
+                            "delta.identity.step": 1,
+                            "delta.identity.highWaterMark": 2,
+                            "delta.identity.allowExplicitInsert": False,
+                        }
+                    )
+            a["metaData"]["schemaString"] = json.dumps(doc)
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    v = dl.write_delta(
+        spark.createDataFrame([(9.0,), (10.0,)], "v double").coalesce(1),
+        work,
+    )
+    got = sorted((r["id"], r["v"]) for r in dl.read_delta(spark, work).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 9.0), (4, 10.0)]
+    # the mark advanced in the same commit, stored in schema metadata
+    import re as _re
+
+    meta = dl._latest_metadata(work, v)
+    assert _re.search(
+        r'"delta\.identity\.highWaterMark":\s*4', meta["schemaString"]
+    )

@@ -705,3 +705,29 @@ def test_batch_source_collated_table(spark):
     )
     assert df.schema["s"].dataType == T.StringType("UNICODE_CI")
     assert df.filter(F.col("s") == "apple").count() == 2
+
+
+def test_batch_writer_collated_column_stats_withheld(spark, tmp_path):
+    """The data-source writer upholds the same collations-preview duty
+    as write_delta: adds never carry binary-order min/max for a
+    collated column (review fix, round-11)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dsw_coll")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, "Alpha"), (2, "alpha")], "id long, s string"
+        ).select("id", F.collate("s", "UNICODE_CI").alias("s")),
+        path,
+    )
+    back = dl.read_delta(spark, path)  # collated schema from the table
+    back.write.format("deltalog").mode("append").save(path)
+    v = dl._list_versions(path)[-1]
+    adds = [a["add"] for a in dl._read_actions(path, v) if "add" in a]
+    assert adds
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert "s" not in st["minValues"] and "s" not in st["maxValues"]
+        assert "id" in st["minValues"]  # other columns keep stats
