@@ -211,3 +211,107 @@ def test_stratified_rank_and_cumsum_match_windows(spark, rows, n_parts):
         for r in df.withColumn("cs", F.sum("v").over(wf)).collect()
     }
     assert got_cs == want_cs
+
+
+# ---- round-11: substring-dedup family vs a pure-Python reference -----
+
+_tiny_docs = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_spans(texts: list[str], k: int) -> set[tuple[int, int, int, int]]:
+    """Reference dup_ngram_spans: dict-of-sets inversion + interval
+    merge, straight from the definition."""
+    words = {i: t.split() for i, t in enumerate(texts) if t.strip()}
+    where: dict[tuple, set[int]] = {}
+    for d, w in words.items():
+        for p in range(len(w) - k + 1):
+            where.setdefault(tuple(w[p : p + k]), set()).add(d)
+    out = set()
+    for d, w in words.items():
+        hits = sorted(
+            p
+            for p in range(len(w) - k + 1)
+            if len(where[tuple(w[p : p + k])]) >= 2
+        )
+        cur = None
+        for p in hits:
+            s, e = p, p + k - 1
+            if cur and s <= cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                if cur:
+                    out.add((d, cur[0], cur[1], cur[1] - cur[0] + 1))
+                cur = [s, e]
+        if cur:
+            out.add((d, cur[0], cur[1], cur[1] - cur[0] + 1))
+    return out
+
+
+@given(texts=_tiny_docs)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dup_ngram_spans_matches_reference(spark_session_prop, texts):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        dup_ngram_spans,
+    )
+
+    spark = spark_session_prop
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dup_ngram_spans(df, k=3).collect()
+    }
+    assert got == _ref_spans(texts, 3)
+
+
+@given(texts=_tiny_docs)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substr_cut_matches_reference(spark_session_prop, texts):
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        exact_substr_cut,
+    )
+
+    k = 3
+    spark = spark_session_prop
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.n_tokens, r.n_cut, r.clean_text)
+        for r in exact_substr_cut(df, k=k).collect()
+    }
+    # reference: keep-first at gram level, positions covered by a gram
+    # whose min-doc is earlier get cut
+    words = {i: t.split() for i, t in enumerate(texts) if t.strip()}
+    keep: dict[tuple, int] = {}
+    docs_of: dict[tuple, set[int]] = {}
+    for d in sorted(words):
+        w = words[d]
+        for p in range(len(w) - k + 1):
+            g = tuple(w[p : p + k])
+            keep.setdefault(g, d)
+            docs_of.setdefault(g, set()).add(d)
+    want = set()
+    for d, w in words.items():
+        cut = set()
+        for p in range(len(w) - k + 1):
+            g = tuple(w[p : p + k])
+            if len(docs_of[g]) >= 2 and keep[g] < d:
+                cut.update(range(p, p + k))
+        if cut:
+            clean = " ".join(w[i] for i in range(len(w)) if i not in cut)
+            want.add((d, len(w), len(cut), clean))
+    assert got == want

@@ -37,6 +37,8 @@ HEAVY = [
     "z10_winnowing_pairs",
     "z11_lm_perplexity_tiers",
     "z15_semdedup",
+    "z18_dup_ngram_spans",
+    "z19_exact_substr_cut",
 ]
 
 MAX_RATIO = 15.0
