@@ -734,7 +734,13 @@ class _DeltaWriteMessage(WriterCommitMessage):
         self.adds = adds
 
 
-def _write_task(iterator, schema_json: str, partition_cols: list[str], table_path: str):
+def _write_task(
+    iterator,
+    schema_json: str,
+    partition_cols: list[str],
+    table_path: str,
+    skip_minmax: list[str] | None = None,
+):
     """Executor-side write: stream arrow batches into one parquet file
     per hive partition this task holds (unpartitioned: one file). Files
     land DIRECTLY in the table dir under uuid-unique part names —
@@ -754,8 +760,13 @@ def _write_task(iterator, schema_json: str, partition_cols: list[str], table_pat
     schema = StructType.fromJson(json.loads(schema_json))
     # collations-preview writer duty: binary-order min/max must never
     # land for collated columns (this writer refuses CM tables, so the
-    # stats keys are the logical names)
-    skip_minmax = _collated_top_columns(schema, "none")
+    # stats keys are the logical names). The skip set comes from the
+    # TABLE schema via preflight — a plain-typed frame appended into a
+    # collated column carries no collation itself — unioned with the
+    # frame's own collated columns (the new-table case).
+    skip = frozenset(skip_minmax or ()) | _collated_top_columns(
+        schema, "none"
+    )
     target = to_arrow_schema(schema)
     data_fields = [f for f in target if f.name not in partition_cols]
     data_schema = pa.schema(data_fields)
@@ -826,7 +837,7 @@ def _write_task(iterator, schema_json: str, partition_cols: list[str], table_pat
     for pvals, (writer, rel) in writers.items():
         writer.close()
         dest = os.path.join(table_path, rel)
-        stats = _file_stats(dest, skip_minmax=skip_minmax)
+        stats = _file_stats(dest, skip_minmax=skip)
         adds.append(
             {
                 "path": rel,
@@ -858,10 +869,26 @@ def _writer_preflight(
         _replay,
     )
 
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _plain_type,
+        _schema_has_variant,
+    )
+
+    if _schema_has_variant(df_schema):
+        # VariantType has no arrow mapping in this writer's pyarrow
+        # sink (and the snapshot reader refuses variant tables too) —
+        # refuse at planning with the working path named
+        raise ValueError(
+            "this data source cannot write VARIANT columns (executor-"
+            "side pyarrow sink) — use write_delta for variant tables"
+        )
     versions = _list_versions(path)
     if not versions:
         opt = options.get("partitionby")
-        return [c.strip() for c in opt.split(",") if c.strip()] if opt else []
+        return (
+            [c.strip() for c in opt.split(",") if c.strip()] if opt else [],
+            [],
+        )
     _active, schema, pcols, meta = _replay(path, versions[-1])
     # rowTracking is upheld: _commit_write routes through the same
     # re-stamp loop write_delta uses (fresh baseRowIds + high-water
@@ -896,8 +923,10 @@ def _writer_preflight(
             f"Delta table at {path} is delta.appendOnly=true: overwrite "
             "is blocked"
         )
-    if [(f.name, f.dataType) for f in df_schema.fields] != [
-        (f.name, f.dataType) for f in schema.fields
+    # _plain_type: collation (comparison metadata, not bytes) never
+    # blocks an append — the same normalization write_delta applies
+    if [(f.name, _plain_type(f.dataType)) for f in df_schema.fields] != [
+        (f.name, _plain_type(f.dataType)) for f in schema.fields
     ]:
         raise ValueError(
             f"schema mismatch vs Delta table at {path}: "
@@ -911,7 +940,11 @@ def _writer_preflight(
                 f"partition columns fixed at table creation: "
                 f"table={pcols} write={wanted}"
             )
-    return list(pcols)
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _collated_top_columns,
+    )
+
+    return list(pcols), sorted(_collated_top_columns(schema, "none"))
 
 
 def _stage_cdc_overwrite_arrow(
@@ -1150,7 +1183,7 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
         self._path = options["path"]
         self._schema = schema
         self._overwrite = overwrite
-        self._pcols = _writer_preflight(
+        self._pcols, self._skip_minmax = _writer_preflight(
             self._path, schema, overwrite, options
         )
         missing = set(self._pcols) - set(schema.fieldNames())
@@ -1161,7 +1194,11 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
 
     def write(self, iterator):
         return _write_task(
-            iterator, self._schema.json(), self._pcols, self._path
+            iterator,
+            self._schema.json(),
+            self._pcols,
+            self._path,
+            skip_minmax=self._skip_minmax,
         )
 
     def commit(self, messages) -> None:
@@ -1204,7 +1241,7 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         self._path = options["path"]
         self._schema = schema
         self._app_id = options.get("txnappid")
-        self._pcols = _writer_preflight(
+        self._pcols, self._skip_minmax = _writer_preflight(
             self._path, schema, overwrite, options
         )
         missing = set(self._pcols) - set(schema.fieldNames())
@@ -1215,7 +1252,11 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
 
     def write(self, iterator):
         return _write_task(
-            iterator, self._schema.json(), self._pcols, self._path
+            iterator,
+            self._schema.json(),
+            self._pcols,
+            self._path,
+            skip_minmax=self._skip_minmax,
         )
 
     def commit(self, messages, batchId: int) -> None:

@@ -731,3 +731,46 @@ def test_batch_writer_collated_column_stats_withheld(spark, tmp_path):
         st = json.loads(a["stats"])
         assert "s" not in st["minValues"] and "s" not in st["maxValues"]
         assert "id" in st["minValues"]  # other columns keep stats
+
+
+def test_batch_writer_plain_append_into_collated_table(spark, tmp_path):
+    """A PLAIN-string frame appended into a collated table (bytes are
+    identical — write_delta accepts the same) must land AND withhold
+    binary min/max for the collated column: the skip set comes from the
+    TABLE schema, not the frame's."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dsw_coll_plain")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, "Alpha")], "id long, s string"
+        ).select("id", F.collate("s", "UNICODE_CI").alias("s")),
+        path,
+    )
+    plain = spark.createDataFrame([(2, "ALPHA")], "id long, s string")
+    plain.write.format("deltalog").mode("append").save(path)
+    v = dl._list_versions(path)[-1]
+    adds = [a["add"] for a in dl._read_actions(path, v) if "add" in a]
+    assert adds
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert "s" not in st["minValues"]
+    # and the combined table is collation-aware end to end
+    back = dl.read_delta(spark, path)
+    assert back.filter(F.col("s") == "alpha").count() == 2
+
+
+def test_batch_writer_variant_refuses_with_pointer(spark, tmp_path):
+    """Variant frames refuse through the data-source writer at planning
+    (pyarrow sink has no VariantType mapping) with write_delta named."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, '{"a": 1}')], "id long, j string").select(
+        "id", F.parse_json("j").alias("v")
+    )
+    with pytest.raises(Exception, match="write_delta"):
+        df.write.format("deltalog").mode("append").save(
+            str(tmp_path / "dsw_var")
+        )
