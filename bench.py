@@ -96,7 +96,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, int] = {}
 
+    # The cluster-label memo (operators.dedup) is session state: z17
+    # legitimately reuses the labels q50 computed — that IS the session
+    # cost a user pays, so cross-query hits are measured as hits. But a
+    # query's OWN re-passes must not degenerate into measuring its own
+    # memo (min-of-N would then report q50 without any LSH work): pin
+    # each query's cache state to what its FIRST pass saw — entries the
+    # query itself added are evicted before every re-pass, entries that
+    # predate it stay. Cold stays cold, warm stays warm, min-of-N stays
+    # a noise estimator.
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        _CLUSTER_LABEL_CACHE,
+    )
+
+    cache_pre: dict[str, set] = {}
+
     def run_one(name: str) -> float:
+        pre = cache_pre.setdefault(name, set(_CLUSTER_LABEL_CACHE))
+        for k in [k for k in _CLUSTER_LABEL_CACHE if k not in pre]:
+            _CLUSTER_LABEL_CACHE.pop(k, None)
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
         n = df.count()

@@ -15,6 +15,7 @@ Scale design — the whole point of these shapes at 100 TB:
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 import pandas as pd
@@ -1125,6 +1126,45 @@ def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+#: Session-scoped memo of driver-side cluster label maps, keyed by
+#: (analyzed-plan semanticHash of the input, every clustering knob).
+#: Near-dup clustering is the single most expensive derived artifact a
+#: curation session computes (q50's LSH + verify + union-find), and
+#: real pipelines consume the SAME labels several times — cluster-level
+#: dedup, then the leakage-safe split, then per-cluster stats. The memo
+#: makes the second and later consumers pay one projection instead of
+#: re-running the pipeline (VERDICT r10 directive #6). Staleness
+#: semantics match ``spark.catalog.cacheTable``: labels reflect the
+#: input AS READ when first computed — after mutating the underlying
+#: files in place, call :func:`clear_cluster_label_cache`. Bounded: at
+#: most ``_CLUSTER_CACHE_MAX`` entries (LRU), labels dicts only (the
+#: driver already held them transiently; no DataFrames are pinned).
+_CLUSTER_LABEL_CACHE: "dict[tuple, dict]" = {}
+_CLUSTER_CACHE_MAX = 4
+_CLUSTER_CACHE_LOCK = threading.Lock()
+
+
+def clear_cluster_label_cache() -> None:
+    """Drop every memoized cluster label map (see
+    ``_CLUSTER_LABEL_CACHE``). Call after rewriting the files a cached
+    clustering was computed from — same contract as un-caching a table
+    Spark has cached."""
+    with _CLUSTER_CACHE_LOCK:
+        _CLUSTER_LABEL_CACHE.clear()
+
+
+def _plan_fingerprint(df: DataFrame):
+    """Canonical fingerprint of a DataFrame's ANALYZED logical plan —
+    Catalyst's own ``QueryPlan.semanticHash`` (expression-id agnostic, so
+    two reads of the same path with the same projection collide, which
+    is exactly the memo-hit we want). Returns None when the JVM plan is
+    unreachable (Connect-only sessions); callers skip the memo then."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
 def _labels_frame(spark, labels: dict) -> DataFrame:
     """(id, component) DataFrame from a driver-side label map.
 
@@ -1150,6 +1190,53 @@ def _labels_frame(spark, labels: dict) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def _attach_cluster_labels(df: DataFrame, labels: dict, id_col: str) -> DataFrame:
+    """(doc_id, cluster_rep, is_rep) from a driver-side label map —
+    the apply half of dedup_clusters, shared by the fresh-compute and
+    memo-hit paths. ≤4096 labels inline as one parsed map literal (no
+    broadcast build); larger maps ride an Arrow createDataFrame +
+    broadcast hash join."""
+    if len(labels) <= 4096:
+        if labels:
+            # one parsed expr string instead of 2·N F.lit() Columns:
+            # each F.lit is a py4j round-trip and a Literal node the
+            # analyzer visits — measured 5× slower at ~500 labels
+            # (0.50 s vs 0.10 s per action at sf0.1). Int ids render
+            # as literals directly; other id types take the F.lit path.
+            if all(isinstance(v, int) for kv in labels.items() for v in kv):
+                body = ", ".join(f"{k}L, {c}L" for k, c in labels.items())
+                lbl_map = F.expr(f"map({body})")
+            else:
+                lbl_map = F.create_map(
+                    *[F.lit(v) for k, c in labels.items() for v in (k, c)]
+                )
+            rep = F.coalesce(lbl_map[F.col("doc_id")], F.col("doc_id"))
+        else:
+            # zero near-dup pairs: an argless create_map() types as
+            # map<void,void> and the lookup throws DATATYPE_MISMATCH —
+            # every doc is its own singleton representative
+            rep = F.col("doc_id")
+        return (
+            df.select(F.col(id_col).alias("doc_id"))
+            .withColumn("cluster_rep", rep)
+            .withColumn(
+                "is_rep", (F.col("doc_id") == F.col("cluster_rep")).cast("boolean")
+            )
+        )
+    comps = _labels_frame(df.sparkSession, labels)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(comps), F.col("doc_id") == comps["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+        )
+        .withColumn(
+            "is_rep", (F.col("doc_id") == F.col("cluster_rep")).cast("boolean")
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     threshold: float = 0.5,
@@ -1160,6 +1247,7 @@ def dedup_clusters(
     shingle_k: int = 3,
     seed: int = 42,
     driver_max_pairs: int = 5_000_000,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Cluster near-duplicate documents and pick a representative: the
     full LLM-corpus dedup endgame (pairs alone under-remove — three
@@ -1180,7 +1268,30 @@ def dedup_clusters(
     production dedup uses even at corpus scales of 10⁹ docs. Beyond the
     gate (adversarially duplicate-heavy corpora) it falls back to the
     distributed min-label propagation in ``connected_components``. The
-    collect is bounded by the gate, not the corpus."""
+    collect is bounded by the gate, not the corpus.
+
+    ``use_cache`` (round-11, VERDICT r10 #6): memoize the driver-side
+    label map per (input plan semanticHash, every knob) so a session
+    that consumes the same clustering more than once — cluster dedup,
+    then ``leakage_safe_split``, then per-cluster stats — pays the LSH
+    pipeline ONCE and a projection thereafter. Same staleness contract
+    as ``spark.catalog.cacheTable`` (see ``clear_cluster_label_cache``);
+    the over-gate distributed path is never memoized."""
+    if use_cache:
+        fp = _plan_fingerprint(df)
+        # driver_max_pairs is in the key although it never changes the
+        # LABELS (both strategies produce identical components): callers
+        # pinning it are choosing an execution strategy, and a memo hit
+        # from a different strategy's run would silently undo that
+        cache_key = (
+            fp, threshold, text_col, id_col,
+            num_hashes, bands, shingle_k, seed, driver_max_pairs,
+        )
+        if fp is not None:
+            with _CLUSTER_CACHE_LOCK:
+                cached = _CLUSTER_LABEL_CACHE.get(cache_key)
+            if cached is not None:
+                return _attach_cluster_labels(df, cached, id_col)
     # cold posture (persist_shingles=False) on purpose: the pair frame is
     # persisted below, so the whole upstream runs exactly once either
     # way, and A/B under the engine session shows the shingle persist
@@ -1212,49 +1323,24 @@ def dedup_clusters(
         labels = _union_find_components(
             zip(probe["id_a"].tolist(), probe["id_b"].tolist())
         )
-        if len(labels) <= 4096:
-            # map-literal attach: near-dup labels cover a sliver of the
-            # corpus, so skip the join entirely — one projection over the
-            # scan, no broadcast build/exchange (same trade as the offset
-            # map in windows._global_rank0; 4096 keys ≈ the analyzer
-            # comfort bound for a literal expression tree)
-            if labels:
-                # one parsed expr string instead of 2·N F.lit() Columns:
-                # each F.lit is a py4j round-trip and a Literal node the
-                # analyzer visits — measured 5× slower at ~500 labels
-                # (0.50 s vs 0.10 s per action at sf0.1). Int ids render
-                # as literals directly; other id types take the F.lit path.
-                if all(isinstance(v, int) for kv in labels.items() for v in kv):
-                    body = ", ".join(f"{k}L, {c}L" for k, c in labels.items())
-                    lbl_map = F.expr(f"map({body})")
-                else:
-                    lbl_map = F.create_map(
-                        *[F.lit(v) for k, c in labels.items() for v in (k, c)]
-                    )
-                rep = F.coalesce(lbl_map[F.col("doc_id")], F.col("doc_id"))
-            else:
-                # zero near-dup pairs: an argless create_map() types as
-                # map<void,void> and the lookup throws DATATYPE_MISMATCH —
-                # every doc is its own singleton representative
-                rep = F.col("doc_id")
-            return (
-                df.select(F.col(id_col).alias("doc_id"))
-                .withColumn("cluster_rep", rep)
-                .withColumn(
-                    "is_rep", (F.col("doc_id") == F.col("cluster_rep")).cast("boolean")
-                )
-            )
-        comps = _labels_frame(df.sparkSession, labels)
-    else:
-        comps = connected_components(pairs)  # pairs still persisted
+        if use_cache and fp is not None:
+            with _CLUSTER_CACHE_LOCK:
+                if len(_CLUSTER_LABEL_CACHE) >= _CLUSTER_CACHE_MAX:
+                    # evict the oldest entry (dict preserves insert order)
+                    _CLUSTER_LABEL_CACHE.pop(next(iter(_CLUSTER_LABEL_CACHE)))
+                _CLUSTER_LABEL_CACHE[cache_key] = labels
+        # map-literal attach (≤4096 labels): near-dup labels cover a
+        # sliver of the corpus, so skip the join entirely — one
+        # projection over the scan, no broadcast build/exchange (same
+        # trade as the offset map in windows._global_rank0; 4096 keys ≈
+        # the analyzer comfort bound for a literal expression tree).
+        # Larger maps ride Arrow + broadcast join inside the helper.
+        return _attach_cluster_labels(df, labels, id_col)
+    comps = connected_components(pairs)  # pairs still persisted
     try:
         return (
             df.select(F.col(id_col).alias("doc_id"))
-            .join(
-                F.broadcast(comps) if small else comps,
-                F.col("doc_id") == comps["id"],
-                "left",
-            )
+            .join(comps, F.col("doc_id") == comps["id"], "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
@@ -1264,8 +1350,7 @@ def dedup_clusters(
             )
         )
     finally:
-        if not small:
-            pairs.unpersist(blocking=False)
+        pairs.unpersist(blocking=False)
 
 
 def leakage_safe_split(

@@ -179,6 +179,7 @@ def test_dedup_clusters_no_pairs(spark):
 def test_dedup_clusters_strategies_agree(corpus):
     """Driver union-find and distributed propagation produce identical
     labels; singletons are their own representative."""
+    dedup.clear_cluster_label_cache()
     fast = {(r.doc_id, r.cluster_rep, r.is_rep)
             for r in dedup.dedup_clusters(corpus, threshold=0.4).collect()}
     dist = {(r.doc_id, r.cluster_rep, r.is_rep)
@@ -663,6 +664,7 @@ def test_leakage_safe_split_precomputed_equals_recomputed(corpus, monkeypatch):
     """Round-11 (VERDICT r10 #2): leakage_safe_split(clusters=...) with
     precomputed labels is identical to the recomputing form — and with
     clusters supplied the MinHash-LSH pipeline never runs."""
+    dedup.clear_cluster_label_cache()
     clusters = dedup.dedup_clusters(
         corpus, threshold=0.4, num_hashes=32, bands=16
     )
@@ -692,6 +694,7 @@ def test_curate_and_split_runs_lsh_once(corpus, monkeypatch):
     """plans.curation.curate_and_split drives the representative filter
     AND the leakage-safe split off ONE dedup_clusters pass — the LSH
     pipeline runs exactly once end-to-end."""
+    dedup.clear_cluster_label_cache()
     from sustainable_building_energy_benchmarking_pipeline_spark.plans import curation
 
     docs = corpus.withColumn(
@@ -724,6 +727,73 @@ def test_curate_and_split_runs_lsh_once(corpus, monkeypatch):
         rep, is_rep = labels[r["doc_id"]]
         assert is_rep
         assert r["split"] == ("train" if rep % 10 < 8 else "holdout")
+
+
+def test_cluster_label_cache_hit_and_invalidate(corpus, monkeypatch):
+    """Round-11 (VERDICT r10 #6): the session-scoped cluster-label memo.
+    A second dedup_clusters call with the same input plan + knobs reuses
+    the driver-side labels (zero LSH work) and returns IDENTICAL rows;
+    a knob change misses; clear_cluster_label_cache() forgets."""
+    dedup.clear_cluster_label_cache()
+    first = {tuple(r) for r in dedup.dedup_clusters(
+        corpus, threshold=0.4, num_hashes=32, bands=16).collect()}
+
+    calls = {"n": 0}
+    real = dedup.minhash_near_duplicates
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_near_duplicates", counting)
+    hit = {tuple(r) for r in dedup.dedup_clusters(
+        corpus, threshold=0.4, num_hashes=32, bands=16).collect()}
+    assert hit == first and first
+    assert calls["n"] == 0  # memo hit: the LSH pipeline never ran
+
+    # a knob change is a different clustering — must recompute
+    dedup.dedup_clusters(corpus, threshold=0.4, num_hashes=32, bands=8).collect()
+    assert calls["n"] == 1
+
+    # use_cache=False bypasses both lookup and store
+    dedup.dedup_clusters(
+        corpus, threshold=0.4, num_hashes=32, bands=16, use_cache=False
+    ).collect()
+    assert calls["n"] == 2
+
+    # invalidation forgets everything
+    dedup.clear_cluster_label_cache()
+    dedup.dedup_clusters(corpus, threshold=0.4, num_hashes=32, bands=16).collect()
+    assert calls["n"] == 3
+
+
+def test_cluster_label_cache_distinguishes_data(spark):
+    """Two corpora with the same schema but different rows must never
+    share a memo entry (the key is the ANALYZED plan's semanticHash,
+    which covers a LocalRelation's data)."""
+    dedup.clear_cluster_label_cache()
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(1, "one two three four five six"),
+         (2, "totally different words here now ok")],
+        ["doc_id", "text"],
+    )
+    ra = {(r.doc_id, r.cluster_rep) for r in dedup.dedup_clusters(a, threshold=0.5).collect()}
+    rb = {(r.doc_id, r.cluster_rep) for r in dedup.dedup_clusters(b, threshold=0.5).collect()}
+    assert ra == {(1, 1), (2, 1)}   # exact dups cluster
+    assert rb == {(1, 1), (2, 2)}   # unrelated docs stay singletons
+
+
+def test_cluster_label_cache_lru_bound(corpus):
+    """The memo never grows past _CLUSTER_CACHE_MAX entries."""
+    dedup.clear_cluster_label_cache()
+    for t in (0.30, 0.35, 0.40, 0.45, 0.50, 0.55):
+        dedup.dedup_clusters(corpus, threshold=t, num_hashes=32, bands=16).collect()
+    assert len(dedup._CLUSTER_LABEL_CACHE) <= dedup._CLUSTER_CACHE_MAX
 
 
 # ---- round-11: substring-level dedup (z18 detect / z19 cut) ----------
