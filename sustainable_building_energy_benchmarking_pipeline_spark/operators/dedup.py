@@ -1505,9 +1505,19 @@ def dup_ngram_spans(
     The hash is md5 (16 bytes) rather than sha2-256 to halve the
     dominant stage-2 shuffle bytes; at ~10¹¹ grams the 2⁻⁶⁴ birthday
     mass stays negligible for a ≥2-docs threshold.
+
+    The gram frame is persisted (MEMORY_AND_DISK): both consumers — the
+    docs-per-gram aggregate and the join back — otherwise re-run the
+    tokenize + md5 stage, the plan's dominant CPU (A/B at sf0.1: 2.29 s
+    → 1.62 s). At corpus scale this materializes ~50 B/token to local
+    disk per executor — the same gram-table materialization the
+    published distributed ExactSubstr recipes pay, and strictly cheaper
+    than hashing the corpus twice.
     """
+    from pyspark import StorageLevel
+
     words = _ws_words(corpus, text_col, id_col)
-    grams = _pos_gram_hashes(words, k)
+    grams = _pos_gram_hashes(words, k).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("_nd"))
@@ -1568,9 +1578,19 @@ def exact_substr_cut(
     explode (O(cut words), not O(corpus)), one anti-join of the
     corpus's (doc, position) tokens against it, and a sort_array-of-
     structs rebuild per document — every shuffle keys on the
-    high-cardinality doc id or gram hash."""
+    high-cardinality doc id or gram hash.
+
+    The gram frame is persisted (MEMORY_AND_DISK) for the same reason
+    as in ``dup_ngram_spans`` — the keeper aggregate and the cover join
+    both consume it, and recomputing the tokenize + md5 stage costs
+    more than re-reading it. ``cover`` is deliberately NOT persisted:
+    its recomputes read the cached grams, and the persist barrier on a
+    distinct measured slower than recompute (A/B at sf0.1: 2.52 s
+    persisted vs 1.49 s recomputed)."""
+    from pyspark import StorageLevel
+
     words = _ws_words(corpus, text_col, id_col)
-    grams = _pos_gram_hashes(words, k)
+    grams = _pos_gram_hashes(words, k).persist(StorageLevel.MEMORY_AND_DISK)
     keeper = (
         grams.groupBy("h")
         .agg(
@@ -1592,12 +1612,15 @@ def exact_substr_cut(
         .distinct()
     )
     cut_docs = cover.select("doc_id").distinct()
-    # restrict BEFORE exploding/anti-joining/rebuilding: only cut
-    # documents pay the token explode and the sort_array rebuild — at
-    # corpus scale the cut set is a sliver, and without this semi-join
-    # the collect_list below would aggregate every token of every
-    # document only to have the outer join discard almost all of it
-    toks = words.join(cut_docs, "doc_id", "left_semi").select(
+    # restrict the CORPUS (not the words frame) before re-tokenizing:
+    # only cut documents pay the split, the token explode, and the
+    # sort_array rebuild. Semi-joining `words` instead leaves the
+    # whole-corpus split() below the join in the physical plan — every
+    # document tokenizes again just to be discarded (and n_tokens would
+    # tokenize a third time). At corpus scale the cut set is a sliver.
+    cut_corpus = corpus.join(cut_docs, corpus[id_col] == cut_docs["doc_id"], "left_semi")
+    cwords = _ws_words(cut_corpus, text_col, id_col)
+    toks = cwords.select(
         "doc_id",
         F.posexplode("w").alias("p", "tok"),
     )
@@ -1606,7 +1629,7 @@ def exact_substr_cut(
         (toks["doc_id"] == cover["doc_id"]) & (toks["p"] == cover["cp"]),
         "left_anti",
     )
-    n_all = words.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    n_all = cwords.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(
