@@ -2882,6 +2882,12 @@ def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
         os.link(tmp, _commit_file(path, version))
     finally:
         os.remove(tmp)
+    try:
+        # version checksums are a consistency aid, never a durability
+        # dependency — same posture as checkpoints below
+        write_version_checksum(path, version)
+    except Exception:
+        pass
     if CHECKPOINT_INTERVAL and version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
             write_checkpoint(path, version)
@@ -2889,6 +2895,108 @@ def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
             # checkpoints are a read optimization — the commit is already
             # durable and the next interval boundary will retry
             pass
+
+
+def _checksum_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.crc")
+
+
+def _compute_version_checksum(path: str, version: int) -> dict[str, Any]:
+    """Recompute the VersionChecksum payload for ``version`` from the
+    log itself — the reference values a ``.crc`` file must carry.
+    Field names follow delta-spark's VersionChecksum record (the file
+    is a delta-spark implementation artifact, not PROTOCOL.md, but the
+    format is public via the delta-io repo): tableSizeBytes / numFiles
+    count ACTIVE adds, numMetadata/numProtocol are 1 for any
+    materialized snapshot, and the optional fields appear only when
+    the table state carries them — mirroring how delta-spark omits
+    absent Options from the JSON."""
+    active, _schema, _pcols, meta = _replay(path, version)
+    proto = _latest_protocol(path, version)
+    crc: dict[str, Any] = {
+        "tableSizeBytes": sum(int(a.get("size", 0)) for a in active.values()),
+        "numFiles": len(active),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": meta,
+        "protocol": proto,
+    }
+    dvs = [a["deletionVector"] for a in active.values() if a.get("deletionVector")]
+    if dvs:
+        crc["numDeletionVectorsOpt"] = len(dvs)
+        crc["numDeletedRecordsOpt"] = sum(int(d.get("cardinality", 0)) for d in dvs)
+    for action in _read_actions(path, version):
+        info = action.get("commitInfo")
+        if info and info.get("inCommitTimestamp") is not None:
+            crc["inCommitTimestampOpt"] = int(info["inCommitTimestamp"])
+            break
+    txns = _collect_txns(path, version)
+    if txns:
+        crc["setTransactions"] = [
+            {"appId": app, "version": v} for app, v in sorted(txns.items())
+        ]
+    doms = [
+        dm
+        for _, dm in sorted(_collect_domain_metadata(path, version).items())
+        if not dm.get("removed")
+    ]
+    if doms:
+        crc["domainMetadata"] = doms
+    return crc
+
+
+def write_version_checksum(path: str, version: int) -> str:
+    """Write ``_delta_log/<version>.crc`` — the per-version state
+    checksum delta-spark emits alongside every commit (VersionChecksum:
+    active-file count and bytes, the governing metadata/protocol, DV
+    totals, txn high-water marks, domain metadata, the commit's
+    inCommitTimestamp). External delta-spark readers use it to
+    short-circuit state reconstruction and to cross-check replay;
+    :func:`verify_version_checksum` is this engine's read-side check.
+    Racing writers of the SAME version compute identical content, so
+    the temp + rename publish keeps concurrent re-writes harmless.
+    Cost: one checkpoint-accelerated log replay per commit — the same
+    bound as the auto-checkpoint cadence. Returns the file path."""
+    crc = _compute_version_checksum(path, version)
+    target = _checksum_file(path, version)
+    tmp = f"{target}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(crc))
+    os.replace(tmp, target)
+    return target
+
+
+def verify_version_checksum(path: str, version: int | None = None) -> dict[str, Any]:
+    """Validate the stored ``<version>.crc`` against a fresh replay of
+    the log (default: latest version). Compares every field the stored
+    file CARRIES against the recomputed value — fields an external
+    writer chose to omit (or extras like delta-spark's histogramOpt /
+    allFiles, which this engine does not model) are ignored, matching
+    delta-spark's tolerance for partial checksums. Raises
+    FileNotFoundError when no ``.crc`` exists for the version and
+    ValueError naming every mismatched field on corruption; returns
+    the parsed stored checksum on success."""
+    if version is None:
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        version = versions[-1]
+    target = _checksum_file(path, version)
+    if not os.path.exists(target):
+        raise FileNotFoundError(f"no version checksum {os.path.basename(target)} at {path}")
+    with open(target) as f:
+        stored = json.loads(f.read())
+    expected = _compute_version_checksum(path, version)
+    mismatches = []
+    for key, want in expected.items():
+        if key in stored and stored[key] != want:
+            mismatches.append(f"{key}: stored {stored[key]!r} != replayed {want!r}")
+    if mismatches:
+        raise ValueError(
+            f"version checksum mismatch at {path} version {version}: "
+            + "; ".join(mismatches)
+        )
+    return stored
 
 
 def _commit_with_retry(
@@ -5060,6 +5168,13 @@ def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
         if v <= base and v < boundary:
             os.remove(_commit_file(path, v))
             deleted.append(os.path.basename(_commit_file(path, v)))
+            # the version checksum describes a commit that no longer
+            # replays — it goes with its JSON
+            try:
+                os.remove(_checksum_file(path, v))
+                deleted.append(os.path.basename(_checksum_file(path, v)))
+            except OSError:
+                pass
 
     def _sidecar_refs(fpath: str) -> set[str]:
         """Bare names of the _sidecars/ files a v2 checkpoint references

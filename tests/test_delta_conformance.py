@@ -3418,3 +3418,100 @@ def test_identity_append_on_column_mapped_table(spark, tmp_path):
     assert _re.search(
         r'"delta\.identity\.highWaterMark":\s*4', meta["schemaString"]
     )
+
+
+# ---- round-11: version checksums (<version>.crc) ---------------------
+
+
+def test_version_checksum_written_per_commit(spark, tmp_path):
+    """Every commit lands a ``<version>.crc`` whose counted state
+    (numFiles/tableSizeBytes) matches an independent replay, and whose
+    metadata/protocol are the governing actions — the file delta-spark
+    emits alongside commits and reads for fast state reconstruction."""
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), path)
+    dl.write_delta(
+        spark.createDataFrame([(3, "c")], "id long, s string"), path, mode="append"
+    )
+    dl.delete_delta(spark, path, "id = 1")
+    for v in dl._list_versions(path):
+        crc_path = dl._checksum_file(path, v)
+        assert os.path.exists(crc_path), f"missing .crc for version {v}"
+        with open(crc_path) as f:
+            crc = json.loads(f.read())
+        active, _, _, meta = dl._replay(path, v)
+        assert crc["numFiles"] == len(active)
+        assert crc["tableSizeBytes"] == sum(int(a["size"]) for a in active.values())
+        assert crc["numMetadata"] == 1 and crc["numProtocol"] == 1
+        assert crc["metadata"] == meta
+        assert crc["protocol"] == dl._latest_protocol(path, v)
+        # self-check must agree with what we just wrote
+        assert dl.verify_version_checksum(path, v) == crc
+
+
+def test_version_checksum_detects_tampering(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    v = dl._list_versions(path)[-1]
+    crc_path = dl._checksum_file(path, v)
+    with open(crc_path) as f:
+        crc = json.loads(f.read())
+    crc["numFiles"] += 7
+    with open(crc_path, "w") as f:
+        f.write(json.dumps(crc))
+    with pytest.raises(ValueError, match="numFiles"):
+        dl.verify_version_checksum(path, v)
+
+
+def test_version_checksum_ignores_foreign_optional_fields(spark, tmp_path):
+    """An external writer's .crc may carry fields this engine does not
+    model (histogramOpt, allFiles) or omit optional ones — verify must
+    compare only what is present, like delta-spark does."""
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    v = dl._list_versions(path)[-1]
+    crc_path = dl._checksum_file(path, v)
+    with open(crc_path) as f:
+        crc = json.loads(f.read())
+    crc["histogramOpt"] = {"sortedBinBoundaries": [0], "fileCounts": [1], "totalBytes": [10]}
+    del crc["tableSizeBytes"]
+    with open(crc_path, "w") as f:
+        f.write(json.dumps(crc))
+    assert dl.verify_version_checksum(path, v)["numFiles"] == 1
+
+
+def test_version_checksum_optional_state_fields(spark, tmp_path):
+    """ICT tables stamp inCommitTimestampOpt equal to the commit's own
+    inCommitTimestamp; txn appIds surface as setTransactions; a missing
+    .crc raises FileNotFoundError."""
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    dl.enable_in_commit_timestamps(path)
+    dl.write_delta(
+        spark.createDataFrame([(2,)], "id long"), path, mode="append"
+    )
+    v = dl._list_versions(path)[-1]
+    with open(dl._checksum_file(path, v)) as f:
+        crc = json.loads(f.read())
+    info = next(
+        a["commitInfo"] for a in dl._read_actions(path, v) if "commitInfo" in a
+    )
+    assert crc["inCommitTimestampOpt"] == info["inCommitTimestamp"]
+    os.remove(dl._checksum_file(path, v))
+    with pytest.raises(FileNotFoundError):
+        dl.verify_version_checksum(path, v)
+
+
+def test_cleanup_log_removes_orphaned_checksums(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    dl.write_delta(df, path)
+    for _ in range(12):  # cross the auto-checkpoint interval
+        dl.write_delta(df, path, mode="append")
+    deleted = dl.cleanup_log(path, retain_versions=2)
+    crc_deleted = [n for n in deleted if n.endswith(".crc")]
+    json_deleted = [n for n in deleted if n.endswith(".json")]
+    assert crc_deleted and len(crc_deleted) == len(json_deleted)
+    # surviving versions keep verifiable checksums
+    for v in dl._list_versions(path):
+        assert dl.verify_version_checksum(path, v)
