@@ -23,6 +23,11 @@ Semantics mirror delta-spark's streaming source:
   (delta-spark's same-named option);
 - ``option("startingVersion", N)`` begins at commit N instead of 0;
   ``option("startingVersion", "latest")`` streams only NEW commits;
+  ``option("startingTimestamp", ts)`` (round-11) begins at the first
+  commit whose monotonized clock is >= ts (epoch ms or ISO-8601, the
+  same resolution rule as ``table_changes``; a ts past the latest
+  commit raises, like delta-spark) — batch CDF reads additionally take
+  ``endingTimestamp`` (resolved via ``version_at_timestamp``);
 - a mid-stream ``metaData`` action (schema change) raises — restart
   the stream to pick up the new schema, as with real Delta;
 - ``option("readChangeFeed", "true")`` (round-10) streams CHANGE ROWS
@@ -546,6 +551,35 @@ class _PruningSnapshotReader(_SnapshotReader):
             yield f  # partial pushdown: Spark re-applies every filter
 
 
+def _version_before_timestamp(path: str, ts) -> int:
+    """Resolve ``startingTimestamp`` to the exclusive version lower
+    bound: the version just BEFORE the first commit whose monotonized
+    clock is >= the target, so the (start, end] window begins at that
+    commit — the identical rule ``deltalog.table_changes`` applies to
+    ``since_timestamp``. A target past the latest commit raises like
+    delta-spark (an empty stream would read as "no changes" and let a
+    mistyped cursor silently skip real ones)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _adjusted_commit_timestamps,
+        _list_versions,
+        _ts_ms,
+    )
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    target = _ts_ms(ts)
+    adj = _adjusted_commit_timestamps(path, versions)
+    latest_clock = adj[versions[-1]]
+    if latest_clock >= 0 and target > latest_clock:
+        raise ValueError(
+            f"startingTimestamp {target} is after the latest commit of "
+            f"{path} (version {versions[-1]} at {latest_clock})"
+        )
+    prior = [v for v in versions if 0 <= adj[v] < target]
+    return prior[-1] if prior else versions[0] - 1
+
+
 class _CommitStreamReader(DataSourceStreamReader):
     """Streaming form: offsets are log versions; a micro-batch's
     partitions are the (start, end] window's dataChange adds."""
@@ -561,7 +595,14 @@ class _CommitStreamReader(DataSourceStreamReader):
         )
         self._schema = schema
         start = options.get("startingversion")
-        if start is None:
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if start_ts is not None:
+            self._initial = _version_before_timestamp(self._path, start_ts)
+        elif start is None:
             self._initial = -1
         elif str(start).lower() == "latest":
             self._initial = _list_versions(self._path)[-1]
@@ -678,15 +719,34 @@ class _ChangesBatchReader(DataSourceReader):
     def __init__(self, options: dict[str, str], schema: StructType) -> None:
         self._path = options["path"]
         start = options.get("startingversion")
-        if start is None:
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if start_ts is not None:
+            self._lo = _version_before_timestamp(self._path, start_ts)
+        elif start is not None:
+            self._lo = int(start) - 1
+        else:
             raise ValueError(
                 "readChangeFeed batch reads require "
-                "option('startingVersion', N) — the first commit whose "
-                "changes to include"
+                "option('startingVersion', N) or "
+                "option('startingTimestamp', ts) — where the included "
+                "changes begin"
             )
-        self._lo = int(start) - 1
         end = options.get("endingversion")
-        self._hi = int(end) if end is not None else None
+        end_ts = options.get("endingtimestamp")
+        if end is not None and end_ts is not None:
+            raise ValueError("pass endingVersion OR endingTimestamp, not both")
+        if end_ts is not None:
+            from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+                version_at_timestamp,
+            )
+
+            self._hi = version_at_timestamp(self._path, end_ts)
+        else:
+            self._hi = int(end) if end is not None else None
         self._schema = schema
 
     def partitions(self):

@@ -3227,10 +3227,16 @@ def _may_satisfy(add: dict, where: tuple[str, str, Any]) -> bool:
 
 
 def _ts_ms(ts: int | float | str) -> int:
-    """Epoch milliseconds from an int/float (already ms) or an ISO-8601
-    string (naive = UTC, Delta's convention)."""
+    """Epoch milliseconds from an int/float (already ms), a NUMERIC
+    string (data-source options arrive stringified — "1723800000000"
+    is epoch ms, not a date), or an ISO-8601 string (naive = UTC,
+    Delta's convention)."""
     if isinstance(ts, (int, float)):
         return int(ts)
+    try:
+        return int(float(str(ts)))
+    except ValueError:
+        pass
     from datetime import datetime, timezone
 
     dt = datetime.fromisoformat(str(ts))

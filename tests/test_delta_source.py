@@ -774,3 +774,81 @@ def test_batch_writer_variant_refuses_with_pointer(spark, tmp_path):
         df.write.format("deltalog").mode("append").save(
             str(tmp_path / "dsw_var")
         )
+
+
+# ---- round-11: startingTimestamp / endingTimestamp ---------------------
+
+
+def test_batch_cdf_starting_timestamp_matches_version(spark, tmp_path):
+    """Round-11: startingTimestamp resolves to the first commit whose
+    monotonized clock is >= ts — same rows as the startingVersion form;
+    endingTimestamp bounds the window via version_at_timestamp; the
+    option conflicts and after-latest cases raise."""
+    import shutil
+
+    path = str(tmp_path / "cdf")
+    shutil.copytree(os.path.join(DATA, "golden_delta_cdf"), path)
+    versions = dl._list_versions(path)
+    clocks = dl._adjusted_commit_timestamps(path, versions)
+
+    def norm(df):
+        return sorted(
+            (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()
+        )
+
+    by_version = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+    )
+    by_ts = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", clocks[1])
+        .load(path)
+    )
+    assert norm(by_ts) == norm(by_version)
+    # endingTimestamp at version 1's clock keeps only version 1's changes
+    only1 = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", clocks[1])
+        .option("endingTimestamp", clocks[1])
+        .load(path)
+    )
+    assert {r["_commit_version"] for r in only1.collect()} == {1}
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("deltalog").option("readChangeFeed", "true").option(
+            "startingVersion", 1
+        ).option("startingTimestamp", clocks[1]).load(path).collect()
+    with pytest.raises(Exception, match="after the latest"):
+        spark.read.format("deltalog").option("readChangeFeed", "true").option(
+            "startingTimestamp", clocks[versions[-1]] + 10_000
+        ).load(path).collect()
+
+
+def test_stream_starting_timestamp_initial_offset(spark, tmp_path):
+    """Streaming startingTimestamp: the initial offset lands just below
+    the first commit whose clock is >= ts (window starts AT it), and a
+    pre-history ts replays from the first commit."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        _CommitStreamReader,
+        _version_before_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    dl.write_delta(df.coalesce(1), path)
+    dl.write_delta(df.coalesce(1), path, mode="append")
+    dl.write_delta(df.coalesce(1), path, mode="append")
+    versions = dl._list_versions(path)
+    clocks = dl._adjusted_commit_timestamps(path, versions)
+    assert _version_before_timestamp(path, clocks[2]) == 1
+    assert _version_before_timestamp(path, 0) == -1
+    schema = dl.read_delta(spark, path).schema
+    r = _CommitStreamReader(
+        {"path": path, "startingtimestamp": str(clocks[1])}, schema
+    )
+    assert r.initialOffset() == {"version": 0}
