@@ -5297,6 +5297,8 @@ def optimize_delta(
     path: str,
     target_files: int = 1,
     zorder_by: list[str] | None = None,
+    min_file_size: int | None = None,
+    target_file_size: int | None = None,
 ) -> int | None:
     """OPTIMIZE (bin-packing compaction): rewrite the current snapshot's
     many small files into ``target_files`` larger ones. The commit's
@@ -5322,7 +5324,26 @@ def optimize_delta(
     reaches the data files. With zorder_by the rewrite proceeds even when
     the file count is already at target (re-clustering is the point); on
     a partitioned table the range runs over (partition cols, z-value) so
-    clustering stays partition-local."""
+    clustering stays partition-local.
+
+    ``min_file_size`` / ``target_file_size`` (round-11, delta-spark's
+    minFileSize/maxFileSize semantics): with ``min_file_size`` set,
+    only files SMALLER than it (plus any file carrying a deletion
+    vector — compaction materializes its deletes) are compaction
+    candidates, and a partition qualifies with >= 2 candidates —
+    already-compacted large files are never rewritten, which is the
+    100 TB contract: re-OPTIMIZE of a hot table moves only the small
+    tail, not the terabytes it already packed. With
+    ``target_file_size`` set, each partition's candidates are packed
+    into ceil(bytes / target) bins (first-fit-decreasing on the log's
+    add.size, driver-side and bounded by file count) and the rewrite
+    range-partitions on the bin id — output file sizes approximate the
+    target instead of one file per partition. Both knobs are ignored
+    under ``zorder_by`` (re-clustering rewrites every selected file by
+    design, and the z-range already controls output count)."""
+    import heapq
+    import math
+
     from pyspark.sql import functions as F
 
     versions = _list_versions(path)
@@ -5350,11 +5371,23 @@ def optimize_delta(
     for rel, a in active.items():
         gkey = tuple(sorted((a.get("partitionValues") or {}).items()))
         groups.setdefault(gkey, {})[rel] = a
-    work = {
-        gkey: g
-        for gkey, g in groups.items()
-        if len(g) > target_files or zorder_by
-    }
+    work: dict[tuple, dict[str, dict]] = {}
+    for gkey, g in groups.items():
+        if zorder_by:
+            work[gkey] = g  # re-clustering rewrites everything selected
+        elif min_file_size is not None:
+            cand = {
+                rel: a
+                for rel, a in g.items()
+                if int(a.get("size", 0)) < min_file_size
+                or a.get("deletionVector")
+            }
+            if len(cand) >= 2:
+                work[gkey] = cand
+        elif len(g) > target_files or (
+            target_file_size is not None and len(g) > 1
+        ):
+            work[gkey] = g
     if not work:
         return None
     rewrite = {rel: a for g in work.values() for rel, a in g.items()}
@@ -5365,6 +5398,31 @@ def optimize_delta(
     )
     rels_sorted = sorted(rewrite)
     files = [os.path.join(path, rel) for rel in rels_sorted]
+    # byte-aware bin assignment: pack each partition's candidate files
+    # into ceil(bytes / target) bins, largest-first onto the lightest
+    # bin. Driver-side over the log's add.size values — bounded by the
+    # rewritten file count, same budget as the DML planning walks. The
+    # bin id reaches rows via the same uniform-depth path-suffix keying
+    # the DV machinery uses, so hive-escaped names round-trip.
+    bin_depth = _dv_suffix_depth(rels_sorted) if rels_sorted else None
+    use_bins = (
+        target_file_size is not None
+        and not zorder_by
+        and bin_depth is not None
+    )
+    bin_of_rel: dict[str, int] = {}
+    if use_bins:
+        next_bin = 0
+        for gkey, g in work.items():
+            total = sum(int(a.get("size", 0)) for a in g.values())
+            n_bins = max(1, math.ceil(total / target_file_size))
+            loads = [(0, next_bin + i) for i in range(n_bins)]
+            heapq.heapify(loads)
+            for rel in sorted(g, key=lambda r: -int(g[r].get("size", 0))):
+                load, bid = heapq.heappop(loads)
+                bin_of_rel[rel] = bid
+                heapq.heappush(loads, (load + int(g[rel].get("size", 0)), bid))
+            next_bin += n_bins
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(rel, a, now_ms, data_change=False)
@@ -5378,6 +5436,17 @@ def optimize_delta(
     if partition_cols:
         reader = reader.option("basePath", path)
     snapshot = reader.parquet(*files)
+    if use_bins:
+        _bin_map = F.create_map(
+            *[
+                F.lit(x)
+                for rel in rels_sorted
+                for x in (_dv_path_key(rel, bin_depth), bin_of_rel[rel])
+            ]
+        )
+        snapshot = snapshot.withColumn(
+            "_optbin", _bin_map[_dv_file_key_col(bin_depth)]
+        )
     if rt_mat:
         rt_depth = _rt_suffix_depth(rels_sorted, path)
         snapshot = _rt_capture(snapshot, rt_depth)
@@ -5402,7 +5471,12 @@ def optimize_delta(
             spark, snapshot, rels_sorted, rewrite, rt_mat, rt_depth
         )
         rt_extras = rt_mat
-    snapshot = _present_logical(snapshot, schema, cm_mode, extras=rt_extras)
+    snapshot = _present_logical(
+        snapshot,
+        schema,
+        cm_mode,
+        extras=(*rt_extras, "_optbin") if use_bins else rt_extras,
+    )
     n_out = max(1, target_files) * len(work)
     if zorder_by:
         missing = set(zorder_by) - set(snapshot.columns)
@@ -5414,6 +5488,13 @@ def optimize_delta(
             .sortWithinPartitions(*partition_cols, "_zval")
             .drop("_zval")
         )
+    elif use_bins:
+        # one task per size-packed bin: range partitioning on the
+        # globally-unique bin id separates bins exactly (a hash
+        # repartition would merge ~1/e of them by collision); _optbin
+        # is projection-dropped by _physical_frame below
+        n_bins = len(set(bin_of_rel.values()))
+        clustered = snapshot.repartitionByRange(n_bins, "_optbin")
     elif partition_cols:
         # hash on the partition columns: every row of one hive partition
         # lands in ONE task → exactly one output file per partition at
@@ -5450,6 +5531,16 @@ def optimize_delta(
                 "operationParameters": {
                     "targetFiles": target_files,
                     "zOrderBy": list(zorder_by or []),
+                    **(
+                        {"minFileSize": min_file_size}
+                        if min_file_size is not None
+                        else {}
+                    ),
+                    **(
+                        {"targetFileSize": target_file_size}
+                        if target_file_size is not None
+                        else {}
+                    ),
                 },
             }
         }

@@ -519,3 +519,125 @@ def test_append_adopts_table_partitioning_txn_sink(spark, tmp_path):
     assert any(rel.startswith("p=b/") for rel in active)
     got = dl.read_delta(spark, path, partition_filter={"p": "b"})
     assert [r["id"] for r in got.collect()] == [2]
+
+
+# ---- round-11: byte-aware OPTIMIZE (min_file_size / target_file_size) --
+
+
+def test_optimize_min_file_size_leaves_large_files(spark, tmp_path):
+    """min_file_size selects only small files: the large file survives
+    the compaction VERBATIM (same rel path, no remove), the small ones
+    collapse, and the content is unchanged."""
+    path = str(tmp_path / "t")
+    big = spark.range(0, 20_000).selectExpr("id", "id * 2 as v")
+    dl.write_delta(big.coalesce(1), path)
+    for i in range(3):
+        small = spark.range(100_000 + i, 100_001 + i).selectExpr("id", "id * 2 as v")
+        dl.write_delta(small.coalesce(1), path, mode="append")
+    sizes = {rel: int(a["size"]) for rel, a in _active(path).items()}
+    big_rel = max(sizes, key=sizes.get)
+    cutoff = sizes[big_rel]  # strictly-below keeps the big file out
+    before = dl.read_delta(spark, path).orderBy("id").collect()
+    v = dl.optimize_delta(spark, path, min_file_size=cutoff)
+    assert v is not None
+    active = _active(path)
+    assert big_rel in active  # untouched, not rewritten
+    assert len(active) == 2  # big file + one compacted file
+    removed = {
+        a["remove"]["path"] for a in _commit_actions(path, v) if "remove" in a
+    }
+    assert big_rel not in removed and len(removed) == 3
+    assert dl.read_delta(spark, path).orderBy("id").collect() == before
+
+
+def test_optimize_min_file_size_nothing_to_do(spark, tmp_path):
+    """A single small candidate (nothing to pair it with) is a no-op."""
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.range(0, 20_000).selectExpr("id", "id as v").coalesce(1), path)
+    dl.write_delta(spark.range(9, 10).selectExpr("id", "id as v").coalesce(1), path, mode="append")
+    sizes = sorted(int(a["size"]) for a in _active(path).values())
+    assert dl.optimize_delta(spark, path, min_file_size=sizes[0] + 1) is None
+
+
+def test_optimize_target_file_size_bins_output(spark, tmp_path):
+    """target_file_size packs candidates into ~ceil(bytes/target) output
+    files instead of one; content round-trips and every action stays
+    dataChange=false."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40_000).selectExpr("id", "cast(id as string) as s")
+    dl.write_delta(df.repartition(8), path)
+    active0 = _active(path)
+    assert len(active0) == 8
+    total = sum(int(a["size"]) for a in active0.values())
+    target = total // 3  # expect ~3-4 bins
+    before = dl.read_delta(spark, path).orderBy("id").collect()
+    v = dl.optimize_delta(spark, path, target_file_size=target)
+    assert v is not None
+    active = _active(path)
+    assert 2 <= len(active) <= 5
+    assert dl.read_delta(spark, path).orderBy("id").collect() == before
+    for a in _commit_actions(path, v):
+        payload = a.get("add") or a.get("remove")
+        if payload:
+            assert payload["dataChange"] is False
+    info = next(
+        a["commitInfo"] for a in _commit_actions(path, v) if "commitInfo" in a
+    )
+    assert info["operationParameters"]["targetFileSize"] == target
+
+
+def test_optimize_byte_aware_partitioned(spark, tmp_path):
+    """Selection and binning stay partition-local: only the partition
+    with >= 2 small candidates rewrites; rows never migrate."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, files_per_part=3)
+    sizes = {rel: int(a["size"]) for rel, a in _active(path).items()}
+    cutoff = max(sizes.values()) + 1  # every file is a candidate
+    before = dl.read_delta(spark, path).orderBy("id").collect()
+    v = dl.optimize_delta(spark, path, min_file_size=cutoff, target_file_size=10**9)
+    assert v is not None
+    by_part: dict[str, int] = {}
+    for rel in _active(path):
+        by_part[rel.split("/")[0]] = by_part.get(rel.split("/")[0], 0) + 1
+    assert by_part == {"p=a": 1, "p=b": 1, "p=c": 1}
+    assert dl.read_delta(spark, path).orderBy("id").collect() == before
+
+
+def test_optimize_min_file_size_selects_dv_files(spark, tmp_path):
+    """A file carrying a deletion vector is a candidate regardless of
+    size (compaction materializes its deletes); pairing it with one
+    small file compacts both and the DV disappears."""
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.range(0, 20_000).selectExpr("id", "id as v").coalesce(1), path
+    )
+    # upgrade to a DV table the way the conformance fixtures do: the
+    # feature on BOTH protocol sides plus the enablement key, one commit
+    vlatest = dl._list_versions(path)[-1]
+    meta = dict(dl._latest_metadata(path, vlatest))
+    cfg = dict(meta.get("configuration", {}))
+    cfg["delta.enableDeletionVectors"] = "true"
+    meta["configuration"] = cfg
+    dl._commit(
+        path,
+        vlatest + 1,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": meta},
+        ],
+    )
+    dl.delete_delta(spark, path, "id = 7", use_dv=True)
+    dl.write_delta(
+        spark.range(50_000, 50_001).selectExpr("id", "id as v").coalesce(1),
+        path,
+        mode="append",
+    )
+    assert any(a.get("deletionVector") for a in _active(path).values())
+    before = dl.read_delta(spark, path).orderBy("id").collect()
+    v = dl.optimize_delta(spark, path, min_file_size=1024)
+    assert v is not None
+    active = _active(path)
+    assert not any(a.get("deletionVector") for a in active.values())
+    assert dl.read_delta(spark, path).orderBy("id").collect() == before
