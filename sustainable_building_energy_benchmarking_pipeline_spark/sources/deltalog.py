@@ -2882,13 +2882,20 @@ def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
         os.link(tmp, _commit_file(path, version))
     finally:
         os.remove(tmp)
+    interval = CHECKPOINT_INTERVAL
     try:
         # version checksums are a consistency aid, never a durability
-        # dependency — same posture as checkpoints below
-        write_version_checksum(path, version)
+        # dependency — same posture as checkpoints below. The checksum
+        # replay already resolved the governing metadata, so the
+        # per-table delta.checkpointInterval (delta-spark's property)
+        # rides along for free instead of costing a second log walk.
+        crc = _compute_version_checksum(path, version)
+        _publish_version_checksum(path, version, crc)
+        cfg = crc["metadata"].get("configuration", {})
+        interval = int(cfg.get("delta.checkpointInterval", interval) or 0)
     except Exception:
         pass
-    if CHECKPOINT_INTERVAL and version > 0 and version % CHECKPOINT_INTERVAL == 0:
+    if interval and version > 0 and version % interval == 0:
         try:
             write_checkpoint(path, version)
         except Exception:
@@ -2957,7 +2964,14 @@ def write_version_checksum(path: str, version: int) -> str:
     the temp + rename publish keeps concurrent re-writes harmless.
     Cost: one checkpoint-accelerated log replay per commit — the same
     bound as the auto-checkpoint cadence. Returns the file path."""
-    crc = _compute_version_checksum(path, version)
+    return _publish_version_checksum(
+        path, version, _compute_version_checksum(path, version)
+    )
+
+
+def _publish_version_checksum(
+    path: str, version: int, crc: dict[str, Any]
+) -> str:
     target = _checksum_file(path, version)
     tmp = f"{target}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
@@ -3224,6 +3238,34 @@ def _may_satisfy(add: dict, where: tuple[str, str, Any]) -> bool:
         return _SKIP_OPS[op](lo, hi, val)
     except (KeyError, TypeError, ValueError):
         return True
+
+
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def _parse_interval_ms(s: str | None) -> int | None:
+    """Milliseconds from a Delta CalendarInterval retention string
+    ("interval 30 days", "interval 1 week", case-insensitive, plural
+    optional). None (or an unparseable/negative value) returns None —
+    retention callers treat that as "property not set" rather than
+    guessing."""
+    if not s:
+        return None
+    m = re.fullmatch(
+        r"\s*interval\s+(\d+)\s+(millisecond|second|minute|hour|day|week)s?\s*",
+        str(s),
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    return int(m.group(1)) * _INTERVAL_UNIT_MS[m.group(2).lower()]
 
 
 def _ts_ms(ts: int | float | str) -> int:
@@ -5132,12 +5174,36 @@ def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
     - a log with no checkpoint is never cleaned (nothing to replay
       from). Like Delta, history/CDF windows older than retention are
       gone — consume change feeds before cleaning. Returns deleted
-      file names."""
+      file names.
+
+    ``delta.logRetentionDuration`` (round-11): when the table sets it,
+    commits younger than the duration are protected from the
+    count-based boundary — strictly conservative (never deletes more).
+    An ABSENT property keeps pure count semantics; callers wanting
+    delta-spark's 30-day default pass retain_versions sized for their
+    commit cadence or set the property explicitly."""
     cp = _latest_checkpoint_version(path)
     if cp is None:
         return []
     versions = _list_versions(path)
     boundary = min(cp, (versions[-1] - retain_versions + 1) if versions else cp)
+    # delta.logRetentionDuration (delta-spark's TIME-based retention,
+    # round-11) acts as a protective FLOOR on top of the version count:
+    # a commit younger than the duration is never deleted even when the
+    # count-based boundary has passed it — strictly conservative, so an
+    # external expectation of "30 days of history" survives an
+    # aggressive retain_versions. Unparseable values are ignored.
+    try:
+        cfg = _latest_metadata(path, versions[-1]).get("configuration", {})
+        dur_ms = _parse_interval_ms(cfg.get("delta.logRetentionDuration"))
+    except Exception:
+        dur_ms = None
+    if dur_ms is not None:
+        cutoff = int(time.time() * 1000) - dur_ms
+        clocks = _adjusted_commit_timestamps(path, versions)
+        young = [v for v in versions if clocks[v] >= 0 and clocks[v] > cutoff]
+        if young:
+            boundary = min(boundary, young[0])
     # every retained version must stay REPLAYABLE: version w replays
     # from the newest checkpoint ≤ w plus the JSON commits after it, so
     # the deletion floor is the newest checkpoint AT OR BELOW the

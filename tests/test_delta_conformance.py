@@ -3515,3 +3515,45 @@ def test_cleanup_log_removes_orphaned_checksums(spark, tmp_path):
     # surviving versions keep verifiable checksums
     for v in dl._list_versions(path):
         assert dl.verify_version_checksum(path, v)
+
+
+def test_table_checkpoint_interval_property(spark, tmp_path):
+    """delta.checkpointInterval (the delta-spark table property) governs
+    the auto-checkpoint cadence instead of the global default — resolved
+    from the metadata the per-commit checksum replay already computed."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    dl.write_delta(df, path)                             # v0
+    dl.set_table_properties(path, {"delta.checkpointInterval": "3"})  # v1
+    for _ in range(5):                                   # v2..v6
+        dl.write_delta(df, path, mode="append")
+    cps = {
+        v
+        for v in range(0, 7)
+        if os.path.exists(dl._checkpoint_file(path, v))
+    }
+    assert cps == {3, 6}
+
+
+def test_log_retention_duration_floor(spark, tmp_path):
+    """delta.logRetentionDuration protects young commits from the
+    count-based cleanup boundary: with a large duration nothing is
+    deleted even at retain_versions=1; with a zero-ish duration the
+    count boundary applies unchanged."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    dl.write_delta(df, path)
+    dl.set_table_properties(
+        path, {"delta.logRetentionDuration": "interval 1 week"}
+    )
+    for _ in range(12):  # cross a checkpoint so cleanup has a base
+        dl.write_delta(df, path, mode="append")
+    assert dl.cleanup_log(path, retain_versions=1) == []
+    dl.set_table_properties(
+        path, {"delta.logRetentionDuration": "interval 0 milliseconds"}
+    )
+    deleted = dl.cleanup_log(path, retain_versions=2)
+    assert any(n.endswith(".json") for n in deleted)
+    # unparseable duration is ignored, not fatal
+    assert dl._parse_interval_ms("interval eleventy days") is None
+    assert dl._parse_interval_ms("interval 2 WEEKS") == 2 * 604_800_000
