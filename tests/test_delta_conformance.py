@@ -3557,3 +3557,33 @@ def test_log_retention_duration_floor(spark, tmp_path):
     # unparseable duration is ignored, not fatal
     assert dl._parse_interval_ms("interval eleventy days") is None
     assert dl._parse_interval_ms("interval 2 WEEKS") == 2 * 604_800_000
+
+
+def test_row_tracking_optimize_byte_aware_preserves_ids(spark, tmp_path):
+    """target_file_size composes with rowTracking: the bin-id column and
+    the _rt_capture metadata reads coexist, and row identity is still
+    preserved verbatim through the binned compaction."""
+    work = _copy_fixture(tmp_path, GOLDEN_ROWTRACK, "rt_bins")
+    before = _row_ids(spark, work)
+    v = dl.optimize_delta(
+        spark, work, min_file_size=10**9, target_file_size=10**9
+    )
+    assert v is not None
+    assert _row_ids(spark, work) == before
+
+
+def test_column_mapping_optimize_byte_aware(spark, tmp_path):
+    """target_file_size composes with column mapping: the _optbin extra
+    survives the physical->logical projection and content round-trips."""
+    import shutil
+
+    src = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cm")
+    work = str(tmp_path / "cm_bins")
+    shutil.copytree(src, work)
+    before = sorted(tuple(r) for r in dl.read_delta(spark, work).collect())
+    v = dl.optimize_delta(
+        spark, work, min_file_size=10**9, target_file_size=10**9
+    )
+    if v is not None:  # fixture may hold a single file — then a no-op
+        after = sorted(tuple(r) for r in dl.read_delta(spark, work).collect())
+        assert after == before
