@@ -1137,8 +1137,11 @@ def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 #: semantics match ``spark.catalog.cacheTable``: labels reflect the
 #: input AS READ when first computed — after mutating the underlying
 #: files in place, call :func:`clear_cluster_label_cache`. Bounded: at
-#: most ``_CLUSTER_CACHE_MAX`` entries (LRU), labels dicts only (the
-#: driver already held them transiently; no DataFrames are pinned).
+#: most ``_CLUSTER_CACHE_MAX`` entries (true LRU — hits refresh
+#: recency), each a (canonical-plan string, labels dict) pair (the
+#: driver already held the labels transiently; no DataFrames are
+#: pinned, and the canonical string confirms a hit so a 32-bit
+#: semanticHash collision can never cross corpora).
 _CLUSTER_LABEL_CACHE: "dict[tuple, dict]" = {}
 _CLUSTER_CACHE_MAX = 4
 _CLUSTER_CACHE_LOCK = threading.Lock()
@@ -1154,15 +1157,21 @@ def clear_cluster_label_cache() -> None:
 
 
 def _plan_fingerprint(df: DataFrame):
-    """Canonical fingerprint of a DataFrame's ANALYZED logical plan —
-    Catalyst's own ``QueryPlan.semanticHash`` (expression-id agnostic, so
-    two reads of the same path with the same projection collide, which
-    is exactly the memo-hit we want). Returns None when the JVM plan is
-    unreachable (Connect-only sessions); callers skip the memo then."""
+    """(semanticHash, canonicalized-plan string) of a DataFrame's
+    ANALYZED logical plan — Catalyst's own expression-id-agnostic
+    identity, so two reads of the same path with the same projection
+    collide, which is exactly the memo-hit we want. The canonical
+    string rides along because semanticHash is a 32-bit bucket, not an
+    identity: Spark itself confirms bucket hits with sameResult, and
+    the memo does the equivalent string compare so a hash collision
+    can never return the wrong corpus's labels. Returns (None, None)
+    when the JVM plan is unreachable (Connect-only sessions); callers
+    skip the memo then."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.semanticHash(), plan.canonicalized().toString()
     except Exception:
-        return None
+        return None, None
 
 
 def _labels_frame(spark, labels: dict) -> DataFrame:
@@ -1278,7 +1287,7 @@ def dedup_clusters(
     as ``spark.catalog.cacheTable`` (see ``clear_cluster_label_cache``);
     the over-gate distributed path is never memoized."""
     if use_cache:
-        fp = _plan_fingerprint(df)
+        fp, canon = _plan_fingerprint(df)
         # driver_max_pairs is in the key although it never changes the
         # LABELS (both strategies produce identical components): callers
         # pinning it are choosing an execution strategy, and a memo hit
@@ -1289,9 +1298,17 @@ def dedup_clusters(
         )
         if fp is not None:
             with _CLUSTER_CACHE_LOCK:
-                cached = _CLUSTER_LABEL_CACHE.get(cache_key)
-            if cached is not None:
-                return _attach_cluster_labels(df, cached, id_col)
+                entry = _CLUSTER_LABEL_CACHE.get(cache_key)
+                if entry is not None and entry[0] == canon:
+                    # true LRU: a hit refreshes recency so the hottest
+                    # clustering is evicted last, and the canonical-plan
+                    # compare rules out a semanticHash bucket collision
+                    _CLUSTER_LABEL_CACHE.pop(cache_key)
+                    _CLUSTER_LABEL_CACHE[cache_key] = entry
+                else:
+                    entry = None
+            if entry is not None:
+                return _attach_cluster_labels(df, entry[1], id_col)
     # cold posture (persist_shingles=False) on purpose: the pair frame is
     # persisted below, so the whole upstream runs exactly once either
     # way, and A/B under the engine session shows the shingle persist
@@ -1326,9 +1343,10 @@ def dedup_clusters(
         if use_cache and fp is not None:
             with _CLUSTER_CACHE_LOCK:
                 if len(_CLUSTER_LABEL_CACHE) >= _CLUSTER_CACHE_MAX:
-                    # evict the oldest entry (dict preserves insert order)
+                    # evict the LEAST-RECENTLY-USED entry (hits re-append,
+                    # so iteration order IS recency order)
                     _CLUSTER_LABEL_CACHE.pop(next(iter(_CLUSTER_LABEL_CACHE)))
-                _CLUSTER_LABEL_CACHE[cache_key] = labels
+                _CLUSTER_LABEL_CACHE[cache_key] = (canon, labels)
         # map-literal attach (≤4096 labels): near-dup labels cover a
         # sliver of the corpus, so skip the join entirely — one
         # projection over the scan, no broadcast build/exchange (same

@@ -222,7 +222,10 @@ def fuzzy_join_ed1(
     # anyway. A/B at sf0.1 (whole q67): 1.87 s unpersisted, 0.98 s with
     # L persisted; persisting the EXPLODED variant frame instead
     # measured slower (1.54 s) — the barrier on the wide frame costs
-    # more than re-running the explode from cached keys.
+    # more than re-running the explode from cached keys. The cached
+    # frame lives until spark.catalog.clearCache() or session end —
+    # a long session fuzzy-joining many distinct key sets should clear
+    # periodically (the engine's bench harness does so per query).
     L = (
         left.select(F.col(left_key).cast("string").alias("left_key"))
         .where(F.col("left_key").isNotNull())

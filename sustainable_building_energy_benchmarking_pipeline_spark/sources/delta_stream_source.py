@@ -552,32 +552,15 @@ class _PruningSnapshotReader(_SnapshotReader):
 
 
 def _version_before_timestamp(path: str, ts) -> int:
-    """Resolve ``startingTimestamp`` to the exclusive version lower
-    bound: the version just BEFORE the first commit whose monotonized
-    clock is >= the target, so the (start, end] window begins at that
-    commit — the identical rule ``deltalog.table_changes`` applies to
-    ``since_timestamp``. A target past the latest commit raises like
-    delta-spark (an empty stream would read as "no changes" and let a
-    mistyped cursor silently skip real ones)."""
+    """``startingTimestamp`` → exclusive version lower bound — the ONE
+    resolution rule, owned by ``deltalog.version_before_timestamp`` and
+    shared with ``table_changes(since_timestamp=...)`` so stream and
+    batch never diverge."""
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
-        _adjusted_commit_timestamps,
-        _list_versions,
-        _ts_ms,
+        version_before_timestamp,
     )
 
-    versions = _list_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no Delta log at {path}")
-    target = _ts_ms(ts)
-    adj = _adjusted_commit_timestamps(path, versions)
-    latest_clock = adj[versions[-1]]
-    if latest_clock >= 0 and target > latest_clock:
-        raise ValueError(
-            f"startingTimestamp {target} is after the latest commit of "
-            f"{path} (version {versions[-1]} at {latest_clock})"
-        )
-    prior = [v for v in versions if 0 <= adj[v] < target]
-    return prior[-1] if prior else versions[0] - 1
+    return version_before_timestamp(path, ts, label="startingTimestamp")
 
 
 class _CommitStreamReader(DataSourceStreamReader):

@@ -2919,7 +2919,36 @@ def _compute_version_checksum(path: str, version: int) -> dict[str, Any]:
     the table state carries them — mirroring how delta-spark omits
     absent Options from the JSON."""
     active, _schema, _pcols, meta = _replay(path, version)
-    proto = _latest_protocol(path, version)
+    # ONE supplementary pass for txn marks, domain metadata, and the
+    # governing protocol (instead of _collect_txns +
+    # _collect_domain_metadata + _latest_protocol each re-walking the
+    # same checkpoint-accelerated range): checksum emission runs on
+    # EVERY commit, so its per-commit cost is two walks, not five —
+    # and the commit JSONs themselves come from the parsed-action cache
+    txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
+    proto: dict[str, Any] = {"minReaderVersion": 1, "minWriterVersion": 2}
+    cp = _latest_checkpoint_version(path, at_or_below=version)
+    batches = []
+    if cp is not None:
+        batches.append(_read_checkpoint_actions(path, cp))
+    for v in _list_versions(path):
+        if (cp is not None and v <= cp) or v > version:
+            continue
+        batches.append(_read_actions(path, v))
+    for batch in batches:
+        for action in batch:
+            t = action.get("txn")
+            if t:
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
+            dm = action.get("domainMetadata")
+            if dm and dm.get("domain"):
+                domains[dm["domain"]] = dm
+            p = action.get("protocol")
+            if p:
+                proto = p
     crc: dict[str, Any] = {
         "tableSizeBytes": sum(int(a.get("size", 0)) for a in active.values()),
         "numFiles": len(active),
@@ -2937,16 +2966,11 @@ def _compute_version_checksum(path: str, version: int) -> dict[str, Any]:
         if info and info.get("inCommitTimestamp") is not None:
             crc["inCommitTimestampOpt"] = int(info["inCommitTimestamp"])
             break
-    txns = _collect_txns(path, version)
     if txns:
         crc["setTransactions"] = [
             {"appId": app, "version": v} for app, v in sorted(txns.items())
         ]
-    doms = [
-        dm
-        for _, dm in sorted(_collect_domain_metadata(path, version).items())
-        if not dm.get("removed")
-    ]
+    doms = [dm for _, dm in sorted(domains.items()) if not dm.get("removed")]
     if doms:
         crc["domainMetadata"] = doms
     return crc
@@ -3001,9 +3025,26 @@ def verify_version_checksum(path: str, version: int | None = None) -> dict[str, 
     with open(target) as f:
         stored = json.loads(f.read())
     expected = _compute_version_checksum(path, version)
+    # the comparison is over the stored file's OWN keys (restricted to
+    # the fields this engine models): a stored optional the replay
+    # omitted — e.g. numDeletedRecordsOpt on a DV-free table — compares
+    # against the optional's natural empty value instead of being
+    # skipped, so corruption in any modeled field is caught while
+    # foreign fields (histogramOpt, allFiles) stay ignored
+    empty_optionals: dict[str, Any] = {
+        "numDeletionVectorsOpt": 0,
+        "numDeletedRecordsOpt": 0,
+        "setTransactions": [],
+        "domainMetadata": [],
+        "inCommitTimestampOpt": None,
+    }
+    modeled = set(expected) | set(empty_optionals)
     mismatches = []
-    for key, want in expected.items():
-        if key in stored and stored[key] != want:
+    for key in stored:
+        if key not in modeled:
+            continue
+        want = expected.get(key, empty_optionals.get(key))
+        if stored[key] != want:
             mismatches.append(f"{key}: stored {stored[key]!r} != replayed {want!r}")
     if mismatches:
         raise ValueError(
@@ -3251,21 +3292,23 @@ _INTERVAL_UNIT_MS = {
 
 
 def _parse_interval_ms(s: str | None) -> int | None:
-    """Milliseconds from a Delta CalendarInterval retention string
-    ("interval 30 days", "interval 1 week", case-insensitive, plural
-    optional). None (or an unparseable/negative value) returns None —
-    retention callers treat that as "property not set" rather than
-    guessing."""
+    """Milliseconds from a Delta CalendarInterval retention string —
+    one or more "<N> <unit>" terms after the "interval" keyword
+    ("interval 30 days", "interval 1 week 2 days", case-insensitive,
+    plural optional), summed. None (or an unparseable value) returns
+    None — retention callers treat that as "property not set" rather
+    than guessing."""
     if not s:
         return None
-    m = re.fullmatch(
-        r"\s*interval\s+(\d+)\s+(millisecond|second|minute|hour|day|week)s?\s*",
-        str(s),
-        re.IGNORECASE,
-    )
-    if not m:
+    term = r"(\d+)\s+(millisecond|second|minute|hour|day|week)s?"
+    if not re.fullmatch(
+        rf"\s*interval(\s+{term})+\s*", str(s), re.IGNORECASE
+    ):
         return None
-    return int(m.group(1)) * _INTERVAL_UNIT_MS[m.group(2).lower()]
+    return sum(
+        int(n) * _INTERVAL_UNIT_MS[unit.lower()]
+        for n, unit in re.findall(term, str(s), re.IGNORECASE)
+    )
 
 
 def _ts_ms(ts: int | float | str) -> int:
@@ -3275,13 +3318,19 @@ def _ts_ms(ts: int | float | str) -> int:
     Delta's convention)."""
     if isinstance(ts, (int, float)):
         return int(ts)
-    try:
-        return int(float(str(ts)))
-    except ValueError:
-        pass
     from datetime import datetime, timezone
 
-    dt = datetime.fromisoformat(str(ts))
+    # ISO-8601 first: compact forms like "20240816" are valid dates AND
+    # valid floats — the date reading preserves the pre-round-11
+    # behavior of every timestamp API; only non-date numerals (epoch ms
+    # arriving stringified through data-source options) fall through
+    try:
+        dt = datetime.fromisoformat(str(ts))
+    except ValueError:
+        try:
+            return int(float(str(ts)))
+        except (ValueError, OverflowError):
+            raise ValueError(f"unparseable timestamp {ts!r}") from None
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp() * 1000)
@@ -3309,6 +3358,32 @@ def _adjusted_commit_timestamps(
         if t >= 0:
             prev = t
     return adj
+
+
+def version_before_timestamp(
+    path: str, ts: int | float | str, label: str = "since_timestamp"
+) -> int:
+    """The exclusive version lower bound for a timestamp-addressed
+    change window: the version just BEFORE the first commit whose
+    monotonized clock is >= the target, so a (start, end] window begins
+    AT that commit. The single resolution rule behind
+    ``table_changes(since_timestamp=...)`` and the data source's
+    ``startingTimestamp`` — a target past the latest commit raises like
+    delta-spark (an empty window would read as "no changes" and let a
+    mistyped cursor silently skip real ones)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    target = _ts_ms(ts)
+    adj = _adjusted_commit_timestamps(path, versions)
+    latest_clock = adj[versions[-1]]
+    if latest_clock >= 0 and target > latest_clock:
+        raise ValueError(
+            f"{label} {target} is after the latest commit of {path} "
+            f"(version {versions[-1]} at {latest_clock})"
+        )
+    prior = [v for v in versions if 0 <= adj[v] < target]
+    return prior[-1] if prior else versions[0] - 1
 
 
 def version_at_timestamp(path: str, ts: int | float | str) -> int:
@@ -5503,16 +5578,32 @@ def optimize_delta(
         reader = reader.option("basePath", path)
     snapshot = reader.parquet(*files)
     if use_bins:
-        _bin_map = F.create_map(
-            *[
-                F.lit(x)
-                for rel in rels_sorted
-                for x in (_dv_path_key(rel, bin_depth), bin_of_rel[rel])
-            ]
-        )
-        snapshot = snapshot.withColumn(
-            "_optbin", _bin_map[_dv_file_key_col(bin_depth)]
-        )
+        if len(rels_sorted) <= 2048:
+            # literal map: ≤2048 keys stays inside the analyzer comfort
+            # bound (same trade as dedup's ≤4096 label attach)
+            _bin_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for rel in rels_sorted
+                    for x in (_dv_path_key(rel, bin_depth), bin_of_rel[rel])
+                ]
+            )
+            snapshot = snapshot.withColumn(
+                "_optbin", _bin_map[_dv_file_key_col(bin_depth)]
+            )
+        else:
+            # many small files is exactly the byte-aware target case —
+            # above the literal bound, attach via a broadcast hash join
+            # keyed the same way (the _rt_stamp_stable pattern)
+            bmap = spark.createDataFrame(
+                [(_dv_path_key(rel, bin_depth), bin_of_rel[rel]) for rel in rels_sorted],
+                "_optkey string, _optbin int",
+            )
+            snapshot = (
+                snapshot.withColumn("_optkey", _dv_file_key_col(bin_depth))
+                .join(F.broadcast(bmap), "_optkey")
+                .drop("_optkey")
+            )
     if rt_mat:
         rt_depth = _rt_suffix_depth(rels_sorted, path)
         snapshot = _rt_capture(snapshot, rt_depth)
@@ -5932,22 +6023,9 @@ def table_changes(
             "pass exactly one of since_version / since_timestamp"
         )
     if since_timestamp is not None:
-        # delta-spark's startingTimestamp: the window STARTS at the
-        # first commit whose clock is >= the target — i.e. everything
-        # AFTER the latest commit strictly before it. A target past the
-        # LATEST commit raises like delta-spark ("startingTimestamp is
-        # after the latest commit") — an empty frame would read as "no
-        # changes" and let a mistyped cursor silently skip real ones.
-        target = _ts_ms(since_timestamp)
-        adj = _adjusted_commit_timestamps(path, versions)
-        latest_clock = adj[versions[-1]]
-        if latest_clock >= 0 and target > latest_clock:
-            raise ValueError(
-                f"since_timestamp {target} is after the latest commit "
-                f"of {path} (version {versions[-1]} at {latest_clock})"
-            )
-        prior = [v for v in versions if 0 <= adj[v] < target]
-        since_version = prior[-1] if prior else versions[0] - 1
+        # delta-spark's startingTimestamp rule, shared with the data
+        # source — see version_before_timestamp
+        since_version = version_before_timestamp(path, since_timestamp)
     if to_timestamp is not None:
         if to_version is not None:
             raise ValueError("pass to_version OR to_timestamp, not both")

@@ -3587,3 +3587,42 @@ def test_column_mapping_optimize_byte_aware(spark, tmp_path):
     if v is not None:  # fixture may hold a single file — then a no-op
         after = sorted(tuple(r) for r in dl.read_delta(spark, work).collect())
         assert after == before
+
+
+def test_version_checksum_catches_stored_only_optional_corruption(spark, tmp_path):
+    """Review fix: a stored .crc claiming DV/txn state the replay does
+    not have must FAIL verification (modeled optionals compare against
+    their empty values, not get skipped)."""
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), path)
+    v = dl._list_versions(path)[-1]
+    with open(dl._checksum_file(path, v)) as f:
+        crc = json.loads(f.read())
+    crc["numDeletedRecordsOpt"] = 999_999
+    with open(dl._checksum_file(path, v), "w") as f:
+        f.write(json.dumps(crc))
+    with pytest.raises(ValueError, match="numDeletedRecordsOpt"):
+        dl.verify_version_checksum(path, v)
+
+
+def test_ts_ms_iso_first_then_numeric(spark):
+    """Review fix: compact ISO dates keep their date reading (the
+    pre-round-11 behavior of every timestamp API); non-date numerals
+    are epoch ms; garbage raises ValueError, never OverflowError."""
+    assert dl._ts_ms("2024-08-16") == 1723766400000
+    # compact ISO basic format is a DATE, not 20-million ms
+    assert dl._ts_ms("20240816") == dl._ts_ms("2024-08-16")
+    assert dl._ts_ms("1723800000000") == 1723800000000
+    assert dl._ts_ms(1723800000000) == 1723800000000
+    with pytest.raises(ValueError):
+        dl._ts_ms("1e999")
+    with pytest.raises(ValueError):
+        dl._ts_ms("not a time")
+
+
+def test_parse_interval_compound_terms(spark):
+    """Review fix: compound CalendarInterval strings sum their terms."""
+    week2d = dl._parse_interval_ms("interval 1 week 2 days")
+    assert week2d == 604_800_000 + 2 * 86_400_000
+    assert dl._parse_interval_ms("Interval 1 Hour 30 Minutes") == 5_400_000
+    assert dl._parse_interval_ms("interval") is None
