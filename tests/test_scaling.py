@@ -45,8 +45,15 @@ MAX_RATIO = 15.0
 
 
 def _min_time(fn, runs: int = 3) -> float:
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators import dedup
+
     best = float("inf")
     for _ in range(runs):
+        # the scaling tripwire exists to catch superlinear CLUSTERING
+        # cost — a memo hit would measure the label projection instead,
+        # making the ratio vacuous (q50 measured 0.11 s memoized vs
+        # ~1.5 s real). Cold per run, like bench.py's per-query pinning.
+        dedup.clear_cluster_label_cache()
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
