@@ -27,7 +27,9 @@ Semantics mirror delta-spark's streaming source:
   commit whose monotonized clock is >= ts (epoch ms or ISO-8601, the
   same resolution rule as ``table_changes``; a ts past the latest
   commit raises, like delta-spark) — batch CDF reads additionally take
-  ``endingTimestamp`` (resolved via ``version_at_timestamp``);
+  ``endingTimestamp``, and plain batch reads take
+  ``option("timestampAsOf", ts)`` next to ``versionAsOf`` (both
+  resolved via ``version_at_timestamp``);
 - a mid-stream ``metaData`` action (schema change) raises — restart
   the stream to pick up the new schema, as with real Delta;
 - ``option("readChangeFeed", "true")`` (round-10) streams CHANGE ROWS
@@ -470,8 +472,7 @@ class _SnapshotReader(DataSourceReader):
 
     def __init__(self, options: dict[str, str], schema: StructType) -> None:
         self._path = options["path"]
-        v = options.get("versionasof")
-        self._version = int(v) if v is not None else None
+        self._version = _as_of_version(options)
         self._schema = schema
         self._pushed: list[tuple[str, str, Any]] = []
 
@@ -549,6 +550,24 @@ class _PruningSnapshotReader(_SnapshotReader):
             if op is not None and len(f.attribute) == 1:
                 self._pushed.append((f.attribute[0], op, f.value))
             yield f  # partial pushdown: Spark re-applies every filter
+
+
+def _as_of_version(options: dict[str, str]) -> int | None:
+    """Batch time-travel version from ``versionAsOf`` /
+    ``timestampAsOf`` (round-11; mutually exclusive, like delta-spark).
+    timestampAsOf resolves through the same ICT-preferring commit clock
+    as ``read_delta(timestamp_as_of=...)``."""
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError("pass versionAsOf OR timestampAsOf, not both")
+    if ts is not None:
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+            version_at_timestamp,
+        )
+
+        return version_at_timestamp(options["path"], ts)
+    return int(v) if v is not None else None
 
 
 def _version_before_timestamp(path: str, ts) -> int:
@@ -1347,9 +1366,7 @@ class DeltaLogDataSource(DataSource):
     def schema(self) -> StructType:
         _active, schema, _pcols, _cm = _replay_for_source(
             self.options["path"],
-            int(self.options["versionasof"])
-            if self.options.get("versionasof") is not None
-            else None,
+            _as_of_version(self.options),
         )
         out = _strip_field_metadata(schema)
         return _with_cdf_columns(out) if self._cdf() else out

@@ -852,3 +852,27 @@ def test_stream_starting_timestamp_initial_offset(spark, tmp_path):
         {"path": path, "startingtimestamp": str(clocks[1])}, schema
     )
     assert r.initialOffset() == {"version": 0}
+
+
+def test_batch_timestamp_as_of(spark, tmp_path):
+    """Round-11: option('timestampAsOf', ts) time-travels the batch read
+    via the same commit clock as read_delta(timestamp_as_of=...); both
+    as-of options together raise."""
+    path = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), path)
+    dl.write_delta(spark.createDataFrame([(2, 2.0)], "id long, v double").coalesce(1), path, mode="append")
+    versions = dl._list_versions(path)
+    clocks = dl._adjusted_commit_timestamps(path, versions)
+    got = (
+        spark.read.format("deltalog")
+        .option("timestampAsOf", clocks[0])
+        .load(path)
+        .collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(1, 1.0)]
+    want = dl.read_delta(spark, path, timestamp_as_of=clocks[0]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("deltalog").option("versionAsOf", 0).option(
+            "timestampAsOf", clocks[0]
+        ).load(path).collect()
