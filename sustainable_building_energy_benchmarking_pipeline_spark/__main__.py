@@ -95,8 +95,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument(
         "op",
         choices=[
-            "history", "optimize", "vacuum", "delete", "update", "restore",
-            "checkpoint", "add-constraint", "drop-constraint",
+            "history", "detail", "optimize", "vacuum", "delete", "update",
+            "restore", "checkpoint", "add-constraint", "drop-constraint",
             "set-property", "unset-property",
         ],
     )
@@ -247,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.op == "history":
             for h in dl.delta_history(args.path):
                 print(json.dumps(h, default=str))
+        elif args.op == "detail":
+            print(json.dumps(dl.delta_detail(args.path), default=str))
         elif args.op == "optimize":
             zcols = args.zorder.split(",") if args.zorder else None
             v = dl.optimize_delta(

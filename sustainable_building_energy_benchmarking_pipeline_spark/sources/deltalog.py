@@ -6127,6 +6127,64 @@ def refresh_aggregate(
     return merged.filter(F.col("_n") > 0)
 
 
+def delta_detail(path: str) -> dict[str, Any]:
+    """DESCRIBE DETAIL parity (round-11): the one-row table summary
+    delta-spark emits — id/name/description from the metaData action,
+    createdAt, lastModified (the latest commit's ICT-preferring clock),
+    partitionColumns, clusteringColumns (from the delta.clustering
+    domain metadata when present), numFiles/sizeInBytes from the active
+    snapshot, table properties, and both protocol sides with their
+    feature lists. One checkpoint-accelerated replay plus the
+    supplementary state the checksum machinery already knows how to
+    fold."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    latest = versions[-1]
+    active, _schema, pcols, meta = _replay(path, latest)
+    proto = _latest_protocol(path, latest)
+    clustering: list[str] = []
+    dom = _collect_domain_metadata(path, latest).get("delta.clustering")
+    if dom and not dom.get("removed"):
+        try:
+            clustering = list(
+                json.loads(dom.get("configuration", "{}")).get(
+                    "clusteringColumns", []
+                )
+            )
+        except (ValueError, AttributeError):
+            clustering = []
+    clocks = _adjusted_commit_timestamps(path, versions)
+    created = next(
+        (
+            a["metaData"].get("createdTime")
+            for a in _read_actions(path, versions[0])
+            if "metaData" in a
+        ),
+        None,
+    )
+    return {
+        "format": "delta",
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "location": os.path.abspath(path),
+        "createdAt": created,
+        "lastModified": clocks[latest] if clocks[latest] >= 0 else None,
+        "partitionColumns": list(pcols),
+        "clusteringColumns": clustering,
+        "numFiles": len(active),
+        "sizeInBytes": sum(int(a.get("size", 0)) for a in active.values()),
+        "properties": dict(meta.get("configuration", {})),
+        "minReaderVersion": proto.get("minReaderVersion"),
+        "minWriterVersion": proto.get("minWriterVersion"),
+        "tableFeatures": sorted(
+            set(proto.get("readerFeatures") or [])
+            | set(proto.get("writerFeatures") or [])
+        ),
+    }
+
+
 def delta_history(path: str) -> list[dict[str, Any]]:
     """DESCRIBE HISTORY parity: one entry per version with timestamp,
     operation and mode. History lists the retained JSON commits (log

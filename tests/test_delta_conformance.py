@@ -3626,3 +3626,29 @@ def test_parse_interval_compound_terms(spark):
     assert week2d == 604_800_000 + 2 * 86_400_000
     assert dl._parse_interval_ms("Interval 1 Hour 30 Minutes") == 5_400_000
     assert dl._parse_interval_ms("interval") is None
+
+
+def test_delta_detail(spark, tmp_path):
+    """DESCRIBE DETAIL parity: counted state matches the snapshot, the
+    clock is the latest commit's, properties and protocol surface."""
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, p string"),
+        path,
+        partition_by=["p"],
+    )
+    dl.set_table_properties(path, {"delta.appendOnly": "false"})
+    dl.write_delta(
+        spark.createDataFrame([(3, "a")], "id long, p string"), path, mode="append"
+    )
+    det = dl.delta_detail(path)
+    active, _, pcols, meta = dl._replay(path, dl._list_versions(path)[-1])
+    assert det["format"] == "delta"
+    assert det["id"] == meta["id"]
+    assert det["partitionColumns"] == ["p"]
+    assert det["numFiles"] == len(active)
+    assert det["sizeInBytes"] == sum(int(a["size"]) for a in active.values())
+    assert det["properties"].get("delta.appendOnly") == "false"
+    assert det["minReaderVersion"] and det["minWriterVersion"]
+    versions = dl._list_versions(path)
+    assert det["lastModified"] == dl._adjusted_commit_timestamps(path, versions)[versions[-1]]
