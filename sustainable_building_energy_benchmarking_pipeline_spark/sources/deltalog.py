@@ -1157,6 +1157,38 @@ def _physical_name(field: T.StructField) -> str:
 DV_DRIVER_DECODE_MAX = 1_000_000
 
 
+def _data_file(path: str, p: str) -> str:
+    """Resolve an add/remove action's ``path`` to a local filesystem
+    path. The spec allows RELATIVE paths (the norm — resolved against
+    the table root) or ABSOLUTE paths/URIs — what SHALLOW CLONE
+    produces, each add pointing into the SOURCE table's directory.
+    file:// URIs are percent-decoded (delta-spark URL-encodes absolute
+    URIs); other schemes refuse with a protocol error instead of a
+    misleading FileNotFoundError. Relative paths stay VERBATIM — in
+    this engine's logs (and its golden fixtures) the stored relative
+    path IS the on-disk name, hive escaping included."""
+    if "://" in p:
+        if p.startswith("file://"):
+            from urllib.parse import unquote
+
+            return unquote(p[len("file://"):])
+        raise DeltaUnsupportedProtocol(
+            f"data file of Delta table at {path} uses a URI scheme "
+            f"this engine cannot access: {p!r}"
+        )
+    return os.path.join(path, p)  # absolute p wins the join, per posix
+
+
+def _scanned_key_map(path: str, keys) -> dict[str, str]:
+    """Absolute scanned-file path → the log's stored path key, for
+    mapping a scan's ``_metadata.file_path`` hits back onto add
+    actions. Explicit lookup instead of relpath-against-the-table-root
+    arithmetic: SHALLOW CLONE adds are ABSOLUTE paths into the source
+    directory, where relpath would fabricate ``../src/...`` keys that
+    match nothing."""
+    return {os.path.abspath(_data_file(path, k)): k for k in keys}
+
+
 def _dv_suffix_depth(rels) -> int | None:
     """Path depth (component count) shared by every rel, or None when
     mixed. Uniform depth is the Delta norm — partition columns are fixed
@@ -1555,7 +1587,7 @@ def _row_tracking_rewrite_mode(
 
     for rel in sorted(rewrite_rels):
         try:
-            fnames = set(pq.read_schema(os.path.join(path, rel)).names)
+            fnames = set(pq.read_schema(_data_file(path, rel)).names)
         except OSError:
             continue  # unreadable footer refuses later, at the scan
         hit = fnames & mat_cols
@@ -3528,7 +3560,7 @@ def read_delta(
         if with_row_ids:
             empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
         return empty
-    files = [os.path.join(path, rel) for rel in sorted(active)]
+    files = [_data_file(path, rel) for rel in sorted(active)]
     dv_by_rel = {
         rel: a["deletionVector"]
         for rel, a in active.items()
@@ -3756,7 +3788,7 @@ def merge_delta(
     rt_extras: tuple = ()
     if affected:
         rels_sorted = sorted(affected)
-        files = [os.path.join(path, rel) for rel in rels_sorted]
+        files = [_data_file(path, rel) for rel in rels_sorted]
         old_schema = _reader_schema(schema, cm_mode)
         if rt_mat:
             old_schema = _rt_read_schema(old_schema, rt_mat)
@@ -4340,10 +4372,10 @@ def _delete_emit_dv(
     )
     if len(matches) > DV_WRITE_MAX:
         return None
-    root = os.path.abspath(path)
+    key_of = _scanned_key_map(path, cand)
     by_rel: dict[str, list[int]] = {}
     for r in matches:
-        rel = os.path.relpath(unquote(urlparse(r["_f"]).path), root)
+        rel = key_of[os.path.abspath(unquote(urlparse(r["_f"]).path))]
         by_rel.setdefault(rel, []).append(int(r["_ridx"]))
     rels = sorted(by_rel)
     if (
@@ -4497,8 +4529,7 @@ def delete_delta(
     }
     if not cand:
         return versions[-1]
-    root = os.path.abspath(path)
-    cand_files = [os.path.join(path, rel) for rel in sorted(cand)]
+    cand_files = [_data_file(path, rel) for rel in sorted(cand)]
     dv_cand = {
         rel: a["deletionVector"]
         for rel, a in cand.items()
@@ -4532,8 +4563,9 @@ def delete_delta(
         .distinct()
         .collect()  # bounded: ≤ one row per candidate file
     )
+    key_of = _scanned_key_map(path, cand)
     hit_files = {
-        os.path.relpath(unquote(urlparse(r["_f"]).path), root) for r in hit_rows
+        key_of[os.path.abspath(unquote(urlparse(r["_f"]).path))] for r in hit_rows
     }
     if not hit_files:
         return versions[-1]
@@ -4594,7 +4626,7 @@ def delete_delta(
     if partition_cols:
         keep_reader = keep_reader.option("basePath", path)
     keep = keep_reader.parquet(
-        *[os.path.join(path, rel) for rel in rels_sorted]
+        *[_data_file(path, rel) for rel in rels_sorted]
     )
     if rt_mat:
         rt_depth = _rt_suffix_depth(rels_sorted, path)
@@ -4747,8 +4779,7 @@ def update_delta(
     }
     if not cand:
         return versions[-1]
-    root = os.path.abspath(path)
-    cand_files = [os.path.join(path, rel) for rel in sorted(cand)]
+    cand_files = [_data_file(path, rel) for rel in sorted(cand)]
     dv_cand = {
         rel: a["deletionVector"]
         for rel, a in cand.items()
@@ -4766,8 +4797,9 @@ def update_delta(
         )
     phase1 = _present_logical(phase1, schema, cm_mode, extras=("_f",))
     hit_rows = phase1.filter(pred).select("_f").distinct().collect()
+    key_of = _scanned_key_map(path, cand)
     hit_files = {
-        os.path.relpath(unquote(urlparse(r["_f"]).path), root) for r in hit_rows
+        key_of[os.path.abspath(unquote(urlparse(r["_f"]).path))] for r in hit_rows
     }
     if not hit_files:
         return versions[-1]
@@ -4784,7 +4816,7 @@ def update_delta(
     reader = spark.read.schema(rows_schema)
     if partition_cols:
         reader = reader.option("basePath", path)
-    rows = reader.parquet(*[os.path.join(path, rel) for rel in rels_sorted])
+    rows = reader.parquet(*[_data_file(path, rel) for rel in rels_sorted])
     if rt_mat:
         rt_depth = _rt_suffix_depth(rels_sorted, path)
         rows = _rt_capture(rows, rt_depth)
@@ -4935,6 +4967,85 @@ def update_delta(
     )
 
 
+def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE (delta-spark's ``CREATE TABLE dst SHALLOW CLONE
+    src``): a zero-copy fork — the clone's version-0 commit lists the
+    source's ACTIVE files by ABSOLUTE path (stats/sizes copied from the
+    source log, no data IO at all), under a fresh table id with the
+    source's schema, properties, and protocol. Writes and DML against
+    the clone are copy-on-write into the clone's own directory; the
+    source never changes, and VACUUM on either side cannot touch the
+    other's files (the clone's vacuum walks only its own directory;
+    the source's vacuum sees its own files still referenced by its own
+    log). Reading follows the spec's absolute-path allowance via
+    ``_data_file`` — external shallow clones with file:// URIs read
+    too.
+
+    Refusals (explicit, with the workaround named): partitioned
+    sources (the clone's scan would need the source's basePath for
+    hive dirs — deep-copy via ``read_delta`` + ``write_delta``
+    instead), sources with ACTIVE deletion vectors (the DV descriptors
+    are table-relative), and rowTracking sources (fresh row ids would
+    violate preservation). Returns the clone's version (always 0)."""
+    versions = _list_versions(src)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {src}")
+    latest = versions[-1]
+    active, _schema, pcols, meta = _replay(src, latest)
+    proto = _latest_protocol(src, latest)
+    if pcols:
+        raise ValueError(
+            f"shallow clone of partitioned table {src} is not supported "
+            "— hive partition dirs resolve against the SOURCE root; "
+            "deep-copy with read_delta(...) + write_delta(..., "
+            f"partition_by={pcols!r}) instead"
+        )
+    if any(a.get("deletionVector") for a in active.values()):
+        raise ValueError(
+            f"shallow clone of {src} with active deletion vectors is "
+            "not supported — DV descriptors are table-relative; run "
+            "OPTIMIZE first to materialize the deletes, then clone"
+        )
+    if "rowTracking" in set(proto.get("writerFeatures") or []):
+        raise ValueError(
+            f"shallow clone of rowTracking table {src} is not supported "
+            "— cloned rows would need fresh ids, violating preservation; "
+            "deep-copy instead"
+        )
+    if _list_versions(dst):
+        raise ValueError(f"clone destination {dst} is already a Delta table")
+    now = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())
+    new_meta["createdTime"] = now
+    src_abs = os.path.abspath(src)
+    adds = []
+    for rel, a in sorted(active.items()):
+        a2 = dict(a)
+        if not os.path.isabs(rel) and "://" not in rel:
+            a2["path"] = os.path.join(src_abs, rel)  # clone-of-clone keeps abs
+        a2["dataChange"] = True
+        adds.append({"add": a2})
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_abs,
+                    "sourceVersion": latest,
+                },
+            }
+        },
+        {"protocol": proto},
+        {"metaData": new_meta},
+        *adds,
+    ]
+    os.makedirs(_log_dir(dst), exist_ok=True)
+    _commit(dst, 0, actions)
+    return 0
+
+
 def restore_delta(
     path: str,
     to_version: int | None = None,
@@ -4971,7 +5082,7 @@ def restore_delta(
     missing = sorted(
         rel
         for rel in old_active.keys() - cur_active.keys()
-        if not os.path.exists(os.path.join(path, rel))
+        if not os.path.exists(_data_file(path, rel))
     )
     if missing:
         raise ValueError(
@@ -5538,7 +5649,7 @@ def optimize_delta(
         else None
     )
     rels_sorted = sorted(rewrite)
-    files = [os.path.join(path, rel) for rel in rels_sorted]
+    files = [_data_file(path, rel) for rel in rels_sorted]
     # byte-aware bin assignment: pack each partition's candidate files
     # into ceil(bytes / target) bins, largest-first onto the lightest
     # bin. Driver-side over the log's add.size values — bounded by the

@@ -3652,3 +3652,88 @@ def test_delta_detail(spark, tmp_path):
     assert det["minReaderVersion"] and det["minWriterVersion"]
     versions = dl._list_versions(path)
     assert det["lastModified"] == dl._adjusted_commit_timestamps(path, versions)[versions[-1]]
+
+
+# ---- round-11: shallow clone + absolute-path adds ---------------------
+
+
+def test_shallow_clone_reads_and_diverges(spark, tmp_path):
+    """Zero-copy clone: reads match the source at clone time; appends
+    and DELETE on the clone are copy-on-write (the source is untouched,
+    byte-level); appends to the SOURCE never appear in the clone."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dl.write_delta(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double").coalesce(1), src)
+    dl.write_delta(spark.createDataFrame([(3, 3.0)], "id long, v double").coalesce(1), src, mode="append")
+    assert dl.clone_delta(spark, src, dst) == 0
+    rows = lambda p: sorted((r["id"], r["v"]) for r in dl.read_delta(spark, p).collect())
+    assert rows(dst) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # clone's add paths are absolute into the source dir
+    active = {a["add"]["path"] for a in dl._read_actions(dst, 0) if "add" in a}
+    assert all(os.path.isabs(p) for p in active)
+    src_files = {
+        os.path.join(dp, f)
+        for dp, _dns, fns in os.walk(src)
+        for f in fns
+    }
+    src_mtimes = {p: os.path.getmtime(p) for p in src_files}
+    # divergence: append + DELETE on the clone
+    dl.write_delta(spark.createDataFrame([(4, 4.0)], "id long, v double").coalesce(1), dst, mode="append")
+    dl.delete_delta(spark, dst, "id = 1")
+    assert rows(dst) == [(2, 2.0), (3, 3.0), (4, 4.0)]
+    assert rows(src) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    assert {p: os.path.getmtime(p) for p in src_files} == src_mtimes
+    # source-side appends are invisible to the clone
+    dl.write_delta(spark.createDataFrame([(9, 9.0)], "id long, v double").coalesce(1), src, mode="append")
+    assert rows(dst) == [(2, 2.0), (3, 3.0), (4, 4.0)]
+
+
+def test_shallow_clone_vacuum_isolation(spark, tmp_path):
+    """VACUUM on the clone never deletes source files; VACUUM on the
+    source keeps files its own log still references."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dl.write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), src)
+    dl.clone_delta(spark, src, dst)
+    dl.delete_delta(spark, dst, "id = 1")  # clone drops its only (source) file
+    deleted = dl.vacuum_delta(dst, retain_hours=0, force=True)
+    assert dl.read_delta(spark, src).count() == 1  # source file still on disk
+    assert not any(os.path.abspath(src) in d for d in deleted)
+
+
+def test_shallow_clone_refusals(spark, tmp_path):
+    src = str(tmp_path / "p")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a")], "id long, p string"), src, partition_by=["p"]
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        dl.clone_delta(spark, src, str(tmp_path / "d1"))
+    src2 = str(tmp_path / "s2")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), src2)
+    dl.clone_delta(spark, src2, str(tmp_path / "d2"))
+    with pytest.raises(ValueError, match="already a Delta table"):
+        dl.clone_delta(spark, src2, str(tmp_path / "d2"))
+
+
+def test_external_file_uri_adds_read(spark, tmp_path):
+    """An external writer's absolute file:// URI add (percent-encoded)
+    resolves through _data_file; unknown schemes refuse by name."""
+    src = str(tmp_path / "src")
+    dl.write_delta(spark.createDataFrame([(5, 5.0)], "id long, v double").coalesce(1), src)
+    rel, add = next(iter(dl._replay(src, 0)[0].items()))
+    from urllib.parse import quote
+
+    t = str(tmp_path / "uri")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    meta = dict(dl._latest_metadata(src, 0))
+    add2 = dict(add)
+    add2["path"] = "file://" + quote(os.path.join(os.path.abspath(src), rel))
+    with open(os.path.join(t, "_delta_log", "00000000000000000000.json"), "w") as f:
+        for a in (
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": add2},
+        ):
+            f.write(json.dumps(a) + "\n")
+    got = [(r["id"], r["v"]) for r in dl.read_delta(spark, t).collect()]
+    assert got == [(5, 5.0)]
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="URI scheme"):
+        dl._data_file(t, "s3://bucket/key.parquet")
