@@ -96,8 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=[
             "history", "detail", "optimize", "vacuum", "delete", "update",
-            "restore", "checkpoint", "add-constraint", "drop-constraint",
-            "set-property", "unset-property",
+            "restore", "checkpoint", "clone", "add-constraint",
+            "drop-constraint", "set-property", "unset-property",
         ],
     )
     t.add_argument("path", help="Delta table directory")
@@ -112,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         help="UPDATE assignment, repeatable (e.g. --set 'v=v*1.1')",
     )
     t.add_argument("--version", type=int, default=None, help="RESTORE target version")
+    t.add_argument("--to", default=None, help="CLONE destination directory")
     t.add_argument("--retain-hours", type=float, default=168.0)
     t.add_argument("--force", action="store_true", help="allow vacuum retention < safety floor")
     t.add_argument("--name", default=None, help="constraint name")
@@ -281,6 +282,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "checkpoint":
             v = dl.write_checkpoint(args.path)
             print(f"checkpointed version {v}")
+        elif args.op == "clone":
+            dl.clone_delta(spark, args.path, _need("to", "--to"))
+            print(f"shallow-cloned {args.path} -> {args.to}")
         elif args.op == "add-constraint":
             v = dl.add_constraint(
                 spark, args.path, _need("name", "--name"), _need("expr", "--expr")

@@ -5042,6 +5042,12 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
         *adds,
     ]
     os.makedirs(_log_dir(dst), exist_ok=True)
+    if new_meta.get("configuration", {}).get(
+        "delta.enableInCommitTimestamps"
+    ) == "true":
+        # the clone inherits the source's ICT obligation: its very
+        # first commit must carry an inCommitTimestamp
+        actions = _stamp_in_commit_timestamp(dst, 0, actions)
     _commit(dst, 0, actions)
     return 0
 

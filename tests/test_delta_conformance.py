@@ -3737,3 +3737,17 @@ def test_external_file_uri_adds_read(spark, tmp_path):
     assert got == [(5, 5.0)]
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="URI scheme"):
         dl._data_file(t, "s3://bucket/key.parquet")
+
+
+def test_shallow_clone_inherits_ict_obligation(spark, tmp_path):
+    """Cloning an inCommitTimestamp table stamps the clone's version-0
+    commit (commitInfo first, monotonic clock) — the obligation travels
+    with the copied configuration."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dl.write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), src)
+    dl.enable_in_commit_timestamps(src)
+    dl.clone_delta(spark, src, dst)
+    acts = dl._read_actions(dst, 0)
+    assert "commitInfo" in acts[0]
+    assert acts[0]["commitInfo"].get("inCommitTimestamp") is not None
+    assert dl.read_delta(spark, dst).count() == 1
