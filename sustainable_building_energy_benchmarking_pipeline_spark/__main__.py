@@ -283,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
             v = dl.write_checkpoint(args.path)
             print(f"checkpointed version {v}")
         elif args.op == "clone":
-            dl.clone_delta(spark, args.path, _need("to", "--to"))
+            dl.clone_delta(args.path, _need("to", "--to"))
             print(f"shallow-cloned {args.path} -> {args.to}")
         elif args.op == "add-constraint":
             v = dl.add_constraint(

@@ -107,8 +107,12 @@ def _file_task(
         f.name: (_physical_name(f) if cm_mode in ("name", "id") else f.name)
         for f in schema.fields
     }
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _data_file,
+    )
+
     return {
-        "file": os.path.join(table_path, rel),
+        "file": _data_file(table_path, rel),
         "table": table_path,
         "dv": add.get("deletionVector"),
         # hive partition values are keyed by PHYSICAL name in the log;
@@ -1036,13 +1040,16 @@ def _stage_cdc_overwrite_arrow(
     from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
         deleted_row_indexes,
     )
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _data_file,
+    )
 
     cdc: list[dict[str, Any]] = []
     out_dir = os.path.join(path, "_change_data")
     os.makedirs(out_dir, exist_ok=True)
 
     def emit(rel: str, pvals: dict, change_type: str, dv) -> None:
-        tbl = pq.read_table(os.path.join(path, rel))
+        tbl = pq.read_table(_data_file(path, rel))
         if dv:
             idx = deleted_row_indexes(path, dv)
             if len(idx):
@@ -1364,9 +1371,15 @@ class DeltaLogDataSource(DataSource):
         )
 
     def schema(self) -> StructType:
+        v = _as_of_version(self.options)
+        if v is not None:
+            # pin ONCE: a timestampAsOf re-resolved at reader
+            # construction could land on a later commit than the schema
+            # was bound to (and costs a second full clock walk)
+            self.options["versionasof"] = str(v)
+            self.options.pop("timestampasof", None)
         _active, schema, _pcols, _cm = _replay_for_source(
-            self.options["path"],
-            _as_of_version(self.options),
+            self.options["path"], v
         )
         out = _strip_field_metadata(schema)
         return _with_cdf_columns(out) if self._cdf() else out

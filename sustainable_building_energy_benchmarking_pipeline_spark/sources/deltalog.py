@@ -1166,16 +1166,20 @@ def _data_file(path: str, p: str) -> str:
     URIs); other schemes refuse with a protocol error instead of a
     misleading FileNotFoundError. Relative paths stay VERBATIM — in
     this engine's logs (and its golden fixtures) the stored relative
-    path IS the on-disk name, hive escaping included."""
-    if "://" in p:
-        if p.startswith("file://"):
-            from urllib.parse import unquote
+    path IS the on-disk name, hive escaping included. Both URI
+    spellings resolve — ``file:///abs`` (RFC form) and ``file:/abs``
+    (what Hadoop Path.toString emits) — with an empty or ``localhost``
+    authority; any other authority or scheme refuses by name."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", p):
+        from urllib.parse import unquote, urlparse
 
-            return unquote(p[len("file://"):])
-        raise DeltaUnsupportedProtocol(
-            f"data file of Delta table at {path} uses a URI scheme "
-            f"this engine cannot access: {p!r}"
-        )
+        u = urlparse(p)
+        if u.scheme != "file" or (u.netloc and u.netloc != "localhost"):
+            raise DeltaUnsupportedProtocol(
+                f"data file of Delta table at {path} uses a URI this "
+                f"engine cannot access: {p!r}"
+            )
+        return unquote(u.path)
     return os.path.join(path, p)  # absolute p wins the join, per posix
 
 
@@ -4967,7 +4971,7 @@ def update_delta(
     )
 
 
-def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
+def clone_delta(src: str, dst: str) -> int:
     """SHALLOW CLONE (delta-spark's ``CREATE TABLE dst SHALLOW CLONE
     src``): a zero-copy fork — the clone's version-0 commit lists the
     source's ACTIVE files by ABSOLUTE path (stats/sizes copied from the
@@ -5014,10 +5018,38 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
         )
     if _list_versions(dst):
         raise ValueError(f"clone destination {dst} is already a Delta table")
+    # the clone's first commit must uphold every writer obligation the
+    # copied protocol claims — this is the one write path that creates
+    # a table from another's protocol, so the same gate every DML verb
+    # passes runs here (icebergCompat, unknown future features refuse)
+    _check_write_protocol(
+        proto,
+        src,
+        "shallow clone",
+        extra_features=frozenset(
+            {
+                "columnMapping",
+                "domainMetadata",
+                "changeDataFeed",
+                "generatedColumns",
+                "identityColumns",
+                "clustering",
+                "clusteredTable",
+            }
+        ),
+        meta=meta,
+    )
     now = int(time.time() * 1000)
     new_meta = dict(meta)
     new_meta["id"] = str(uuid.uuid4())
     new_meta["createdTime"] = now
+    cfg = dict(new_meta.get("configuration", {}))
+    # the source's ICT enablement provenance names a version in the
+    # SOURCE's history; on the clone, ICT holds from version 0, which
+    # the spec expresses by OMITTING the enablement keys
+    cfg.pop("delta.inCommitTimestampEnablementVersion", None)
+    cfg.pop("delta.inCommitTimestampEnablementTimestamp", None)
+    new_meta["configuration"] = cfg
     src_abs = os.path.abspath(src)
     adds = []
     for rel, a in sorted(active.items()):
@@ -5026,6 +5058,13 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
             a2["path"] = os.path.join(src_abs, rel)  # clone-of-clone keeps abs
         a2["dataChange"] = True
         adds.append({"add": a2})
+    # table-level domain metadata travels with the clone (delta-spark's
+    # CLONE preserves clustering); removed tombstones stay behind
+    domains = [
+        {"domainMetadata": dm}
+        for _, dm in sorted(_collect_domain_metadata(src, latest).items())
+        if not dm.get("removed")
+    ]
     actions = [
         {
             "commitInfo": {
@@ -5039,12 +5078,11 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
         },
         {"protocol": proto},
         {"metaData": new_meta},
+        *domains,
         *adds,
     ]
     os.makedirs(_log_dir(dst), exist_ok=True)
-    if new_meta.get("configuration", {}).get(
-        "delta.enableInCommitTimestamps"
-    ) == "true":
+    if cfg.get("delta.enableInCommitTimestamps") == "true":
         # the clone inherits the source's ICT obligation: its very
         # first commit must carry an inCommitTimestamp
         actions = _stamp_in_commit_timestamp(dst, 0, actions)
@@ -5308,7 +5346,12 @@ def vacuum_delta(
             meta=_latest_metadata(path, versions[-1]),
         )
     active, _, _, _ = _replay(path, None)
-    keep = {os.path.normpath(rel) for rel in active}
+    # keep-set in RESOLVED absolute form: an add may legally point at a
+    # file via an absolute path or file:// URI (shallow clones, external
+    # writers) — including INSIDE this very table dir, where the raw
+    # stored string would never match the walk's relative names and
+    # vacuum would delete an actively referenced file
+    keep = {os.path.abspath(_data_file(path, rel)) for rel in active}
     # DV .bin sidecars referenced by the CURRENT snapshot must survive;
     # once apply-and-rewrite (DELETE/MERGE/OPTIMIZE) materializes the
     # deletes, the orphaned .bin becomes reclaimable like any other
@@ -5326,7 +5369,9 @@ def vacuum_delta(
                 if dv["storageType"] == "u"
                 else dv["pathOrInlineDv"]
             )
-            keep.add(os.path.normpath(os.path.relpath(p, path)))
+            keep.add(
+                os.path.abspath(p if os.path.isabs(p) else os.path.join(path, p))
+            )
     cutoff = time.time() - retain_hours * 3600.0
     deleted: list[str] = []
     for root, dirs, files in os.walk(path, topdown=True):
@@ -5337,7 +5382,7 @@ def vacuum_delta(
             reclaimable = name.endswith(".parquet") or (
                 name.startswith("deletion_vector_") and name.endswith(".bin")
             )
-            if rel in keep or not reclaimable:
+            if os.path.abspath(full) in keep or not reclaimable:
                 continue
             if os.path.getmtime(full) <= cutoff:
                 os.remove(full)
@@ -5911,7 +5956,7 @@ def delta_changes(
             # partition columns live in the hive dir names, not the
             # data files — without basePath they read back as NULL
             reader = reader.option("basePath", path)
-        df = reader.parquet(*[os.path.join(path, r) for r in rels])
+        df = reader.parquet(*[_data_file(path, r) for r in rels])
         dv_by_rel = {r: d for r, d in files_dv.items() if d}
         if dv_by_rel:
             df = _apply_deletion_vectors(spark, path, df, dv_by_rel, all_rels=rels)
@@ -6020,7 +6065,7 @@ def delta_changes(
         dr_reader = spark.read.schema(_reader_schema(schema, cm_mode))
         if cdf_pcols:
             dr_reader = dr_reader.option("basePath", path)
-        df = dr_reader.parquet(*[os.path.join(path, r) for r in rels])
+        df = dr_reader.parquet(*[_data_file(path, r) for r in rels])
         keyed = df.withColumn(
             "dv_fname", _dv_file_key_col(depth)
         ).withColumn("dv_ridx", F.col("_metadata.row_index"))
@@ -6084,7 +6129,7 @@ def _load_cdc_files(
     groups: dict[tuple, list[str]] = {}
     for a in cdc_actions:
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
-        groups.setdefault(key, []).append(os.path.join(path, a["path"]))
+        groups.setdefault(key, []).append(_data_file(path, a["path"]))
     frames = []
     for key, files in sorted(groups.items()):
         df = spark.read.schema(file_schema).parquet(*sorted(files))
@@ -6272,14 +6317,9 @@ def delta_detail(path: str) -> dict[str, Any]:
         except (ValueError, AttributeError):
             clustering = []
     clocks = _adjusted_commit_timestamps(path, versions)
-    created = next(
-        (
-            a["metaData"].get("createdTime")
-            for a in _read_actions(path, versions[0])
-            if "metaData" in a
-        ),
-        None,
-    )
+    # the replayed metaData preserves createdTime through checkpoints —
+    # re-reading commit 0 would return None after log cleanup
+    created = meta.get("createdTime")
     return {
         "format": "delta",
         "id": meta.get("id"),

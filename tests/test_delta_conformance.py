@@ -3664,7 +3664,7 @@ def test_shallow_clone_reads_and_diverges(spark, tmp_path):
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     dl.write_delta(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double").coalesce(1), src)
     dl.write_delta(spark.createDataFrame([(3, 3.0)], "id long, v double").coalesce(1), src, mode="append")
-    assert dl.clone_delta(spark, src, dst) == 0
+    assert dl.clone_delta(src, dst) == 0
     rows = lambda p: sorted((r["id"], r["v"]) for r in dl.read_delta(spark, p).collect())
     assert rows(dst) == [(1, 1.0), (2, 2.0), (3, 3.0)]
     # clone's add paths are absolute into the source dir
@@ -3692,7 +3692,7 @@ def test_shallow_clone_vacuum_isolation(spark, tmp_path):
     source keeps files its own log still references."""
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     dl.write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), src)
-    dl.clone_delta(spark, src, dst)
+    dl.clone_delta(src, dst)
     dl.delete_delta(spark, dst, "id = 1")  # clone drops its only (source) file
     deleted = dl.vacuum_delta(dst, retain_hours=0, force=True)
     assert dl.read_delta(spark, src).count() == 1  # source file still on disk
@@ -3705,12 +3705,12 @@ def test_shallow_clone_refusals(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "id long, p string"), src, partition_by=["p"]
     )
     with pytest.raises(ValueError, match="partitioned"):
-        dl.clone_delta(spark, src, str(tmp_path / "d1"))
+        dl.clone_delta(src, str(tmp_path / "d1"))
     src2 = str(tmp_path / "s2")
     dl.write_delta(spark.createDataFrame([(1,)], "id long"), src2)
-    dl.clone_delta(spark, src2, str(tmp_path / "d2"))
+    dl.clone_delta(src2, str(tmp_path / "d2"))
     with pytest.raises(ValueError, match="already a Delta table"):
-        dl.clone_delta(spark, src2, str(tmp_path / "d2"))
+        dl.clone_delta(src2, str(tmp_path / "d2"))
 
 
 def test_external_file_uri_adds_read(spark, tmp_path):
@@ -3735,7 +3735,7 @@ def test_external_file_uri_adds_read(spark, tmp_path):
             f.write(json.dumps(a) + "\n")
     got = [(r["id"], r["v"]) for r in dl.read_delta(spark, t).collect()]
     assert got == [(5, 5.0)]
-    with pytest.raises(dl.DeltaUnsupportedProtocol, match="URI scheme"):
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="URI"):
         dl._data_file(t, "s3://bucket/key.parquet")
 
 
@@ -3746,8 +3746,116 @@ def test_shallow_clone_inherits_ict_obligation(spark, tmp_path):
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     dl.write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), src)
     dl.enable_in_commit_timestamps(src)
-    dl.clone_delta(spark, src, dst)
+    dl.clone_delta(src, dst)
     acts = dl._read_actions(dst, 0)
     assert "commitInfo" in acts[0]
     assert acts[0]["commitInfo"].get("inCommitTimestamp") is not None
     assert dl.read_delta(spark, dst).count() == 1
+
+
+def test_vacuum_keeps_in_root_absolute_and_uri_adds(spark, tmp_path):
+    """Review fix (data loss): an add that references a file INSIDE the
+    table dir via an absolute path or file:// URI must survive VACUUM —
+    the keep-set compares resolved absolute paths, not raw log strings."""
+    from urllib.parse import quote
+
+    t = str(tmp_path / "t")
+    dl.write_delta(spark.createDataFrame([(5, 5.0)], "id long, v double").coalesce(1), t)
+    rel, add = next(iter(dl._replay(t, 0)[0].items()))
+    meta = dict(dl._latest_metadata(t, 0))
+    abs_path = os.path.join(os.path.abspath(t), rel)
+    # rewrite the log so the SAME file is referenced absolutely (v1)
+    # and via percent-encoded file:// URI (v2)
+    dl._commit(t, 1, [
+        {"remove": {"path": rel, "deletionTimestamp": 1, "dataChange": False}},
+        {"add": {**add, "path": abs_path, "dataChange": False}},
+    ])
+    dl._commit(t, 2, [
+        {"remove": {"path": abs_path, "deletionTimestamp": 1, "dataChange": False}},
+        {"add": {**add, "path": "file://" + quote(abs_path), "dataChange": False}},
+    ])
+    deleted = dl.vacuum_delta(t, retain_hours=0, force=True)
+    assert deleted == []
+    assert [(r["id"], r["v"]) for r in dl.read_delta(spark, t).collect()] == [(5, 5.0)]
+
+
+def test_uri_adds_read_via_data_source_and_cdf(spark, tmp_path):
+    """Review fix: the registered data source and table_changes resolve
+    file:// URI adds like read_delta does."""
+    from urllib.parse import quote
+
+    src = str(tmp_path / "src")
+    dl.write_delta(spark.createDataFrame([(5, 5.0)], "id long, v double").coalesce(1), src)
+    rel, add = next(iter(dl._replay(src, 0)[0].items()))
+    t = str(tmp_path / "uri")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    meta = dict(dl._latest_metadata(src, 0))
+    add2 = dict(add)
+    add2["path"] = "file://" + quote(os.path.join(os.path.abspath(src), rel))
+    with open(os.path.join(t, "_delta_log", "00000000000000000000.json"), "w") as f:
+        for a in (
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+            {"add": add2},
+        ):
+            f.write(json.dumps(a) + "\n")
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        DeltaLogDataSource,
+    )
+
+    spark.dataSource.register(DeltaLogDataSource)
+    got = spark.read.format("deltalog").load(t).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(5, 5.0)]
+    ch = dl.table_changes(spark, t, since_version=-1).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(5, "insert")]
+    # single-slash Hadoop form resolves too; foreign authority refuses
+    assert dl._data_file(t, "file:/tmp/x.parquet") == "/tmp/x.parquet"
+    assert dl._data_file(t, "file://localhost/tmp/x.parquet") == "/tmp/x.parquet"
+    with pytest.raises(dl.DeltaUnsupportedProtocol):
+        dl._data_file(t, "file://otherhost/tmp/x.parquet")
+
+
+def test_clone_preserves_domains_drops_ict_provenance(spark, tmp_path):
+    """Review fixes: clone carries table-level domainMetadata (e.g.
+    delta.clustering) and drops the source's ICT enablement-provenance
+    keys (ICT holds from the clone's version 0)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    dl.write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), src)
+    dl.enable_in_commit_timestamps(src)
+    v = dl._list_versions(src)[-1]
+    proto = dl._latest_protocol(src, v)
+    feats = sorted(set(proto.get("writerFeatures") or []) | {"domainMetadata"})
+    dl._commit(src, v + 1, [
+        {"protocol": {**proto, "minWriterVersion": 7, "writerFeatures": feats}},
+        {"metaData": dl._latest_metadata(src, v)},
+        {"domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps({"clusteringColumns": ["id"]}),
+            "removed": False,
+        }},
+    ])
+    dl.clone_delta(src, dst)
+    det = dl.delta_detail(dst)
+    assert det["clusteringColumns"] == ["id"]
+    cfg = dl._latest_metadata(dst, 0).get("configuration", {})
+    assert cfg.get("delta.enableInCommitTimestamps") == "true"
+    assert "delta.inCommitTimestampEnablementVersion" not in cfg
+    acts = dl._read_actions(dst, 0)
+    assert acts[0]["commitInfo"].get("inCommitTimestamp") is not None
+
+
+def test_clone_refuses_half_held_writer_features(spark, tmp_path):
+    """Review fix: clone passes the write-protocol gate — a source
+    claiming icebergCompatV2 refuses instead of instantiating a table
+    whose obligations nothing upholds."""
+    src = str(tmp_path / "src")
+    dl.write_delta(spark.createDataFrame([(1,)], "id long"), src)
+    v = dl._list_versions(src)[-1]
+    proto = dl._latest_protocol(src, v)
+    dl._commit(src, v + 1, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 7,
+                      "writerFeatures": sorted(set(proto.get("writerFeatures") or []) | {"icebergCompatV2"})}},
+        {"metaData": dl._latest_metadata(src, v)},
+    ])
+    with pytest.raises(dl.DeltaUnsupportedProtocol, match="icebergCompatV2"):
+        dl.clone_delta(src, str(tmp_path / "dst"))
