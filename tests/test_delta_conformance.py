@@ -3859,3 +3859,45 @@ def test_clone_refuses_half_held_writer_features(spark, tmp_path):
     ])
     with pytest.raises(dl.DeltaUnsupportedProtocol, match="icebergCompatV2"):
         dl.clone_delta(src, str(tmp_path / "dst"))
+
+
+def test_interval_and_ts_parsers_properties(spark):
+    """Property checks for the round-11 parsers: _parse_interval_ms sums
+    arbitrary unit sequences; _ts_ms round-trips epoch ms and agrees
+    with ISO forms."""
+    from hypothesis import given, settings, strategies as st
+
+    units = list(dl._INTERVAL_UNIT_MS)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(units)),
+        min_size=1, max_size=5,
+    ))
+    def interval_sums(terms):
+        s = "interval " + " ".join(f"{n} {u}s" for n, u in terms)
+        want = sum(n * dl._INTERVAL_UNIT_MS[u] for n, u in terms)
+        assert dl._parse_interval_ms(s) == want
+
+    interval_sums()
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 2**53))
+    def epoch_roundtrip(ms):
+        assert dl._ts_ms(ms) == ms
+        assert dl._ts_ms(str(ms)) == ms  # stringified option form
+
+    epoch_roundtrip()
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.datetimes(
+        min_value=__import__("datetime").datetime(1971, 1, 1),
+        max_value=__import__("datetime").datetime(2200, 1, 1),
+    ))
+    def iso_agrees(dt):
+        import datetime as _dt
+
+        want = int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        assert dl._ts_ms(dt.isoformat()) == want
+
+    iso_agrees()

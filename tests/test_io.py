@@ -1124,6 +1124,11 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
             dl.vacuum_delta(path, retain_hours=0.0, force=True)
         got = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
         assert got == sorted(model), f"seed={seed} step={step} op={op}"
+        # round-11: the per-commit version checksum must verify against
+        # a fresh replay after EVERY random operation (write_delta, DML,
+        # OPTIMIZE, RESTORE, constraint commits all route through
+        # _commit, so a .crc exists for the latest version)
+        dl.verify_version_checksum(path)
         history[dl._list_versions(path)[-1]] = list(model)
 
         cur = dl._list_versions(path)[-1]
