@@ -1934,14 +1934,89 @@ def _merge_schemas(
                 f"table {f.dataType.simpleString()} vs "
                 f"batch {g.dataType.simpleString()}"
             )
+    # table fields keep their METADATA (identity marks, generation
+    # expressions, columnMapping names, typeWidening records live in
+    # schemaString field metadata — evolution must never strip them)
     return T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in table_schema.fields]
+        [
+            T.StructField(f.name, f.dataType, True, f.metadata)
+            for f in table_schema.fields
+        ]
         + [
-            T.StructField(f.name, f.dataType, True)
+            T.StructField(
+                f.name,
+                f.dataType,
+                True,
+                # a batch frame read from ANOTHER mapped table may carry
+                # that table's columnMapping bookkeeping — never let a
+                # foreign physicalName/id leak into this table's schema
+                {
+                    k: v
+                    for k, v in (f.metadata or {}).items()
+                    if not k.startswith("delta.columnMapping.")
+                },
+            )
             for f in batch_schema.fields
             if f.name not in tbl_names
         ]
     )
+
+
+def _assign_cm_fields(
+    merged: T.StructType,
+    table_schema: T.StructType,
+    config: dict[str, str],
+    path: str,
+) -> tuple[T.StructType, dict[str, str]]:
+    """Column-mapping schema evolution (round-11): every column the
+    table did not already have gets a FRESH field id and a uuid-named
+    physicalName (``col-<uuid>`` — delta-spark's convention), and
+    ``delta.columnMapping.maxColumnId`` advances past the highest
+    assignment in the SAME commit, per the spec's monotonic-counter
+    rule. Existing columns keep their metadata verbatim (it rode
+    through _merge_schemas). New columns containing STRUCTS refuse —
+    every nested field would need its own id/physicalName and this
+    writer assigns top-level only; flat columns and arrays/maps of
+    primitives are the evolution delta-spark users actually run."""
+
+    def _has_struct(dt: T.DataType) -> bool:
+        if isinstance(dt, T.StructType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_struct(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _has_struct(dt.keyType) or _has_struct(dt.valueType)
+        return False
+
+    tbl_names = {f.name for f in table_schema.fields}
+    max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+    out = []
+    for f in merged.fields:
+        if f.name in tbl_names:
+            out.append(f)
+            continue
+        if _has_struct(f.dataType):
+            raise ValueError(
+                f"schema evolution on column-mapped Delta table at "
+                f"{path} cannot add nested column {f.name!r} — every "
+                "nested field needs its own columnMapping id/physical "
+                "name; add it with an engine that assigns nested names"
+            )
+        max_id += 1
+        out.append(
+            T.StructField(
+                f.name,
+                f.dataType,
+                True,
+                {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                },
+            )
+        )
+    config = dict(config)
+    config["delta.columnMapping.maxColumnId"] = str(max_id)
+    return T.StructType(out), config
 
 
 def _evolve_schema(
@@ -2419,14 +2494,10 @@ def write_delta(
             # ids). The incoming frame is logical — compare against the
             # table's logical schema with field metadata STRIPPED (the
             # columnMapping bookkeeping is not a data incompatibility),
-            # rename to physical below. Evolution needs maxColumnId
-            # management and fresh physical names — out of scope.
-            if merge_schema:
-                raise ValueError(
-                    f"Delta table at {path} uses column mapping: schema "
-                    "evolution (merge_schema) is not supported — evolve "
-                    "with an engine that assigns physical names"
-                )
+            # rename to physical below. Evolution (round-11): new
+            # columns get fresh ids + uuid physical names and
+            # delta.columnMapping.maxColumnId advances in the same
+            # commit — see _assign_cm_fields.
             if cm_mode == "id" and any(
                 isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
                 for f in table_schema.fields
@@ -2516,6 +2587,13 @@ def write_delta(
                         "(write_delta declares the feature at creation)"
                     )
                 evolved_meta = dict(meta)
+                if cm_mode in ("name", "id"):
+                    merged_schema, config = _assign_cm_fields(
+                        merged_schema, table_schema, config, path
+                    )
+                    cm_schema = merged_schema
+                    gens_schema = merged_schema
+                    evolved_meta["configuration"] = config
                 evolved_meta["schemaString"] = merged_schema.json()
         if partition_by is None:
             # delta-spark behavior: a write that does not specify
