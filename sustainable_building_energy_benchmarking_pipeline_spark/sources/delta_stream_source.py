@@ -144,7 +144,10 @@ def _file_task(
 def _contains_struct(dt) -> bool:
     from pyspark.sql import types as T
 
-    if isinstance(dt, T.StructType):
+    if isinstance(dt, (T.StructType, T.VariantType)):
+        # VariantType rides the same rebuild: its physical spelling is a
+        # struct<value, metadata> whose children must be selected BY
+        # NAME and re-emitted in canonical order (round-12)
         return True
     if isinstance(dt, T.ArrayType):
         return _contains_struct(dt.elementType)
@@ -172,6 +175,34 @@ def _to_logical_arrow(col, dt, where: str):
     def convert(arr, dt):
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if isinstance(dt, T.VariantType):
+            # variant's UNANNOTATED physical spelling (round-12): a
+            # plain struct group with binary children named value /
+            # metadata (the spec fixes the names; external writers may
+            # order them either way). Select by NAME and emit in the
+            # canonical (value, metadata) order Spark's arrow mapping
+            # expects; the bytes ARE the Variant binary encoding and
+            # pass through untouched.
+            iv = arr.type.get_field_index("value")
+            im = arr.type.get_field_index("metadata")
+            if iv < 0 or im < 0:
+                raise ValueError(
+                    f"variant column of Delta file {where}: physical "
+                    "struct lacks value/metadata children — not a "
+                    "spec-shaped variant group"
+                )
+            mask = arr.is_null() if arr.null_count else None
+            # Spark's arrow mapping declares the children NON-NULLABLE
+            # (a non-null variant always has both) — emit that exact
+            # type or the final cast refuses nullable→non-nullable
+            return pa.StructArray.from_arrays(
+                [arr.field(iv), arr.field(im)],
+                fields=[
+                    pa.field("value", pa.binary(), nullable=False),
+                    pa.field("metadata", pa.binary(), nullable=False),
+                ],
+                mask=mask,
+            )
         if isinstance(dt, T.StructType):
             kids, names = [], []
             for sf in dt.fields:
@@ -270,7 +301,19 @@ def _read_file_batches(task: dict[str, Any]) -> Iterator[Any]:
         if task["dv"]
         else np.empty(0, dtype=np.int64)
     )
-    pf = pq.ParquetFile(task["file"])
+    try:
+        pf = pq.ParquetFile(task["file"])
+    except OSError as e:
+        if "LogicalType" in str(e):
+            # a Spark-written file inside an otherwise-readable table:
+            # its footer carries the parquet VARIANT logical type this
+            # pyarrow cannot parse — same guidance as the planning probe
+            raise ValueError(
+                f"Delta file {task['file']} uses the parquet VARIANT "
+                "logical type (Spark-written), which executor-side "
+                "pyarrow cannot open — use read_delta for this table"
+            ) from e
+        raise
     # resolve each logical column to the parquet column NAME to fetch:
     # by field id when the task says so (id-mode), by physical name
     # otherwise
@@ -455,18 +498,32 @@ def _replay_for_source(path: str, version: int | None = None):
     )
 
     active, schema, partition_cols, meta = _replay(path, version)
-    if _schema_has_variant(schema):
-        # this source reads parquet on executors through pyarrow, which
-        # cannot open footers carrying the parquet VARIANT logical type
-        # (Spark-written variant files) — refuse with the working path
-        # named rather than fail opaquely mid-scan. read_delta goes
-        # through Spark's own parquet reader and handles variant fully.
-        raise ValueError(
-            f"Delta table at {path} carries a VARIANT column, which the "
-            "registered data source cannot read (executor-side pyarrow "
-            "lacks the parquet VARIANT logical type) — use read_delta "
-            "for variant tables"
+    if _schema_has_variant(schema) and active:
+        # variant columns read through this source when the files spell
+        # variant as an UNANNOTATED struct<value, metadata> group (the
+        # external-writer shape; _to_logical_arrow reshapes it,
+        # round-12). Spark-WRITTEN variant files annotate the group
+        # with the parquet VARIANT logical type, which this pyarrow
+        # cannot even open the footer of — probe ONE file at planning
+        # time so the refusal is upfront and names the working path,
+        # instead of an opaque mid-scan Thrift error. (Mixed tables
+        # fail executor-side with the same guidance.)
+        import pyarrow.parquet as pq
+
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+            _data_file,
         )
+
+        probe = _data_file(path, sorted(active)[0])
+        try:
+            pq.read_schema(probe)
+        except OSError as e:
+            raise ValueError(
+                f"Delta table at {path} carries a VARIANT column whose "
+                "files use the parquet VARIANT logical type "
+                "(Spark-written), which executor-side pyarrow cannot "
+                f"open ({e}) — use read_delta for these"
+            ) from e
     return active, schema, partition_cols, _column_mapping_mode(meta)
 
 

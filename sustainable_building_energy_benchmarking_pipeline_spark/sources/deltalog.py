@@ -126,6 +126,28 @@ def _read_actions(path: str, version: int) -> list[dict[str, Any]]:
 # older checkpoint).
 
 CHECKPOINT_INTERVAL = 10  # commits between auto-checkpoints (Delta default)
+
+# Per-commit .crc checksum emission replays table state; past this many
+# commits without a checkpoint the replay cost compounds O(V²), so
+# emission pauses (with one visible warning) until a checkpoint lands —
+# checksums are an optional consistency aid, never a correctness input.
+CHECKSUM_MAX_REPLAY_COMMITS = 4 * CHECKPOINT_INTERVAL
+
+_WARNED_TABLES: set[tuple[str, str]] = set()
+
+
+def _warn_once(path: str, kind: str, message: str) -> None:
+    """One warning per (table, kind) — log-maintenance degradation
+    (failed checkpoints/checksums) must be VISIBLE, but a busy writer
+    committing thousands of times must not flood stderr with the same
+    diagnosis."""
+    import logging
+
+    key = (path, kind)
+    if key in _WARNED_TABLES:
+        return
+    _WARNED_TABLES.add(key)
+    logging.getLogger(__name__).warning(message)
 # actions per checkpoint parquet before splitting into the spec's
 # multi-part form (%020d.checkpoint.%010d.%010d.parquet) — bounds both
 # writer and reader memory per file; 50k actions ≈ tens of MB of
@@ -1193,19 +1215,164 @@ def _scanned_key_map(path: str, keys) -> dict[str, str]:
     return {os.path.abspath(_data_file(path, k)): k for k in keys}
 
 
+def _has_external_paths(rels) -> bool:
+    """True when any add/remove path is absolute or a URI — the SHALLOW
+    CLONE layout, where data files live under the SOURCE table's root
+    and a clone-rooted ``basePath`` cannot resolve them."""
+    return any(os.path.isabs(r) or "://" in r for r in rels)
+
+
+def _partitioned_scan(
+    spark: SparkSession,
+    path: str,
+    read_schema: T.StructType,
+    rels_sorted: list[str],
+    pvals_of: dict[str, dict],
+    schema: T.StructType,
+    partition_cols: list[str],
+    cm_mode: str,
+):
+    """Open the given files of the table as ``(df, finish)`` with
+    partition columns present (PHYSICAL names under column mapping —
+    the same shape the basePath hive scan produces).
+
+    Normal layout (every path relative): hive-dir inference via
+    ``basePath`` — free, and Catalyst's partition-aware scan shape is
+    preserved. ``finish`` is the identity.
+
+    Shallow-clone layout (any absolute/URI path): partition columns
+    attach from the actions' ``partitionValues`` — the spec's
+    AUTHORITATIVE per-file copy (Delta protocol, Add File; the hive dir
+    names are a layout convention, not the source of truth) — via ONE
+    broadcast map join (≤ one row per scanned file) keyed on the data
+    file's last ``len(partition_cols)+1`` path components (the same
+    keying the DV machinery uses: a partitioned Spark write legally
+    REPEATS one part basename across its hive dirs, so the partition
+    dirs must ride in the key; the suffix is opaque — non-hive
+    external layouts key on whatever their parent dirs are). Suffix
+    uniqueness is verified driver-side and refused on collision rather
+    than mis-attributing rows. The reader strips partition fields from
+    the requested schema and disables partition inference
+    (``recursiveFileLookup`` — Spark documents it as mutually exclusive
+    with partition discovery), so the scan stays one file-list parquet
+    read either way and log-level pruning (``partition_filter`` /
+    ``_may_satisfy``) is unaffected.
+
+    ``finish`` performs the deferred broadcast join and must run after
+    every ``_metadata``-consuming step (DV anti-join, rowTracking
+    capture): the join key column is captured EAGERLY right after the
+    read precisely so those still see ``_metadata``.
+
+    ``pvals_of`` maps each rel to its action's partitionValues (keys
+    are physical names; a logical-key fallback mirrors
+    ``_load_cdc_files``'s leniency for external writers)."""
+    from pyspark.sql import functions as F
+
+    files = [_data_file(path, r) for r in rels_sorted]
+    if not partition_cols:
+        return spark.read.schema(read_schema).parquet(*files), (lambda d: d)
+    if not _has_external_paths(rels_sorted):
+        df = (
+            spark.read.schema(read_schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
+        return df, (lambda d: d)
+    cm = cm_mode in ("name", "id")
+    phys_of = {
+        f.name: (_physical_name(f) if cm else f.name) for f in schema.fields
+    }
+    phys_parts = [phys_of[p] for p in partition_cols]
+    data_schema = T.StructType(
+        [f for f in read_schema.fields if f.name not in set(phys_parts)]
+    )
+    depth = len(partition_cols) + 1
+    key_of = {
+        r: _dv_path_key(_data_file(path, r).replace(os.sep, "/"), depth)
+        for r in rels_sorted
+    }
+    if len(set(key_of.values())) != len(rels_sorted):
+        from collections import Counter
+
+        dupes = sorted(
+            b for b, n in Counter(key_of.values()).items() if n > 1
+        )
+        raise ValueError(
+            f"files of {path} repeat path suffix(es) {dupes[:3]} across "
+            "directories — partition-value attribution would be "
+            "ambiguous; OPTIMIZE the table to rewrite into its own "
+            "layout first"
+        )
+    rows = []
+    for r in rels_sorted:
+        pv = pvals_of.get(r) or {}
+        rows.append(
+            tuple(
+                [key_of[r]]
+                + [
+                    pv.get(pp, pv.get(lp))
+                    for pp, lp in zip(phys_parts, partition_cols)
+                ]
+            )
+        )
+    map_schema = T.StructType(
+        [T.StructField("_pv_fname", T.StringType(), False)]
+        + [
+            T.StructField(f"_pv_{i}", T.StringType(), True)
+            for i in range(len(phys_parts))
+        ]
+    )
+    pv_map = spark.createDataFrame(rows, map_schema)
+    df = (
+        spark.read.schema(data_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(*files)
+        .withColumn("_pv_fname", _dv_file_key_col(depth))
+    )
+    by_field = {f.name: f for f in schema.fields}
+
+    def finish(d: DataFrame) -> DataFrame:
+        out = d.join(F.broadcast(pv_map), "_pv_fname")
+        for i, p in enumerate(partition_cols):
+            out = out.withColumn(
+                phys_parts[i], F.col(f"_pv_{i}").cast(by_field[p].dataType)
+            )
+        return out.drop(
+            "_pv_fname", *[f"_pv_{i}" for i in range(len(phys_parts))]
+        )
+
+    return df, finish
+
+
+def _dv_components(rel: str) -> list[str]:
+    """NON-EMPTY path components of a stored add path. Absolute paths
+    and file:// URIs (the shallow-clone spellings) normalize to the
+    same component list as the scanned ``_metadata.file_path`` suffix —
+    the empty root component and the URI scheme/authority never enter a
+    join key, so driver-side and scan-side keys agree for every
+    spelling."""
+    p = rel
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", p):
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
+    return [c for c in p.split("/") if c]
+
+
 def _dv_suffix_depth(rels) -> int | None:
-    """Path depth (component count) shared by every rel, or None when
-    mixed. Uniform depth is the Delta norm — partition columns are fixed
-    at table creation, so every data file sits exactly
-    ``len(partition_cols)`` directories deep."""
-    depths = {r.count("/") + 1 for r in rels}
+    """Path depth (non-empty component count) shared by every rel, or
+    None when mixed. Uniform depth is the Delta norm — partition
+    columns are fixed at table creation, so every data file sits
+    exactly ``len(partition_cols)`` directories deep."""
+    depths = {len(_dv_components(r)) for r in rels}
     return depths.pop() if len(depths) == 1 else None
 
 
 def _dv_path_key(rel: str, depth: int) -> str:
-    """Driver-side DV join key: the rel path's last ``depth`` components
-    verbatim (on-disk names, hive-escaped as stored in the log)."""
-    return "/".join(rel.split("/")[-depth:])
+    """Driver-side DV join key: the rel path's last ``depth`` non-empty
+    components verbatim (on-disk names, hive-escaped as stored in the
+    log; URI spellings percent-decode to the on-disk form)."""
+    return "/".join(_dv_components(rel)[-depth:])
 
 
 def _dv_file_key_col(depth: int):
@@ -1671,7 +1838,7 @@ def _rt_stamp_stable(
     base_map = spark.createDataFrame(
         [
             (
-                "/".join(rel.split(os.sep)[-depth:]),
+                _dv_path_key(rel, depth),
                 actions_by_rel[rel].get("baseRowId"),
                 actions_by_rel[rel].get("defaultRowCommitVersion"),
             )
@@ -1937,6 +2104,26 @@ def _merge_schemas(
     # table fields keep their METADATA (identity marks, generation
     # expressions, columnMapping names, typeWidening records live in
     # schemaString field metadata — evolution must never strip them)
+
+    def _relax(dt: T.DataType) -> T.DataType:
+        # a NEW column is null for every pre-evolution row, so its type
+        # must be fully permissive — a batch-derived containsNull=false
+        # or nested nullable=false would survive into the table schema
+        # and make the logical<->physical casts nullability-tightening
+        # (refused by the analyzer) besides overclaiming the data
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _relax(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_relax(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(_relax(dt.keyType), _relax(dt.valueType), True)
+        return dt
+
     return T.StructType(
         [
             T.StructField(f.name, f.dataType, True, f.metadata)
@@ -1945,7 +2132,7 @@ def _merge_schemas(
         + [
             T.StructField(
                 f.name,
-                f.dataType,
+                _relax(f.dataType),
                 True,
                 # a batch frame read from ANOTHER mapped table may carry
                 # that table's columnMapping bookkeeping — never let a
@@ -1974,42 +2161,67 @@ def _assign_cm_fields(
     ``delta.columnMapping.maxColumnId`` advances past the highest
     assignment in the SAME commit, per the spec's monotonic-counter
     rule. Existing columns keep their metadata verbatim (it rode
-    through _merge_schemas). New columns containing STRUCTS refuse —
-    every nested field would need its own id/physicalName and this
-    writer assigns top-level only; flat columns and arrays/maps of
-    primitives are the evolution delta-spark users actually run."""
-
-    def _has_struct(dt: T.DataType) -> bool:
-        if isinstance(dt, T.StructType):
-            return True
-        if isinstance(dt, T.ArrayType):
-            return _has_struct(dt.elementType)
-        if isinstance(dt, T.MapType):
-            return _has_struct(dt.keyType) or _has_struct(dt.valueType)
-        return False
-
+    through _merge_schemas). New NESTED columns (round-12): every
+    struct field at every depth gets its own fresh id + uuid
+    physicalName, recursively — the spec assigns per StructField, and
+    the read paths (``_to_logical_columns`` / ``_to_logical_arrow``)
+    already resolve nested physical names. Array elements and map
+    keys/values are unnamed (no physicalName); struct fields INSIDE
+    them stamp like any other."""
     tbl_names = {f.name for f in table_schema.fields}
     max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+
+    def _stamp(dt: T.DataType) -> T.DataType:
+        nonlocal max_id
+        if isinstance(dt, T.StructType):
+            fs = []
+            for sf in dt.fields:
+                max_id += 1
+                fid = max_id  # own id BEFORE recursing (children bump max_id)
+                inner = _stamp(sf.dataType)
+                fs.append(
+                    T.StructField(
+                        sf.name,
+                        inner,
+                        True,
+                        {
+                            # strip foreign CM bookkeeping (same rule as
+                            # _merge_schemas), then stamp fresh
+                            **{
+                                k: v
+                                for k, v in (sf.metadata or {}).items()
+                                if not k.startswith("delta.columnMapping.")
+                            },
+                            "delta.columnMapping.id": fid,
+                            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                        },
+                    )
+                )
+            return T.StructType(fs)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_stamp(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _stamp(dt.keyType),
+                _stamp(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
     out = []
     for f in merged.fields:
         if f.name in tbl_names:
             out.append(f)
             continue
-        if _has_struct(f.dataType):
-            raise ValueError(
-                f"schema evolution on column-mapped Delta table at "
-                f"{path} cannot add nested column {f.name!r} — every "
-                "nested field needs its own columnMapping id/physical "
-                "name; add it with an engine that assigns nested names"
-            )
         max_id += 1
+        fid = max_id
         out.append(
             T.StructField(
                 f.name,
-                f.dataType,
+                _stamp(f.dataType),
                 True,
                 {
-                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.id": fid,
                     "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
                 },
             )
@@ -2193,6 +2405,47 @@ def _identity_marks_from_adds(
         if best is not None and best != hwm:
             marks[name] = best
     return marks
+
+
+def _merge_attach_identity(
+    updates: DataFrame,
+    old: DataFrame | None,
+    key: str,
+    omitted: list[tuple[str, int, int, int | None, bool]],
+    schema: T.StructType,
+) -> DataFrame:
+    """Materialize the identity columns a MERGE's updates frame omits
+    (round-12): matched rows INHERIT the target row's value via one
+    per-key aggregate over the affected files' rows (min() is the
+    deterministic pick when a key legally repeats in the target — the
+    same rule the rowTracking upsert uses for stable row ids),
+    unmatched rows get ASSIGNED ``base + step·monotonic-id`` values
+    strictly beyond the high-water mark, exactly write_delta's block
+    allocation (unique, lattice-aligned, gaps legal, zero extra jobs).
+    ``old=None`` = no files affected: every row is an insert, all
+    values fresh. Returns the frame in table-schema order."""
+    from pyspark.sql import functions as F
+
+    by_field = {f.name: f for f in schema.fields}
+    out = updates
+    if old is not None:
+        inherit = old.groupBy(key).agg(
+            *[F.min(F.col(f"`{n}`")).alias(n) for n, *_ in omitted]
+        )
+        out = out.join(inherit, on=key, how="left")
+    else:
+        for n, *_ in omitted:
+            out = out.withColumn(n, F.lit(None).cast(by_field[n].dataType))
+    for n, start, step, hwm, _allow in omitted:
+        base = _identity_next(start, step, hwm)
+        fresh = (
+            F.lit(base) + F.lit(step) * F.monotonically_increasing_id()
+        ).cast(by_field[n].dataType)
+        out = out.withColumn(
+            n,
+            F.coalesce(F.col(f"`{n}`").cast(by_field[n].dataType), fresh),
+        )
+    return out.select(*schema.fieldNames())
 
 
 def _violated_generated(
@@ -2997,25 +3250,62 @@ def _commit(path: str, version: int, actions: list[dict[str, Any]]) -> None:
     finally:
         os.remove(tmp)
     interval = CHECKPOINT_INTERVAL
-    try:
-        # version checksums are a consistency aid, never a durability
-        # dependency — same posture as checkpoints below. The checksum
-        # replay already resolved the governing metadata, so the
-        # per-table delta.checkpointInterval (delta-spark's property)
-        # rides along for free instead of costing a second log walk.
-        crc = _compute_version_checksum(path, version)
-        _publish_version_checksum(path, version, crc)
-        cfg = crc["metadata"].get("configuration", {})
-        interval = int(cfg.get("delta.checkpointInterval", interval) or 0)
-    except Exception:
-        pass
+    cp = _latest_checkpoint_version(path, at_or_below=version)
+    behind = version - (cp if cp is not None else 0)
+    if behind > CHECKSUM_MAX_REPLAY_COMMITS:
+        # ADVICE r11: checksum emission replays table state per commit;
+        # with no checkpoint within a bounded distance (persistently
+        # failing checkpoints, or a very large delta.checkpointInterval)
+        # each commit's replay grows O(V) — an O(V²) aggregate with no
+        # visible signal. Checksums are a consistency AID (delta-spark
+        # tolerates their absence), so skip emission and SAY SO once
+        # per table instead of silently degrading every commit.
+        _warn_once(
+            path,
+            "checksum-paused",
+            f"Delta table at {path}: no checkpoint within "
+            f"{CHECKSUM_MAX_REPLAY_COMMITS} commits of version {version} "
+            "— skipping per-commit .crc checksum emission until one "
+            "lands (checkpoints may be failing; see earlier warnings)",
+        )
+        try:
+            cfg = _latest_metadata(path, version).get("configuration", {})
+            interval = int(cfg.get("delta.checkpointInterval", interval) or 0)
+        except Exception:
+            pass
+    else:
+        try:
+            # version checksums are a consistency aid, never a
+            # durability dependency — same posture as checkpoints
+            # below. The checksum replay already resolved the governing
+            # metadata, so the per-table delta.checkpointInterval
+            # (delta-spark's property) rides along for free instead of
+            # costing a second log walk.
+            crc = _compute_version_checksum(path, version)
+            _publish_version_checksum(path, version, crc)
+            cfg = crc["metadata"].get("configuration", {})
+            interval = int(cfg.get("delta.checkpointInterval", interval) or 0)
+        except Exception as e:
+            _warn_once(
+                path,
+                "checksum-failed",
+                f"Delta table at {path}: version-checksum emission "
+                f"failed at version {version} ({type(e).__name__}: {e}) "
+                "— commits stay durable; .crc files will be missing",
+            )
     if interval and version > 0 and version % interval == 0:
         try:
             write_checkpoint(path, version)
-        except Exception:
+        except Exception as e:
             # checkpoints are a read optimization — the commit is already
             # durable and the next interval boundary will retry
-            pass
+            _warn_once(
+                path,
+                "checkpoint-failed",
+                f"Delta table at {path}: checkpoint write failed at "
+                f"version {version} ({type(e).__name__}: {e}) — reads "
+                "stay correct but log replay lengthens until one succeeds",
+            )
 
 
 def _checksum_file(path: str, version: int) -> str:
@@ -3642,7 +3932,6 @@ def read_delta(
         if with_row_ids:
             empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
         return empty
-    files = [_data_file(path, rel) for rel in sorted(active)]
     dv_by_rel = {
         rel: a["deletionVector"]
         for rel, a in active.items()
@@ -3670,34 +3959,39 @@ def read_delta(
                 list(read_schema.fields)
                 + [T.StructField(mat_col, T.LongType(), True)]
             )
-    reader = spark.read.schema(read_schema)
-    if partition_cols:
-        # hive-layout partition columns materialize from the dir names;
-        # basePath anchors inference when an explicit file list is given.
-        # Spark appends inferred partition columns AFTER the data columns
-        # — reorder to the metaData schemaString's column order, which is
-        # what a Delta reader must present (externally-written tables
-        # commonly declare partition columns first)
-        reader = reader.option("basePath", path)
-    df = reader.parquet(*files)
+    # hive-layout partition columns materialize from the dir names
+    # (basePath) or, for shallow-clone absolute paths, from the actions'
+    # partitionValues (_partitioned_scan). Spark appends partition
+    # columns AFTER the data columns — the projection below reorders to
+    # the metaData schemaString's column order, which is what a Delta
+    # reader must present (externally-written tables commonly declare
+    # partition columns first)
+    rels = sorted(active)
+    df, pv_finish = _partitioned_scan(
+        spark,
+        path,
+        read_schema,
+        rels,
+        {r: active[r].get("partitionValues") or {} for r in rels},
+        schema,
+        partition_cols,
+        cm_mode,
+    )
     if with_row_ids:
         # materialize the file key + physical row index BEFORE any join
         # (the _metadata pseudo-column is undefined after one); same
         # suffix-keyed matching the DV machinery uses
-        rels = sorted(active)
         depth = _rt_suffix_depth(rels, path)
         df = _rt_capture(df, depth)
     if dv_by_rel:
         df = _apply_deletion_vectors(
             spark, path, df, dv_by_rel, all_rels=list(active)
         )
+    df = pv_finish(df)
     if with_row_ids:
         base_map = spark.createDataFrame(
             [
-                (
-                    "/".join(rel.split(os.sep)[-depth:]),
-                    int(active[rel]["baseRowId"]),
-                )
+                (_dv_path_key(rel, depth), int(active[rel]["baseRowId"]))
                 for rel in rels
             ],
             "_rt_fname string, _rt_base long",
@@ -3736,7 +4030,16 @@ def merge_delta(
     ``partitionValues`` instead of footer stats, so only matching
     partitions' files are read. Rewrites and inserted rows land back in
     hive layout via ``partitionBy``; untouched partitions never appear
-    in the commit."""
+    in the commit.
+
+    Identity columns (round-12): an updates frame that OMITS the
+    identity column(s) merges cleanly — matched rows inherit the target
+    row's value, WHEN-NOT-MATCHED inserts are assigned fresh
+    lattice-aligned values from the high-water mark, and the mark
+    advances in the same commit (``_merge_attach_identity`` /
+    ``_identity_marks_from_adds``). GENERATED ALWAYS columns refuse
+    explicit values (delta-spark parity); BY DEFAULT columns supplied
+    explicitly pass through with the mark advancing past them."""
     versions = _list_versions(path)
     if not versions:
         return write_delta(updates, path, mode="append")
@@ -3748,22 +4051,50 @@ def merge_delta(
     rt_feats = _row_tracking_dml_features(proto)
     # generatedColumns: the staged output (kept rows verbatim + update
     # rows supplied whole) is validated against the generation
-    # expressions before commit
+    # expressions before commit. identityColumns (round-12): inserts
+    # are assigned from the high-water mark and the mark advances in
+    # this commit — the same obligations write_delta upholds.
     grants = cm_feats | rt_feats | frozenset(
-        {"changeDataFeed", "generatedColumns"}
+        {"changeDataFeed", "generatedColumns", "identityColumns"}
     )
-    if _identity_fields(schema):
-        # MERGE supplies whole rows, which for an identity column means
-        # EXPLICIT values on both the updated and inserted side — this
-        # engine assigns identity values only through write_delta, and
-        # silently accepting them here would stall the high-water mark;
-        # refuse with the workaround spelled out
+    idents = _identity_fields(schema)
+    upd_cols = set(updates.columns)
+    explicit_always = sorted(
+        n for n, _s, _st, _h, allow in idents
+        if n in upd_cols and not allow
+    )
+    if explicit_always:
+        # spec: GENERATED ALWAYS AS IDENTITY refuses explicit values on
+        # every write path, MERGE included (delta-spark raises the same
+        # way for its INSERT/UPDATE clauses)
         raise ValueError(
-            f"Delta table at {path} declares identity column(s): MERGE "
-            "is not supported — delete the matched keys and append "
-            "through write_delta (which assigns identity values and "
-            "advances the high-water mark)"
+            f"column(s) {explicit_always} of Delta table at {path} are "
+            "GENERATED ALWAYS AS IDENTITY: MERGE updates must omit them "
+            "— matched rows keep the target's values, inserted rows are "
+            "assigned fresh ones"
         )
+    # identity columns the updates frame OMITS (round-12): matched rows
+    # INHERIT the target row's value (identity is the row's identity —
+    # an upsert must not re-key it), unmatched rows get ASSIGNED values
+    # from the same base + step·monotonic-id block allocation
+    # write_delta uses, and the high-water mark advances from the
+    # staged footer stats in this very commit. BY DEFAULT columns
+    # supplied explicitly pass through verbatim (mark still advances
+    # past them).
+    omitted_idents = [i for i in idents if i[0] not in upd_cols]
+    if any(n == key for n, *_ in omitted_idents):
+        raise ValueError(
+            f"MERGE key {key!r} is an identity column the updates frame "
+            "omits — supply it (BY DEFAULT tables) or key on another "
+            "column"
+        )
+    ident_expect = T.StructType(
+        [
+            f
+            for f in schema.fields
+            if f.name not in {n for n, *_ in omitted_idents}
+        ]
+    )
     # fail fast: the commit gate re-checks after staging, but staging a
     # MERGE against a feature-gated table is pure wasted IO
     _check_write_protocol(proto, path, extra_features=grants, meta=_meta)
@@ -3777,11 +4108,11 @@ def merge_delta(
     # schema'd read then fails on type conversion. MERGE does not evolve
     # schemas (align the frame first, or write_delta(merge_schema=True)).
     if [(f.name, _plain_type(f.dataType)) for f in updates.schema.fields] != [
-        (f.name, _plain_type(f.dataType)) for f in schema.fields
+        (f.name, _plain_type(f.dataType)) for f in ident_expect.fields
     ]:
         raise ValueError(
             f"schema mismatch vs Delta table at {path}: "
-            f"table={schema.simpleString()} "
+            f"table={ident_expect.simpleString()} "
             f"updates={updates.schema.simpleString()} "
             "(MERGE enforces the table schema; evolve via "
             "write_delta(merge_schema=True) first)"
@@ -3870,15 +4201,19 @@ def merge_delta(
     rt_extras: tuple = ()
     if affected:
         rels_sorted = sorted(affected)
-        files = [_data_file(path, rel) for rel in rels_sorted]
         old_schema = _reader_schema(schema, cm_mode)
         if rt_mat:
             old_schema = _rt_read_schema(old_schema, rt_mat)
-        reader = spark.read.schema(old_schema)
-        if partition_cols:
-            # partition columns materialize from the hive dir names
-            reader = reader.option("basePath", path)
-        old = reader.parquet(*files)
+        old, pv_finish = _partitioned_scan(
+            spark,
+            path,
+            old_schema,
+            rels_sorted,
+            {r: affected[r].get("partitionValues") or {} for r in rels_sorted},
+            schema,
+            partition_cols,
+            cm_mode,
+        )
         if rt_mat:
             rt_depth = _rt_suffix_depth(rels_sorted, path)
             old = _rt_capture(old, rt_depth)
@@ -3899,7 +4234,12 @@ def merge_delta(
                 spark, old, rels_sorted, affected, rt_mat, rt_depth
             )
             rt_extras = rt_mat
+        old = pv_finish(old)
         old = _present_logical(old, schema, cm_mode, extras=rt_extras)
+        if omitted_idents:
+            updates = _merge_attach_identity(
+                updates, old, key, omitted_idents, schema
+            )
         kept = old.join(updates.select(key), on=key, how="left_anti")
         if rt_mat:
             # identity across the upsert: a matched source row REPLACES
@@ -3927,6 +4267,12 @@ def merge_delta(
         else:
             new_data = kept.unionByName(updates.select(*schema.fieldNames()))
     else:
+        if omitted_idents:
+            # no files affected = every update row is an insert: all
+            # identity values are fresh assignments
+            updates = _merge_attach_identity(
+                updates, None, key, omitted_idents, schema
+            )
         new_data = updates
 
     # stage+move exactly like write_delta, then commit removes+adds in one
@@ -4001,6 +4347,25 @@ def merge_delta(
             }
         }
     ]
+    if idents:
+        # identity allocation state lives in the schema field metadata:
+        # a mark-advancing MERGE ships a metaData action with the bumped
+        # highWaterMark in the same commit, exactly as write_delta does
+        # (kept rows' values are ≤ the prior mark, so the staged-stats
+        # max only moves when inserts or explicit BY DEFAULT values do)
+        ident_marks = _identity_marks_from_adds(
+            adds,
+            idents,
+            phys_of=(
+                {f.name: _physical_name(f) for f in schema.fields}
+                if cm
+                else None
+            ),
+        )
+        if ident_marks:
+            tail.append(
+                {"metaData": _identity_stamped_meta(_meta, ident_marks)}
+            )
     if rt_feats:
         # adds get fresh baseRowId/defaultRowCommitVersion above the
         # bumped high-water mark; with materialized columns reserved,
@@ -4611,7 +4976,9 @@ def delete_delta(
     }
     if not cand:
         return versions[-1]
-    cand_files = [_data_file(path, rel) for rel in sorted(cand)]
+    cand_pvals = {
+        rel: a.get("partitionValues") or {} for rel, a in cand.items()
+    }
     dv_cand = {
         rel: a["deletionVector"]
         for rel, a in cand.items()
@@ -4623,21 +4990,28 @@ def delete_delta(
     # are pure waste). `_metadata.file_path` instead of
     # input_file_name() because the DV anti-join sits between the scan
     # and the projection, and input_file_name is undefined after a join.
-    p1_reader = spark.read.schema(_reader_schema(schema, cm_mode))
-    if partition_cols:
-        # partition columns materialize from the hive dir names so the
-        # predicate may reference them (with _may_satisfy having already
-        # pruned non-matching partitions when `prune` names one)
-        p1_reader = p1_reader.option("basePath", path)
-    phase1 = (
-        p1_reader.parquet(*cand_files)
-        .withColumn("_f", F.col("_metadata.file_path"))
-        .withColumn("_ridx", F.col("_metadata.row_index"))
+    # Partition columns (hive dirs or, for shallow-clone absolute
+    # paths, action partitionValues) are present so the predicate may
+    # reference them — _may_satisfy already pruned non-matching
+    # partitions when `prune` names one.
+    phase1, pv_finish1 = _partitioned_scan(
+        spark,
+        path,
+        _reader_schema(schema, cm_mode),
+        sorted(cand),
+        cand_pvals,
+        schema,
+        partition_cols,
+        cm_mode,
     )
+    phase1 = phase1.withColumn(
+        "_f", F.col("_metadata.file_path")
+    ).withColumn("_ridx", F.col("_metadata.row_index"))
     if dv_cand:
         phase1 = _apply_deletion_vectors(
             spark, path, phase1, dv_cand, all_rels=list(cand)
         )
+    phase1 = pv_finish1(phase1)
     phase1 = _present_logical(phase1, schema, cm_mode, extras=("_f", "_ridx"))
     hit_rows = (
         phase1.filter(pred)
@@ -4704,11 +5078,15 @@ def delete_delta(
     keep_schema = _reader_schema(schema, cm_mode)
     if rt_mat:
         keep_schema = _rt_read_schema(keep_schema, rt_mat)
-    keep_reader = spark.read.schema(keep_schema)
-    if partition_cols:
-        keep_reader = keep_reader.option("basePath", path)
-    keep = keep_reader.parquet(
-        *[_data_file(path, rel) for rel in rels_sorted]
+    keep, pv_finish2 = _partitioned_scan(
+        spark,
+        path,
+        keep_schema,
+        rels_sorted,
+        cand_pvals,
+        schema,
+        partition_cols,
+        cm_mode,
     )
     if rt_mat:
         rt_depth = _rt_suffix_depth(rels_sorted, path)
@@ -4728,6 +5106,7 @@ def delete_delta(
             spark, keep, rels_sorted, cand, rt_mat, rt_depth
         )
         rt_extras = rt_mat
+    keep = pv_finish2(keep)
     keep = _present_logical(
         keep, schema, cm_mode, extras=rt_extras
     ).filter(~pred)
@@ -4861,22 +5240,30 @@ def update_delta(
     }
     if not cand:
         return versions[-1]
-    cand_files = [_data_file(path, rel) for rel in sorted(cand)]
+    cand_pvals = {
+        rel: a.get("partitionValues") or {} for rel, a in cand.items()
+    }
     dv_cand = {
         rel: a["deletionVector"]
         for rel, a in cand.items()
         if a.get("deletionVector")
     }
-    p1_reader = spark.read.schema(_reader_schema(schema, cm_mode))
-    if partition_cols:
-        p1_reader = p1_reader.option("basePath", path)
-    phase1 = p1_reader.parquet(*cand_files).withColumn(
-        "_f", F.col("_metadata.file_path")
+    phase1, pv_finish1 = _partitioned_scan(
+        spark,
+        path,
+        _reader_schema(schema, cm_mode),
+        sorted(cand),
+        cand_pvals,
+        schema,
+        partition_cols,
+        cm_mode,
     )
+    phase1 = phase1.withColumn("_f", F.col("_metadata.file_path"))
     if dv_cand:
         phase1 = _apply_deletion_vectors(
             spark, path, phase1, dv_cand, all_rels=list(cand)
         )
+    phase1 = pv_finish1(phase1)
     phase1 = _present_logical(phase1, schema, cm_mode, extras=("_f",))
     hit_rows = phase1.filter(pred).select("_f").distinct().collect()
     key_of = _scanned_key_map(path, cand)
@@ -4895,10 +5282,16 @@ def update_delta(
     rows_schema = _reader_schema(schema, cm_mode)
     if rt_mat:
         rows_schema = _rt_read_schema(rows_schema, rt_mat)
-    reader = spark.read.schema(rows_schema)
-    if partition_cols:
-        reader = reader.option("basePath", path)
-    rows = reader.parquet(*[_data_file(path, rel) for rel in rels_sorted])
+    rows, pv_finish2 = _partitioned_scan(
+        spark,
+        path,
+        rows_schema,
+        rels_sorted,
+        cand_pvals,
+        schema,
+        partition_cols,
+        cm_mode,
+    )
     if rt_mat:
         rt_depth = _rt_suffix_depth(rels_sorted, path)
         rows = _rt_capture(rows, rt_depth)
@@ -4911,6 +5304,7 @@ def update_delta(
     if rt_mat:
         rows = _rt_stamp_stable(spark, rows, rels_sorted, cand, rt_mat, rt_depth)
         rt_extras = rt_mat
+    rows = pv_finish2(rows)
     rows = _present_logical(rows, schema, cm_mode, extras=rt_extras)
     by_field = {f.name: f for f in schema.fields}
     rt_cols = []
@@ -5056,38 +5450,42 @@ def clone_delta(src: str, dst: str) -> int:
     source log, no data IO at all), under a fresh table id with the
     source's schema, properties, and protocol. Writes and DML against
     the clone are copy-on-write into the clone's own directory; the
-    source never changes, and VACUUM on either side cannot touch the
-    other's files (the clone's vacuum walks only its own directory;
-    the source's vacuum sees its own files still referenced by its own
-    log). Reading follows the spec's absolute-path allowance via
-    ``_data_file`` — external shallow clones with file:// URIs read
-    too.
+    source never changes. Reading follows the spec's absolute-path
+    allowance via ``_data_file`` — external shallow clones with
+    file:// URIs read too.
 
-    Refusals (explicit, with the workaround named): partitioned
-    sources (the clone's scan would need the source's basePath for
-    hive dirs — deep-copy via ``read_delta`` + ``write_delta``
-    instead), sources with ACTIVE deletion vectors (the DV descriptors
-    are table-relative), and rowTracking sources (fresh row ids would
-    violate preservation). Returns the clone's version (always 0)."""
+    Partitioned sources clone too (round-12): the add actions carry
+    the spec's authoritative per-file ``partitionValues``, and every
+    scan resolves partition columns from them when paths are absolute
+    (``_partitioned_scan``) — the clone never needs the source's hive
+    directory layout. Log-level partition pruning is unchanged (it
+    always keyed on partitionValues).
+
+    Sources with ACTIVE deletion vectors clone too (round-12): each
+    relative (``u``) DV descriptor is rewritten to the spec's
+    absolute-path form (``p`` storageType) resolving into the SOURCE
+    directory, so the clone reads deletes without copying a byte; the
+    clone's own DML that touches such a file applies-and-rewrites it
+    DV-free into the clone's directory, like any DV rewrite.
+
+    VACUUM caveat (same hazard delta-spark documents for its shallow
+    clones): the clone's VACUUM walks only the clone's directory and
+    can never reclaim source files — but the SOURCE does not know the
+    clone exists. If the source later deletes/overwrites data and then
+    vacuums, files (or DV ``.bin`` sidecars) that only the CLONE still
+    references are reclaimed and the clone silently breaks. Treat a
+    shallow clone as valid only while the source retains the cloned
+    snapshot's files.
+
+    Refusal (explicit, with the workaround named): rowTracking sources
+    (fresh row ids would violate preservation — deep-copy instead).
+    Returns the clone's version (always 0)."""
     versions = _list_versions(src)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {src}")
     latest = versions[-1]
     active, _schema, pcols, meta = _replay(src, latest)
     proto = _latest_protocol(src, latest)
-    if pcols:
-        raise ValueError(
-            f"shallow clone of partitioned table {src} is not supported "
-            "— hive partition dirs resolve against the SOURCE root; "
-            "deep-copy with read_delta(...) + write_delta(..., "
-            f"partition_by={pcols!r}) instead"
-        )
-    if any(a.get("deletionVector") for a in active.values()):
-        raise ValueError(
-            f"shallow clone of {src} with active deletion vectors is "
-            "not supported — DV descriptors are table-relative; run "
-            "OPTIMIZE first to materialize the deletes, then clone"
-        )
     if "rowTracking" in set(proto.get("writerFeatures") or []):
         raise ValueError(
             f"shallow clone of rowTracking table {src} is not supported "
@@ -5134,6 +5532,22 @@ def clone_delta(src: str, dst: str) -> int:
         a2 = dict(a)
         if not os.path.isabs(rel) and "://" not in rel:
             a2["path"] = os.path.join(src_abs, rel)  # clone-of-clone keeps abs
+        dv = a2.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            # relative descriptors resolve against the TABLE root, which
+            # for the clone is the wrong directory — rewrite to the
+            # spec's absolute-path form ('p': pathOrInlineDv is the
+            # .bin path itself), pointing into the source. offset/size/
+            # cardinality are path-independent and copy verbatim.
+            from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+                dv_file_path,
+            )
+
+            a2["deletionVector"] = dict(
+                dv,
+                storageType="p",
+                pathOrInlineDv=dv_file_path(src_abs, dv["pathOrInlineDv"]),
+            )
         a2["dataChange"] = True
         adds.append({"add": a2})
     # table-level domain metadata travels with the clone (delta-spark's
@@ -5763,7 +6177,13 @@ def optimize_delta(
                 if int(a.get("size", 0)) < min_file_size
                 or a.get("deletionVector")
             }
-            if len(cand) >= 2:
+            # a lone DV-bearing file still qualifies: delta-spark's
+            # OPTIMIZE purges deletion vectors even when there is
+            # nothing to bin-pack — otherwise a partition whose single
+            # file carries a DV never materializes its deletes
+            if len(cand) >= 2 or any(
+                a.get("deletionVector") for a in cand.values()
+            ):
                 work[gkey] = cand
         elif len(g) > target_files or (
             target_file_size is not None and len(g) > 1
@@ -5778,7 +6198,6 @@ def optimize_delta(
         else None
     )
     rels_sorted = sorted(rewrite)
-    files = [_data_file(path, rel) for rel in rels_sorted]
     # byte-aware bin assignment: pack each partition's candidate files
     # into ceil(bytes / target) bins, largest-first onto the lightest
     # bin. Driver-side over the log's add.size values — bounded by the
@@ -5813,10 +6232,16 @@ def optimize_delta(
     snap_schema = _reader_schema(schema, cm_mode)
     if rt_mat:
         snap_schema = _rt_read_schema(snap_schema, rt_mat)
-    reader = spark.read.schema(snap_schema)
-    if partition_cols:
-        reader = reader.option("basePath", path)
-    snapshot = reader.parquet(*files)
+    snapshot, pv_finish = _partitioned_scan(
+        spark,
+        path,
+        snap_schema,
+        rels_sorted,
+        {r: rewrite[r].get("partitionValues") or {} for r in rels_sorted},
+        schema,
+        partition_cols,
+        cm_mode,
+    )
     if use_bins:
         if len(rels_sorted) <= 2048:
             # literal map: ≤2048 keys stays inside the analyzer comfort
@@ -5868,6 +6293,7 @@ def optimize_delta(
             spark, snapshot, rels_sorted, rewrite, rt_mat, rt_depth
         )
         rt_extras = rt_mat
+    snapshot = pv_finish(snapshot)
     snapshot = _present_logical(
         snapshot,
         schema,
@@ -6023,21 +6449,30 @@ def delta_changes(
     if cm_mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    def _load_survivors(files_dv: dict[str, dict | None]) -> DataFrame:
+    def _load_survivors(
+        files_dv: dict[str, dict | None], pvals_of: dict[str, dict]
+    ) -> DataFrame:
         """Full logical content of the given files: each file minus its
-        deletion vector (None = whole file)."""
+        deletion vector (None = whole file). Partition columns come from
+        the hive dir names (basePath) or, for shallow-clone absolute
+        paths, the actions' partitionValues (``pvals_of``)."""
         if not files_dv:
             return spark.createDataFrame([], schema)
         rels = sorted(files_dv)
-        reader = spark.read.schema(_reader_schema(schema, cm_mode))
-        if cdf_pcols:
-            # partition columns live in the hive dir names, not the
-            # data files — without basePath they read back as NULL
-            reader = reader.option("basePath", path)
-        df = reader.parquet(*[_data_file(path, r) for r in rels])
+        df, pv_finish = _partitioned_scan(
+            spark,
+            path,
+            _reader_schema(schema, cm_mode),
+            rels,
+            pvals_of,
+            schema,
+            cdf_pcols,
+            cm_mode,
+        )
         dv_by_rel = {r: d for r, d in files_dv.items() if d}
         if dv_by_rel:
             df = _apply_deletion_vectors(spark, path, df, dv_by_rel, all_rels=rels)
+        df = pv_finish(df)
         return _to_logical_columns(df, schema) if cm else df.select(
             *schema.fieldNames()
         )
@@ -6056,17 +6491,31 @@ def delta_changes(
         from collections import Counter
 
         net: Counter = Counter()
+        pvals_of: dict[str, dict] = {}
         for acts in window:
             for action in acts:
                 if "add" in action and action["add"].get("dataChange", True):
                     net[action["add"]["path"]] += 1
+                    pvals_of[action["add"]["path"]] = (
+                        action["add"].get("partitionValues") or {}
+                    )
                 elif "remove" in action and action["remove"].get(
                     "dataChange", True
                 ):
                     net[action["remove"]["path"]] -= 1
+                    # spec marks remove.partitionValues optional; this
+                    # engine (and real writers) copy it from the add —
+                    # only needed for absolute-path (clone) layouts
+                    pv = action["remove"].get("partitionValues")
+                    if pv is not None:
+                        pvals_of[action["remove"]["path"]] = pv
         return (
-            _load_survivors({p: None for p, n in net.items() if n > 0}),
-            _load_survivors({p: None for p, n in net.items() if n < 0}),
+            _load_survivors(
+                {p: None for p, n in net.items() if n > 0}, pvals_of
+            ),
+            _load_survivors(
+                {p: None for p, n in net.items() if n < 0}, pvals_of
+            ),
         )
 
     # --- DV-aware content-state diff ---
@@ -6098,6 +6547,11 @@ def delta_changes(
     added_full: dict[str, dict | None] = {}
     removed_full: dict[str, dict | None] = {}
     dv_pairs: dict[str, tuple[dict | None, dict | None]] = {}
+    snapshot_pvals = {
+        rel: a.get("partitionValues") or {}
+        for active_map in (start_active, end_active)
+        for rel, a in active_map.items()
+    }
     for rel in set(start_active) | set(end_active):
         a0, a1 = start_active.get(rel), end_active.get(rel)
         d0 = a0.get("deletionVector") if a0 else None
@@ -6140,14 +6594,21 @@ def delta_changes(
                 ["dv_fname", "dv_ridx"],
                 "left_anti",
             )
-        dr_reader = spark.read.schema(_reader_schema(schema, cm_mode))
-        if cdf_pcols:
-            dr_reader = dr_reader.option("basePath", path)
-        df = dr_reader.parquet(*[_data_file(path, r) for r in rels])
+        df, pv_finish = _partitioned_scan(
+            spark,
+            path,
+            _reader_schema(schema, cm_mode),
+            rels,
+            snapshot_pvals,
+            schema,
+            cdf_pcols,
+            cm_mode,
+        )
         keyed = df.withColumn(
             "dv_fname", _dv_file_key_col(depth)
         ).withColumn("dv_ridx", F.col("_metadata.row_index"))
         hit = keyed.join(idx, ["dv_fname", "dv_ridx"], "inner")
+        hit = pv_finish(hit)
         return _to_logical_columns(hit, schema) if cm else hit.select(
             *schema.fieldNames()
         )
@@ -6160,8 +6621,8 @@ def delta_changes(
         {r: d0 for r, (d0, d1) in dv_pairs.items() if d0},
         {r: d1 for r, (d0, d1) in dv_pairs.items() if d1},
     )
-    added_df = _load_survivors(added_full)
-    removed_df = _load_survivors(removed_full)
+    added_df = _load_survivors(added_full, snapshot_pvals)
+    removed_df = _load_survivors(removed_full, snapshot_pvals)
     if inserts_rows is not None:
         added_df = added_df.unionByName(inserts_rows)
     if deletes_rows is not None:

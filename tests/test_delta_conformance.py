@@ -3345,8 +3345,9 @@ def test_identity_by_default_explicit_allowed_advances_mark(spark, tmp_path):
 
 def test_identity_dml_copy_guards(spark, tmp_path):
     """DELETE/OPTIMIZE copy identity values verbatim (mark untouched);
-    UPDATE may not SET an identity column; MERGE refuses with the
-    workaround named."""
+    UPDATE may not SET an identity column; MERGE refuses EXPLICIT
+    values on a GENERATED ALWAYS column (omit it and inserts are
+    assigned — see test_identity_merge_assigns_and_inherits)."""
     import shutil
 
     work = str(tmp_path / "ident_dml")
@@ -3375,6 +3376,77 @@ def test_identity_dml_copy_guards(spark, tmp_path):
         r["ident"] for r in dl.read_delta(spark, work).collect()
     ) == [1, 3]
     assert _ident_hwm(work) == 3
+
+
+def test_identity_merge_assigns_and_inherits(spark, tmp_path):
+    """Round-12: MERGE into an identity table with the identity column
+    OMITTED — matched rows keep the target's identity value, inserted
+    rows get unique lattice-aligned values strictly beyond the
+    high-water mark, and the mark advances in the same commit. A
+    second merge allocates beyond the NEW mark (no reuse)."""
+    import shutil
+
+    work = str(tmp_path / "ident_merge")
+    shutil.copytree(GOLDEN_IDENT, work)
+    ups = spark.createDataFrame([(1.0,), (777.0,), (888.0,)], "v double")
+    dl.merge_delta(spark, work, ups, "v")
+    rows = sorted(
+        (r["ident"], r["v"]) for r in dl.read_delta(spark, work).collect()
+    )
+    ids = [i for i, _ in rows]
+    assert len(set(ids)) == len(ids) == 5
+    assert (1, 1.0) in rows  # matched row inherited its identity
+    new_ids = [i for i, v in rows if v in (777.0, 888.0)]
+    assert all(i > 3 and (i - 1) % 1 == 0 for i in new_ids)
+    assert _ident_hwm(work) == max(ids)
+    # merge keyed on the omitted identity column refuses clearly
+    with pytest.raises(ValueError, match="identity column"):
+        dl.merge_delta(
+            spark, work, spark.createDataFrame([(5.0,)], "v double"), "ident"
+        )
+    # second merge: fresh values beyond the advanced mark
+    hwm1 = _ident_hwm(work)
+    dl.merge_delta(
+        spark, work, spark.createDataFrame([(999.0,)], "v double"), "v"
+    )
+    ids2 = [r["ident"] for r in dl.read_delta(spark, work).collect()]
+    assert len(set(ids2)) == len(ids2) == 6
+    assert _ident_hwm(work) > hwm1
+
+
+def test_identity_merge_by_default_explicit(spark, tmp_path):
+    """allowExplicitInsert=true: MERGE may supply the identity column
+    verbatim; the mark advances past the explicit values so a later
+    assigning write cannot collide."""
+    import shutil
+
+    work = str(tmp_path / "ident_merge_dflt")
+    shutil.copytree(GOLDEN_IDENT, work)
+    log0 = os.path.join(work, "_delta_log", "00000000000000000000.json")
+    acts = [json.loads(line) for line in open(log0)]
+    for a in acts:
+        if "metaData" in a:
+            doc = json.loads(a["metaData"]["schemaString"])
+            for f in doc["fields"]:
+                if f["name"] == "ident":
+                    f["metadata"]["delta.identity.allowExplicitInsert"] = True
+            a["metaData"]["schemaString"] = json.dumps(doc)
+    with open(log0, "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in acts)
+    ups = spark.createDataFrame(
+        [(100, 10.0), (2, 2.5)], "ident long, v double"
+    )
+    dl.merge_delta(spark, work, ups, "ident")
+    rows = {
+        r["ident"]: r["v"] for r in dl.read_delta(spark, work).collect()
+    }
+    assert rows == {1: 1.0, 2: 2.5, 3: 3.0, 100: 10.0}
+    assert _ident_hwm(work) == 100
+    dl.write_delta(
+        spark.createDataFrame([(11.0,)], "v double").coalesce(1), work
+    )
+    ids = [r["ident"] for r in dl.read_delta(spark, work).collect()]
+    assert len(set(ids)) == len(ids) and max(ids) > 100
 
 
 def test_identity_append_on_column_mapped_table(spark, tmp_path):
@@ -3539,6 +3611,45 @@ def test_table_checkpoint_interval_property(spark, tmp_path):
         if os.path.exists(dl._checkpoint_file(path, v))
     }
     assert cps == {3, 6}
+
+
+def test_checksum_emission_pauses_without_checkpoints(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """ADVICE r11: when checkpoints persistently fail (or the cadence
+    is huge), per-commit checksum emission would degrade every commit
+    to an ever-longer replay — past CHECKSUM_MAX_REPLAY_COMMITS it
+    PAUSES with one visible warning per table, and resumes once a
+    checkpoint lands."""
+    import logging
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    monkeypatch.setattr(dl, "CHECKSUM_MAX_REPLAY_COMMITS", 5)
+    monkeypatch.setattr(dl, "CHECKPOINT_INTERVAL", 3)
+    monkeypatch.setattr(
+        dl, "write_checkpoint",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")),
+    )
+    dl._WARNED_TABLES.clear()
+    with caplog.at_level(logging.WARNING, logger="sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog"):
+        dl.write_delta(df, path)  # v0
+        for _ in range(8):        # v1..v8 — crosses the pause bound
+            dl.write_delta(df, path, mode="append")
+    vs = dl._list_versions(path)
+    assert vs[-1] == 8
+    has_crc = {v for v in vs if os.path.exists(dl._checksum_file(path, v))}
+    assert 0 in has_crc and 8 not in has_crc  # paused past the bound
+    warn_msgs = [r.message for r in caplog.records]
+    assert sum("skipping per-commit" in m for m in warn_msgs) == 1  # once
+    assert sum("checkpoint write failed" in m for m in warn_msgs) == 1
+    # a real checkpoint landing resumes emission
+    monkeypatch.undo()
+    monkeypatch.setattr(dl, "CHECKSUM_MAX_REPLAY_COMMITS", 5)
+    dl.write_checkpoint(path, 8)
+    dl.write_delta(df, path, mode="append")  # v9
+    assert os.path.exists(dl._checksum_file(path, 9))
+    assert dl.verify_version_checksum(path, 9)
 
 
 def test_log_retention_duration_floor(spark, tmp_path):
@@ -3706,17 +3817,134 @@ def test_shallow_clone_vacuum_isolation(spark, tmp_path):
 
 
 def test_shallow_clone_refusals(spark, tmp_path):
-    src = str(tmp_path / "p")
-    dl.write_delta(
-        spark.createDataFrame([(1, "a")], "id long, p string"), src, partition_by=["p"]
-    )
-    with pytest.raises(ValueError, match="partitioned"):
-        dl.clone_delta(src, str(tmp_path / "d1"))
+    import shutil
+
     src2 = str(tmp_path / "s2")
     dl.write_delta(spark.createDataFrame([(1,)], "id long"), src2)
     dl.clone_delta(src2, str(tmp_path / "d2"))
     with pytest.raises(ValueError, match="already a Delta table"):
         dl.clone_delta(src2, str(tmp_path / "d2"))
+    # rowTracking sources stay refused: a clone could not preserve ids
+    work = str(tmp_path / "rt")
+    shutil.copytree(GOLDEN_ROWTRACK, work)
+    with pytest.raises(ValueError, match="rowTracking"):
+        dl.clone_delta(work, str(tmp_path / "d3"))
+
+
+def test_shallow_clone_partitioned(spark, tmp_path):
+    """Round-12: partitioned sources clone — partition columns resolve
+    from the actions' partitionValues (the spec's authoritative copy),
+    never from hive dirs under the clone root. Reads, partition
+    pruning, every DML verb, and vacuum isolation all hold."""
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = (
+        spark.range(30)
+        .withColumn("p", (F.col("id") % 3).cast("int"))
+        .withColumn("x", (F.col("id") * 2).cast("long"))
+    )
+    dl.write_delta(df, src, partition_by=["p"])
+    assert dl.clone_delta(src, dst) == 0
+    rows = lambda p: sorted(
+        (r["id"], r["p"], r["x"]) for r in dl.read_delta(spark, p).collect()
+    )
+    assert rows(dst) == rows(src)
+    # log-level partition pruning on the clone
+    pf = dl.read_delta(spark, dst, partition_filter={"p": 1})
+    assert pf.count() == 10
+    assert [r["p"] for r in pf.select("p").distinct().collect()] == [1]
+    # DML verbs against the clone, source byte-untouched
+    src_files = {
+        os.path.join(dp, f) for dp, _d, fns in os.walk(src) for f in fns
+    }
+    src_mtimes = {f: os.path.getmtime(f) for f in src_files}
+    dl.delete_delta(spark, dst, "p = 0 AND id < 10", prune=("p", "==", 0))
+    assert dl.read_delta(spark, dst).count() == 26  # ids 0,3,6,9 dropped
+    dl.update_delta(spark, dst, "p = 1", {"x": "x + 1000"}, prune=("p", "==", 1))
+    assert (
+        dl.read_delta(spark, dst).filter("p = 1").agg(F.min("x")).first()[0]
+        >= 1000
+    )
+    ups = spark.createDataFrame(
+        [(2, 2, 9999), (100, 1, 123)], "id long, p int, x long"
+    )
+    dl.merge_delta(spark, dst, ups, "id")
+    got = {
+        r["id"]: r["x"]
+        for r in dl.read_delta(spark, dst).filter("id in (2, 100)").collect()
+    }
+    assert got == {2: 9999, 100: 123}
+    dl.optimize_delta(spark, dst, target_files=1)
+    n = dl.read_delta(spark, dst).count()
+    dl.vacuum_delta(dst, retain_hours=0, force=True)
+    assert dl.read_delta(spark, dst).count() == n
+    assert dl.read_delta(spark, src).count() == 30
+    assert {f: os.path.getmtime(f) for f in src_files} == src_mtimes
+
+
+def test_shallow_clone_deletion_vectors(spark, tmp_path):
+    """Round-12: DV sources clone — relative ('u') descriptors rewrite
+    to the spec's absolute-path ('p') form into the SOURCE directory;
+    reads apply the deletes, clone DML rewrites DV-free, and the
+    clone's VACUUM never reclaims the source's .bin sidecars."""
+    import glob
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    shutil.copytree(GOLDEN_DV, src)
+    assert dl.clone_delta(src, dst) == 0
+    descs = [
+        a["add"]["deletionVector"]
+        for a in dl._read_actions(dst, 0)
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert descs and all(d["storageType"] in ("p", "i") for d in descs)
+    assert all(
+        os.path.isabs(d["pathOrInlineDv"])
+        for d in descs
+        if d["storageType"] == "p"
+    )
+    ids = lambda p: sorted(r["id"] for r in dl.read_delta(spark, p).collect())
+    src_ids = ids(src)
+    assert ids(dst) == src_ids  # deletes applied through the clone
+    # rewrite-DML on the clone: the DV-bearing file rewrites DV-free
+    dl.delete_delta(spark, dst, f"id = {src_ids[0]}")
+    assert ids(dst) == src_ids[1:]
+    assert ids(src) == src_ids
+    bins = sorted(glob.glob(os.path.join(src, "**", "*.bin"), recursive=True))
+    dl.vacuum_delta(dst, retain_hours=0, force=True)
+    assert (
+        sorted(glob.glob(os.path.join(src, "**", "*.bin"), recursive=True))
+        == bins
+    )
+    assert ids(src) == src_ids
+    # OPTIMIZE materializes the inherited 'p' DVs (apply-and-rewrite)
+    dl.optimize_delta(spark, dst, target_files=1)
+    active, _, _, _ = dl._replay(dst, None)
+    assert not any(a.get("deletionVector") for a in active.values())
+    assert ids(dst) == src_ids[1:]
+
+
+def test_shallow_clone_partitioned_dv_golden(spark, tmp_path):
+    """Partitioned + DV + hive-escaped partition value, cloned: the
+    partitionValues attach and the suffix-keyed DV anti-join agree on
+    every row."""
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    shutil.copytree(GOLDEN_PARTDV, src)
+    dl.clone_delta(src, dst)
+    cols = dl.read_delta(spark, src).columns
+    rows = lambda p: sorted(
+        tuple(r) for r in dl.read_delta(spark, p).select(*cols).collect()
+    )
+    assert rows(dst) == rows(src)
+    # time travel on the clone is v0-only and equals the source head
+    assert rows(dst) == sorted(
+        tuple(r)
+        for r in dl.read_delta(spark, dst, version=0).select(*cols).collect()
+    )
 
 
 def test_external_file_uri_adds_read(spark, tmp_path):
@@ -3964,18 +4192,70 @@ def test_cm_schema_evolution_assigns_fresh_fields(spark, tmp_path):
     assert dl.read_delta(spark, work).count() == n_before + 2
 
 
-def test_cm_schema_evolution_refuses_nested_new_column(spark, tmp_path):
+def test_cm_schema_evolution_nested_new_column(spark, tmp_path):
+    """Round-12: evolution adding NESTED columns to a column-mapped
+    table — every struct field at every depth (including inside
+    arrays) gets a fresh id + uuid physicalName, maxColumnId advances
+    once by the total field count, the staged parquet carries physical
+    names at every level, and logical reads resolve."""
     import shutil
+
+    import pyarrow.parquet as pq
 
     src = os.path.join(os.path.dirname(__file__), "data", "golden_delta_cm")
     work = str(tmp_path / "cm")
     shutil.copytree(src, work)
+    max0 = int(dl.table_configuration(work)["delta.columnMapping.maxColumnId"])
     old_cols = dl.read_delta(spark, work).columns
     batch = dl.read_delta(spark, work).limit(1).selectExpr(
-        *old_cols, "named_struct('a', 1L) as nested"
+        *old_cols,
+        "named_struct('a', 1L, 'inner', named_struct('s', 'x')) as nested",
+        "array(named_struct('z', 2.0D)) as arr",
     )
-    with pytest.raises(ValueError, match="nested"):
-        dl.write_delta(batch, work, mode="append", merge_schema=True)
+    dl.write_delta(batch, work, mode="append", merge_schema=True)
+    # nested: col + a + inner + inner.s = 4; arr: col + z = 2
+    max1 = int(dl.table_configuration(work)["delta.columnMapping.maxColumnId"])
+    assert max1 == max0 + 6
+    out = dl.read_delta(spark, work)
+    got = (
+        out.where(out["nested"].isNotNull())
+        .selectExpr("nested.inner.s", "nested.a", "arr[0].z")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [("x", 1, 2.0)]
+    # the newest staged file spells every level physically (col-uuid)
+    import glob
+
+    newest = max(
+        glob.glob(os.path.join(work, "*.parquet")), key=os.path.getmtime
+    )
+    sch = pq.read_schema(newest)
+    nested_field = next(
+        f for f in sch if str(f.type).startswith("struct") and "int" in str(f.type)
+    )
+    assert nested_field.name.startswith("col-")
+    assert all(c.name.startswith("col-") for c in nested_field.type)
+    # ids are unique across the whole schema
+    doc = json.loads(
+        dl._latest_metadata(work, dl._list_versions(work)[-1])["schemaString"]
+    )
+
+    def _ids(fields):
+        for f in fields:
+            md = f.get("metadata", {})
+            if "delta.columnMapping.id" in md:
+                yield md["delta.columnMapping.id"]
+            t = f.get("type")
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    yield from _ids(t["fields"])
+                elif t.get("type") == "array" and isinstance(
+                    t.get("elementType"), dict
+                ):
+                    yield from _ids(t["elementType"].get("fields", []))
+
+    ids = list(_ids(doc["fields"]))
+    assert len(ids) == len(set(ids)) and max(ids) == max1
 
 
 def test_evolution_preserves_identity_metadata(spark, tmp_path):

@@ -683,12 +683,72 @@ def test_batch_change_feed_derived_and_dv_refusal(spark, tmp_path):
         ).collect()
 
 
-def test_batch_source_variant_refuses_with_pointer(spark):
-    """Variant tables refuse through the registered source (executor
-    pyarrow lacks the parquet VARIANT logical type) with read_delta
-    named as the working path — schema() raises, never an opaque
-    mid-scan failure."""
+def test_batch_source_variant_unannotated_reads(spark):
+    """Round-12: variant tables whose files spell variant as the
+    UNANNOTATED struct<value, metadata> group (external writers — the
+    golden fixture) read through the registered source, matching
+    read_delta value-for-value including null variants."""
+    from pyspark.sql import functions as F
+
     path = os.path.join(DATA, "golden_delta_variant")
+    want = sorted(
+        (r["id"], r["j"])
+        for r in dl.read_delta(spark, path)
+        .select("id", F.to_json("v").alias("j"))
+        .collect()
+    )
+    df = spark.read.format("deltalog").load(path)
+    assert df.schema["v"].dataType.typeName() == "variant"
+    got = sorted(
+        (r["id"], r["j"])
+        for r in df.select("id", F.to_json("v").alias("j")).collect()
+    )
+    assert got == want
+
+
+def test_stream_source_variant_unannotated(spark, tmp_path):
+    """The streaming form of the same read: availableNow over the
+    variant fixture lands the decoded variants in a parquet sink."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(DATA, "golden_delta_variant")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("deltalog")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["j"])
+        for r in spark.read.parquet(out)
+        .select("id", F.to_json("v").alias("j"))
+        .collect()
+    )
+    want = sorted(
+        (r["id"], r["j"])
+        for r in dl.read_delta(spark, path)
+        .select("id", F.to_json("v").alias("j"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_batch_source_variant_annotated_refuses_with_pointer(spark, tmp_path):
+    """Spark-WRITTEN variant files annotate the parquet group with the
+    VARIANT logical type, which executor pyarrow cannot open — the
+    planning probe refuses upfront with read_delta named as the
+    working path, never an opaque mid-scan Thrift error."""
+    path = str(tmp_path / "ann")
+    vdf = spark.sql(
+        "select id, parse_json(concat('{\"a\":', id, '}')) as v from range(3)"
+    )
+    dl.write_delta(vdf, path)
     with pytest.raises(Exception, match="read_delta"):
         spark.read.format("deltalog").load(path).collect()
 
