@@ -96,25 +96,35 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, int] = {}
 
-    # The cluster-label memo (operators.dedup) is session state: z17
-    # legitimately reuses the labels q50 computed — that IS the session
-    # cost a user pays, so cross-query hits are measured as hits. But a
-    # query's OWN re-passes must not degenerate into measuring its own
-    # memo (min-of-N would then report q50 without any LSH work): pin
-    # each query's cache state to what its FIRST pass saw — entries the
-    # query itself added are evicted before every re-pass, entries that
-    # predate it stay. Cold stays cold, warm stays warm, min-of-N stays
-    # a noise estimator.
+    # The cluster-label memo and the gram-frame memo (operators.dedup)
+    # are session state: z17 legitimately reuses the labels q50
+    # computed, z19 reuses the gram frame z18 built — that IS the
+    # session cost a user pays, so cross-query hits are measured as
+    # hits. But a query's OWN re-passes must not degenerate into
+    # measuring its own memo (min-of-N would then report q50 without
+    # any LSH work, or z18 without any tokenize): pin each query's
+    # cache state to what its FIRST pass saw — entries the query itself
+    # added are evicted (gram frames unpersisted) before every re-pass,
+    # entries that predate it stay. Cold stays cold, warm stays warm,
+    # min-of-N stays a noise estimator.
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
         _CLUSTER_LABEL_CACHE,
+        _GRAM_FRAME_CACHE,
     )
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import clear_query_cache
 
     cache_pre: dict[str, set] = {}
+    gram_pre: dict[str, set] = {}
 
     def run_one(name: str) -> float:
         pre = cache_pre.setdefault(name, set(_CLUSTER_LABEL_CACHE))
         for k in [k for k in _CLUSTER_LABEL_CACHE if k not in pre]:
             _CLUSTER_LABEL_CACHE.pop(k, None)
+        gpre = gram_pre.setdefault(name, set(_GRAM_FRAME_CACHE))
+        for k in [k for k in _GRAM_FRAME_CACHE if k not in gpre]:
+            entry = _GRAM_FRAME_CACHE.pop(k, None)
+            if entry is not None:
+                entry[1].unpersist(blocking=False)
         t0 = time.perf_counter()
         df = QUERIES[name].fn(spark, sf_dir)
         n = df.count()
@@ -122,10 +132,14 @@ def main() -> None:
         assert n >= 0
         runs[name] = runs.get(name, 0) + 1
         timings[name] = min(timings.get(name, float("inf")), elapsed)
-        # queries that persist an intermediate (z01/z04/z10/z11) build a
-        # fresh lineage per pass — drop the orphaned cache entries so
-        # later queries aren't measured under their memory pressure
-        spark.catalog.clearCache()
+        # queries that persist an intermediate (z01/z04, q67's key
+        # frames, …) build a fresh lineage per pass — release the
+        # registered handles so later queries aren't measured under
+        # their memory pressure. Targeted release (round-12), NOT
+        # spark.catalog.clearCache(): the blanket clear also dropped
+        # the session memos' storage blocks, silently nullifying every
+        # cross-query reuse the memos exist to provide.
+        clear_query_cache(spark)
         return elapsed
 
     spent = 0.0

@@ -222,16 +222,23 @@ def fuzzy_join_ed1(
     # anyway. A/B at sf0.1 (whole q67): 1.87 s unpersisted, 0.98 s with
     # L persisted; persisting the EXPLODED variant frame instead
     # measured slower (1.54 s) — the barrier on the wide frame costs
-    # more than re-running the explode from cached keys. The cached
-    # frame lives until spark.catalog.clearCache() or session end —
-    # a long session fuzzy-joining many distinct key sets should clear
-    # periodically (the engine's bench harness does so per query).
+    # more than re-running the explode from cached keys. Both persists
+    # REGISTER a release handle (round-12, ADVICE r11 #4): a long
+    # session fuzzy-joining many distinct key sets calls
+    # session.clear_query_cache() — the engine's bench harness does so
+    # per query — and the accumulated frames release deterministically
+    # instead of growing until clearCache.
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import (
+        register_query_cache,
+    )
+
     L = (
         left.select(F.col(left_key).cast("string").alias("left_key"))
         .where(F.col("left_key").isNotNull())
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_query_cache(L)
     R = (
         right.select(F.col(right_key).cast("string").alias("right_key"))
         .where(F.col("right_key").isNotNull())
@@ -239,6 +246,7 @@ def fuzzy_join_ed1(
     )
     if not self_join:
         R = R.persist(StorageLevel.MEMORY_AND_DISK)
+        register_query_cache(R)
     dist0, dist1 = F.lit(0).alias("dist"), F.lit(1).alias("dist")
 
     if self_join:

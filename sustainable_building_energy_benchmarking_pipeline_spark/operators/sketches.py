@@ -432,11 +432,12 @@ def bloom_incremental_dedup(
     the batch (and the membership UDF) evaluates ONCE across both
     branches and across repeated actions — opt in when the batch is
     expensive to recompute or the result has multiple consumers; the
-    cache lives until Spark evicts it or the caller clears it —
+    cache lives until Spark evicts it or the caller releases it —
     pass ``cache_out=[]`` to receive the cached ancestor and unpersist
-    it deterministically, as the streaming curation sink does per
-    micro-batch (``spark.catalog.clearCache()`` / unpersisting the
-    returned plan's cached ancestor).
+    it deterministically (the streaming curation sink does, per
+    micro-batch); without a handle the frame registers with
+    ``session.register_query_cache`` so ``clear_query_cache()``
+    releases it (round-12 — no caller can leak an unreachable persist).
 
     ``bloom`` may be a ``ShardedBloomFilter`` (see ``build_sharded_bloom``)
     for histories past the single-filter capacity ceiling — the routing/
@@ -452,6 +453,16 @@ def bloom_incremental_dedup(
             # consumer (e.g. the streaming curation sink) can unpersist
             # it per batch instead of leaking one entry per invocation
             cache_out.append(flagged)
+        else:
+            # no explicit handle requested: register with the session
+            # release registry so clear_query_cache() (the bench
+            # harness's per-query hygiene) still releases it — callers
+            # never leak an unreachable persisted frame (ADVICE r11 #4)
+            from sustainable_building_energy_benchmarking_pipeline_spark.session import (
+                register_query_cache,
+            )
+
+            register_query_cache(flagged)
     definitely_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe_dup = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
     verified_new = maybe_dup.join(
