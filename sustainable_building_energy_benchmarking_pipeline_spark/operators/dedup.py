@@ -1162,7 +1162,7 @@ def clear_cluster_label_cache() -> None:
 #: Session-scoped memo of the PERSISTED positional-gram frame the
 #: ExactSubstr family shares (round-12, VERDICT r11 #6): z18
 #: (dup_ngram_spans) and z19 (exact_substr_cut) over the same corpus
-#: otherwise each build and persist an identical tokenize+md5 frame —
+#: otherwise each build and persist an identical tokenize+hash frame —
 #: the dominant CPU of both plans (~3.4 s combined at sf0.1). Keyed
 #: like the label memo: (plan semanticHash, input signature, knobs),
 #: canonical-plan string confirming each hit. Entries hold persisted
@@ -1190,7 +1190,7 @@ def _shared_gram_frame(
     """The persisted (doc_id, p, h) positional k-gram-hash frame both
     ExactSubstr operators consume — memoized per (corpus plan, input
     signature, k, columns) so detect (z18) and cut (z19) over the same
-    corpus pay the tokenize + md5 explode once per session, not once
+    corpus pay the tokenize + hash explode once per session, not once
     per operator."""
     from pyspark import StorageLevel
 
@@ -1578,9 +1578,21 @@ def _ws_words(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _pos_gram_hashes(words: DataFrame, k: int) -> DataFrame:
-    """(doc_id, p, h) — one 16-byte-md5 k-gram hash per word position;
-    documents shorter than k words never explode. O(corpus tokens) rows
-    of fixed width, the inversion input of the substring-dedup family."""
+    """(doc_id, p, h1, h2) — one 128-bit k-gram identity per word
+    position as TWO independent structural xxhash64 longs (the second
+    seeded by a prepended literal); documents shorter than k words
+    never explode. O(corpus tokens) rows of fixed width, the inversion
+    input of the substring-dedup family.
+
+    Round-12: replaces md5(concat_ws(...)) — the structural hash skips
+    materializing an ~80-char gram string per position and xxhash64 is
+    an order of magnitude cheaper than a cryptographic digest (A/B at
+    sf0.1, gram build + docs-per-gram aggregate: 0.95 s → 0.65 s),
+    while two longs (16 B) also shuffle tighter than a 32-char hex
+    string. Collision math is unchanged from the md5 form: 128 bits
+    total, so at ~10¹¹ grams the birthday mass stays negligible for a
+    ≥2-docs threshold."""
+    gram = F.slice("w", F.col("p") + 1, k)
     return (
         words.where(F.size("w") >= k)
         .select(
@@ -1591,7 +1603,8 @@ def _pos_gram_hashes(words: DataFrame, k: int) -> DataFrame:
         .select(
             "doc_id",
             "p",
-            F.md5(F.concat_ws(" ", F.slice("w", F.col("p") + 1, k))).alias("h"),
+            F.xxhash64(gram).alias("h1"),
+            F.xxhash64(F.lit(1), gram).alias("h2"),
         )
     )
 
@@ -1617,8 +1630,8 @@ def dup_ngram_spans(
 
     Plan shape (100 TB posture):
     1. tokenize + explode one k-gram hash per word position — O(corpus
-       tokens) rows but each only (id, pos, 16-byte md5); documents
-       shorter than k words never explode.
+       tokens) rows but each only (id, pos, two xxhash64 longs);
+       documents shorter than k words never explode.
     2. groupBy hash → docs-per-gram ≥ ``min_docs`` (map-side partial
        agg shrinks this to distinct grams per partition first); the
        dup-gram set joins back on the hash — a shuffle equi-join at
@@ -1627,13 +1640,16 @@ def dup_ngram_spans(
     3. interval-merge per document: two windows partitioned by the
        high-cardinality doc id (running max-end → island break flags →
        running island id) and one groupBy — no skewed keys anywhere.
-    The hash is md5 (16 bytes) rather than sha2-256 to halve the
-    dominant stage-2 shuffle bytes; at ~10¹¹ grams the 2⁻⁶⁴ birthday
-    mass stays negligible for a ≥2-docs threshold.
+    The gram identity is 128 bits — two independent structural
+    xxhash64 longs (round-12; previously one 16-byte md5, itself chosen
+    over sha2-256 to halve the dominant stage-2 shuffle) — so at ~10¹¹
+    grams the birthday mass stays negligible for a ≥2-docs threshold,
+    while the hash costs an order of magnitude less CPU than a digest
+    and never materializes the gram string.
 
     The gram frame is persisted (MEMORY_AND_DISK): both consumers — the
     docs-per-gram aggregate and the join back — otherwise re-run the
-    tokenize + md5 stage, the plan's dominant CPU (A/B at sf0.1: 2.29 s
+    tokenize + hash stage, the plan's dominant CPU (A/B at sf0.1: 2.29 s
     → 1.62 s). At corpus scale this materializes ~50 B/token to local
     disk per executor — the same gram-table materialization the
     published distributed ExactSubstr recipes pay, and strictly cheaper
@@ -1644,12 +1660,12 @@ def dup_ngram_spans(
     """
     grams = _shared_gram_frame(corpus, k, text_col, id_col)
     dup = (
-        grams.groupBy("h")
+        grams.groupBy("h1", "h2")
         .agg(F.count_distinct("doc_id").alias("_nd"))
         .where(F.col("_nd") >= min_docs)
-        .select("h")
+        .select("h1", "h2")
     )
-    occ = grams.join(dup, "h").select(
+    occ = grams.join(dup, ["h1", "h2"]).select(
         "doc_id", F.col("p").alias("s"), (F.col("p") + k - 1).alias("e")
     )
     prev = (
@@ -1707,7 +1723,7 @@ def exact_substr_cut(
 
     The gram frame is persisted (MEMORY_AND_DISK) for the same reason
     as in ``dup_ngram_spans`` — the keeper aggregate and the cover join
-    both consume it, and recomputing the tokenize + md5 stage costs
+    both consume it, and recomputing the tokenize + hash stage costs
     more than re-reading it — and MEMOIZED per (corpus, k) since
     round-12, so a session that detects (z18) and then cuts (z19) the
     same corpus builds it once (``_shared_gram_frame``). ``cover`` is
@@ -1716,16 +1732,16 @@ def exact_substr_cut(
     recompute (A/B at sf0.1: 2.52 s persisted vs 1.49 s recomputed)."""
     grams = _shared_gram_frame(corpus, k, text_col, id_col)
     keeper = (
-        grams.groupBy("h")
+        grams.groupBy("h1", "h2")
         .agg(
             F.min("doc_id").alias("_keep"),
             F.count_distinct("doc_id").alias("_nd"),
         )
         .where(F.col("_nd") >= 2)
-        .select("h", "_keep")
+        .select("h1", "h2", "_keep")
     )
     cover = (
-        grams.join(keeper, "h")
+        grams.join(keeper, ["h1", "h2"])
         .where(F.col("doc_id") > F.col("_keep"))
         .select(
             "doc_id",
