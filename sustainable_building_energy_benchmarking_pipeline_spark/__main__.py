@@ -14,7 +14,7 @@ the library plans, so the CLI adds no logic of its own:
   export     silver → nested benchmarking JSON       (export_building_benchmarking)
   serve      HTTP API (/alerts, /benchmark, ...)     (make run-api)
   query      run one registry query by name, print N rows
-  delta      Delta table maintenance: history, optimize [--zorder],
+  delta      Delta table maintenance: history, convert, optimize [--zorder],
              vacuum, delete --where, restore --version, checkpoint,
              add/drop-constraint, set/unset-property
 """
@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=[
             "history", "detail", "optimize", "vacuum", "delete", "update",
-            "restore", "checkpoint", "clone", "add-constraint",
+            "restore", "checkpoint", "clone", "convert", "add-constraint",
             "drop-constraint", "set-property", "unset-property",
         ],
     )
@@ -113,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     t.add_argument("--version", type=int, default=None, help="RESTORE target version")
     t.add_argument("--to", default=None, help="CLONE destination directory")
+    t.add_argument(
+        "--partition-by",
+        default=None,
+        metavar="COL:TYPE[,COL:TYPE...]",
+        help="CONVERT partition schema for hive-layout dirs (e.g. lang:string)",
+    )
     t.add_argument("--retain-hours", type=float, default=168.0)
     t.add_argument("--force", action="store_true", help="allow vacuum retention < safety floor")
     t.add_argument("--name", default=None, help="constraint name")
@@ -285,6 +291,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "clone":
             dl.clone_delta(args.path, _need("to", "--to"))
             print(f"shallow-cloned {args.path} -> {args.to}")
+        elif args.op == "convert":
+            pb = None
+            if args.partition_by:
+                pb = dict(
+                    kv.split(":", 1) for kv in args.partition_by.split(",")
+                )
+            dl.convert_to_delta(args.path, partition_by=pb)
+            print(f"converted {args.path} to Delta (version 0)")
         elif args.op == "add-constraint":
             v = dl.add_constraint(
                 spark, args.path, _need("name", "--name"), _need("expr", "--expr")

@@ -5582,6 +5582,150 @@ def clone_delta(src: str, dst: str) -> int:
     return 0
 
 
+def convert_to_delta(
+    path: str, partition_by: dict[str, str] | None = None
+) -> int:
+    """CONVERT TO DELTA (delta-spark's ``CONVERT TO DELTA
+    parquet.`path` [PARTITIONED BY (...)]``): retrofit a Delta log onto
+    an EXISTING parquet directory IN PLACE — log-only, zero data IO
+    beyond one footer read per file (schema + min/max stats, the same
+    footer walk every staged write performs). After conversion the
+    directory is a full Delta table: snapshot reads, time travel from
+    v0, stats-targeted DML, OPTIMIZE, VACUUM.
+
+    ``partition_by`` maps partition column name → Spark SQL type
+    string ({"lang": "string"}) for hive-layout directories —
+    delta-spark likewise requires the partition schema spelled out
+    (``PARTITIONED BY (lang STRING)``): dir names alone cannot type
+    the values. Hive-escaped dir values percent-decode and
+    ``__HIVE_DEFAULT_PARTITION__`` becomes null, exactly as staged
+    writes record them.
+
+    Strictness (refusals over guesses): an existing ``_delta_log``
+    refuses (already a Delta table); files whose hive depth/keys
+    disagree with ``partition_by`` refuse (mixed layouts need a real
+    migration); footers with differing schemas refuse (schema
+    evolution is a post-conversion ``write_delta(merge_schema=True)``
+    job). Zero-row files are skipped like staged writes — VACUUM may
+    later reclaim them, losing nothing. Files the walk does not
+    reference (non-parquet debris) become VACUUM candidates: the same
+    contract delta-spark documents for its CONVERT. Returns 0 (the
+    created version)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if _list_versions(path):
+        raise ValueError(
+            f"{path} is already a Delta table — CONVERT is for plain "
+            "parquet directories"
+        )
+    part_names = list(partition_by or {})
+    rels: list[str] = []
+    for root, dirs, files_ in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in sorted(files_):
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, name), path)
+                rels.append(rel)
+    if not rels:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    data_schema: T.StructType | None = None
+    now_ms = int(time.time() * 1000)
+    adds: list[dict[str, Any]] = []
+    for rel in sorted(rels):
+        pvals = {
+            k: (None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw))
+            for k, raw in (
+                part.split("=", 1)
+                for part in rel.split(os.sep)[:-1]
+                if "=" in part
+            )
+        }
+        if sorted(pvals) != sorted(part_names):
+            raise ValueError(
+                f"file {rel} sits under hive keys {sorted(pvals)} but "
+                f"partition_by declares {sorted(part_names)} — convert "
+                "needs a uniform layout (delta-spark's PARTITIONED BY "
+                "must match the directories)"
+            )
+        src = os.path.join(path, rel)
+        file_schema = T.StructType(
+            [
+                f
+                for f in from_arrow_schema(pq.read_schema(src)).fields
+                if f.name not in set(part_names)
+            ]
+        )
+        if data_schema is None:
+            data_schema = file_schema
+        elif [(f.name, f.dataType) for f in file_schema.fields] != [
+            (f.name, f.dataType) for f in data_schema.fields
+        ]:
+            raise ValueError(
+                f"parquet schemas differ under {path}: {rel} has "
+                f"{file_schema.simpleString()}, expected "
+                f"{data_schema.simpleString()} — align the files first "
+                "(evolution is a post-conversion mergeSchema write)"
+            )
+        stats = _file_stats(src)
+        if stats and json.loads(stats).get("numRecords") == 0:
+            continue
+        add: dict[str, Any] = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": pvals,
+            "size": os.path.getsize(src),
+            "modificationTime": int(os.path.getmtime(src) * 1000),
+            "dataChange": True,
+        }
+        if stats:
+            add["stats"] = stats
+        adds.append({"add": add})
+    if not adds:
+        raise ValueError(f"every parquet file under {path} is zero-row")
+    full_schema = T.StructType(
+        list(data_schema.fields)
+        + [
+            T.StructField(
+                n, _parse_sql_type(t), True
+            )
+            for n, t in (partition_by or {}).items()
+        ]
+    )
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "partitionedBy": part_names,
+                    "numFiles": len(adds),
+                },
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": full_schema.json(),
+                "partitionColumns": part_names,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+        *adds,
+    ]
+    os.makedirs(_log_dir(path), exist_ok=True)
+    _commit(path, 0, actions)
+    return 0
+
+
+def _parse_sql_type(t: str) -> T.DataType:
+    """A Spark SQL type string ('int', 'string', 'timestamp', …) to its
+    DataType — the PARTITIONED BY type spellings convert accepts."""
+    return T._parse_datatype_string(t)
+
+
 def restore_delta(
     path: str,
     to_version: int | None = None,

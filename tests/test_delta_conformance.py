@@ -3926,6 +3926,56 @@ def test_shallow_clone_deletion_vectors(spark, tmp_path):
     assert ids(dst) == src_ids[1:]
 
 
+def test_convert_to_delta_flat(spark, tmp_path):
+    """Round-12 CONVERT TO DELTA: a plain parquet directory becomes a
+    Delta table in place — log-only (footer walk for schema + stats),
+    reads match, footer stats prune, DML and time travel work."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "plain")
+    spark.range(100).withColumn("x", F.col("id") * 2).write.parquet(path)
+    want = sorted(
+        (r["id"], r["x"]) for r in spark.read.parquet(path).collect()
+    )
+    assert dl.convert_to_delta(path) == 0
+    got = sorted(
+        (r["id"], r["x"]) for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == want
+    # add actions carry footer stats usable for skipping
+    active, _, _, _ = dl._replay(path, 0)
+    assert all(a.get("stats") for a in active.values())
+    dl.delete_delta(spark, path, "id < 10")
+    assert dl.read_delta(spark, path).count() == 90
+    assert dl.read_delta(spark, path, version=0).count() == 100
+    with pytest.raises(ValueError, match="already a Delta"):
+        dl.convert_to_delta(path)
+
+
+def test_convert_to_delta_partitioned(spark, tmp_path):
+    """Partitioned conversion: hive dirs become typed partition columns
+    via the declared partition schema; escaped and null partition
+    values round-trip; the layout/declaration mismatch refuses."""
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(1, "pt:BR"), (2, "en"), (3, None), (4, "en")],
+        "id long, lang string",
+    )
+    df.write.partitionBy("lang").parquet(path)
+    dl.convert_to_delta(path, partition_by={"lang": "string"})
+    got = sorted(
+        (r["id"], r["lang"]) for r in dl.read_delta(spark, path).collect()
+    )
+    assert got == [(1, "pt:BR"), (2, "en"), (3, None), (4, "en")]
+    pf = dl.read_delta(spark, path, partition_filter={"lang": "pt:BR"})
+    assert [r["id"] for r in pf.collect()] == [1]
+    # partitioned dirs without the declared schema refuse
+    path2 = str(tmp_path / "part2")
+    df.write.partitionBy("lang").parquet(path2)
+    with pytest.raises(ValueError, match="hive keys"):
+        dl.convert_to_delta(path2)
+
+
 def test_shallow_clone_partitioned_dv_golden(spark, tmp_path):
     """Partitioned + DV + hive-escaped partition value, cloned: the
     partitionValues attach and the suffix-keyed DV anti-join agree on
