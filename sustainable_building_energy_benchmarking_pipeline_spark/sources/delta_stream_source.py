@@ -997,14 +997,12 @@ def _writer_preflight(
         _schema_has_variant,
     )
 
-    if _schema_has_variant(df_schema):
-        # VariantType has no arrow mapping in this writer's pyarrow
-        # sink (and the snapshot reader refuses variant tables too) —
-        # refuse at planning with the working path named
-        raise ValueError(
-            "this data source cannot write VARIANT columns (executor-"
-            "side pyarrow sink) — use write_delta for variant tables"
-        )
+    # VariantType flows through (round-12): Spark hands the writer
+    # variant columns as the arrow struct<value, metadata> pair, and
+    # the pyarrow sink writes them as a PLAIN struct group — the spec's
+    # unannotated physical spelling, which read_delta and this source's
+    # own reader both resolve. New variant tables declare the
+    # variantType feature in _commit_write's v0 protocol.
     versions = _list_versions(path)
     if not versions:
         opt = options.get("partitionby")
@@ -1189,10 +1187,45 @@ def _commit_write(
     if version == 0:
         import uuid as _uuid
 
-        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+            _schema_has_collation,
+            _schema_has_ntz,
+            _schema_has_variant,
         )
+
+        os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+        # type-triggered protocol features, the same declarations
+        # write_delta makes at creation (round-12 — previously a new
+        # ntz/variant table through this writer under-declared its
+        # protocol): timestampNtz / variantType need reader v3 + writer
+        # v7 on BOTH sides; collations are writer-only
+        typed_feats = []
+        if _schema_has_ntz(df_schema):
+            typed_feats.append("timestampNtz")
+        if _schema_has_variant(df_schema):
+            typed_feats.append("variantType")
+        writer_only = (
+            ["collations-preview"] if _schema_has_collation(df_schema) else []
+        )
+        if typed_feats or writer_only:
+            proto: dict[str, Any] = {
+                "minReaderVersion": 3 if typed_feats else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": [
+                    "appendOnly",
+                    "invariants",
+                    "checkConstraints",
+                ]
+                + typed_feats
+                + writer_only,
+            }
+            if typed_feats:
+                proto["readerFeatures"] = list(typed_feats)
+            actions.append({"protocol": proto})
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
         actions.append(
             {
                 "metaData": {

@@ -739,6 +739,57 @@ def test_stream_source_variant_unannotated(spark, tmp_path):
     assert got == want
 
 
+def test_batch_writer_variant_round_trip(spark, tmp_path):
+    """Round-12: the data-source WRITER emits variant as the
+    unannotated struct<value,metadata> spelling, declares variantType
+    on both protocol sides at creation, and the same source reads the
+    result back — a full variant round-trip without write_delta."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "v")
+    vdf = spark.sql(
+        "select id, parse_json(concat('{\"a\":', id, '}')) as v from range(3)"
+    )
+    vdf.write.format("deltalog").mode("append").save(path)
+    proto = dl._latest_protocol(path, dl._list_versions(path)[-1])
+    assert "variantType" in (proto.get("readerFeatures") or [])
+    assert "variantType" in (proto.get("writerFeatures") or [])
+    want = sorted(
+        (r["id"], r["j"])
+        for r in dl.read_delta(spark, path)
+        .select("id", F.to_json("v").alias("j"))
+        .collect()
+    )
+    assert want == [(0, '{"a":0}'), (1, '{"a":1}'), (2, '{"a":2}')]
+    got = sorted(
+        (r["id"], r["j"])
+        for r in spark.read.format("deltalog")
+        .load(path)
+        .select("id", F.to_json("v").alias("j"))
+        .collect()
+    )
+    assert got == want
+    # appends into the existing variant table land too
+    spark.sql(
+        "select id + 10 as id, parse_json('{\"b\":true}') as v from range(2)"
+    ).write.format("deltalog").mode("append").save(path)
+    assert dl.read_delta(spark, path).count() == 5
+
+
+def test_batch_writer_ntz_declares_feature(spark, tmp_path):
+    """A new table with a TIMESTAMP_NTZ column created through the
+    data-source writer declares timestampNtz on both protocol sides
+    (round-12 — previously under-declared as (1,2))."""
+    path = str(tmp_path / "ntz")
+    spark.sql(
+        "select id, timestamp_ntz '2024-01-01 00:00:00' as ts from range(2)"
+    ).write.format("deltalog").mode("append").save(path)
+    proto = dl._latest_protocol(path, 0)
+    assert "timestampNtz" in (proto.get("readerFeatures") or [])
+    got = dl.read_delta(spark, path).collect()
+    assert len(got) == 2 and str(got[0]["ts"]) == "2024-01-01 00:00:00"
+
+
 def test_batch_source_variant_annotated_refuses_with_pointer(spark, tmp_path):
     """Spark-WRITTEN variant files annotate the parquet group with the
     VARIANT logical type, which executor pyarrow cannot open — the
@@ -820,20 +871,6 @@ def test_batch_writer_plain_append_into_collated_table(spark, tmp_path):
     # and the combined table is collation-aware end to end
     back = dl.read_delta(spark, path)
     assert back.filter(F.col("s") == "alpha").count() == 2
-
-
-def test_batch_writer_variant_refuses_with_pointer(spark, tmp_path):
-    """Variant frames refuse through the data-source writer at planning
-    (pyarrow sink has no VariantType mapping) with write_delta named."""
-    from pyspark.sql import functions as F
-
-    df = spark.createDataFrame([(1, '{"a": 1}')], "id long, j string").select(
-        "id", F.parse_json("j").alias("v")
-    )
-    with pytest.raises(Exception, match="write_delta"):
-        df.write.format("deltalog").mode("append").save(
-            str(tmp_path / "dsw_var")
-        )
 
 
 # ---- round-11: startingTimestamp / endingTimestamp ---------------------
