@@ -134,8 +134,15 @@ def curate_and_split(
         num_hashes=num_hashes,
         bands=bands,
     )
+    # split only the REPRESENTATIVE rows (round-12, VERDICT r11
+    # advisory): the split is a pure function of cluster_rep, and only
+    # representatives survive the collapse — projecting it over the
+    # full cluster frame and dropping most rows was equivalent but
+    # wasteful, and cost one extra join
     split = leakage_safe_split(
-        docs, clusters=clusters, train_frac_tenths=train_frac_tenths
+        docs,
+        clusters=clusters.filter(F.col("is_rep")),
+        train_frac_tenths=train_frac_tenths,
     )
     curated = curate_documents(
         docs,
@@ -145,9 +152,6 @@ def curate_and_split(
         id_col=id_col,
         source_col=source_col,
     )
-    reps = split.join(
-        clusters.filter(F.col("is_rep")).select("doc_id"), "doc_id"
-    )
     return curated.join(
-        reps.select(F.col("doc_id").alias(id_col), "split"), id_col
+        split.select(F.col("doc_id").alias(id_col), "split"), id_col
     )
