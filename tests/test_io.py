@@ -1067,8 +1067,31 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
     for step in range(16):
         op = rng.choice(
             ["append", "overwrite", "merge", "optimize", "vacuum",
-             "delete", "restore", "constraint"]
+             "delete", "restore", "constraint", "clone"]
         )
+        if op == "clone":
+            # round-12: fork, mutate the FORK, prove copy-on-write both
+            # ways — the clone equals the model at fork time, its DML
+            # diverges it, and the source never moves
+            cpath = str(tmp_path / f"dmodel{seed}_clone{step}")
+            dl.clone_delta(path, cpath)
+            cgot = sorted(
+                tuple(r) for r in dl.read_delta(spark, cpath).collect()
+            )
+            assert cgot == sorted(model), f"seed={seed} step={step} clone"
+            if model:
+                t = rng.randrange(1, 1000)
+                dl.delete_delta(spark, cpath, f"v < {t}")
+                cmodel = [r for r in model if not (r[1] < t)]
+                cgot = sorted(
+                    tuple(r) for r in dl.read_delta(spark, cpath).collect()
+                )
+                assert cgot == sorted(cmodel), f"seed={seed} step={step}"
+            got = sorted(tuple(r) for r in dl.read_delta(spark, path).collect())
+            assert got == sorted(model), (
+                f"seed={seed} step={step}: clone DML leaked into source"
+            )
+            continue  # the source's log did not move: no fold/history step
         if op == "append":
             rows, df = batch(next_id, rng.randrange(1, 8))
             next_id += 1000
@@ -1155,6 +1178,54 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
         assert state_rows == expect, (
             f"seed={seed} step={step} op={op}: incremental state diverged"
         )
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_convert_to_delta_random_round_trip(spark, tmp_path, seed):
+    """Property check for CONVERT (round-12): a random plain parquet
+    directory — randomly partitioned or flat, with nulls in the
+    partition column — converts in place and reads back exactly what
+    spark.read.parquet saw; a post-conversion append lands on top."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"cvt{seed}")
+    n = rng.randrange(20, 60)
+    rows = [
+        (i, rng.choice(["a", "b", None]), rng.randrange(100))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, p string, v long")
+    partitioned = rng.random() < 0.5
+    if partitioned:
+        df.write.partitionBy("p").parquet(path)
+        dl.convert_to_delta(path, partition_by={"p": "string"})
+    else:
+        df.write.parquet(path)
+        dl.convert_to_delta(path)
+    got = sorted(
+        (r["id"], r["p"], r["v"])
+        for r in dl.read_delta(spark, path).select("id", "p", "v").collect()
+    )
+    assert got == sorted(rows)
+    # append adopts the converted table's schema order (partition
+    # columns land LAST in a partitioned conversion) and partitioning
+    tbl_cols = dl.read_delta(spark, path).columns
+    dl.write_delta(
+        spark.createDataFrame(
+            [(10_000, "c", 1)], "id long, p string, v long"
+        ).select(*tbl_cols),
+        path,
+        mode="append",
+    )
+    assert dl.read_delta(spark, path).count() == n + 1
+    # stats landed: a point predicate prunes to a subset of files
+    active, _, _, _ = dl._replay(path, None)
+    assert all(a.get("stats") for a in active.values())
 
 
 def test_deltalog_schema_evolution_merge_schema(spark, tmp_path):
