@@ -390,3 +390,56 @@ def winnowing_postings(
     return df.select(id_col, text_col).mapInPandas(
         _emit, f"{id_col} {id_type}, fp string"
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+    stride: int = 24,
+):
+    """Overlapping word-window chunking — the context-window prep step
+    of a RAG / training pipeline: each document becomes ⌈n/stride⌉
+    chunks of ``width`` whitespace tokens starting every ``stride``
+    tokens (the final chunk may be shorter), so consecutive chunks
+    overlap by ``width − stride`` tokens and every token is covered.
+    Output: (id, chunk_idx, chunk_start, n_chunk_words, chunk_hash) —
+    the hash (md5 of the space-joined chunk) is the join key downstream
+    chunk-level dedup or embedding caches use.
+
+    Scale shape: pure column expressions end-to-end — one
+    ``posexplode(sequence(0, n−1, stride))`` per document bounded by
+    O(corpus_tokens / stride) output rows, ``slice`` + ``concat_ws`` +
+    ``md5`` inside whole-stage codegen, no shuffle at all (the explode
+    is partition-preserving; callers group or join on the result with
+    their own keys). At 100 TB this is a map-only pass whose output is
+    ~(1 + overlap) × input bytes; the two ``slice`` references per row
+    are O(width) each and safe under CollapseProject (unlike the
+    winnowing transform above, which is why THAT one is a kernel).
+
+    Tokenization matches z18/z19 (``split(trim(text), '\\s+')`` on
+    non-empty docs), so chunk boundaries line up with the substring
+    dedup family's word positions."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    piece = F.slice(F.col("_w"), F.col("chunk_start") + 1, width)
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), words.alias("_w"))
+        .select(
+            id_col,
+            "_w",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.size("_w") - 1, F.lit(stride)
+                )
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.size(piece).cast("bigint").alias("n_chunk_words"),
+            F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+        )
+    )

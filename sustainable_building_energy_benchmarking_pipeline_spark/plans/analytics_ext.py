@@ -2998,6 +2998,115 @@ ORDER BY d.doc_id
 """
 
 
+def z20_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (round-12) — the RAG /
+    context-window prep operator: width-32 chunks every 24 tokens, so
+    consecutive chunks share 8 tokens and no retrieval span straddles a
+    boundary unseen. q70 is the non-overlapping CHARACTER form; this is
+    the token-aligned overlapping form whose chunk md5 is the natural
+    key for chunk-level dedup and embedding caches. Scale shape (see
+    functions/text.chunk_documents): one posexplode per document, pure
+    codegen expressions, zero shuffles — a map-only pass bounded by
+    O(corpus_tokens/stride) output rows."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, width=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+Z20_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE LEN(trim(text)) > 0
+),
+chunks AS (
+  SELECT doc_id, w, UNNEST(range(0, GREATEST(LEN(w), 1), 24)) AS s
+  FROM words
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(LEN(w[s+1:s+32]) AS BIGINT) AS n_chunk_words,
+       md5(array_to_string(w[s+1:s+32], ' ')) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def z21_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (round-12; Chung et al. 2023):
+    split a 3/4-of-corpus token budget across languages as evenly as
+    the 1-epoch repeat cap allows — the data-mixing decision a
+    multilingual pretraining pipeline makes before sampling. On this
+    corpus the four tail languages are capped at one epoch and English
+    (the head) absorbs the remaining budget as the pivot's even share,
+    exercising both branches of the waterfall. Exact integer
+    arithmetic end-to-end (floor division, basis-point epochs), so the
+    DuckDB oracle replays the closed form bit-for-bit. Scale shape
+    (see plans/curation.unimax_allocation): ONE map-side-combined
+    corpus aggregate; all windows/attaches operate on the
+    #languages-row frame."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.curation import (
+        unimax_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_allocation(
+        docs, epoch_cap=1, budget_num=3, budget_den=4
+    ).orderBy("lang")
+
+
+Z21_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         LEN(regexp_split_to_array(trim(text), '\s+')) AS nt
+  FROM documents WHERE LEN(trim(text)) > 0
+),
+per_lang AS (
+  SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY lang
+),
+tot AS (
+  SELECT CAST((SUM(n_tokens) * 3) // 4 AS BIGINT) AS budget
+  FROM per_lang
+),
+ranked AS (
+  SELECT lang, n_tokens, budget,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS l,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, lang) AS BIGINT)
+           AS cum
+  FROM per_lang, tot
+),
+shares AS (
+  SELECT *,
+         CAST((budget - (cum - n_tokens)) // (l - i + 1) AS BIGINT)
+           AS share
+  FROM ranked
+),
+piv AS (
+  SELECT MIN(i) AS pi, ARG_MIN(share, i) AS pshare
+  FROM shares WHERE NOT (n_tokens <= share)
+)
+SELECT s.lang,
+       s.n_tokens,
+       CAST(CASE WHEN p.pi IS NULL OR s.i < p.pi
+                 THEN s.n_tokens ELSE p.pshare END AS BIGINT)
+         AS alloc_tokens,
+       CAST((10000 * (CASE WHEN p.pi IS NULL OR s.i < p.pi
+                           THEN s.n_tokens ELSE p.pshare END))
+            // s.n_tokens AS BIGINT) AS epochs_bp,
+       (CASE WHEN p.pi IS NULL OR s.i < p.pi
+             THEN s.n_tokens ELSE p.pshare END) = s.n_tokens AS capped
+FROM shares s, piv p
+ORDER BY s.lang
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -3048,4 +3157,6 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z17_leakage_safe_split": QuerySpec(z17_leakage_safe_split, Z17_SQL),
     "z18_dup_ngram_spans": QuerySpec(z18_dup_ngram_spans, Z18_SQL),
     "z19_exact_substr_cut": QuerySpec(z19_exact_substr_cut, Z19_SQL),
+    "z20_chunk_overlap": QuerySpec(z20_chunk_overlap, Z20_SQL),
+    "z21_unimax_budget": QuerySpec(z21_unimax_budget, Z21_SQL),
 }

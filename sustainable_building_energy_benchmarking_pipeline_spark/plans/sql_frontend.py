@@ -1519,3 +1519,71 @@ JOIN words w ON w.doc_id = d.doc_id
 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+# z20: DuckDB's stepped range() → Spark sequence(0, n-1, step) (same
+# start set: range is end-exclusive, sequence end-inclusive), // → DIV,
+# end-inclusive list slice → slice(arr, start, LENGTH)
+SPARK_SQL["z20_chunk_overlap"] = r"""
+WITH words AS (
+  SELECT doc_id, split(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+chunks AS (
+  SELECT doc_id, w, explode(sequence(0, size(w) - 1, 24)) AS s
+  FROM words
+)
+SELECT doc_id,
+       CAST(s DIV 24 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(size(slice(w, s + 1, 32)) AS BIGINT) AS n_chunk_words,
+       md5(concat_ws(' ', slice(w, s + 1, 32))) AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+# z21: // → DIV, ARG_MIN → min_by, implicit comma cross joins →
+# explicit CROSS JOIN (the frames are one row each)
+SPARK_SQL["z21_unimax_budget"] = r"""
+WITH toks AS (
+  SELECT lang, size(split(trim(text), '\\s+')) AS nt
+  FROM documents WHERE length(trim(text)) > 0
+),
+per_lang AS (
+  SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY lang
+),
+tot AS (
+  SELECT CAST((SUM(n_tokens) * 3) DIV 4 AS BIGINT) AS budget
+  FROM per_lang
+),
+ranked AS (
+  SELECT lang, n_tokens, budget,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS l,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, lang) AS BIGINT)
+           AS cum
+  FROM per_lang CROSS JOIN tot
+),
+shares AS (
+  SELECT *,
+         CAST((budget - (cum - n_tokens)) DIV (l - i + 1) AS BIGINT)
+           AS share
+  FROM ranked
+),
+piv AS (
+  SELECT MIN(i) AS pi, min_by(share, i) AS pshare
+  FROM shares WHERE NOT (n_tokens <= share)
+)
+SELECT s.lang,
+       s.n_tokens,
+       CAST(CASE WHEN p.pi IS NULL OR s.i < p.pi
+                 THEN s.n_tokens ELSE p.pshare END AS BIGINT)
+         AS alloc_tokens,
+       CAST((10000 * (CASE WHEN p.pi IS NULL OR s.i < p.pi
+                           THEN s.n_tokens ELSE p.pshare END))
+            DIV s.n_tokens AS BIGINT) AS epochs_bp,
+       (CASE WHEN p.pi IS NULL OR s.i < p.pi
+             THEN s.n_tokens ELSE p.pshare END) = s.n_tokens AS capped
+FROM shares s CROSS JOIN piv p
+ORDER BY s.lang
+"""

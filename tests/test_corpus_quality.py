@@ -210,3 +210,103 @@ def test_z07_zero_token_docs_survive(spark, tmp_path):
         assert r.dup_token_frac == 0.0 and r.top_bigram_share == 0.0
         assert r.rep_flagged is False
     assert out[1].rep_flagged is True
+
+
+# --- round-12: overlapping chunking + UniMax allocation ------------------
+
+
+def test_chunk_overlap_covers_and_reconstructs(spark):
+    """Every token is covered, consecutive chunks overlap by
+    width − stride, no chunk exceeds width, and concatenating each
+    chunk's stride-prefix (plus the last chunk's tail) rebuilds the
+    document's token stream exactly."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        chunk_documents,
+    )
+
+    texts = [
+        (1, "a b c d e f g h i j"),          # 10 words: 2 chunks (W4 S3)
+        (2, "solo"),                          # 1 word: 1 chunk
+        (3, " ".join(f"w{i}" for i in range(13))),  # 13: starts 0,3,6,9,12
+        (4, "   "),                           # whitespace-only: dropped
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = chunk_documents(docs, width=4, stride=3).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    rows = out.collect()
+    assert not [r for r in rows if r.doc_id == 4]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts[:3]:
+        words = text.split()
+        chunks = by_doc[doc_id]
+        # starts are the stride grid; idx is dense
+        assert [c.chunk_start for c in chunks] == list(
+            range(0, len(words), 3)
+        )
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # width bound + exact coverage of the tail
+        for c in chunks[:-1]:
+            assert c.n_chunk_words == min(4, len(words) - c.chunk_start)
+        last = chunks[-1]
+        assert last.chunk_start + last.n_chunk_words == len(words)
+    # hash determinism: same chunk text → same hash across docs
+    two = spark.createDataFrame(
+        [(10, "x y z"), (11, "x y z")], "doc_id long, text string"
+    )
+    hs = {
+        r.chunk_hash
+        for r in chunk_documents(two, width=4, stride=3).collect()
+    }
+    assert len(hs) == 1
+
+
+def test_unimax_allocation_invariants(spark):
+    """The waterfall's contracts on a hand-built corpus: capped
+    languages get exactly cap·t, uncapped ones share the remaining
+    budget evenly (equal allocs, floor division), the total never
+    exceeds the budget and undershoots by less than the number of
+    uncapped languages (floor loss only)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.curation import (
+        unimax_allocation,
+    )
+
+    rows = []
+    sizes = {"aa": 10, "bb": 20, "cc": 400, "dd": 700}
+    doc_id = 0
+    for lang, n in sizes.items():
+        rows.append((doc_id, lang, " ".join("t" for _ in range(n))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # budget = 3/4 of 1130 = 847; ascending aa,bb,cc,dd
+    out = {
+        r.lang: r
+        for r in unimax_allocation(
+            docs, epoch_cap=1, budget_num=3, budget_den=4
+        ).collect()
+    }
+    assert out["aa"].capped and out["aa"].alloc_tokens == 10
+    assert out["bb"].capped and out["bb"].alloc_tokens == 20
+    # cc's full epoch (400) fits under its running even share
+    # ((847−30)//2 = 408), so it is capped too; dd alone is the pivot
+    # and absorbs the exact remainder 847−430 = 417
+    assert out["cc"].capped and out["cc"].alloc_tokens == 400
+    assert not out["dd"].capped and out["dd"].alloc_tokens == 417
+    total_alloc = sum(r.alloc_tokens for r in out.values())
+    assert total_alloc <= 847 and 847 - total_alloc < 1  # 1 uncapped lang
+    assert out["aa"].epochs_bp == 10000
+    assert out["dd"].epochs_bp == (10000 * 417) // 700
+    # epoch cap truly binds: no language exceeds cap·t
+    for lang, n in sizes.items():
+        assert out[lang].alloc_tokens <= n
+    # degenerate: budget ≥ cap·total → everyone capped, pivot never fires
+    all_cap = {
+        r.lang: r
+        for r in unimax_allocation(
+            docs, epoch_cap=1, budget_num=2, budget_den=1
+        ).collect()
+    }
+    assert all(r.capped for r in all_cap.values())
+    assert all(all_cap[lg].alloc_tokens == n for lg, n in sizes.items())

@@ -50,6 +50,10 @@ _TINY_INPUT_GLOBAL_WINDOW_OK = {
     # score decimal domain — nll concentrates in a few nats); the corpus
     # itself is aggregated twice before this frame exists
     "z11_lm_perplexity_tiers",
+    # UniMax waterfall windows over the per-LANGUAGE token aggregate —
+    # bounded by language cardinality (an enum domain); the corpus is
+    # consumed by one map-side-combined aggregate before any window
+    "z21_unimax_budget",
 }
 
 
@@ -221,6 +225,7 @@ _SINGLE_ROW_CROSSJOIN_OK = {
     "z11_lm_perplexity_tiers", # broadcast 1-row corpus total / doc count / terciles
     "z12_source_kl_drift",    # broadcast 1-row corpus token total
     "z13_dsir_importance",    # broadcast 1-row target/raw totals onto 256 buckets
+    "z21_unimax_budget",      # broadcast 1-row total-budget + pivot attaches
 }
 
 

@@ -39,6 +39,7 @@ HEAVY = [
     "z15_semdedup",
     "z18_dup_ngram_spans",
     "z19_exact_substr_cut",
+    "z20_chunk_overlap",
 ]
 
 MAX_RATIO = 15.0
