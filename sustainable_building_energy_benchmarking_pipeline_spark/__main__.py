@@ -16,7 +16,7 @@ the library plans, so the CLI adds no logic of its own:
   query      run one registry query by name, print N rows
   delta      Delta table maintenance: history, convert, optimize [--zorder],
              vacuum, delete --where, restore --version, checkpoint,
-             add/drop-constraint, set/unset-property
+             add/drop-constraint, set/unset-property, cluster-by --columns
 """
 
 from __future__ import annotations
@@ -98,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             "history", "detail", "optimize", "vacuum", "delete", "update",
             "restore", "checkpoint", "clone", "convert", "add-constraint",
             "drop-constraint", "set-property", "unset-property",
+            "cluster-by",
         ],
     )
     t.add_argument("path", help="Delta table directory")
@@ -125,6 +126,12 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--expr", default=None, help="constraint CHECK expression")
     t.add_argument("--key", default=None, help="table property key")
     t.add_argument("--value", default=None, help="table property value")
+    t.add_argument(
+        "--columns",
+        default=None,
+        metavar="COL[,COL...]",
+        help="CLUSTER BY columns ('' or 'none' = CLUSTER BY NONE)",
+    )
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")
@@ -312,6 +319,17 @@ def main(argv: list[str] | None = None) -> int:
                 args.path, {_need("key", "--key"): _need("value", "--value")}
             )
             print(f"property set at version {v}")
+        elif args.op == "cluster-by":
+            raw = _need("columns", "--columns")
+            cols = (
+                []
+                if raw.strip().lower() in ("", "none")
+                else [c.strip() for c in raw.split(",") if c.strip()]
+            )
+            v = dl.set_clustering_columns(args.path, cols)
+            print(
+                f"clustering set to {cols or 'NONE'} at version {v}"
+            )
         elif args.op == "unset-property":
             v = dl.set_table_properties(
                 args.path, {_need("key", "--key"): None},

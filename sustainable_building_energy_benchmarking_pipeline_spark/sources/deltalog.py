@@ -828,10 +828,12 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
     }
 )
 
-# Writer capability ceiling. v2 = column invariants (checked separately
-# at write time — see write paths: an external schema carrying
-# ``delta.invariants`` metadata is refused because this writer cannot
-# enforce it), v3 = CHECK constraints (enforced: see add_constraint /
+# Writer capability ceiling. v2 = column invariants (ENFORCED at write
+# time, round-12: every row-adding path evaluates the schema's
+# ``delta.invariants`` expressions against the staged files with
+# false-or-null-violates semantics — see _invariant_exprs /
+# _violated_constraint; only an unparseable declaration refuses),
+# v3 = CHECK constraints (enforced: see add_constraint /
 # the write-path constraint evaluation). minWriterVersion 7 tables list
 # ``writerFeatures``; we can commit iff every listed feature is one we
 # actually enforce. ``deletionVectors`` is upheld by APPLY-AND-REWRITE
@@ -865,8 +867,10 @@ _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
 # ``domainMetadata`` (round-10) asks a writer to (a) persist domain
 # actions through checkpoints (``write_checkpoint`` round-trips them,
 # tombstones included) and (b) never emit actions for domains it does
-# not own — this engine writes only ``delta.rowTracking`` and only on
-# rowTracking tables; foreign domains replay through untouched.
+# not own — this engine writes only ``delta.rowTracking`` (on
+# rowTracking tables) and ``delta.clustering`` (round-12: clustered-
+# table CREATE and set_clustering_columns); foreign domains replay
+# through untouched.
 # ``clustering`` (round-10, the liquid-clustering marker default-on in
 # newer DBR): its writer obligation is preserving the
 # ``delta.clustering`` domain metadata — upheld by the domainMetadata
@@ -1514,22 +1518,26 @@ def _to_logical_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
-def _check_column_invariants_absent(path: str, version: int) -> None:
+def _check_column_invariants_enforceable(path: str, version: int) -> None:
     """Column invariants (``delta.invariants`` in schema-field metadata,
-    writer protocol v2) are constraints this writer does not evaluate —
-    committing rows into a table that declares them could silently
-    violate the table's contract, so the spec-correct move is refusal.
-    A raw substring probe on the schemaString is deliberately
-    conservative: false positives (a user column literally named
-    ``delta.invariants``) err on the safe side."""
+    writer protocol v2) ARE enforced by this writer (round-12): every
+    row-adding path (write_delta / MERGE / UPDATE) evaluates them
+    against the staged files via ``_violated_constraint`` before
+    committing, with the spec's stricter NULL semantics (PROTOCOL.md
+    "Column Invariants": a row violates when the expression returns
+    *false or null*, unlike CHECK constraints where NULL passes). This
+    commit-choke-point gate therefore only verifies the declarations
+    are ones we can faithfully evaluate — unparseable invariant JSON
+    refuses, because committing past an invariant we cannot check could
+    silently violate the table's contract. Row-moving operations
+    (OPTIMIZE / RESTORE / DELETE / VACUUM) carry only rows that already
+    satisfied the invariant, matching delta-spark (which does not
+    re-check them either)."""
     meta = _latest_metadata(path, version)
-    if "delta.invariants" in meta.get("schemaString", ""):
-        raise DeltaUnsupportedProtocol(
-            f"Delta table at {path} declares column invariants "
-            "(delta.invariants in schema metadata) which this writer "
-            "does not enforce — refusing to commit rather than risk "
-            "violating them"
-        )
+    if "delta.invariants" not in meta.get("schemaString", ""):
+        return
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    _invariant_exprs(schema)  # raises DeltaUnsupportedProtocol on bad JSON
 
 
 def _check_write_protocol(
@@ -1570,7 +1578,7 @@ def _check_write_protocol(
     a ``columnMapping`` grant, an enabled change data feed a
     ``changeDataFeed`` grant, and generated / identity columns their
     respective grants (schemaString probes, same conservative substring
-    approach as ``_check_column_invariants_absent``) — which needs
+    approach as the pre-round-12 invariants probe) — which needs
     ``meta``. The
     ``operation`` tag still rides on the error message so a refused
     commit names what it attempted."""
@@ -2082,6 +2090,42 @@ def _file_stats(
 _CONSTRAINT_PREFIX = "delta.constraints."
 
 
+def _invariant_exprs(schema: T.StructType) -> list[tuple[str, str]]:
+    """(column path, SQL expression) per column invariant declared in
+    the schema's ``delta.invariants`` field metadata — the writer-v2
+    legacy constraint form (PROTOCOL.md "Column Invariants"), stored as
+    JSON ``{"expression": {"expression": "<sql>"}}`` exactly as
+    delta-spark writes it. Nested struct fields may carry invariants
+    too (the expression references the full dotted path, so it
+    evaluates against the top-level frame unchanged). Unparseable
+    declarations raise ``DeltaUnsupportedProtocol``: committing past an
+    invariant we cannot evaluate could silently violate the table's
+    contract, so refusal is the spec-correct posture."""
+    out: list[tuple[str, str]] = []
+
+    def walk(fields: list[T.StructField], prefix: str) -> None:
+        for f in fields:
+            raw = f.metadata.get("delta.invariants")
+            if raw is not None:
+                try:
+                    expr = json.loads(raw)["expression"]["expression"]
+                    if not isinstance(expr, str) or not expr.strip():
+                        raise ValueError("empty invariant expression")
+                except (ValueError, KeyError, TypeError) as exc:
+                    raise DeltaUnsupportedProtocol(
+                        f"column {prefix + f.name!r} declares a "
+                        f"delta.invariants payload this writer cannot "
+                        f"parse ({raw!r}): refusing rather than commit "
+                        f"rows it cannot check"
+                    ) from exc
+                out.append((prefix + f.name, expr))
+            if isinstance(f.dataType, T.StructType):
+                walk(f.dataType.fields, prefix + f.name + ".")
+
+    walk(list(schema.fields), "")
+    return sorted(out)
+
+
 def _merge_schemas(
     batch_schema: T.StructType, table_schema: T.StructType
 ) -> T.StructType:
@@ -2258,14 +2302,21 @@ def _violated_constraint(
     config: dict[str, str],
     cm_mode: str = "none",
 ) -> tuple[str, str] | None:
-    """First CHECK constraint the staged data violates, or None. SQL
-    CHECK semantics: a row violates only when the expression evaluates
-    to FALSE — NULL passes (``coalesce(expr, true)``). Runs against the
+    """First rule the staged data violates as a ``(description,
+    expression)`` pair, or None. Two rule families with deliberately
+    different NULL semantics, both from the Delta spec: CHECK
+    constraints (``delta.constraints.*`` table properties) use SQL
+    CHECK semantics — a row violates only when the expression evaluates
+    to FALSE, NULL passes (``coalesce(expr, true)``); column invariants
+    (``delta.invariants`` schema-field metadata, round-12) violate when
+    the expression returns *false or null* (PROTOCOL.md "Column
+    Invariants": "a row for which the expression returns false or
+    null"), i.e. ``coalesce(expr, false)``. Runs against the
     already-staged parquet, so the batch plan is evaluated exactly once
     (by the write) and each check is a pushdown-friendly local scan.
     Under column mapping the staged files carry PHYSICAL names while
-    constraint expressions reference LOGICAL ones — read physical, then
-    map back before evaluating."""
+    rule expressions reference LOGICAL ones — read physical, then map
+    back before evaluating."""
     from pyspark.sql import functions as F
 
     constraints = sorted(
@@ -2273,7 +2324,8 @@ def _violated_constraint(
         for k, v in config.items()
         if k.startswith(_CONSTRAINT_PREFIX)
     )
-    if not constraints:
+    invariants = _invariant_exprs(schema)
+    if not constraints and not invariants:
         return None
     staged = (
         spark.read.schema(_reader_schema(schema, cm_mode))
@@ -2287,7 +2339,13 @@ def _violated_constraint(
             ~F.coalesce(F.expr(expr), F.lit(True))
         ).limit(1).count()
         if bad:
-            return name, expr
+            return f"CHECK constraint {name}", expr
+    for col, expr in invariants:
+        bad = staged.filter(
+            ~F.coalesce(F.expr(expr), F.lit(False))
+        ).limit(1).count()
+        if bad:
+            return f"Column invariant on {col}", expr
     return None
 
 
@@ -2681,6 +2739,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     max_retries: int = 5,
     merge_schema: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -2710,6 +2769,31 @@ def write_delta(
     os.makedirs(_log_dir(path), exist_ok=True)
     versions = _list_versions(path)
     version = (versions[-1] + 1) if versions else 0
+    if cluster_by is not None:
+        # clustered-table CREATE (round-12, delta-spark CREATE TABLE ...
+        # CLUSTER BY): the clustering columns live in delta.clustering
+        # domain metadata, not partitionColumns — delta-spark forbids
+        # combining them, and re-clustering an existing table is ALTER
+        # territory (set_clustering_columns), not a write
+        if version > 0:
+            raise ValueError(
+                f"cluster_by applies at table creation only; Delta table "
+                f"at {path} already exists — use set_clustering_columns"
+            )
+        if partition_by:
+            raise ValueError(
+                "a clustered table cannot also be hive-partitioned "
+                "(delta-spark forbids CLUSTER BY + PARTITIONED BY); "
+                "pick one"
+            )
+        top = set(df.schema.fieldNames())
+        missing = [c for c in cluster_by if c not in top]
+        if missing:
+            raise ValueError(
+                f"cluster_by columns {missing} not in the schema "
+                "(nested clustering columns are not supported — "
+                "pass zorder_by to optimize_delta explicitly instead)"
+            )
     config: dict[str, str] = {}
     evolved_meta: dict[str, Any] | None = None
     cm_mode = "none"
@@ -2877,7 +2961,11 @@ def write_delta(
     viol = _violated_constraint(
         df.sparkSession,
         staging,
-        cm_schema if cm_schema is not None else df.schema,
+        # the TABLE-authoritative schema (not df.schema): an append's
+        # incoming frame does not carry the table's delta.invariants
+        # field metadata, and a reader-schema column the batch omitted
+        # reads as NULL — exactly the value the rule must judge
+        cm_schema if cm_schema is not None else gens_schema,
         config,
         cm_mode,
     )
@@ -2886,7 +2974,7 @@ def write_delta(
 
         shutil.rmtree(staging)
         raise ValueError(
-            f"CHECK constraint {viol[0]} ({viol[1]}) violated by write "
+            f"{viol[0]} ({viol[1]}) violated by write "
             f"to Delta table at {path}"
         )
     gviol = _violated_generated(
@@ -2931,6 +3019,14 @@ def write_delta(
         writer_only_feats = (
             ["collations-preview"] if _schema_has_collation(df.schema) else []
         )
+        if cluster_by is not None:
+            # liquid-clustering marker (round-12): the feature's writer
+            # obligation is preserving the delta.clustering domain —
+            # which requires the domainMetadata feature too
+            writer_only_feats = writer_only_feats + [
+                "clustering",
+                "domainMetadata",
+            ]
         if typed_feats or writer_only_feats:
             proto: dict[str, Any] = {
                 "minReaderVersion": 3 if typed_feats else 1,
@@ -2962,6 +3058,25 @@ def write_delta(
                 }
             }
         )
+        if cluster_by is not None:
+            # delta-spark's ClusteringMetadataDomain shape: each column
+            # is an array of PHYSICAL name parts (physical == logical on
+            # a fresh non-mapped table)
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [c] for c in cluster_by
+                                ]
+                            }
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
     meta_to_ship = evolved_meta
     if idents:
         # identity allocation state lives in the schema field metadata:
@@ -3533,7 +3648,7 @@ def _commit_with_retry(
         _check_write_protocol(
             proto_now, path, commit_operation, extra_features, snap_meta
         )
-        _check_column_invariants_absent(path, version - 1)
+        _check_column_invariants_enforceable(path, version - 1)
     elif version > 0 and not ict_on and own_meta_payload is None:
         # ADVICE r10: a commit carrying a protocol action but NO
         # metaData on an ICT-enabled table must still stamp an
@@ -3620,7 +3735,7 @@ def _commit_with_retry(
                     extra_features,
                     latest_meta,
                 )
-                _check_column_invariants_absent(path, latest)
+                _check_column_invariants_enforceable(path, latest)
                 ict_on = ict_on or latest_meta.get("configuration", {}).get(
                     "delta.enableInCommitTimestamps"
                 ) == "true"
@@ -4289,7 +4404,7 @@ def merge_delta(
 
         shutil.rmtree(staging)
         raise ValueError(
-            f"CHECK constraint {viol[0]} ({viol[1]}) violated by MERGE "
+            f"{viol[0]} ({viol[1]}) violated by MERGE "
             f"into Delta table at {path}"
         )
     gviol = _violated_generated(
@@ -4656,6 +4771,146 @@ def enable_v2_checkpoints(path: str) -> int:
             continue
     raise DeltaConcurrentModification(
         f"enable_v2_checkpoints on {path}: lost 6 consecutive version races"
+    )
+
+
+def _clustering_columns(
+    path: str,
+    version: int,
+    schema: T.StructType | None = None,
+    cm_mode: str = "none",
+    strict: bool = False,
+) -> list[str]:
+    """LOGICAL clustering column names from the live ``delta.clustering``
+    domain at ``version`` ([] when absent/removed/empty). The domain
+    stores each column as an array of PHYSICAL name parts
+    (delta-spark's ClusteringMetadataDomain); top-level physical names
+    map back to logical through ``schema`` under column mapping.
+    ``strict`` (the OPTIMIZE pickup) refuses nested clustering columns
+    by name instead of guessing — pass ``zorder_by`` explicitly there;
+    non-strict (DESCRIBE DETAIL) dot-joins them for display."""
+    dom = _collect_domain_metadata(path, version).get("delta.clustering")
+    if not dom or dom.get("removed"):
+        return []
+    try:
+        cols = json.loads(dom.get("configuration") or "{}").get(
+            "clusteringColumns", []
+        )
+    except (ValueError, AttributeError):
+        return []
+    by_phys = (
+        {_physical_name(f): f.name for f in schema.fields}
+        if schema is not None and cm_mode in ("name", "id")
+        else {}
+    )
+    out: list[str] = []
+    for c in cols:
+        parts = list(c) if isinstance(c, list) else [c]
+        if len(parts) != 1:
+            if strict:
+                raise DeltaUnsupportedProtocol(
+                    f"Delta table at {path} clusters on the NESTED "
+                    f"column {'.'.join(parts)!r}, which this OPTIMIZE "
+                    "cannot derive — pass zorder_by explicitly"
+                )
+            out.append(".".join(parts))
+            continue
+        out.append(by_phys.get(parts[0], parts[0]))
+    return out
+
+
+def set_clustering_columns(path: str, columns: list[str]) -> int:
+    """ALTER TABLE ... CLUSTER BY (columns) / CLUSTER BY NONE
+    (``columns=[]``), the spec-complete way (round-12): ONE commit that
+    (1) upgrades the protocol to writer v7 with ``clustering`` +
+    ``domainMetadata`` (legacy-implied capabilities spelled out
+    cumulatively, same map as ``enable_in_commit_timestamps``) and
+    (2) lands the ``delta.clustering`` domainMetadata with the new
+    column list — data is NOT rewritten (delta-spark's contract: the
+    next OPTIMIZE applies the new clustering; ``optimize_delta`` picks
+    the columns up automatically). Columns must be existing TOP-LEVEL
+    schema columns and the table must not be hive-partitioned.
+    No-op (returns the current version) when the live domain already
+    lists exactly these columns."""
+    for _attempt in range(6):
+        versions = _list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path}")
+        latest = versions[-1]
+        meta = _latest_metadata(path, latest)
+        if meta.get("partitionColumns"):
+            raise ValueError(
+                f"Delta table at {path} is hive-partitioned — a table "
+                "cannot be both partitioned and clustered"
+            )
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cm_mode = _column_mapping_mode(meta)
+        missing = [c for c in columns if c not in set(schema.fieldNames())]
+        if missing:
+            raise ValueError(
+                f"clustering columns {missing} not in the schema of the "
+                f"Delta table at {path} (nested columns unsupported)"
+            )
+        if (
+            _clustering_columns(path, latest, schema, cm_mode)
+            == list(columns)
+        ):
+            return latest
+        phys_of = {f.name: _physical_name(f) for f in schema.fields}
+        proto = dict(_latest_protocol(path, latest))
+        wfeats = set(proto.get("writerFeatures") or [])
+        w_now = int(proto.get("minWriterVersion", 2))
+        actions: list[dict[str, Any]] = []
+        if w_now < 7 or not {"clustering", "domainMetadata"} <= wfeats:
+            if w_now < 7:
+                legacy_by_version = [
+                    (2, {"appendOnly", "invariants"}),
+                    (3, {"checkConstraints"}),
+                    (4, {"changeDataFeed", "generatedColumns"}),
+                    (5, {"columnMapping"}),
+                    (6, {"identityColumns"}),
+                ]
+                for lv, lf in legacy_by_version:
+                    if w_now >= lv:
+                        wfeats |= lf
+            wfeats |= {"clustering", "domainMetadata"}
+            proto["minWriterVersion"] = 7
+            proto["writerFeatures"] = sorted(wfeats)
+            actions.append({"protocol": proto})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {
+                            "clusteringColumns": [
+                                [phys_of[c]] for c in columns
+                            ]
+                        }
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {
+                        "clusteringColumns": json.dumps(list(columns))
+                    },
+                }
+            }
+        )
+        try:
+            return _commit_with_retry(
+                path, latest + 1, actions, max_retries=0
+            )
+        except FileExistsError:
+            continue
+    raise DeltaConcurrentModification(
+        f"set_clustering_columns on {path}: lost 6 consecutive version races"
     )
 
 
@@ -5369,7 +5624,7 @@ def update_delta(
 
         shutil.rmtree(staging)
         raise ValueError(
-            f"CHECK constraint {viol[0]} ({viol[1]}) violated by UPDATE "
+            f"{viol[0]} ({viol[1]}) violated by UPDATE "
             f"of Delta table at {path}"
         )
     gviol = _violated_generated(
@@ -6290,6 +6545,16 @@ def optimize_delta(
         return None
     active, schema, partition_cols, _meta = _replay(path, versions[-1])
     cm_mode = _column_mapping_mode(_meta)
+    if zorder_by is None:
+        # clustered table (round-12): a plain OPTIMIZE of a table with a
+        # live delta.clustering domain RE-CLUSTERS on those columns —
+        # delta-spark's OPTIMIZE-means-clustering contract (full
+        # rewrite; incremental clustering is a future refinement)
+        cluster_cols = _clustering_columns(
+            path, versions[-1], schema, cm_mode, strict=True
+        )
+        if cluster_cols:
+            zorder_by = cluster_cols
     cm = cm_mode in ("name", "id")
     config = dict(_meta.get("configuration", {}))
     proto = _latest_protocol(path, versions[-1])
@@ -6988,17 +7253,10 @@ def delta_detail(path: str) -> dict[str, Any]:
     latest = versions[-1]
     active, _schema, pcols, meta = _replay(path, latest)
     proto = _latest_protocol(path, latest)
-    clustering: list[str] = []
-    dom = _collect_domain_metadata(path, latest).get("delta.clustering")
-    if dom and not dom.get("removed"):
-        try:
-            clustering = list(
-                json.loads(dom.get("configuration", "{}")).get(
-                    "clusteringColumns", []
-                )
-            )
-        except (ValueError, AttributeError):
-            clustering = []
+    # LOGICAL names, delta-spark display shape (nested parts dot-joined)
+    clustering = _clustering_columns(
+        path, latest, _schema, _column_mapping_mode(meta)
+    )
     clocks = _adjusted_commit_timestamps(path, versions)
     # the replayed metaData preserves createdTime through checkpoints —
     # re-reading commit 0 would return None after log cleanup
