@@ -16,7 +16,8 @@ the library plans, so the CLI adds no logic of its own:
   query      run one registry query by name, print N rows
   delta      Delta table maintenance: history, convert, optimize [--zorder],
              vacuum, delete --where, restore --version, checkpoint,
-             add/drop-constraint, set/unset-property, cluster-by --columns
+             add/drop-constraint, set/unset-property, cluster-by,
+             reorg (purge deletion vectors)
 """
 
 from __future__ import annotations
@@ -96,7 +97,8 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=[
             "history", "detail", "optimize", "vacuum", "delete", "update",
-            "restore", "checkpoint", "clone", "convert", "add-constraint",
+            "restore", "checkpoint", "clone", "convert", "reorg",
+            "add-constraint",
             "drop-constraint", "set-property", "unset-property",
             "cluster-by",
         ],
@@ -319,6 +321,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.path, {_need("key", "--key"): _need("value", "--value")}
             )
             print(f"property set at version {v}")
+        elif args.op == "reorg":
+            v = dl.reorg_delta(spark, args.path)
+            print(
+                f"purged deletion vectors at version {v}"
+                if v is not None
+                else "no deletion vectors to purge"
+            )
         elif args.op == "cluster-by":
             raw = _need("columns", "--columns")
             cols = (

@@ -6134,6 +6134,22 @@ def last_txn_version(path: str, app_id: str) -> int:
     return _collect_txns(path, versions[-1]).get(app_id, -1)
 
 
+def reorg_delta(spark: SparkSession, path: str) -> int | None:
+    """REORG TABLE ... APPLY (PURGE) (round-12): rewrite ONLY the files
+    carrying deletion vectors, materializing their soft deletes into
+    DV-free files — delta-spark's maintenance verb for draining DVs
+    ahead of VACUUM. Thin, documented composition of the byte-aware
+    OPTIMIZE: a ``min_file_size`` floor of 0 makes the candidate set
+    exactly the DV carriers (no file is smaller than 0), the round-11
+    lone-DV rule qualifies even a single-file partition, and
+    ``zorder_by=[]`` pins plain bin-packing so a clustered table's
+    OPTIMIZE pickup cannot widen the rewrite beyond the DV files
+    (delta-spark's PURGE does not re-cluster either). DV-free files are
+    untouched log- and data-wise. Returns the commit version, or None
+    when no active file carries a deletion vector."""
+    return optimize_delta(spark, path, min_file_size=0, zorder_by=[])
+
+
 def write_delta_txn(
     df: DataFrame, path: str, app_id: str, txn_version: int, mode: str = "append"
 ) -> int | None:

@@ -4665,3 +4665,65 @@ def test_clone_preserves_clustering_domain(spark, tmp_path):
     ov = dl.optimize_delta(spark, dst, target_files=2)
     assert ov is not None
     assert dl.read_delta(spark, dst).count() == 100
+
+
+def test_reorg_purge_rewrites_only_dv_files(spark, tmp_path):
+    """REORG APPLY (PURGE) (round-12): only DV-carrying files are
+    rewritten (their deletes materialized), every DV-free file keeps
+    its path untouched, and a table with no DVs is a no-op — including
+    a CLUSTERED table, where the purge must NOT trigger the OPTIMIZE
+    re-clustering pickup."""
+    tbl = str(tmp_path / "reorg")
+    dl.write_delta(spark.range(0, 100).selectExpr("id", "id*2 as v"), tbl)
+    dl.write_delta(
+        spark.range(100, 200).selectExpr("id", "id*2 as v"),
+        tbl,
+        mode="append",
+    )
+    meta = dict(dl._latest_metadata(tbl, 1))
+    cfg = dict(meta.get("configuration", {}))
+    cfg["delta.enableDeletionVectors"] = "true"
+    meta["configuration"] = cfg
+    dl._commit_with_retry(
+        tbl,
+        2,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": [
+                        "deletionVectors",
+                        "appendOnly",
+                        "invariants",
+                        "checkConstraints",
+                        "vacuumProtocolCheck",
+                    ],
+                }
+            },
+            {"metaData": meta},
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+        ],
+        max_retries=0,
+    )
+    dl.delete_delta(spark, tbl, "id >= 150 and id < 160", use_dv=True)
+    active, _s, _p, _m = dl._replay(tbl, dl._list_versions(tbl)[-1])
+    before = {p: bool(a.get("deletionVector")) for p, a in active.items()}
+    assert sum(before.values()) == 1
+    v = dl.reorg_delta(spark, tbl)
+    assert v is not None
+    active, _s, _p, _m = dl._replay(tbl, dl._list_versions(tbl)[-1])
+    assert not any(a.get("deletionVector") for a in active.values())
+    for p, had_dv in before.items():
+        if not had_dv:
+            assert p in active, f"DV-free file {p} was rewritten by PURGE"
+    assert dl.read_delta(spark, tbl).count() == 190
+    assert dl.reorg_delta(spark, tbl) is None  # idempotent no-op
+    # clustered table without DVs: purge no-ops instead of re-clustering
+    clu = str(tmp_path / "reorg_clu")
+    dl.write_delta(
+        spark.range(60).selectExpr("id", "id % 3 as k"), clu,
+        cluster_by=["k"],
+    )
+    assert dl.reorg_delta(spark, clu) is None

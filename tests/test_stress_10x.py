@@ -102,6 +102,9 @@ def sf10x_dir(docs10x, tmp_path_factory):
         ("z04_sharded_bloom_dedup", 120),
         ("z10_winnowing_pairs", 150),
         ("z11_lm_perplexity_tiers", 120),
+        # round-12: chunking is map-only — its 10× cost must stay
+        # linear in corpus tokens (the explode's output multiplier)
+        ("z20_chunk_overlap", 90),
     ],
 )
 def test_z_tail_10x_bounded(spark, sf10x_dir, name, bound_sec):
