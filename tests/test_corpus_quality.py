@@ -310,3 +310,132 @@ def test_unimax_allocation_invariants(spark):
     }
     assert all(r.capped for r in all_cap.values())
     assert all(all_cap[lg].alloc_tokens == n for lg, n in sizes.items())
+
+
+def _unimax_closed_form(tokens, cap, budget):
+    """Pure-Python mirror of plans/curation.unimax_allocation's closed
+    form: ascending sizes, pivot = first i with cap·t_i > running even
+    share (computed under the all-capped-prior assumption), caps before
+    the pivot, the pivot's even share for everyone after."""
+    ts = sorted(tokens)
+    n = len(ts)
+    cum = 0
+    piv = None
+    pshare = None
+    for i, t in enumerate(ts, start=1):
+        share = (budget - cum) // (n - i + 1)
+        if cap * t > share:
+            piv, pshare = i, share
+            break
+        cum += cap * t
+    out = []
+    for i, t in enumerate(ts, start=1):
+        out.append(cap * t if piv is None or i < piv else pshare)
+    return out
+
+
+def _unimax_sequential(tokens, cap, budget):
+    """The paper's greedy waterfall: walk ascending, allocate the
+    epoch cap while it fits the ACTUAL remaining even share; from the
+    first language where it does not, give every remaining language
+    that share."""
+    ts = sorted(tokens)
+    n = len(ts)
+    out = []
+    rem = budget
+    for i, t in enumerate(ts):
+        share = rem // (n - i)
+        if cap * t <= share:
+            out.append(cap * t)
+            rem -= cap * t
+        else:
+            out.extend([share] * (n - i))
+            break
+    return out
+
+
+def test_unimax_closed_form_equals_sequential_waterfall():
+    """The window-function closed form (what the Spark plan and the
+    DuckDB oracle both compute) is algebraically the sequential greedy:
+    before the pivot every allocation was the cap, so the running even
+    shares coincide; 200 random integer corpora pin the equivalence,
+    plus the conservation bound (never over budget when the budget
+    binds, floor-loss-only undershoot)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        tokens=st.lists(
+            st.integers(min_value=1, max_value=10**9), min_size=1, max_size=40
+        ),
+        cap=st.integers(min_value=1, max_value=5),
+        budget=st.integers(min_value=0, max_value=4 * 10**10),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(tokens, cap, budget):
+        closed = _unimax_closed_form(tokens, cap, budget)
+        seq = _unimax_sequential(tokens, cap, budget)
+        assert closed == seq
+        total = sum(closed)
+        cap_total = cap * sum(tokens)
+        if total < cap_total:  # budget binds somewhere
+            assert total <= budget
+            # undershoot only from floor division: < #langs at the pivot
+            assert budget - total < len(tokens) or budget >= cap_total
+        for alloc, t in zip(closed, sorted(tokens)):
+            assert alloc <= cap * t
+
+    check()
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Spark's sequence/posexplode/slice chunker against a pure-Python
+    reference over randomized corpora, widths and strides (stride ≤
+    width) — pins the 1-based slice and end-inclusive sequence
+    semantics the implementation depends on."""
+    import hashlib
+    import random
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
+        chunk_documents,
+    )
+
+    rng = random.Random(12012)
+    for trial in range(4):
+        width = rng.randint(1, 9)
+        stride = rng.randint(1, width)
+        rows = []
+        expected = []
+        for doc_id in range(12):
+            n = rng.randint(0, 23)
+            words = [f"w{rng.randint(0, 9)}" for _ in range(n)]
+            rows.append((doc_id, " ".join(words)))
+            for idx, s in enumerate(range(0, max(n, 1), stride)):
+                if n == 0:
+                    break
+                piece = words[s : s + width]
+                expected.append(
+                    (
+                        doc_id,
+                        idx,
+                        s,
+                        len(piece),
+                        hashlib.md5(
+                            " ".join(piece).encode()
+                        ).hexdigest(),
+                    )
+                )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (
+                r.doc_id,
+                r.chunk_idx,
+                r.chunk_start,
+                r.n_chunk_words,
+                r.chunk_hash,
+            )
+            for r in chunk_documents(
+                docs, width=width, stride=stride
+            ).collect()
+        )
+        assert got == sorted(expected), (width, stride, trial)

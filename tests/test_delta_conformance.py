@@ -4727,3 +4727,39 @@ def test_reorg_purge_rewrites_only_dv_files(spark, tmp_path):
         cluster_by=["k"],
     )
     assert dl.reorg_delta(spark, clu) is None
+
+
+def test_column_invariants_under_column_mapping(spark, tmp_path):
+    """Invariant expressions reference LOGICAL names while a
+    column-mapping table's staged files carry PHYSICAL ones — the
+    round-12 enforcement must evaluate through the logical projection
+    (fixture surgery: graft `v >= 0` onto golden_delta_cm's logical
+    `v`)."""
+    import shutil
+
+    work = str(tmp_path / "cm_inv")
+    shutil.copytree(GOLDEN_CM, work)
+    log0 = os.path.join(work, "_delta_log", f"{0:020d}.json")
+    out = []
+    for ln in open(log0):
+        if not ln.strip():
+            continue
+        action = json.loads(ln)
+        if "metaData" in action:
+            sch = json.loads(action["metaData"]["schemaString"])
+            for fld in sch["fields"]:
+                if fld["name"] == "v":
+                    fld["metadata"]["delta.invariants"] = json.dumps(
+                        {"expression": {"expression": "v >= 0"}}
+                    )
+            action["metaData"]["schemaString"] = json.dumps(sch)
+        out.append(json.dumps(action))
+    with open(log0, "w") as f:
+        f.write("\n".join(out) + "\n")
+    n0 = dl.read_delta(spark, work).count()
+    bad = spark.createDataFrame([(50, -1.0)], "id long, v double")
+    with pytest.raises(ValueError, match=r"invariant on v"):
+        dl.write_delta(bad, work, mode="append")
+    ok = spark.createDataFrame([(51, 1.5)], "id long, v double")
+    dl.write_delta(ok, work, mode="append")
+    assert dl.read_delta(spark, work).count() == n0 + 1

@@ -1424,6 +1424,12 @@ def test_deltalog_append_only(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="appendOnly"):
         dl.restore_delta(path, 0)
+    # OPTIMIZE and REORG are ALLOWED on append-only tables (round-12
+    # parity pin): dataChange=false rewrites are not logical deletes —
+    # delta-spark permits them, and so must we
+    assert dl.optimize_delta(spark, path) is not None
+    assert dl.read_delta(spark, path).count() == 3
+    assert dl.reorg_delta(spark, path) is None  # no DVs -> no-op
     # lift the gate -> operations work again
     dl.set_table_properties(path, {"delta.appendOnly": None})
     dl.delete_delta(spark, path, "id = 1")
