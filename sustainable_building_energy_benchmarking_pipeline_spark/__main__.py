@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "detail", "optimize", "vacuum", "delete", "update",
             "restore", "checkpoint", "clone", "convert", "reorg",
-            "add-constraint",
+            "fsck", "add-constraint",
             "drop-constraint", "set-property", "unset-property",
             "cluster-by",
         ],
@@ -124,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     t.add_argument("--retain-hours", type=float, default=168.0)
     t.add_argument("--force", action="store_true", help="allow vacuum retention < safety floor")
+    t.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="VACUUM/FSCK: list what would be reclaimed/dropped, touch nothing",
+    )
     t.add_argument("--name", default=None, help="constraint name")
     t.add_argument("--expr", default=None, help="constraint CHECK expression")
     t.add_argument("--key", default=None, help="table property key")
@@ -268,14 +273,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "optimize":
             zcols = args.zorder.split(",") if args.zorder else None
             v = dl.optimize_delta(
-                spark, args.path, target_files=args.target_files, zorder_by=zcols
+                spark,
+                args.path,
+                target_files=args.target_files,
+                zorder_by=zcols,
+                where=args.where,
             )
             print(f"optimized to version {v}" if v is not None else "nothing to optimize")
         elif args.op == "vacuum":
             deleted = dl.vacuum_delta(
-                args.path, retain_hours=args.retain_hours, force=args.force
+                args.path,
+                retain_hours=args.retain_hours,
+                force=args.force,
+                dry_run=args.dry_run,
             )
-            print(f"vacuumed {len(deleted)} files")
+            verb = "would vacuum" if args.dry_run else "vacuumed"
+            print(f"{verb} {len(deleted)} files")
         elif args.op == "delete":
             v = dl.delete_delta(spark, args.path, _need("where", "--where"))
             print(f"delete committed version {v}")
@@ -321,6 +334,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.path, {_need("key", "--key"): _need("value", "--value")}
             )
             print(f"property set at version {v}")
+        elif args.op == "fsck":
+            dropped = dl.fsck_repair_delta(args.path, dry_run=args.dry_run)
+            if args.dry_run:
+                print(f"{len(dropped)} broken references" + (
+                    ": " + ", ".join(dropped) if dropped else ""))
+            else:
+                print(f"repaired: dropped {len(dropped)} broken references")
         elif args.op == "reorg":
             v = dl.reorg_delta(spark, args.path)
             print(

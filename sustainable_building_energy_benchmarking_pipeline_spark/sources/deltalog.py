@@ -6202,13 +6202,19 @@ def stream_to_delta(stream_df: DataFrame, path: str, app_id: str, **options: Any
 
 
 def vacuum_delta(
-    path: str, retain_hours: float = 168.0, force: bool = False
+    path: str,
+    retain_hours: float = 168.0,
+    force: bool = False,
+    dry_run: bool = False,
 ) -> list[str]:
     """VACUUM: delete data files no longer referenced by the CURRENT
     snapshot and older than the retention window — removed-by-overwrite
     files, crashed-writer orphans, abandoned staging. Like Delta's,
     this breaks time travel to versions whose files it deletes; the
     default 7-day retention is Delta's. Returns deleted paths.
+    ``dry_run`` (round-12, VACUUM ... DRY RUN): list what WOULD be
+    reclaimed without touching a byte — same walk, same keep-set, same
+    retention clock, no unlink and no empty-dir pruning.
 
     The keep-set is the current snapshot only, so a retention shorter
     than the longest in-flight write is UNSAFE: a concurrent writer's
@@ -6292,13 +6298,96 @@ def vacuum_delta(
             if os.path.abspath(full) in keep or not reclaimable:
                 continue
             if os.path.getmtime(full) <= cutoff:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
     # prune now-empty partition dirs (bottom-up)
-    for root, dirs, files in os.walk(path, topdown=False):
-        if root != path and not dirs and not files:
-            os.rmdir(root)
+    if not dry_run:
+        for root, dirs, files in os.walk(path, topdown=False):
+            if root != path and not dirs and not files:
+                os.rmdir(root)
     return sorted(deleted)
+
+
+def fsck_repair_delta(path: str, dry_run: bool = False) -> list[str]:
+    """FSCK REPAIR TABLE (round-12): drop snapshot references to data
+    files that are MISSING on disk — the repair verb for tables whose
+    files were lost out-of-band (manual deletes, storage faults, a
+    source-side VACUUM invalidating a shallow clone). One commit of
+    ``remove`` actions (dataChange=true, delta-spark's semantics) so
+    reads stop failing; the data loss already happened, FSCK just makes
+    the log agree with the disk. An add is dropped when its parquet is
+    missing OR its on-disk deletion-vector sidecar ('u'/'p' storage) is
+    — a file whose delete-mask is gone cannot be read faithfully.
+    ``dry_run`` lists the broken references without committing. Returns
+    the dropped relative paths ([] = healthy, nothing committed).
+
+    Deliberate postures: runs on appendOnly tables (refusing would
+    leave the table permanently unreadable, and the rows were lost, not
+    logically deleted); no ``cdc`` actions are emitted (the rows cannot
+    be rendered — CDF windows crossing a repaired commit reflect the
+    removes only, as with delta-spark's FSCK)."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deletion_vectors import (
+        dv_file_path,
+    )
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {path}")
+    latest = versions[-1]
+    _check_write_protocol(
+        _latest_protocol(path, latest),
+        path,
+        "fsck",
+        extra_features=frozenset(
+            {
+                "columnMapping",
+                "rowTracking",
+                "domainMetadata",
+                "changeDataFeed",
+                "generatedColumns",
+                "identityColumns",
+            }
+        ),
+        meta=_latest_metadata(path, latest),
+    )
+    active, _schema, _pcols, _meta = _replay(path, latest)
+    broken: list[str] = []
+    for rel, a in active.items():
+        if not os.path.exists(_data_file(path, rel)):
+            broken.append(rel)
+            continue
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            p = (
+                dv_file_path(path, dv["pathOrInlineDv"])
+                if dv["storageType"] == "u"
+                else dv["pathOrInlineDv"]
+            )
+            if not os.path.exists(
+                p if os.path.isabs(p) else os.path.join(path, p)
+            ):
+                broken.append(rel)
+    broken.sort()
+    if not broken or dry_run:
+        return broken
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        _remove_action(rel, active[rel], now_ms) for rel in broken
+    ]
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "FSCK",
+                "operationParameters": {
+                    "numRemovedFiles": len(broken)
+                },
+            }
+        }
+    )
+    _commit_with_retry(path, latest + 1, actions)
+    return broken
 
 
 def cleanup_log(path: str, retain_versions: int = 30) -> list[str]:
@@ -6509,6 +6598,7 @@ def optimize_delta(
     zorder_by: list[str] | None = None,
     min_file_size: int | None = None,
     target_file_size: int | None = None,
+    where: str | None = None,
 ) -> int | None:
     """OPTIMIZE (bin-packing compaction): rewrite the current snapshot's
     many small files into ``target_files`` larger ones. The commit's
@@ -6550,7 +6640,16 @@ def optimize_delta(
     range-partitions on the bin id — output file sizes approximate the
     target instead of one file per partition. Both knobs are ignored
     under ``zorder_by`` (re-clustering rewrites every selected file by
-    design, and the z-range already controls output count)."""
+    design, and the z-range already controls output count).
+
+    ``where`` (round-12, OPTIMIZE ... WHERE 'predicate'): a Spark SQL
+    predicate over the PARTITION columns only, pruning whole hive
+    partitions before any candidate selection — compacting one hot
+    partition of a 100 TB table touches exactly that partition's
+    bytes. Evaluated with Spark's own expression semantics on a tiny
+    typed frame of distinct partition tuples (driver-bounded by
+    partition count); unpartitioned tables and predicates reaching
+    non-partition columns refuse by name."""
     import heapq
     import math
 
@@ -6591,6 +6690,60 @@ def optimize_delta(
     for rel, a in active.items():
         gkey = tuple(sorted((a.get("partitionValues") or {}).items()))
         groups.setdefault(gkey, {})[rel] = a
+    if where is not None:
+        # OPTIMIZE ... WHERE 'partition predicate' (round-12,
+        # delta-spark semantics: the predicate may reference PARTITION
+        # columns only and prunes whole hive partitions before any file
+        # is considered). Evaluated with Spark's OWN expression
+        # semantics over one tiny frame of typed distinct partition
+        # tuples — driver-bounded by partition count, the same budget
+        # as every other planning walk here; no data file is opened.
+        if not partition_cols:
+            raise ValueError(
+                f"optimize where= on Delta table at {path}: the table "
+                "is not partitioned — the predicate prunes hive "
+                "partitions, there is nothing to prune"
+            )
+        by_field = {f.name: f for f in schema.fields}
+        gkeys = sorted(groups)
+        rows = [
+            (i,)
+            + tuple(dict(gk).get(phys_of[c]) for c in partition_cols)
+            for i, gk in enumerate(gkeys)
+        ]
+        tiny = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField("_gid", T.IntegerType())]
+                + [
+                    T.StructField(c, T.StringType())
+                    for c in partition_cols
+                ]
+            ),
+        ).select(
+            "_gid",
+            *[
+                F.col(c).cast(by_field[c].dataType).alias(c)
+                for c in partition_cols
+            ],
+        )
+        try:
+            allowed = {
+                r["_gid"] for r in tiny.filter(F.expr(where)).collect()
+            }
+        except Exception as exc:  # noqa: BLE001 — name the contract
+            raise ValueError(
+                f"optimize where= must be a predicate over the "
+                f"partition columns {partition_cols} only: {exc}"
+            ) from exc
+        groups = {
+            gk: g
+            for i, gk in enumerate(gkeys)
+            if i in allowed
+            for g in [groups[gk]]
+        }
+        if not groups:
+            return None
     work: dict[tuple, dict[str, dict]] = {}
     for gkey, g in groups.items():
         if zorder_by:

@@ -4763,3 +4763,117 @@ def test_column_invariants_under_column_mapping(spark, tmp_path):
     ok = spark.createDataFrame([(51, 1.5)], "id long, v double")
     dl.write_delta(ok, work, mode="append")
     assert dl.read_delta(spark, work).count() == n0 + 1
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    """VACUUM ... DRY RUN (round-12): identical candidate list to the
+    real vacuum, zero filesystem effect — files, dirs and time travel
+    all intact afterward."""
+    tbl = str(tmp_path / "vdry")
+    dl.write_delta(spark.range(10).selectExpr("id"), tbl)
+    dl.write_delta(
+        spark.range(10, 20).selectExpr("id"), tbl, mode="overwrite"
+    )
+    would = dl.vacuum_delta(tbl, retain_hours=0, force=True, dry_run=True)
+    assert would  # the overwritten v0 files are reclaimable
+    for rel in would:
+        assert os.path.exists(os.path.join(tbl, rel))
+    # time travel to v0 still works (nothing was deleted)
+    assert dl.read_delta(spark, tbl, version=0).count() == 10
+    real = dl.vacuum_delta(tbl, retain_hours=0, force=True)
+    assert sorted(real) == sorted(would)
+    for rel in real:
+        assert not os.path.exists(os.path.join(tbl, rel))
+
+
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    """FSCK REPAIR TABLE: a healthy table reports [] and commits
+    nothing; after an out-of-band file loss, dry_run names the broken
+    reference without committing, repair tombstones it in one commit
+    (remove, dataChange=true) and reads work again; DV-bearing adds
+    whose .bin sidecar is gone are dropped too."""
+    tbl = str(tmp_path / "fsck")
+    dl.write_delta(spark.range(0, 30).selectExpr("id"), tbl)
+    dl.write_delta(spark.range(30, 60).selectExpr("id"), tbl, mode="append")
+    v_before = dl._list_versions(tbl)[-1]
+    assert dl.fsck_repair_delta(tbl) == []
+    assert dl._list_versions(tbl)[-1] == v_before  # healthy: no commit
+    active, _s, _p, _m = dl._replay(tbl, v_before)
+    victim = sorted(active)[0]
+    os.remove(os.path.join(tbl, victim))
+    with pytest.raises(Exception):
+        dl.read_delta(spark, tbl).collect()
+    assert dl.fsck_repair_delta(tbl, dry_run=True) == [victim]
+    assert dl._list_versions(tbl)[-1] == v_before  # dry run: no commit
+    assert dl.fsck_repair_delta(tbl) == [victim]
+    v_after = dl._list_versions(tbl)[-1]
+    assert v_after == v_before + 1
+    removes = [
+        a["remove"]
+        for a in dl._read_actions(tbl, v_after)
+        if "remove" in a
+    ]
+    assert [r["path"] for r in removes] == [victim]
+    assert all(r["dataChange"] for r in removes)
+    n = dl.read_delta(spark, tbl).count()
+    assert 0 < n < 60  # survivors only
+    # DV sidecar loss: reuse the dv golden fixture
+    import shutil
+
+    work = str(tmp_path / "fsck_dv")
+    shutil.copytree(GOLDEN_DV, work)
+    sidecars = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(work)
+        for f in fs
+        if f.startswith("deletion_vector_") and f.endswith(".bin")
+    ]
+    assert sidecars
+    os.remove(sidecars[0])
+    dropped = dl.fsck_repair_delta(work)
+    assert dropped  # the DV-bearing add is gone from the snapshot
+    dl.read_delta(spark, work).collect()  # and reads are clean again
+
+
+def test_optimize_where_prunes_partitions(spark, tmp_path):
+    """OPTIMIZE ... WHERE 'partition predicate' (round-12): only the
+    selected hive partitions are rewritten — the others keep their
+    exact file paths; a predicate matching nothing no-ops; an
+    unpartitioned table and a predicate reaching a data column both
+    refuse by name."""
+    tbl = str(tmp_path / "ow")
+    df = spark.range(0, 120).selectExpr("id", "id % 3 as k")
+    for chunk in range(3):  # 3 small files per partition
+        dl.write_delta(
+            df.filter(f"id % 3 = id % 3 and id >= {chunk * 40} and id < {(chunk + 1) * 40}"),
+            tbl,
+            mode="append" if chunk else "append",
+            partition_by=["k"],
+        )
+    active_before, _s, _p, _m = dl._replay(tbl, dl._list_versions(tbl)[-1])
+    untouched_before = sorted(
+        r for r, a in active_before.items()
+        if a["partitionValues"].get("k") != "1"
+    )
+    v = dl.optimize_delta(spark, tbl, where="k = 1")
+    assert v is not None
+    active_after, _s, _p, _m = dl._replay(tbl, dl._list_versions(tbl)[-1])
+    untouched_after = sorted(
+        r for r, a in active_after.items()
+        if a["partitionValues"].get("k") != "1"
+    )
+    assert untouched_after == untouched_before  # other partitions intact
+    k1 = [r for r, a in active_after.items() if a["partitionValues"].get("k") == "1"]
+    assert len(k1) == 1  # compacted to target_files=1
+    assert dl.read_delta(spark, tbl).count() == 120
+    # nothing matches → no commit
+    v2 = dl.optimize_delta(spark, tbl, where="k = 99")
+    assert v2 is None
+    # unpartitioned table refuses
+    flat = str(tmp_path / "ow_flat")
+    dl.write_delta(spark.range(5).selectExpr("id"), flat)
+    with pytest.raises(ValueError, match="not partitioned"):
+        dl.optimize_delta(spark, flat, where="id = 1")
+    # data-column predicate refuses with the partition columns named
+    with pytest.raises(ValueError, match="partition columns"):
+        dl.optimize_delta(spark, tbl, where="id > 5")
