@@ -863,6 +863,7 @@ def _write_task(
     partition_cols: list[str],
     table_path: str,
     skip_minmax: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ):
     """Executor-side write: stream arrow batches into one parquet file
     per hive partition this task holds (unpartitioned: one file). Files
@@ -960,7 +961,13 @@ def _write_task(
     for pvals, (writer, rel) in writers.items():
         writer.close()
         dest = os.path.join(table_path, rel)
-        stats = _file_stats(dest, skip_minmax=skip)
+        stats = _file_stats(
+            dest,
+            skip_minmax=skip,
+            stats_cols=(
+                frozenset(stats_cols) if stats_cols is not None else None
+            ),
+        )
         adds.append(
             {
                 "path": rel,
@@ -978,7 +985,8 @@ def _writer_preflight(
     path: str, df_schema: StructType, overwrite: bool, options: dict[str, str]
 ) -> list[str]:
     """Driver-side planning checks shared by the batch and stream
-    writers; returns the partition columns the write must use. Fails
+    writers; returns (partition columns, collated-skip columns,
+    indexed-stats columns | None) the write must use. Fails
     fast on everything the commit choke point would reject anyway
     (feature gates) plus what it cannot evaluate (CHECK constraints
     need a SparkSession; column-mapping writes need physical naming)."""
@@ -1003,12 +1011,18 @@ def _writer_preflight(
     # unannotated physical spelling, which read_delta and this source's
     # own reader both resolve. New variant tables declare the
     # variantType feature in _commit_write's v0 protocol.
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.deltalog import (
+        _indexed_stats_columns,
+    )
+
     versions = _list_versions(path)
     if not versions:
         opt = options.get("partitionby")
+        idx_new = _indexed_stats_columns(df_schema, {}, "none")
         return (
             [c.strip() for c in opt.split(",") if c.strip()] if opt else [],
             [],
+            sorted(idx_new) if idx_new is not None else None,
         )
     _active, schema, pcols, meta = _replay(path, versions[-1])
     # rowTracking is upheld: _commit_write routes through the same
@@ -1065,7 +1079,14 @@ def _writer_preflight(
         _collated_top_columns,
     )
 
-    return list(pcols), sorted(_collated_top_columns(schema, "none"))
+    idx = _indexed_stats_columns(
+        schema, dict(meta.get("configuration", {})), "none"
+    )
+    return (
+        list(pcols),
+        sorted(_collated_top_columns(schema, "none")),
+        sorted(idx) if idx is not None else None,
+    )
 
 
 def _stage_cdc_overwrite_arrow(
@@ -1342,8 +1363,8 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
         self._path = options["path"]
         self._schema = schema
         self._overwrite = overwrite
-        self._pcols, self._skip_minmax = _writer_preflight(
-            self._path, schema, overwrite, options
+        self._pcols, self._skip_minmax, self._stats_cols = (
+            _writer_preflight(self._path, schema, overwrite, options)
         )
         missing = set(self._pcols) - set(schema.fieldNames())
         if missing:
@@ -1358,6 +1379,7 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
             self._pcols,
             self._path,
             skip_minmax=self._skip_minmax,
+            stats_cols=self._stats_cols,
         )
 
     def commit(self, messages) -> None:
@@ -1400,8 +1422,8 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         self._path = options["path"]
         self._schema = schema
         self._app_id = options.get("txnappid")
-        self._pcols, self._skip_minmax = _writer_preflight(
-            self._path, schema, overwrite, options
+        self._pcols, self._skip_minmax, self._stats_cols = (
+            _writer_preflight(self._path, schema, overwrite, options)
         )
         missing = set(self._pcols) - set(schema.fieldNames())
         if missing:
@@ -1416,6 +1438,7 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
             self._pcols,
             self._path,
             skip_minmax=self._skip_minmax,
+            stats_cols=self._stats_cols,
         )
 
     def commit(self, messages, batchId: int) -> None:

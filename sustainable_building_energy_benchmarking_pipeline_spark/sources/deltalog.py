@@ -2010,7 +2010,9 @@ def _replay(
 
 
 def _file_stats(
-    file_path: str, skip_minmax: frozenset[str] = frozenset()
+    file_path: str,
+    skip_minmax: frozenset[str] = frozenset(),
+    stats_cols: frozenset[str] | None = None,
 ) -> str | None:
     """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues /
     nullCount — the delta-spark field set) from the parquet footer via
@@ -2022,7 +2024,12 @@ def _file_stats(
     parquet VARIANT logical type, so files Spark writes for
     variant-bearing tables land stats-less (the except below) — legal
     per the spec (stats are optional) and self-healing once the footer
-    library learns the annotation."""
+    library learns the annotation.
+
+    ``stats_cols`` (round-12, ``delta.dataSkippingNumIndexedCols``):
+    when set, min/max/nullCount are recorded for exactly those
+    (physical, top-level) columns — numRecords always survives (the
+    zero-row skip and CDF accounting need it). None = all columns."""
     try:
         import pyarrow.parquet as pq
 
@@ -2074,6 +2081,10 @@ def _file_stats(
             for c, v in nulls.items()
             if null_covered.get(c) == md.num_row_groups
         }
+        if stats_cols is not None:
+            mins = {c: v for c, v in mins.items() if c in stats_cols}
+            maxs = {c: v for c, v in maxs.items() if c in stats_cols}
+            nulls = {c: v for c, v in nulls.items() if c in stats_cols}
         return json.dumps(
             {
                 "numRecords": md.num_rows,
@@ -2085,6 +2096,32 @@ def _file_stats(
         )
     except Exception:
         return None  # stats are an optimization, never a correctness gate
+
+
+def _indexed_stats_columns(
+    schema: T.StructType, config: dict[str, str], cm_mode: str = "none"
+) -> frozenset[str] | None:
+    """The PHYSICAL top-level columns whose file stats this table
+    records, honoring ``delta.dataSkippingNumIndexedCols`` (round-12):
+    delta-spark collects min/max/nullCount for the first N schema
+    columns only — 32 by default, −1 means all — so wide tables don't
+    bloat every add action with thousands of stats entries. None = no
+    restriction (the -1 spelling). Granularity note: delta counts LEAF
+    columns; this writer's stats are top-level-only (nested footer
+    paths are excluded from skipping anyway, see ``_file_stats``), so
+    the first-N window is applied over top-level fields — identical
+    behavior for flat schemas, documented approximation for nested
+    ones."""
+    try:
+        n = int(config.get("delta.dataSkippingNumIndexedCols", 32))
+    except ValueError:
+        n = 32
+    if n < 0:
+        return None
+    fields = schema.fields[:n]
+    if cm_mode in ("name", "id"):
+        return frozenset(_physical_name(f) for f in fields)
+    return frozenset(f.name for f in fields)
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
@@ -2585,6 +2622,7 @@ def _move_staged_adds(
     now_ms: int,
     data_change: bool = True,
     skip_minmax: frozenset[str] = frozenset(),
+    stats_cols: frozenset[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Move every staged parquet out of ``staging`` into the table root
     (preserving hive partition subdirectories) and return their add
@@ -2616,7 +2654,9 @@ def _move_staged_adds(
                 )
             }
             src = os.path.join(root, name)
-            stats = _file_stats(src, skip_minmax=skip_minmax)
+            stats = _file_stats(
+                src, skip_minmax=skip_minmax, stats_cols=stats_cols
+            )
             if stats and json.loads(stats).get("numRecords") == 0:
                 continue
             dest = os.path.join(path, rel)
@@ -2999,6 +3039,7 @@ def write_delta(
         path,
         now_ms,
         skip_minmax=_collated_top_columns(gens_schema, cm_mode),
+        stats_cols=_indexed_stats_columns(gens_schema, config, cm_mode),
     )
 
     actions: list[dict[str, Any]] = []
@@ -4451,7 +4492,11 @@ def merge_delta(
             path, change_df, schema, partition_cols, cm_mode
         )
     adds = _move_staged_adds(
-        staging, path, now_ms, skip_minmax=_collated_top_columns(schema, cm_mode)
+        staging,
+        path,
+        now_ms,
+        skip_minmax=_collated_top_columns(schema, cm_mode),
+        stats_cols=_indexed_stats_columns(schema, config, cm_mode),
     )
     tail = cdc_actions + [
         {
@@ -5378,7 +5423,11 @@ def delete_delta(
         )
     keep_writer.parquet(staging)
     adds = _move_staged_adds(
-        staging, path, now_ms, skip_minmax=_collated_top_columns(schema, cm_mode)
+        staging,
+        path,
+        now_ms,
+        skip_minmax=_collated_top_columns(schema, cm_mode),
+        stats_cols=_indexed_stats_columns(schema, config, cm_mode),
     )
     tail = cdc_actions + [
         {
@@ -5666,7 +5715,11 @@ def update_delta(
             cm_mode,
         )
     adds = _move_staged_adds(
-        staging, path, now_ms, skip_minmax=_collated_top_columns(schema, cm_mode)
+        staging,
+        path,
+        now_ms,
+        skip_minmax=_collated_top_columns(schema, cm_mode),
+        stats_cols=_indexed_stats_columns(schema, config, cm_mode),
     )
     tail = cdc_actions + [
         {
@@ -6923,6 +6976,7 @@ def optimize_delta(
         now_ms,
         data_change=False,
         skip_minmax=_collated_top_columns(schema, cm_mode),
+        stats_cols=_indexed_stats_columns(schema, config, cm_mode),
     )
     tail = [
         {
@@ -7454,21 +7508,44 @@ def delta_detail(path: str) -> dict[str, Any]:
 
 def delta_history(path: str) -> list[dict[str, Any]]:
     """DESCRIBE HISTORY parity: one entry per version with timestamp,
-    operation and mode. History lists the retained JSON commits (log
-    cleanup is out of scope, so that is every version); checkpoints
-    accelerate snapshot READS and are invisible here, as in Delta."""
+    operation, mode and ``operationMetrics``. History lists the
+    retained JSON commits (log cleanup is out of scope, so that is
+    every version); checkpoints accelerate snapshot READS and are
+    invisible here, as in Delta. Metrics use delta-spark's
+    string-valued map shape; a commitInfo that recorded its own
+    operationMetrics wins verbatim, otherwise the file-level subset is
+    DERIVED from the commit's actions (numAddedFiles/numRemovedFiles/
+    numOutputBytes — identical to what a conforming writer would have
+    recorded; row-level counts need the recording writer and are
+    absent on derived entries)."""
     out = []
     for v in _list_versions(path):
+        actions = _read_actions(path, v)
         info = next(
-            (a["commitInfo"] for a in _read_actions(path, v) if "commitInfo" in a),
-            {},
+            (a["commitInfo"] for a in actions if "commitInfo" in a), {}
         )
+        metrics = info.get("operationMetrics")
+        if metrics is None:
+            adds = removes = 0
+            out_bytes = 0
+            for a in actions:
+                if "add" in a:
+                    adds += 1
+                    out_bytes += int(a["add"].get("size", 0))
+                elif "remove" in a:
+                    removes += 1
+            metrics = {
+                "numAddedFiles": str(adds),
+                "numRemovedFiles": str(removes),
+                "numOutputBytes": str(out_bytes),
+            }
         out.append(
             {
                 "version": v,
                 "timestamp": info.get("timestamp"),
                 "operation": info.get("operation"),
                 "mode": (info.get("operationParameters") or {}).get("mode"),
+                "operationMetrics": metrics,
             }
         )
     return out

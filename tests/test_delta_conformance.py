@@ -4877,3 +4877,61 @@ def test_optimize_where_prunes_partitions(spark, tmp_path):
     # data-column predicate refuses with the partition columns named
     with pytest.raises(ValueError, match="partition columns"):
         dl.optimize_delta(spark, tbl, where="id > 5")
+
+
+def test_data_skipping_num_indexed_cols(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols (round-12): stats land for the
+    first N schema columns only (-1 = all; default 32 = all on narrow
+    tables); numRecords always survives. Applies to write_delta and the
+    registered data-source writer alike, and a stats-less column simply
+    stops pruning (absent stats are already 'unknown' to skipping)."""
+    tbl = str(tmp_path / "idx")
+    df = spark.range(20).selectExpr(
+        "id as a", "id * 2 as b", "id * 3 as c", "id * 4 as d"
+    )
+    dl.write_delta(df, tbl)
+    dl.set_table_properties(
+        tbl, {"delta.dataSkippingNumIndexedCols": "2"}
+    )
+    dl.write_delta(df, tbl, mode="append")
+    v = dl._list_versions(tbl)[-1]
+    adds = [a["add"] for a in dl._read_actions(tbl, v) if "add" in a]
+    assert adds
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        assert set(st["minValues"]) <= {"a", "b"}
+        assert set(st["maxValues"]) <= {"a", "b"}
+        assert set(st["nullCount"]) <= {"a", "b"}
+        assert "a" in st["minValues"]  # first-2 window is populated
+    # default (no property) on a narrow table: all columns indexed
+    v0_adds = [a["add"] for a in dl._read_actions(tbl, 0) if "add" in a]
+    assert all(
+        set(json.loads(a["stats"])["minValues"]) == {"a", "b", "c", "d"}
+        for a in v0_adds
+    )
+    # -1 spelling = all columns again
+    dl.set_table_properties(
+        tbl, {"delta.dataSkippingNumIndexedCols": "-1"}
+    )
+    dl.write_delta(df, tbl, mode="append")
+    v = dl._list_versions(tbl)[-1]
+    for a in (x["add"] for x in dl._read_actions(tbl, v) if "add" in x):
+        assert set(json.loads(a["stats"])["minValues"]) == {
+            "a", "b", "c", "d",
+        }
+    # data-source writer honors the table's property too
+    dl.set_table_properties(
+        tbl, {"delta.dataSkippingNumIndexedCols": "1"}
+    )
+    from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
+        DeltaLogDataSource,
+    )
+
+    spark.dataSource.register(DeltaLogDataSource)
+    df.write.format("deltalog").mode("append").save(tbl)
+    v = dl._list_versions(tbl)[-1]
+    for a in (x["add"] for x in dl._read_actions(tbl, v) if "add" in x):
+        st = json.loads(a["stats"])
+        assert set(st["minValues"]) <= {"a"} and st["numRecords"] > 0
+    assert dl.read_delta(spark, tbl).count() == 80

@@ -317,6 +317,15 @@ def test_deltalog_roundtrip_and_time_travel(spark, tmp_path):
     hist = dl.delta_history(path)
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert hist[2]["mode"] == "OVERWRITE"
+    # operationMetrics (round-12): delta-spark's string-valued map,
+    # derived from the commit's actions — the overwrite both added and
+    # removed files, and byte counts reconcile with the adds
+    m = hist[2]["operationMetrics"]
+    assert int(m["numAddedFiles"]) >= 1
+    assert int(m["numRemovedFiles"]) >= 1
+    assert int(m["numOutputBytes"]) > 0
+    assert all(isinstance(x, str) for x in m.values())
+    assert int(hist[0]["operationMetrics"]["numRemovedFiles"]) == 0
 
 
 def test_deltalog_protocol_shape(spark, tmp_path):
