@@ -1795,3 +1795,58 @@ def exact_substr_cut(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def source_ngram_overlap(
+    corpus: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-SOURCE k-gram overlap matrix (round-12) — the provenance /
+    contamination triage view of the substring-dedup signal: for every
+    source pair, the number of distinct k-grams BOTH contain, and that
+    overlap in basis points of the smaller side's distinct-gram count.
+    A scraped mirror, a dataset repackaged under a new name, or an eval
+    suite leaking into a crawl all light up here before any per-
+    document pass runs; z18/z19 then localize and cut the spans.
+
+    Scale shape: reuses the memoized z18/z19 gram stage (one
+    O(corpus-tokens) explode per session, 16-byte hash pairs), one
+    distinct over (source, gram) whose output is bounded by
+    |sources| x distinct-grams, a self-join that fans out at most
+    |sources| rows per gram hash (never doc x doc), and a broadcast of
+    the #sources-row totals. Every shuffle keys on the gram hash; the
+    final aggregate's |sources|² groups are map-side combinable."""
+    grams = _shared_gram_frame(corpus, k, text_col, id_col)
+    src = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("_src")
+    )
+    per_src = grams.join(src, "doc_id").select("_src", "h1", "h2").distinct()
+    totals = per_src.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = per_src.select(F.col("_src").alias("source_a"), "h1", "h2")
+    b = per_src.select(F.col("_src").alias("source_b"), "h1", "h2")
+    shared = (
+        a.join(b, ["h1", "h2"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col("_src").alias("source_a"), F.col("_n").alias("_na")
+    )
+    tb = totals.select(
+        F.col("_src").alias("source_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .withColumn(
+            "overlap_bp",
+            F.expr("(10000 * shared_grams) div least(_na, _nb)").cast(
+                "bigint"
+            ),
+        )
+        .select("source_a", "source_b", "shared_grams", "overlap_bp")
+    )

@@ -3107,6 +3107,60 @@ ORDER BY s.lang
 """
 
 
+def z22_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source k-gram overlap matrix (round-12): for every source
+    pair, the distinct 13-grams both contain and that overlap in basis
+    points of the smaller side — the provenance/contamination triage
+    that flags mirrored or repackaged sources BEFORE any per-document
+    dedup runs (z18/z19 then localize the spans). Scale shape (see
+    operators/dedup.source_ngram_overlap): reuses the memoized
+    substring-dedup gram stage, distinct over (source, gram), a
+    gram-keyed self-join fanning out ≤ |sources| rows per hash, and a
+    #sources-row broadcast of totals — never doc×doc. The count of
+    distinct shared grams is hash-function-independent, so the DuckDB
+    oracle's md5 and the plan's structural xxhash64 pair agree
+    exactly."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        source_ngram_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs, k=13).orderBy("source_a", "source_b")
+
+
+Z22_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE LEN(trim(text)) > 0
+),
+pos AS (
+  SELECT source, w, UNNEST(range(0, GREATEST(LEN(w) - 13 + 1, 0))) AS p
+  FROM words
+),
+grams AS (
+  SELECT DISTINCT source, md5(array_to_string(w[p+1:p+13], ' ')) AS h
+  FROM pos
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM grams a JOIN grams b USING (h)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       CAST((10000 * s.shared_grams) // LEAST(ta.n, tb.n) AS BIGINT)
+         AS overlap_bp
+FROM shared s
+JOIN totals ta ON ta.source = s.source_a
+JOIN totals tb ON tb.source = s.source_b
+ORDER BY s.source_a, s.source_b
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -3159,4 +3213,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z19_exact_substr_cut": QuerySpec(z19_exact_substr_cut, Z19_SQL),
     "z20_chunk_overlap": QuerySpec(z20_chunk_overlap, Z20_SQL),
     "z21_unimax_budget": QuerySpec(z21_unimax_budget, Z21_SQL),
+    "z22_source_overlap": QuerySpec(z22_source_overlap, Z22_SQL),
 }

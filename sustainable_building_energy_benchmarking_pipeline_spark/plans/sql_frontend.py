@@ -1587,3 +1587,37 @@ SELECT s.lang,
 FROM shares s CROSS JOIN piv p
 ORDER BY s.lang
 """
+
+# z22: same list-machinery mapping as z18 (split / explode(sequence) /
+# slice); counting DISTINCT grams is hash-independent, so the Spark
+# surface may use md5 over the joined gram text like the oracle
+SPARK_SQL["z22_source_overlap"] = r"""
+WITH words AS (
+  SELECT doc_id, source, split(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT source, md5(concat_ws(' ', slice(w, p + 1, 13))) AS h
+  FROM (
+    SELECT source, w, explode(sequence(0, size(w) - 13)) AS p
+    FROM words WHERE size(w) >= 13
+  )
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM grams a JOIN grams b USING (h)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       CAST((10000 * s.shared_grams) DIV LEAST(ta.n, tb.n) AS BIGINT)
+         AS overlap_bp
+FROM shared s
+JOIN totals ta ON ta.source = s.source_a
+JOIN totals tb ON tb.source = s.source_b
+ORDER BY s.source_a, s.source_b
+"""

@@ -856,3 +856,35 @@ def test_exact_substr_cut_can_empty_a_document(spark):
     assert set(out) == {2}
     assert out[2]["n_cut"] == 13
     assert out[2]["clean_text"] == ""
+
+
+def test_source_ngram_overlap_hand_corpus(spark):
+    """source_ngram_overlap on a corpus with a KNOWN shared run: two
+    sources share exactly one 13-gram window chain, a third source is
+    disjoint — the matrix reports the exact shared-gram count, basis
+    points against the smaller side, and no row for disjoint pairs."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
+        source_ngram_overlap,
+    )
+
+    run = " ".join(f"t{i}" for i in range(15))  # 15 words → 3 13-grams
+    rows = [
+        (1, run + " xa xb", "s1"),                 # 17 words → 5 grams
+        (2, run, "s2"),                            # 15 words → 3 grams
+        (3, " ".join(f"z{i}" for i in range(20)), "s3"),  # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_ngram_overlap(docs, k=13).collect()
+    }
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r.shared_grams == 3  # the run's three 13-gram windows
+    assert r.overlap_bp == 10000  # all of s2's grams are shared
+    # short documents (< k words) contribute nothing and cannot crash
+    tiny = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    assert source_ngram_overlap(tiny, k=13).count() == 0

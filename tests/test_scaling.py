@@ -40,6 +40,7 @@ HEAVY = [
     "z18_dup_ngram_spans",
     "z19_exact_substr_cut",
     "z20_chunk_overlap",
+    "z22_source_overlap",
 ]
 
 MAX_RATIO = 15.0
