@@ -1076,7 +1076,7 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
     for step in range(16):
         op = rng.choice(
             ["append", "overwrite", "merge", "optimize", "vacuum",
-             "delete", "restore", "constraint", "clone"]
+             "delete", "restore", "constraint", "clone", "maintenance"]
         )
         if op == "clone":
             # round-12: fork, mutate the FORK, prove copy-on-write both
@@ -1141,6 +1141,31 @@ def test_deltalog_model_based_random_ops(spark, tmp_path, seed):
                 # correct behavior, and the table must be untouched
                 assert "missing" in str(exc), exc
                 assert dl._list_versions(path)[-1] == before
+        elif op == "maintenance":
+            # round-12 verbs under arbitrary random state: REORG and
+            # FSCK must no-op (no DVs, no lost files) WITHOUT a commit,
+            # a dry-run VACUUM must touch nothing, and CLUSTER BY
+            # (+ the OPTIMIZE pickup) must preserve content exactly
+            sub = rng.choice(["reorg", "fsck", "vacuum_dry", "cluster"])
+            before_v = dl._list_versions(path)[-1]
+            if sub == "reorg":
+                assert dl.reorg_delta(spark, path) is None
+                assert dl._list_versions(path)[-1] == before_v
+            elif sub == "fsck":
+                assert dl.fsck_repair_delta(path) == []
+                assert dl._list_versions(path)[-1] == before_v
+            elif sub == "vacuum_dry":
+                would = dl.vacuum_delta(
+                    path, retain_hours=0.0, force=True, dry_run=True
+                )
+                for rel in would:
+                    assert os.path.exists(os.path.join(path, rel))
+                assert dl._list_versions(path)[-1] == before_v
+            else:
+                dl.set_clustering_columns(
+                    path, rng.choice([["v"], ["id"], []])
+                )
+                dl.optimize_delta(spark, path, target_files=1)
         elif op == "constraint":
             # always-true CHECK on current data; a violating write must
             # raise and leave content untouched; then drop re-enables
