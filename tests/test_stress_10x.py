@@ -105,6 +105,11 @@ def sf10x_dir(docs10x, tmp_path_factory):
         # round-12: chunking is map-only — its 10× cost must stay
         # linear in corpus tokens (the explode's output multiplier)
         ("z20_chunk_overlap", 90),
+        # round-12: the duplicate-heavy 10× corpus multiplies the
+        # SHARED-gram mass ~100×, but the self-join fan-out stays
+        # bounded by |sources| per gram — the exact shape z22's
+        # distinct-before-join exists for
+        ("z22_source_overlap", 150),
     ],
 )
 def test_z_tail_10x_bounded(spark, sf10x_dir, name, bound_sec):
