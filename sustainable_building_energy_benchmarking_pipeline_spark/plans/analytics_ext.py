@@ -3161,6 +3161,109 @@ ORDER BY s.source_a, s.source_b
 """
 
 
+def z23_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-LENGTH distribution drift (round-12): the
+    two-sample Kolmogorov–Smirnov statistic between each source's
+    doc-length CDF and the whole corpus's (source included — the
+    standard drift-monitor framing), in exact-integer basis points:
+    ks_bp = 10000·max_l |cum_src(l)·n_all − cum_all(l)·n_src| div
+    (n_src·n_all). Complements z12's unigram KL: a source whose WORDS
+    look normal but whose documents are suspiciously short/long (truncation
+    bugs, boilerplate stubs, concatenation errors) lights up here.
+
+    Scale shape: the corpus is consumed by ONE (source, length)
+    aggregate; everything after runs on domain-bounded frames — the
+    support grid is |sources| × |distinct lengths| rows, the
+    per-source/global cumulative windows and the two broadcast
+    attaches are all annotated tiny-aggregate shapes. Integer
+    cross-multiplication avoids float CDF subtraction, so the DuckDB
+    oracle replays bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("l"),
+    )
+    cnt = lens.groupBy("source", "l").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    support = cnt.select("l").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(support))
+        .join(cnt, ["source", "l"], "left")
+        .fillna(0, ["c"])
+    )
+    cums = grid.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("source").orderBy("l"))
+    )
+    tot = cnt.groupBy("l").agg(F.sum("c").alias("c_all"))
+    n_all = cnt.agg(F.sum("c").alias("n_all"))
+    tcum = tot.crossJoin(F.broadcast(n_all)).withColumn(
+        "cum_all", F.sum("c_all").over(Window.orderBy("l"))
+    )
+    return (
+        cums.join(tcum.select("l", "cum_all", "n_all"), "l")
+        .groupBy("source", "n", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum") * F.col("n_all")
+                    - F.col("cum_all") * F.col("n")
+                )
+            ).alias("m")
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.expr("(m * 10000) div (n * n_all)")
+            .cast("long")
+            .alias("ks_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+Z23_SQL = r"""
+WITH lens AS (
+  SELECT source, LEN(regexp_split_to_array(trim(text), '\s+')) AS l
+  FROM documents WHERE LEN(trim(text)) > 0
+),
+cnt AS (
+  SELECT source, l, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lens GROUP BY 1, 2
+),
+support AS (SELECT DISTINCT l FROM cnt),
+srcs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+grid AS (
+  SELECT s.source, s.n, p.l, COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN support p
+  LEFT JOIN cnt c ON c.source = s.source AND c.l = p.l
+),
+cums AS (
+  SELECT source, n, l,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY l) AS BIGINT)
+           AS cum
+  FROM grid
+),
+tot AS (SELECT l, CAST(SUM(c) AS BIGINT) AS c_all FROM cnt GROUP BY l),
+tcum AS (
+  SELECT l, CAST(SUM(c_all) OVER (ORDER BY l) AS BIGINT) AS cum_all,
+         CAST((SELECT SUM(c) FROM cnt) AS BIGINT) AS n_all
+  FROM tot
+)
+SELECT c.source, c.n AS n_docs,
+       CAST(MAX(ABS(c.cum * t.n_all - t.cum_all * c.n)) * 10000
+            // (c.n * t.n_all) AS BIGINT) AS ks_bp
+FROM cums c JOIN tcum t USING (l)
+GROUP BY c.source, c.n, t.n_all
+ORDER BY c.source
+"""
+
+
 EXT_QUERIES: dict[str, QuerySpec] = {
     "q70_doc_chunks": QuerySpec(q70_doc_chunks, Q70_SQL),
     "q71_funnel_stages": QuerySpec(q71_funnel_stages, Q71_SQL),
@@ -3214,4 +3317,5 @@ EXT_QUERIES: dict[str, QuerySpec] = {
     "z20_chunk_overlap": QuerySpec(z20_chunk_overlap, Z20_SQL),
     "z21_unimax_budget": QuerySpec(z21_unimax_budget, Z21_SQL),
     "z22_source_overlap": QuerySpec(z22_source_overlap, Z22_SQL),
+    "z23_length_drift": QuerySpec(z23_length_drift, Z23_SQL),
 }

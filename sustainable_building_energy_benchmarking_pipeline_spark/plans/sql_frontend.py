@@ -1621,3 +1621,43 @@ JOIN totals ta ON ta.source = s.source_a
 JOIN totals tb ON tb.source = s.source_b
 ORDER BY s.source_a, s.source_b
 """
+
+# z23: // → DIV; everything else (scalar subquery, windows, cross
+# joins of tiny aggregate frames) is dialect-shared
+SPARK_SQL["z23_length_drift"] = r"""
+WITH lens AS (
+  SELECT source, size(split(trim(text), '\\s+')) AS l
+  FROM documents WHERE length(trim(text)) > 0
+),
+cnt AS (
+  SELECT source, l, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lens GROUP BY 1, 2
+),
+support AS (SELECT DISTINCT l FROM cnt),
+srcs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+grid AS (
+  SELECT s.source, s.n, p.l, COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN support p
+  LEFT JOIN cnt c ON c.source = s.source AND c.l = p.l
+),
+cums AS (
+  SELECT source, n, l,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY l) AS BIGINT)
+           AS cum
+  FROM grid
+),
+tot AS (SELECT l, CAST(SUM(c) AS BIGINT) AS c_all FROM cnt GROUP BY l),
+tcum AS (
+  SELECT l, CAST(SUM(c_all) OVER (ORDER BY l) AS BIGINT) AS cum_all,
+         CAST((SELECT SUM(c) FROM cnt) AS BIGINT) AS n_all
+  FROM tot
+)
+SELECT c.source, c.n AS n_docs,
+       CAST(MAX(ABS(c.cum * t.n_all - t.cum_all * c.n)) * 10000
+            DIV (c.n * t.n_all) AS BIGINT) AS ks_bp
+FROM cums c JOIN tcum t USING (l)
+GROUP BY c.source, c.n, t.n_all
+ORDER BY c.source
+"""

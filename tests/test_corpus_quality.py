@@ -439,3 +439,26 @@ def test_chunk_documents_matches_python_reference(spark):
             ).collect()
         )
         assert got == sorted(expected), (width, stride, trial)
+
+
+def test_z23_length_drift_hand_corpus(spark, tmp_path):
+    """KS on a corpus with a KNOWN answer: source A is all 5-word docs,
+    source B all 10-word. At l=5 the corpus CDF is 1/2 while A's is 1
+    and B's is 0 — both drift by exactly 1/2 (5000 bp). An identical-
+    distribution source drifts 0."""
+    from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
+
+    rows = []
+    for i in range(4):
+        rows.append((i, " ".join("a" for _ in range(5)), "en", "A", 9))
+    for i in range(4, 8):
+        rows.append((i, " ".join("b" for _ in range(10)), "en", "B", 19))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in QUERIES["z23_length_drift"].fn(spark, sf).collect()}
+    assert out["A"].ks_bp == 5000 and out["B"].ks_bp == 5000
+    assert out["A"].n_docs == 4 and out["B"].n_docs == 4
+    # a source that IS the corpus distribution drifts zero
+    rows2 = [(i, "x y z", "en", "same", 5) for i in range(6)]
+    sf2 = _write_docs(spark, tmp_path / "u", rows2)
+    out2 = QUERIES["z23_length_drift"].fn(spark, sf2).collect()
+    assert len(out2) == 1 and out2[0].ks_bp == 0

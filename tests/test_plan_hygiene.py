@@ -54,6 +54,10 @@ _TINY_INPUT_GLOBAL_WINDOW_OK = {
     # bounded by language cardinality (an enum domain); the corpus is
     # consumed by one map-side-combined aggregate before any window
     "z21_unimax_budget",
+    # KS cumulative over the per-LENGTH corpus aggregate — bounded by
+    # the length value domain; the corpus is consumed by one
+    # (source, length) aggregate before any window
+    "z23_length_drift",
 }
 
 
@@ -130,6 +134,9 @@ _ENUM_COLS = {
 _TINY_INPUT_ENUM_WINDOW_OK = {
     "q83_event_transitions",  # normalizer over the ≤25-row prev→curr aggregate
     "q87_wow_growth",         # lag over the ~#types×#weeks weekly aggregate
+    # per-source KS cumulative over the support GRID — an aggregate
+    # bounded by |sources| × |length domain|, never the corpus
+    "z23_length_drift",
 }
 
 _WINDOW_LINE = re.compile(r"\bWindow \[.*\], \[([^\[\]]*)\], \[[^\[\]]*\]")
@@ -226,6 +233,7 @@ _SINGLE_ROW_CROSSJOIN_OK = {
     "z12_source_kl_drift",    # broadcast 1-row corpus token total
     "z13_dsir_importance",    # broadcast 1-row target/raw totals onto 256 buckets
     "z21_unimax_budget",      # broadcast 1-row total-budget + pivot attaches
+    "z23_length_drift",       # length-support grid (|sources|x|len domain| aggregate frames) + 1-row n_all
 }
 
 
