@@ -122,7 +122,13 @@ def main(argv: list[str] | None = None) -> int:
         metavar="COL:TYPE[,COL:TYPE...]",
         help="CONVERT partition schema for hive-layout dirs (e.g. lang:string)",
     )
-    t.add_argument("--retain-hours", type=float, default=168.0)
+    t.add_argument(
+        "--retain-hours",
+        type=float,
+        default=None,
+        help="VACUUM retention; default = the table's "
+        "delta.deletedFileRetentionDuration, else 168 h",
+    )
     t.add_argument("--force", action="store_true", help="allow vacuum retention < safety floor")
     t.add_argument(
         "--dry-run",

@@ -6256,7 +6256,7 @@ def stream_to_delta(stream_df: DataFrame, path: str, app_id: str, **options: Any
 
 def vacuum_delta(
     path: str,
-    retain_hours: float = 168.0,
+    retain_hours: float | None = None,
     force: bool = False,
     dry_run: bool = False,
 ) -> list[str]:
@@ -6268,6 +6268,11 @@ def vacuum_delta(
     ``dry_run`` (round-12, VACUUM ... DRY RUN): list what WOULD be
     reclaimed without touching a byte — same walk, same keep-set, same
     retention clock, no unlink and no empty-dir pruning.
+    ``retain_hours=None`` (round-12) resolves delta-spark's default
+    chain: the table's ``delta.deletedFileRetentionDuration``
+    CalendarInterval when set, else the 7-day (168 h) spec default —
+    an explicit argument always wins, and the 1 h safety floor applies
+    to whatever value resolves.
 
     The keep-set is the current snapshot only, so a retention shorter
     than the longest in-flight write is UNSAFE: a concurrent writer's
@@ -6276,6 +6281,18 @@ def vacuum_delta(
     then references missing files. Mirroring Delta's
     retentionDurationCheck, retentions under 1 h are refused unless
     ``force=True`` (tests / single-writer maintenance windows only)."""
+    if retain_hours is None:
+        versions_probe = _list_versions(path)
+        dur_ms = None
+        if versions_probe:
+            dur_ms = _parse_interval_ms(
+                _latest_metadata(path, versions_probe[-1])
+                .get("configuration", {})
+                .get("delta.deletedFileRetentionDuration")
+            )
+        retain_hours = (
+            dur_ms / 3600000.0 if dur_ms is not None else 168.0
+        )
     if retain_hours < 1.0 and not force:
         raise ValueError(
             f"retain_hours={retain_hours} is below the 1 h safety floor: "

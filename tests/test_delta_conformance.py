@@ -4935,3 +4935,32 @@ def test_data_skipping_num_indexed_cols(spark, tmp_path):
         st = json.loads(a["stats"])
         assert set(st["minValues"]) <= {"a"} and st["numRecords"] > 0
     assert dl.read_delta(spark, tbl).count() == 80
+
+
+def test_vacuum_default_retention_from_table_property(spark, tmp_path):
+    """retain_hours=None resolves delta.deletedFileRetentionDuration
+    (delta-spark's default chain): with a 0-second retention property,
+    a default vacuum refuses at the safety floor unless forced, then
+    reclaims the overwritten file; an explicit retain_hours overrides
+    the property; without the property the 168 h default keeps fresh
+    files."""
+    tbl = str(tmp_path / "vret")
+    dl.write_delta(spark.range(5).selectExpr("id"), tbl)
+    dl.write_delta(
+        spark.range(5, 9).selectExpr("id"), tbl, mode="overwrite"
+    )
+    # no property: default 168 h — the just-overwritten file survives
+    assert dl.vacuum_delta(tbl) == []
+    dl.set_table_properties(
+        tbl, {"delta.deletedFileRetentionDuration": "interval 0 seconds"}
+    )
+    with pytest.raises(ValueError, match="safety floor"):
+        dl.vacuum_delta(tbl)  # resolved 0 h < 1 h floor
+    deleted = dl.vacuum_delta(tbl, force=True)
+    assert deleted  # property-resolved zero retention reclaims
+    # explicit argument overrides the property (very long retention)
+    dl.write_delta(
+        spark.range(9, 12).selectExpr("id"), tbl, mode="overwrite"
+    )
+    assert dl.vacuum_delta(tbl, retain_hours=10_000.0) == []
+    assert dl.read_delta(spark, tbl).count() == 3
