@@ -187,3 +187,79 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), dur - 1, F.lit(every_ms))).alias("frame_ts_ms"),
     )
+
+
+# file-extension → (kind, meta.format) for the binaryFile ingest path;
+# anything else lands as kind="binary" with the bare extension
+_EXT_KINDS = {
+    "png": ("image", "png"), "jpg": ("image", "jpeg"),
+    "jpeg": ("image", "jpeg"), "gif": ("image", "gif"),
+    "bmp": ("image", "bmp"), "webp": ("image", "webp"),
+    "wav": ("audio", "wav"), "mp3": ("audio", "mp3"),
+    "flac": ("audio", "flac"), "ogg": ("audio", "ogg"),
+    "mp4": ("video", "mp4"), "mkv": ("video", "mkv"),
+    "webm": ("video", "webm"), "avi": ("video", "avi"),
+}
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of raw media files into the MEDIA_SCHEMA
+    frame via Spark's built-in ``binaryFile`` source — the real input
+    path for the image/audio feature operators below (the synthetic
+    generator is the test double). media_id is the xxhash64 of the file
+    path (stable across re-ingests, collision-safe at catalog scale),
+    kind/meta.format derive from the extension, and the decode-time
+    fields (width/height/duration/sample_rate) stay NULL until
+    ``extract_image_features``/``media_metadata`` fill them — this
+    reader deliberately opens no payload.
+
+    Scale shape: ``binaryFile`` is a first-class FileFormat — Catalyst
+    prunes on the (path, modificationTime, length) columns WITHOUT
+    reading content (predicate pushdown on file metadata), files >
+    ``spark.sql.sources.binaryFile.maxLength`` refuse loudly, and each
+    file is one row in one task — compose with ``media_repartition``
+    to even out payload-byte skew before any decode kernel."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(
+        F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+    )
+    kind_map = F.create_map(
+        *[
+            F.lit(x)
+            for e, (k, _f) in sorted(_EXT_KINDS.items())
+            for x in (e, k)
+        ]
+    )
+    fmt_map = F.create_map(
+        *[
+            F.lit(x)
+            for e, (_k, fm) in sorted(_EXT_KINDS.items())
+            for x in (e, fm)
+        ]
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.coalesce(fmt_map[ext], ext).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("ingested_mtime"),
+    )
