@@ -28,6 +28,7 @@ from sustainable_building_energy_benchmarking_pipeline_spark.functions.text impo
 )
 from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
     ensure_min_partitions,
+    pin_shuffle_width,
 )
 
 
@@ -433,8 +434,14 @@ def _lsh_candidates_from_banded(
     split out so callers that already carry band hashes on a combined
     shingle frame (``minhash_near_duplicates``'s single-shot posture)
     skip the second band-UDF evaluation."""
+    # pin_shuffle_width: the bucket stage's cost is pair EMISSION
+    # (explode² over collected buckets), not the few bytes of band
+    # hashes — size-first coalescing would run every bucket's pair
+    # blow-up in one task (A/B at sf0.1: q33 min 1.64 s pinned vs
+    # 1.88 s coalesced, median 1.83 vs 2.30).
     pairs = (
-        banded.groupBy("band_idx", "band_hash")
+        pin_shuffle_width(banded, "band_idx", "band_hash")
+        .groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("xs"))
         .filter(F.size("xs") > 1)
         .select(F.explode(_chunked_bucket("xs", bucket_cap)).alias("w"))
@@ -624,6 +631,12 @@ def blocked_jaccard_pairs(
     # cheap to recompute. The shuffle form lets AQE reuse the one
     # shuffled posting stage for both sides (A/B at sf0.1: 1.69 s vs
     # 2.03 s), and is the only shape that exists at 100 TB anyway.
+    # pin_shuffle_width: the reduce side of this shuffle emits Σc²
+    # posting-pair rows per gram — CPU per byte far above scan work, so
+    # size-first AQE coalescing serializes it (measured 1.5 s single
+    # task at sf0.1); the explicit width rides the same single reused
+    # exchange.
+    postings = pin_shuffle_width(postings, "s", *blk)
     a = postings.hint("merge").alias("a")
     b = postings.hint("merge").alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.s") == F.col("b.s"))
@@ -935,31 +948,38 @@ def semdedup_prune(
             f"== {seed_residue}"
         )
 
-    def _lit_vec(vals) -> Column:
-        return F.array(*[F.lit(float(x)) for x in vals])
+    # argmax over per-centroid cosines as ONE Arrow kernel (round-12):
+    # the former expression form built K centroid-literal cosine trees
+    # per row — with the interpreted HOF dot that is ~K·dim lambda
+    # evaluations per row, and unrolled it is a K·dim-term tree whose
+    # Catalyst analysis alone costs seconds per invocation (the
+    # brute_force_topk_kernel lesson, ×K). The kernel scores each Arrow
+    # batch as one (n × dim) @ (dim × K) BLAS matmul — still a pure map,
+    # no join/shuffle anywhere in the assignment (centroids ride the
+    # closure). Semantics preserved exactly: cosine with the shared
+    # zero-norm→1.0 convention, HALF_UP rounding to 6 dp (copysign/floor
+    # — same decimal Spark's ROUND and the DuckDB oracle apply), ties to
+    # the smallest cluster id (np.argmax returns the FIRST maximum).
+    # Measured at sf0.1: z15 wall 2.02 s → driver-bound analysis gone
+    # (see OPTIMIZATION_r12.md).
+    from pyspark.sql.functions import pandas_udf
 
-    from sustainable_building_energy_benchmarking_pipeline_spark.operators.similarity import (
-        cosine,
-    )
+    cmat = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in seeds])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
 
-    # argmax over per-centroid cosines as ONE array_max of (cos, -k)
-    # structs: struct ordering is lexicographic, so max = highest
-    # rounded cosine, then smallest cluster id — a pure projection,
-    # no join/shuffle anywhere in the assignment
-    choice = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.round(cosine(F.col("_v"), _lit_vec(r["_v"])), 6).alias("c"),
-                    F.lit(-k).alias("nk"),
-                )
-                for k, r in enumerate(seeds)
-            ]
-        )
-    )
-    assigned = base.withColumn(
-        "cluster", (-choice.getField("nk")).cast("int")
-    )
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (mat @ cmat.T) / (vn[:, None] * cnorm[None, :])
+        r6 = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+        return pd.Series(np.argmax(r6, axis=1).astype(np.int32))
+
+    assigned = base.withColumn("cluster", _assign(F.col("_v")))
 
     kept_schema = T.StructType(
         [
@@ -1570,7 +1590,16 @@ def ngram_decontaminate(
 def _ws_words(corpus: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, w: array<string>) — whitespace word arrays of non-blank
     documents, the shared tokenization of the substring-dedup family
-    (matches the DuckDB oracles' regexp_split_to_array exactly)."""
+    (matches the DuckDB oracles' regexp_split_to_array exactly).
+
+    Deliberately NOT ``ensure_min_partitions``-wrapped (round-12 A/B):
+    parallelizing the single-file local scan here costs a text-bytes
+    round-robin exchange AND leaves the memoized gram frame cached in
+    ~core-count partitions, which every downstream consumer stage of
+    z18/z19/z22 then pays task-scheduling overhead on — measured NET
+    +2.5 s across the family at sf0.1 (fresh-JVM bench A/B) versus the
+    one-task tokenize. At scale the corpus arrives multi-partition and
+    the question is moot."""
     return corpus.where(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),

@@ -12,6 +12,31 @@ large-input path pays nothing.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pin_shuffle_width(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Explicit hash repartition on ``cols`` at the session's configured
+    shuffle width — for shuffles whose DOWNSTREAM cost is per-row or
+    per-group CPU (block-GEMM groups, posting-list pair generation,
+    kernel verifies) rather than bytes.
+
+    The session default coalesces post-shuffle partitions by SIZE
+    (advisoryPartitionSizeInBytes), which is right for byte-bound
+    stages but wrong for these: a 10 MB posting shuffle whose reduce
+    side emits Σc² pair rows coalesces to one task and serializes real
+    compute — at ANY scale, because the bytes/CPU ratio, not the byte
+    count, is what misleads the sizing. An explicit ``repartition(n,
+    cols)`` shuffle is exempt from AQE coalescing (REPARTITION_BY_NUM
+    origin) and satisfies the downstream groupBy / applyInPandas / join
+    clustering requirement, so it pins the stage width WITHOUT adding
+    an exchange. ``n`` defaults to ``spark.sql.shuffle.partitions`` —
+    the same scale-configured width the pre-AQE plan would use (AQE
+    only ever coalesces DOWN from it), so cluster deployments size it
+    with the same knob they already own."""
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
 
 
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:

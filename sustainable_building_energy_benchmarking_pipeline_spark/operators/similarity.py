@@ -17,6 +17,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
+    pin_shuffle_width,
+)
+
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two array<float|double> columns, JVM-side (no UDF).
@@ -242,7 +246,14 @@ def allpairs_cosine(
         # partners give distinct groups — no dedup pass needed
         .drop("_p")
     )
-    return rep.groupBy("_gi", "_gj").applyInPandas(block_pair, out_schema)
+    # pin_shuffle_width: each (gi, gj) group is one block matmul — the
+    # stage's cost is FLOPs, not the few MB of vectors, so size-first
+    # coalescing must not serialize the chunk grid into one task.
+    return (
+        pin_shuffle_width(rep, "_gi", "_gj")
+        .groupBy("_gi", "_gj")
+        .applyInPandas(block_pair, out_schema)
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -672,7 +683,13 @@ def pairwise_topk_per_label(
         .withColumn("_gj", F.greatest("_c", "_p"))
         .drop("_p")
     )
-    cands = rep.groupBy("_lbl", "_gi", "_gj").applyInPandas(block_pair, out_schema)
+    # pin_shuffle_width: one block matmul per (label, gi, gj) group —
+    # FLOP-bound, so the width must not follow shuffle bytes.
+    cands = (
+        pin_shuffle_width(rep, "_lbl", "_gi", "_gj")
+        .groupBy("_lbl", "_gi", "_gj")
+        .applyInPandas(block_pair, out_schema)
+    )
     w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         cands.withColumn("_rn", F.row_number().over(w))
@@ -781,7 +798,13 @@ def hard_negative_topk(
         .withColumn("_gj", F.greatest("_c", "_p"))
         .drop("_p")
     )
-    cands = rep.groupBy("_gi", "_gj").applyInPandas(block_pair, out_schema)
+    # pin_shuffle_width: FLOP-bound block-GEMM groups (see
+    # pairwise_topk_per_label).
+    cands = (
+        pin_shuffle_width(rep, "_gi", "_gj")
+        .groupBy("_gi", "_gj")
+        .applyInPandas(block_pair, out_schema)
+    )
     w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         cands.withColumn("_rn", F.row_number().over(w))
