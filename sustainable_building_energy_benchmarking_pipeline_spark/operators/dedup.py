@@ -556,26 +556,38 @@ def minhash_near_duplicates(
     small corpora (≤ ``broadcast_max_docs``) get broadcast-hash verify
     joins instead of two sort-merge shuffles of the candidate set.
     False (the single-shot cold posture, e.g. a one-off bench/CLI run):
-    no persist barrier, no sizing job, no broadcast builds — the
-    combined frame feeds both branches lazily and the verify joins are
-    merge-hinted so their identically-partitioned hash(id) exchanges
-    dedupe (ReuseExchange) rather than re-running the kernel per
-    broadcast build (A/B at sf0.1: 1.6 s fused/hinted vs 4.1 s
-    separate banding + hinted verify vs 2.1 s round-7 chained-UDF form
-    — and the shuffled-verify shape is the one that exists at 100 TB
-    anyway)."""
+    no COUNT barrier, no sizing job, no broadcast builds — but the
+    kernel output IS persisted (lazily; materialized by whichever
+    consumer acts first). Round-12: the previous merge-hinted form
+    deduped only the two identically-partitioned verify exchanges; the
+    band exchange partitions differently, and Catalyst's per-branch
+    column pruning makes ANY shared exchange non-identical across the
+    branches (one keeps ``sh``, the other ``_bh``), so the Python
+    kernel map stage executed TWICE — 18+28 s of task CPU at sf0.1 for
+    q33 (stage profile). A barrier-free persist is the only mechanism
+    that actually unifies differently-partitioned consumers: the cache
+    manager substitutes one InMemoryRelation for both subtrees, the
+    kernel runs once, and no extra job is spawned (unlike the
+    ``persist_shingles=True`` count probe). The handle is registered
+    for deterministic release. At corpus scale this materializes
+    ~8 B/shingle + 8 B/band per doc to executor memory/disk — the same
+    materialize-the-signatures shape the published MinHash recipes pay,
+    strictly cheaper than tokenizing and hashing the corpus twice."""
     combined = _hashed_shingles_with_bands(
         df, text_col, id_col, shingle_k, num_hashes, bands, seed
     )
     use_broadcast = False
+    from pyspark import StorageLevel
+
+    from sustainable_building_energy_benchmarking_pipeline_spark.session import register_query_cache
+
     if persist_shingles:
-        from pyspark import StorageLevel
-
-        from sustainable_building_energy_benchmarking_pipeline_spark.session import register_query_cache
-
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         register_query_cache(combined)  # outlives the call: release handle
         use_broadcast = combined.count() <= broadcast_max_docs
+    else:
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        register_query_cache(combined)
     banded = combined.select(
         "id", F.posexplode("_bh").alias("band_idx", "band_hash")
     )
