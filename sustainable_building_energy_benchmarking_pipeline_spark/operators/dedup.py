@@ -555,24 +555,30 @@ def minhash_near_duplicates(
     consumer branch, and the count doubles as the corpus-size probe:
     small corpora (≤ ``broadcast_max_docs``) get broadcast-hash verify
     joins instead of two sort-merge shuffles of the candidate set.
-    False (the single-shot cold posture, e.g. a one-off bench/CLI run):
-    no COUNT barrier, no sizing job, no broadcast builds — but the
-    kernel output IS persisted (lazily; materialized by whichever
-    consumer acts first). Round-12: the previous merge-hinted form
-    deduped only the two identically-partitioned verify exchanges; the
-    band exchange partitions differently, and Catalyst's per-branch
-    column pruning makes ANY shared exchange non-identical across the
-    branches (one keeps ``sh``, the other ``_bh``), so the Python
-    kernel map stage executed TWICE — 18+28 s of task CPU at sf0.1 for
-    q33 (stage profile). A barrier-free persist is the only mechanism
-    that actually unifies differently-partitioned consumers: the cache
-    manager substitutes one InMemoryRelation for both subtrees, the
-    kernel runs once, and no extra job is spawned (unlike the
-    ``persist_shingles=True`` count probe). The handle is registered
-    for deterministic release. At corpus scale this materializes
-    ~8 B/shingle + 8 B/band per doc to executor memory/disk — the same
-    materialize-the-signatures shape the published MinHash recipes pay,
-    strictly cheaper than tokenizing and hashing the corpus twice."""
+    False: same persist + barrier, but the verify joins stay shuffled
+    unconditionally (no sizing probe, no broadcast builds) — the fixed
+    100 TB join shape for callers that pin it.
+
+    Round-12, why the persist carries an EAGER count() barrier in BOTH
+    postures: the kernel output feeds three differently-partitioned
+    consumers (the band exchange and the two verify sides), and
+    per-branch column pruning makes their exchange subtrees
+    non-identical, so ReuseExchange can never unify them — without a
+    materialization the Python kernel map stage runs once per branch
+    (2.29 s → measured THREE concurrent kernel executions, 17.4 + 12.4
+    + 7.5 s task CPU at sf0.1, because AQE launches all ready query
+    stages in parallel and each races the still-cold cache). A LAZY
+    persist does not fix the race — concurrent stages find partitions
+    uncached and recompute them side by side — so the cache must be
+    populated BEFORE the consumers fork; count() on the freshly cached
+    frame is one fully-parallel job and its post-cache re-reads are
+    columnar-batch row counts (near-free). A/B at sf0.1, min-of-5:
+    q33 1.94 s barrier vs 2.29 s lazy-persist vs 2.04 s unpersisted
+    (double kernel); q50 2.13 s vs 2.4-2.7 s. At corpus scale the
+    materialization is ~8 B/shingle + 8 B/band per doc to executor
+    memory/disk — the signatures table every published MinHash recipe
+    pays, strictly cheaper than tokenizing and hashing the corpus once
+    per consumer. The handle is registered for deterministic release."""
     combined = _hashed_shingles_with_bands(
         df, text_col, id_col, shingle_k, num_hashes, bands, seed
     )
@@ -581,13 +587,12 @@ def minhash_near_duplicates(
 
     from sustainable_building_energy_benchmarking_pipeline_spark.session import register_query_cache
 
+    combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+    register_query_cache(combined)  # outlives the call: release handle
     if persist_shingles:
-        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
-        register_query_cache(combined)  # outlives the call: release handle
         use_broadcast = combined.count() <= broadcast_max_docs
     else:
-        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
-        register_query_cache(combined)
+        combined.count()  # barrier only: materialize before AQE forks
     banded = combined.select(
         "id", F.posexplode("_bh").alias("band_idx", "band_hash")
     )
@@ -1448,15 +1453,16 @@ def dedup_clusters(
                     entry = None
             if entry is not None:
                 return _attach_cluster_labels(df, entry[1], id_col)
-    # cold posture (persist_shingles=False) on purpose: the pair frame is
-    # persisted below, so the whole upstream runs exactly once either
-    # way, and A/B under the engine session shows the shingle persist
-    # only adds barrier/broadcast jobs on the first (cold) run — 11.9 s
-    # vs 5.7 s cold, indistinguishable (~1.8 s) warm at sf0.1
+    # persist_shingles=True (round-12): the pair-frame persist below
+    # does NOT stop the upstream kernel from running once per consumer
+    # branch — AQE materializes the band and verify stages in parallel
+    # and each races the cold cache (see minhash_near_duplicates). The
+    # sizing count is the barrier that pins the kernel to exactly one
+    # execution; A/B min-of-5 at sf0.1: 2.13 s vs 2.4-2.7 s lazy.
     pairs = minhash_near_duplicates(
         df, threshold=threshold, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
-        persist_shingles=False,
+        persist_shingles=True,
     )
     # Gate by persist + count, then collect from the cache: the pair
     # frame is tiny (near-dup relations only), so the persist barrier is
@@ -1824,9 +1830,13 @@ def exact_substr_cut(
             ).alias("clean_text"),
         )
     )
+    # n_all's doc set IS the cut set (cut_corpus semi-joined on cut_docs,
+    # and every cut doc has ≥ k words so none drop at the non-blank
+    # filter) — joining cut_docs back on would be a third equi-join
+    # re-proving that identity (round-12, guide §2.4: one exchange +
+    # stage wave saved, result set-identical).
     return (
-        cut_docs.join(n_all, "doc_id")
-        .join(rebuilt, "doc_id", "left")
+        n_all.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -1864,6 +1874,12 @@ def source_ngram_overlap(
     src = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("_src")
     )
+    # round-12 A/B: pinning one hash(h1,h2) exchange ahead of the
+    # dedup so the self-join arrives co-partitioned measured SLOWER
+    # (1.15 → 1.67 s min-of-5 at sf0.1) than letting the planner keep
+    # the 3-column distinct exchange and ReuseExchange serve both join
+    # sides — the pinned width forces the full un-deduped (src, gram)
+    # frame through a fixed-width exchange the sizes don't justify.
     per_src = grams.join(src, "doc_id").select("_src", "h1", "h2").distinct()
     totals = per_src.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
     a = per_src.select(F.col("_src").alias("source_a"), "h1", "h2")

@@ -1174,11 +1174,14 @@ def q33_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # persist_shingles=False: registry queries are single-shot — the
-    # persist barrier + sizing + broadcast-build jobs cost more than the
-    # one repeated UDF pass they save (see minhash_near_duplicates)
+    # persist_shingles=True (round-12): the size-adaptive posture — the
+    # sizing count doubles as the cache barrier that keeps AQE's
+    # parallel consumer stages from racing the kernel (measured 3x
+    # concurrent kernel executions under a lazy persist; see
+    # minhash_near_duplicates), and small corpora get broadcast verify
+    # joins while large ones keep the 100 TB shuffled shape.
     return minhash_near_duplicates(
-        docs, threshold=0.5, num_hashes=32, bands=16, persist_shingles=False
+        docs, threshold=0.5, num_hashes=32, bands=16, persist_shingles=True
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -687,16 +687,29 @@ def q82_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered in BOTH 1995 and 1996 (INTERSECT) but NOT in 1997 (EXCEPT),
     enriched with their market segment.
 
-    Scale: Spark plans INTERSECT/EXCEPT as left-semi / left-anti
-    aggregate joins on the full row — three year-filtered projections of
-    the same orders scan, each shuffled on custkey, then a broadcast-able
-    dim join. Year filters push to the parquet scan."""
+    Scale (round-12 restructure, guide §1.2/§2.3): INTERSECT/EXCEPT
+    over three year-filtered DISTINCT projections scans orders three
+    times and shuffles custkey five times (three distincts + the
+    semi/anti joins Spark lowers set ops to). The set algebra is a pure
+    function of which years each customer ordered in, so ONE scan +
+    ONE custkey aggregate of three conditional max-flags computes the
+    identical set (oracle-verified; the SQL surfaces still spell
+    INTERSECT/EXCEPT — this is the plan the optimizer should have
+    found). The combined year filter still pushes to the parquet scan,
+    and the dim join stays broadcast-able."""
     o = _t(spark, sf_dir, "orders")
-
-    def keys(year: int) -> DataFrame:
-        return o.where(F.year("o_orderdate") == year).select("o_custkey").distinct()
-
-    both = keys(1995).intersect(keys(1996)).exceptAll(keys(1997))
+    y = F.year("o_orderdate")
+    both = (
+        o.where(y.isin(1995, 1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(y == 1995, 1).otherwise(0)).alias("_y95"),
+            F.max(F.when(y == 1996, 1).otherwise(0)).alias("_y96"),
+            F.max(F.when(y == 1997, 1).otherwise(0)).alias("_y97"),
+        )
+        .where((F.col("_y95") == 1) & (F.col("_y96") == 1) & (F.col("_y97") == 0))
+        .select("o_custkey")
+    )
     cust = _t(spark, sf_dir, "customer")
     return (
         both.join(cust, both["o_custkey"] == cust["c_custkey"])
@@ -2279,20 +2292,19 @@ def z11_lm_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate, join back on tok (df-compressed frames, not the raw
     exploded corpus; AQE skew split handles stopword-hot keys), then one
     per-doc aggregate. nll = ln(T) − Σ m·ln(c) / Σ m with T joined as a
-    broadcast 1-row frame. Tercile thresholds reuse the q96
-    percentile-disc pattern: distinct ROUNDED scores → count → running
-    sum over the distinct-score frame → smallest score whose cume_dist
-    reaches 1/3 and 2/3 — and classification compares 6-dp ROUNDED
-    scores against those exact thresholds, so both engines bucket
-    identical decimals (the z05 float-fold lesson applied to
-    thresholding). The running sum is a plain global-order window on
-    the DISTINCT-score aggregate (round-7, reverting round-6's
-    ``stratified_cumsum``): the frame is aggregate output bounded by
-    the 6-dp score domain (nll concentrates in a few nats — tens of
-    thousands of distinct decimals, independent of corpus row count),
-    so the single window task holds a value-domain-bounded frame while
-    the raw corpus never meets a window. Saves the range exchange +
-    stats self-join the stratified form pays.
+    broadcast 1-row frame. Tercile thresholds are ONE built-in
+    ``percentile_disc`` aggregate over the 6-dp ROUNDED scores (the
+    q96 shape: smallest present value whose cume_dist reaches p) —
+    classification compares rounded scores against those exact
+    thresholds, so both engines bucket identical decimals (the z05
+    float-fold lesson applied to thresholding). Round-12: the previous
+    hand-built form (distinct-score aggregate → global-order running
+    sum → broadcast doc count → min-when threshold pick) spent four
+    extra shuffle stages + two broadcast builds re-deriving what the
+    built-in's value-domain-bounded counts map computes in one hash
+    aggregate (guide §2.4; q96 measured the same collapse at 0.94 s →
+    0.07 s and the results are identical by definition — both are the
+    SQL-standard discrete percentile).
 
     Scale: every stage is a shuffled aggregate or a broadcast; the LM
     frame is vocabulary-sized and only ever joined (never collected), so
@@ -2306,8 +2318,6 @@ def z11_lm_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle map work repeats). Measured FASTER than the persisted form
     (1.18 s vs 1.66 s at sf0.1: skips MEMORY_AND_DISK serde) and
     ``getPersistentRDDs`` stays untouched."""
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     pairs = (
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
@@ -2332,22 +2342,13 @@ def z11_lm_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    d = scored.groupBy("nll").agg(F.count(F.lit(1)).alias("_cnt"))
-    cum = d.withColumn(
-        "_cum",
-        F.sum("_cnt").over(
-            Window.orderBy("nll").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
-    )
-    n_docs = d.agg(F.sum("_cnt").alias("_n"))
-    cd = cum.crossJoin(F.broadcast(n_docs)).withColumn(
-        "_cd", F.col("_cum").cast("double") / F.col("_n")
-    )
-    th = cd.agg(
-        F.min(F.when(F.col("_cd") >= F.lit(1.0) / 3.0, F.col("nll"))).alias("_t1"),
-        F.min(F.when(F.col("_cd") >= F.lit(2.0) / 3.0, F.col("nll"))).alias("_t2"),
+    th = scored.agg(
+        F.expr(
+            f"percentile_disc({1.0 / 3.0!r}) WITHIN GROUP (ORDER BY nll)"
+        ).alias("_t1"),
+        F.expr(
+            f"percentile_disc({2.0 / 3.0!r}) WITHIN GROUP (ORDER BY nll)"
+        ).alias("_t2"),
     )
     return (
         scored.crossJoin(F.broadcast(th))
