@@ -1248,6 +1248,13 @@ def _shared_gram_frame(
     grams = _pos_gram_hashes(_ws_words(corpus, text_col, id_col), k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # eager barrier (round-12, the minhash lesson): the consumers fork
+    # into differently-keyed exchanges (docs-per-gram aggregate + the
+    # join back), and AQE materializes both query stages in parallel —
+    # a lazily-persisted frame gets its cold partitions computed once
+    # PER RACER. One count() populates the cache before the fork; the
+    # post-cache count is columnar-batch row counts.
+    grams.count()
     if fp is not None:
         with _CLUSTER_CACHE_LOCK:
             if len(_GRAM_FRAME_CACHE) >= _GRAM_CACHE_MAX:

@@ -344,6 +344,14 @@ def ann_lsh_topk(
         cos = (mat @ qn) / norms
         return pd.DataFrame({"sigs": list(sigs), "cos": cos})
 
+    # asNondeterministic (round-12, guide §4.4): the bucket probe below
+    # FILTERS on this UDF's output, and the optimizer's filter pushdown
+    # otherwise duplicates the evaluation — the executed plan carried
+    # TWO ArrowEvalPython nodes, i.e. the whole-corpus signature matmul
+    # ran twice per query. The function is pure; the marking only
+    # forbids the optimizer from re-evaluating it below the filter.
+    _sig_cos = _sig_cos.asNondeterministic()
+
     with_sig = corpus.withColumn("_sc", _sig_cos(F.col(vec_col)))
     probe = None
     for t, qs in enumerate(q_sigs):
@@ -458,6 +466,12 @@ def ivf_topk(
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    # guide §4.4: the isin filter below is on the UDF's output column —
+    # unmarked, filter pushdown duplicates the assignment matmul into a
+    # second ArrowEvalPython below the filter (one eval per corpus row
+    # per node). Pure function; marking only pins one evaluation.
+    _nearest_cell = _nearest_cell.asNondeterministic()
 
     q = np.asarray(query_vec, dtype=np.float64)
     probe_cells = (

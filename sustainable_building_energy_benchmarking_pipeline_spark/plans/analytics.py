@@ -1462,29 +1462,41 @@ def q40_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx and drop the oracle."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(c).alias(f"{c}__count"),
-            F.round(F.avg(c), 4).alias(f"{c}__mean"),
-            F.round(F.stddev(c), 4).alias(f"{c}__std"),
-            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
-            F.round(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"{c}__q1"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"{c}__median"),
-            F.round(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"{c}__q3"),
-            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+    # string-expression form (round-12): the Column-builder form spent
+    # ~0.3 s of DRIVER time per run constructing 24 aggregate + 27
+    # struct-field Column objects through py4j and re-analyzing each
+    # intermediate (measured 0.53 s build → 0.22 s; the same trick the
+    # dedup map-literal attach documents). One F.expr string parses in
+    # a single JVM call; the analyzed plan is identical.
+    stat_exprs = {
+        "count": lambda c: f"count({c})",
+        "mean": lambda c: f"round(avg({c}), 4)",
+        "std": lambda c: f"round(stddev({c}), 4)",
+        "min": lambda c: f"round(cast(min({c}) as double), 4)",
+        "q1": lambda c: f"round(percentile({c}, 0.25), 4)",
+        "median": lambda c: f"round(percentile({c}, 0.5), 4)",
+        "q3": lambda c: f"round(percentile({c}, 0.75), 4)",
+        "max": lambda c: f"round(cast(max({c}) as double), 4)",
+    }
+    stats = list(stat_exprs)
+    wide = li.agg(
+        *[
+            F.expr(f"{fn(c)} as {c}__{s}")
+            for c in cols
+            for s, fn in stat_exprs.items()
         ]
-    wide = li.agg(*aggs)
-    stats = ["count", "mean", "std", "min", "q1", "median", "q3", "max"]
-    rows = [
-        F.struct(
-            F.lit(c).alias("column"),
-            *[F.col(f"{c}__{s}").cast("double").alias(s) for s in stats],
+    )
+    inner = ", ".join(
+        "struct("
+        + ", ".join(
+            [f"'{c}' as column"]
+            + [f"cast({c}__{s} as double) as {s}" for s in stats]
         )
+        + ")"
         for c in cols
-    ]
+    )
     return (
-        wide.select(F.explode(F.array(*rows)).alias("r"))
+        wide.select(F.expr(f"explode(array({inner})) as r"))
         .select("r.column", *[f"r.{s}" for s in stats])
         .orderBy("column")
     )
