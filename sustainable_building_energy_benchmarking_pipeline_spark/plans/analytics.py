@@ -2377,8 +2377,12 @@ def q61_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.dedup import (
         ngram_decontaminate,
     )
-
     docs = _t(spark, sf_dir, "documents")
+    # round-12 A/B: round-robin-parallelizing the corpus side ahead of
+    # the gram explode (ensure_min_partitions) measured 1.23 → 3.84 s
+    # min-of-5 at sf0.1 — the text exchange + 32-task scheduling costs
+    # far more than the one-task tokenize saves here. Left single-task
+    # locally; at scale the corpus arrives multi-partition anyway.
     return ngram_decontaminate(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
