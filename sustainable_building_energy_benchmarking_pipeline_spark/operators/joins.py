@@ -239,6 +239,13 @@ def fuzzy_join_ed1(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     register_query_cache(L)
+    # eager barrier (round-12, the minhash lesson): the five consumer
+    # subtrees fork into differently-keyed exchanges that AQE
+    # materializes in parallel — a lazily-persisted L gets its cold
+    # scan+distinct computed once per racer (stage profile showed the
+    # key scan reading twice inside one stage). One count() populates
+    # the cache before the fork.
+    L.count()
     R = (
         right.select(F.col(right_key).cast("string").alias("right_key"))
         .where(F.col("right_key").isNotNull())
@@ -247,6 +254,7 @@ def fuzzy_join_ed1(
     if not self_join:
         R = R.persist(StorageLevel.MEMORY_AND_DISK)
         register_query_cache(R)
+        R.count()
     dist0, dist1 = F.lit(0).alias("dist"), F.lit(1).alias("dist")
 
     if self_join:
