@@ -819,6 +819,10 @@ def simhash_near_duplicates(
     # the MinHash path (_chunked_bucket): O(n·cap) pairs, still one
     # connected component. sort_array makes window membership
     # deterministic (collect_list order is partition-order-dependent).
+    # round-12 A/B: pinning the bucket exchange width here (the q33
+    # pattern) measured 1.61 → 2.17 s min-of-5 — q34's per-bucket pair
+    # mass is far lighter than MinHash banding's, so the fixed width
+    # only buys scheduling overhead. Left to AQE sizing.
     buckets = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs"))
