@@ -353,10 +353,17 @@ def ann_lsh_topk(
     _sig_cos = _sig_cos.asNondeterministic()
 
     with_sig = corpus.withColumn("_sc", _sig_cos(F.col(vec_col)))
-    probe = None
-    for t, qs in enumerate(q_sigs):
-        hit = F.col("_sc").getField("sigs").getItem(t) == F.lit(qs)
-        probe = hit if probe is None else (probe | hit)
+    # ONE parsed expression for the bucket probe (round-12): the
+    # Column-object form (24 × getField/getItem/==/| chained calls) is
+    # ~120 py4j round trips costing 0.4-1.1 s of pure driver time per
+    # query build — more than the query's whole execution. F.expr
+    # parses the same OR-chain in a single call; the analyzed plan is
+    # identical (same GetArrayItem/EqualTo/Or tree).
+    probe = F.expr(
+        " OR ".join(
+            f"_sc.sigs[{t}] = {qs}L" for t, qs in enumerate(q_sigs)
+        )
+    )
     return (
         with_sig.filter(probe)
         .select(
