@@ -182,6 +182,78 @@ def language_id(text: Column) -> Column:
     return language_id_from_tokens(ws_tokens(F.lower(text)), text)
 
 
+def language_pred_kernel(lower_text: Column) -> Column:
+    """Arrow-kernel form of ``language_scores`` → ``language_argmax`` over
+    an ALREADY-LOWERCASED text column (keep ``F.lower`` JVM-side so case
+    folding is bit-identical to the expression form and the oracle).
+
+    Why a kernel (round-13, guide §4.1/§4.2): the expression form's K
+    membership filters are higher-order-function lambdas, which Spark
+    evaluates INTERPRETED per element — they never enter whole-stage
+    codegen — measured 6.9 s of task CPU at sf0.1 (the registry's
+    per-byte CPU outlier; 100 TB multiplies CPU, not wall). One Python
+    pass with C-speed ``str.split``/set membership replaces ~50
+    interpreted lambda evaluations per token. The explode+codegen
+    rewrite was measured WORSE (18.2 s CPU — per-token UnsafeRows);
+    this kernel is the remaining honest lever.
+
+    Semantics matched to the expression form exactly:
+    - tokenization: Java ``\\s`` is the ASCII class ``[ \\t\\n\\x0B\\f\\r]``
+      (spelled out; Python's ``\\s``/``str.split`` are Unicode-wide and
+      would split differently — the ``winnowing_postings`` precedent);
+    - en/es/fr/de scores: count of tokens IN the profile set;
+    - zh score: per-character count of the zh profile chars (equals
+      ``regexp_count`` over the char class — lowercasing never alters
+      CJK chars, so counting in the lowered text is identical);
+    - argmax: 'und' when best <= 0, else first profile-order language
+      reaching the max.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    order = tuple(LANG_PROFILES)  # profile order for first-max ties
+    idx = {lang: i for i, lang in enumerate(order)}
+    # one dict probe per token (stopwords overlap across languages —
+    # 'la'/'de'/'un' are in both es and fr — so map word → index tuple)
+    word_langs: dict[str, tuple[int, ...]] = {}
+    for lang, words in LANG_PROFILES.items():
+        if lang == "zh":
+            continue
+        for w in words:
+            word_langs[w] = word_langs.get(w, ()) + (idx[lang],)
+    zh_chars = tuple(LANG_PROFILES["zh"])
+    zh_i = idx["zh"]
+    n_langs = len(order)
+
+    @pandas_udf("string")
+    def _pred(lt: pd.Series) -> pd.Series:
+        out = []
+        get = word_langs.get
+        for t in lt:
+            if t is None:
+                # expression form: every WHEN condition is NULL for NULL
+                # text, so the CASE falls through to otherwise('und')
+                out.append("und")
+                continue
+            scores = [0] * n_langs
+            for tok in ws.split(t):
+                hit = get(tok)
+                if hit is not None:
+                    for i in hit:
+                        scores[i] += 1
+            scores[zh_i] = sum(t.count(c) for c in zh_chars)
+            best = max(scores)
+            if best <= 0:
+                out.append("und")
+                continue
+            out.append(order[scores.index(best)])
+        return pd.Series(out)
+
+    return _pred(lower_text)
+
+
 def content_fingerprint(text: Column) -> Column:
     """Whitespace-normalized SHA-256 content fingerprint (F20) — the exact-
     dedup key: case-folded, runs of whitespace collapsed."""

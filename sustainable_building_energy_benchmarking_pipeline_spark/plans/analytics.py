@@ -940,16 +940,18 @@ ORDER BY source
 
 def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language identification (text analysis) — confusion
-    counts of predicted vs labeled language. Three staged projections
-    (tokens → per-language scores → argmax): lambda consumers don't CSE
-    the tokenizer, and the argmax CASE references each score ~7×, so both
-    materialize before their consumers. The single-file corpus
-    repartitions before the string-heavy stage."""
+    counts of predicted vs labeled language.
+
+    Round-13: one Arrow kernel (``language_pred_kernel``) replaces the
+    staged HOF projections — the K per-language membership filters are
+    interpreted lambdas (never codegen), the registry's per-byte CPU
+    outlier at 6.9 s task CPU for sf0.1; the explode+codegen rewrite
+    measured 2.6× WORSE (r12 negative result), so the Python boundary is
+    the remaining lever. ``F.lower`` stays JVM-side so case folding (and
+    the oracle hash) is unchanged; only the lowered text crosses to
+    Python. The single-file corpus repartitions before the kernel."""
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
-        LANG_PROFILES,
-        language_argmax,
-        language_scores,
-        ws_tokens,
+        language_pred_kernel,
     )
 
     from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
@@ -958,19 +960,9 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # gated: parallelizes single-file corpora, no-op when already partitioned
     docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "lang", "text", ws_tokens(F.lower(F.col("text"))).alias("_toks")
-    )
-    scored = toks.select(
-        "lang",
-        *[
-            c.alias(f"_s_{lang}")
-            for lang, c in language_scores(F.col("_toks"), F.col("text")).items()
-        ],
-    )
-    pred = language_argmax({lang: F.col(f"_s_{lang}") for lang in LANG_PROFILES})
     return (
-        scored.withColumn("lang_pred", pred)
+        docs.select("lang", F.lower(F.col("text")).alias("_lt"))
+        .select("lang", language_pred_kernel(F.col("_lt")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")

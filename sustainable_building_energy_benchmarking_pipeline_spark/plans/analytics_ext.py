@@ -2170,19 +2170,31 @@ def z10_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        practice drops them too). A window count, not a groupBy +
        collect, so no executor ever materializes a Zipf-hot posting
        list as an array.
-    2. window ``count() OVER (PARTITION BY doc_id)`` → each posting
-       row carries its document's RETAINED-fingerprint size inline, so
-       overlap denominators need no sizes join later.
-    3. ``collect_list(struct(doc_id, nd))`` per fp — bounded ≤ 50 by
-       step 1, so the array agg is memory-safe — then expression-level
-       pair expansion (worst bucket C(50,2)) and one (doc_a, doc_b)
-       count aggregate.
+    2. ``collect_list(doc_id)`` per fp — bounded ≤ 50 by step 1, so
+       the array agg is memory-safe, and it rides the SAME fp
+       partitioning the window established (no new exchange) — then
+       expression-level pair expansion (worst bucket C(50,2)) and one
+       (doc_a, doc_b) count aggregate.
+    3. per-document RETAINED-fingerprint sizes from a second consumer
+       of the same fp-partitioned stage: ``groupBy(doc_id).count()``
+       ships only map-side-partial (doc_id, count) rows, and the pair
+       frame (already aggregated, tiny next to postings) joins the
+       sizes twice to pick up denominators.
 
-    Three shuffles, all linear in the posting count, no key skew (fp
-    capped at 50 by construction; doc_id bounded by doc length / w);
-    nothing persisted, so ``getPersistentRDDs`` is untouched. Overlap
-    denominators count only retained (discriminative) fingerprints,
-    consistently on both sides."""
+    Round-13 restructure (guide §2.4): the previous form carried the
+    denominator as a ``count() OVER (PARTITION BY doc_id)`` window
+    BETWEEN the fp window and the fp groupBy, so the posting frame
+    crossed THREE posting-sized exchanges (fp → doc_id → fp). Keying
+    the two fp-wise steps adjacently collapses them onto ONE posting
+    exchange; both consumers (pairs, sizes) share that materialized
+    stage via AQE's stage cache — identical subtrees below the
+    exchange, same (doc_id, fp) projection — so the winnowing kernel
+    still runs exactly once. Posting-sized exchanges: 3 → 1; the two
+    remaining aggregates shuffle pair rows and partial doc counts.
+    No key skew (fp capped at 50 by construction; doc_id bounded by
+    doc length / w); nothing persisted, so ``getPersistentRDDs`` is
+    untouched. Overlap denominators count only retained
+    (discriminative) fingerprints, consistently on both sides."""
     from pyspark.sql import Window
 
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
@@ -2199,31 +2211,30 @@ def z10_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnowing_postings(docs, "text", "doc_id", k=4, w=5)
         .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("_df") <= max_df)
-        .withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    # members is array_sort'ed on (doc_id, nd) structs — doc_id is the
-    # leading struct field and unique within an fp bucket, so the
-    # i<j expansion below emits each pair once with doc_a < doc_b
+    # members is array_sort'ed — doc_id is unique within an fp bucket
+    # ((doc_id, fp) postings are per-doc distinct), so the i<j expansion
+    # below emits each pair once with doc_a < doc_b
     pairs = (
         posts.groupBy("fp")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "nd"))).alias(
-                "members"
-            )
-        )
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(members, (a, i) -> "
                     "transform(slice(members, i + 2, size(members) - i - 1), "
-                    "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
-                    "a.nd AS na, b.nd AS nb))))"
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
                 )
             ).alias("p")
         )
         .select("p.*")
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    pairs = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nd").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nd").alias("nb")), "doc_b")
     )
     ratio = F.col("n_shared").cast("double") / F.least("na", "nb").cast("double")
     return (
