@@ -949,17 +949,20 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 2.6× WORSE (r12 negative result), so the Python boundary is
     the remaining lever. ``F.lower`` stays JVM-side so case folding (and
     the oracle hash) is unchanged; only the lowered text crosses to
-    Python. The single-file corpus repartitions before the kernel."""
+    Python.
+
+    No ``ensure_min_partitions`` here (round-13, the q61 lesson): the
+    kernel's compute is 0.13 s single-threaded for the whole sf0.1
+    corpus, so fanning the single local file to 32 tasks pays 32× the
+    per-task Arrow/UDF round-trip (measured 6.2 s summed task time
+    warm, 51 s cold-worker, vs 0.22 s at one task) for nothing; at
+    scale the scan arrives multi-partition and the kernel parallelizes
+    per partition anyway."""
     from sustainable_building_energy_benchmarking_pipeline_spark.functions.text import (
         language_pred_kernel,
     )
 
-    from sustainable_building_energy_benchmarking_pipeline_spark.operators.partitioning import (
-        ensure_min_partitions,
-    )
-
-    # gated: parallelizes single-file corpora, no-op when already partitioned
-    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return (
         docs.select("lang", F.lower(F.col("text")).alias("_lt"))
         .select("lang", language_pred_kernel(F.col("_lt")).alias("lang_pred"))
@@ -1023,14 +1026,22 @@ def q30_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_tokens(F.col("text")).alias("_toks"),
         ws_tokens(F.lower(F.col("text"))).alias("_ltoks"),
     )
-    q = quality_score_from_tokens(
-        F.col("_toks"), F.col("_ltoks"), F.col("text")
+    # materialize the score ONCE per row (round-13): both aggregates
+    # below reference it, and aggregate-expression inlining would
+    # otherwise evaluate the full interpreted-HOF score tree twice per
+    # row (the lambda components never enter codegen — same family as
+    # q29's scores)
+    scored = toked.select(
+        "source",
+        quality_score_from_tokens(
+            F.col("_toks"), F.col("_ltoks"), F.col("text")
+        ).alias("_q"),
     )
     return (
-        toked.groupBy("source")
+        scored.groupBy("source")
         .agg(
-            F.round(F.avg(q), 4).alias("avg_quality"),
-            A.count_if(q >= 0.8).cast("bigint").alias("n_high_quality"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+            A.count_if(F.col("_q") >= 0.8).cast("bigint").alias("n_high_quality"),
             F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy("source")

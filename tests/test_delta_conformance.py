@@ -27,6 +27,10 @@ import os
 
 import pytest
 
+from tests.conftest import long_suite
+
+pytestmark = long_suite
+
 from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "data", "golden_delta")

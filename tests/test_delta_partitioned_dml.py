@@ -15,6 +15,10 @@ import json
 import os
 
 import pytest
+
+from tests.conftest import long_suite
+
+pytestmark = long_suite
 from pyspark.sql import functions as F
 
 from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl

@@ -11,6 +11,10 @@ import os
 
 import pytest
 
+from tests.conftest import long_suite
+
+pytestmark = long_suite
+
 from sustainable_building_energy_benchmarking_pipeline_spark.sources import deltalog as dl
 from sustainable_building_energy_benchmarking_pipeline_spark.sources.delta_stream_source import (
     DeltaLogDataSource,

@@ -7,6 +7,8 @@ import json
 import os
 
 import pytest
+
+from tests.conftest import long_suite
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1624,6 +1626,7 @@ def test_deltalog_restore_race_raises(spark, tmp_path, monkeypatch):
     assert [r.id for r in dl.read_delta(spark, path).collect()] == [1]
 
 
+@long_suite
 def test_multipart_checkpoint_100k_actions(spark, tmp_path):
     """Round-5 directive #4: a ~10⁵-add table checkpoints into the
     spec's multi-part form (%020d.checkpoint.%010d.%010d.parquet),

@@ -16,6 +16,8 @@ import os
 
 import pytest
 
+from tests.conftest import long_suite
+
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
 from tests.conftest import TESTDATA_SF
 
@@ -187,6 +189,7 @@ def test_deterministic_shuffle_partition_invariant(spark):
     assert c != a
 
 
+@long_suite
 def test_cli_query_smoke():
     """The python -m CLI (reference Makefile/main() parity) runs a
     registry query end-to-end in its own process and prints JSON rows."""
@@ -205,6 +208,7 @@ def test_cli_query_smoke():
     assert 1 <= len(rows) <= 3 and all(isinstance(r, dict) for r in rows)
 
 
+@long_suite
 def test_cli_medallion_writes_delta_layers(spark, tmp_path):
     """The medallion command stores every layer as a Delta table (the
     reference's notebook persists each layer in Delta —
@@ -248,6 +252,7 @@ def test_cli_medallion_writes_delta_layers(spark, tmp_path):
     assert sorted(map(tuple, v0.collect())) == sorted(map(tuple, v1.collect()))
 
 
+@long_suite
 def test_cli_delta_maintenance(spark, tmp_path):
     """The delta subcommand drives the protocol layer's maintenance
     surface end-to-end in its own processes: set-property, history,
@@ -283,6 +288,7 @@ def test_cli_delta_maintenance(spark, tmp_path):
     assert "checkpointed" in run("checkpoint", path)
 
 
+@long_suite
 def test_cli_detect_distributed_train(spark, tmp_path):
     """`detect --ml --distributed-train` drives the full generate → etl →
     detect chain through real subprocesses with the no-row-cap ensemble
@@ -312,6 +318,7 @@ def test_cli_detect_distributed_train(spark, tmp_path):
     assert "isolation_forest" in rules and len(rules) > 1
 
 
+@long_suite
 def test_cli_curate_subprocess(spark, tmp_path):
     """`curate` CLI: documents parquet in, curated corpus out — dedup,
     repetition filter, per-source cap applied; schema preserved."""

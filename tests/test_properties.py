@@ -89,6 +89,8 @@ def test_fuzzy_ed1_equals_naive_levenshtein(spark_session_prop, left, right):
 
 import pytest  # noqa: E402
 
+from tests.conftest import long_suite  # noqa: E402
+
 
 @pytest.fixture(scope="module")
 def spark_session_prop(spark):
@@ -172,6 +174,7 @@ _rows_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@long_suite
 def test_stratified_rank_and_cumsum_match_windows(spark, rows, n_parts):
     from pyspark.sql import Window
     from pyspark.sql import functions as F

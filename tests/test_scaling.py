@@ -16,6 +16,10 @@ import time
 
 import pytest
 
+from tests.conftest import long_suite
+
+pytestmark = long_suite
+
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
 
 SF_SMALL = "/root/testdata/sf0.01"

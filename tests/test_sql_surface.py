@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import long_suite
+
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.analytics import QUERIES
 from sustainable_building_energy_benchmarking_pipeline_spark.plans.sql_frontend import SPARK_SQL
 from sustainable_building_energy_benchmarking_pipeline_spark.session import load_tables
@@ -69,6 +71,7 @@ def _views(spark):
 @pytest.mark.parametrize(
     "name", [n for n in sorted(QUERIES) if n not in EXCLUDED]
 )
+@long_suite
 def test_sql_frontend_matches_dataframe(spark, name):
     spec = QUERIES[name]
     df_api = spec.fn(spark, SF_DIR)
