@@ -795,19 +795,20 @@ def simhash_near_duplicates(
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sigs = simhash64(df, text_col, id_col)
-    chunks = sigs.select(
+    # one parsed expression instead of a 2·n_chunks-call Column loop:
+    # the plan carries the bit-vote UDF closure, so EVERY chained
+    # Dataset op pays ~40-90 ms of eager analysis over it (the q36/q40
+    # driver-boundary lesson) — fewer ops and fewer py4j round trips
+    # are the same lever here
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = ", ".join(
+        f"shiftrightunsigned(simhash, {i * chunk_bits}) & {mask}L"
+        for i in range(n_chunks)
+    )
+    chunks = sigs.selectExpr(
         "id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(
-                        F.lit((1 << chunk_bits) - 1)
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        f"posexplode(array({chunk_arr})) AS (chunk_idx, chunk_val)",
     )
     # bucket-grouped pair emission instead of a self-join: one aggregation
     # computes the (Pandas-UDF) signatures once — a self-join would run
@@ -829,16 +830,24 @@ def simhash_near_duplicates(
         .filter(F.size("xs") > 1)
         .select(F.explode(_chunked_bucket("xs", 256)).alias("xs"))
     )
+    # i<j pair expansion in ONE parsed expression (the z10 form) instead
+    # of double-explode + filter — 4 chained ops fewer on a UDF-bearing
+    # plan (build-cost lever, see above), same pair set: xs is
+    # sort_array'ed and ids are unique within a bucket, so slice(i+2..)
+    # enumerates exactly the x.id < y.id cross pairs the old
+    # explode²+filter form produced
     pairs = (
-        buckets.select("xs", F.explode("xs").alias("x"))
-        .select("x", F.explode("xs").alias("y"))
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (a, i) -> "
+                    "transform(slice(xs, i + 2, size(xs) - i - 1), "
+                    "b -> struct(a.id AS id_a, b.id AS id_b, "
+                    "a.simhash AS sh_a, b.simhash AS sh_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .distinct()  # same pair can collide in several chunks
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
